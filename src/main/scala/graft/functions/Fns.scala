@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Column helpers shared by the operator library.
+  *
+  * Hashes are built from md5 hex prefixes rather than Spark's murmur3 so the
+  * same value is computable in any engine (the DuckDB oracle reproduces them
+  * with `('0x' || substr(md5(s),1,15))::BIGINT`). 15 hex chars = 60 bits,
+  * always non-negative in a signed 64-bit long.
+  */
+object Fns {
+
+  /** Deterministic 60-bit hash of a string column, engine-portable. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant for minhash families: h_i(s) = hash60(s || '#' || i). */
+  def hash60Seeded(c: Column, seed: Int): Column =
+    hash60(concat(c, lit("#"), lit(seed.toString)))
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word k-shingles (k consecutive tokens joined by a space).
+    * Empty array when the document has fewer than k tokens.
+    * Reference dedups on whole-content equality (`memory_graph.py:10325`);
+    * shingling generalizes that to near-duplicate detection for corpus-scale
+    * dedup (BASELINE.json north star).
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    // guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — short
+    // docs must short-circuit to an empty array before element_at runs.
+    val body = transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= k, body).otherwise(array().cast("array<string>"))
+  }
+
+  /** strip the reference's `_N` chunk suffix → base id (memory_graph.py:6065). */
+  def baseId(chunkId: Column): Column = regexp_replace(chunkId, "_[0-9]+$", "")
+
+  /** 30-day-half-life exponential time decay (memory_management.py:3177-3190):
+    * weight = 0.5 ^ (days(now - ts) / halfLifeDays). `now` is passed in for
+    * determinism — decay-at-read over an event log.
+    */
+  def timeDecay(ts: Column, now: Column, halfLifeDays: Double): Column =
+    pow(lit(0.5), datediff(now, ts).cast("double") / halfLifeDays)
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+
+/** Corpus-level deduplication operators over a `documents(doc_id, text)` table.
+  *
+  * The reference dedups on exact content equality per user
+  * (`memory/memory_graph.py:10325-10393`, `find_and_delete_duplicates`) and on
+  * embedding similarity for entities (`memory_graph.py:11392-11655`). For a
+  * 100 TB training-data pipeline we generalize to the standard family:
+  *
+  *  - exact (content-hash groupBy — one shuffle on the hash),
+  *  - MinHash + LSH banding (shingle → k seeded min-hashes → band buckets →
+  *    bucket join → Jaccard verify). Only candidate pairs sharing a band are
+  *    verified, so the quadratic step touches near-duplicates only.
+  *  - SimHash (sign-aggregated bit fingerprint; hamming-close = near-dup),
+  *  - exact n-gram Jaccard via an inverted-index join (no cross product).
+  *
+  * All hashes are md5-derived (`Fns.hash60`) so the DuckDB oracle reproduces
+  * every intermediate value bit-for-bit.
+  */
+object Dedup {
+
+  /** A1/A3: exact dedup — group identical content, keep the smallest id. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct (doc_id, shingle) pairs — the substrate for minhash/jaccard. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), k)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: numHashes seeded min-hashes in ONE aggregation pass
+    * over the exploded shingles (map-side partial min → tiny shuffle). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(s => min(hash60Seeded(col("shingle"), s)).as(s"h$s"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: hash r consecutive signature slots per band; docs sharing
+    * any (band_idx, band_key) are candidates. */
+  def bands(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val r = numHashes / numBands
+    val bandCols = (0 until numBands).map { b =>
+      val slot = concat_ws("|", (0 until r).map(i => col(s"h${b * r + i}")): _*)
+      struct(lit(b).as("band_idx"), md5(slot).as("band_key"))
+    }
+    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** Candidate pairs from shared bands (a < b, distinct). */
+  def candidatePairs(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+    val b = bandsDf.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for given pairs via the inverted index (shingle join). */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      // unrounded: a single division of identical integers is bit-identical
+      // across engines; round() itself can disagree at decimal boundaries.
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
+                 numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    val cand = candidatePairs(bands(minhashSignatures(sh, numHashes), numHashes, numBands))
+    jaccardVerify(cand, sh, threshold)
+  }
+
+  /** Exact all-near-dup pairs by n-gram Jaccard (inverted-index join, then
+    * threshold). Ground truth for the LSH pipeline. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
+                   threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardVerify(pairs, sh, threshold)
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 32): per token-hash, bit j votes +1/-1;
+    * the sign of the vote sum is bit j of the fingerprint. Near-dups have
+    * hamming-close fingerprints. One explode + one groupBy. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .withColumn("h", hash60(col("token")))
+    val bitVotes = tok.select(col("doc_id"),
+      explode(sequence(lit(0), lit(bits - 1))).as("bit"),
+      col("h"))
+      .withColumn("vote", when(expr("shiftright(h, bit) % 2") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("votes"))
+    bitVotes
+      .withColumn("bitval", when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+
+/** The reference's retrieval-pipeline operators as declarative Spark plans:
+  * ACL filtering (F1), typed metadata filters (F4), chunk→memory rollup (J2),
+  * score fusion with default scores (W3), stratified per-source sampling with
+  * quotas (W1/W2), time-decayed counters (A4), tier-1 ranking (A5).
+  *
+  * Everything is a Column/DataFrame transform — predicate pushdown, partial
+  * aggregation and join strategy come from Catalyst.
+  */
+object Retrieval {
+
+  /** Requesting principal for ACL checks (auth resolution is out of engine
+    * scope; the engine sees the resolved principal). */
+  case class Principal(
+      userId: String,
+      workspaces: Seq[String] = Nil,
+      roles: Seq[String] = Nil,
+      organizations: Seq[String] = Nil,
+      namespaces: Seq[String] = Nil)
+
+  /** F1 — OR across access arrays (the reference's Qdrant `should` clause,
+    * `memory/memory_graph.py:5816-5905`): owner OR direct user grant OR
+    * workspace/role overlap OR org/namespace membership. Array predicates
+    * (`array_contains`/`arrays_overlap`) are codegen'd and pushable. */
+  def aclPredicate(p: Principal,
+                   userCol: String = "user_id",
+                   userRead: String = "user_read_access",
+                   wsRead: String = "workspace_read_access",
+                   roleRead: String = "role_read_access",
+                   orgRead: String = "organization_read_access",
+                   nsRead: String = "namespace_read_access"): Column = {
+    def overlap(c: String, vals: Seq[String]): Option[Column] =
+      if (vals.isEmpty) None
+      else Some(arrays_overlap(col(c), array(vals.map(lit): _*)))
+    val clauses = Seq(
+      Some(col(userCol) === lit(p.userId)),
+      Some(array_contains(col(userRead), p.userId)),
+      overlap(wsRead, p.workspaces),
+      overlap(roleRead, p.roles),
+      overlap(orgRead, p.organizations),
+      overlap(nsRead, p.namespaces)).flatten
+    clauses.reduce(_ || _)
+  }
+
+  /** F4 — the reference's typed customMetadata filter semantics
+    * (`memory_graph.py:5966-6046`): per key, a list means ANY-overlap, a bool
+    * means equality, a *bare number means a `>=` lower bound*, a range object
+    * means gte/lte/gt/lt, a string means equality. Encoded once here. */
+  sealed trait MetaPred { def toPredicate(value: Column): Column }
+  final case class MetaEq(v: String) extends MetaPred {
+    def toPredicate(value: Column): Column = value === lit(v)
+  }
+  final case class MetaBool(v: Boolean) extends MetaPred {
+    def toPredicate(value: Column): Column = value.cast("boolean") === lit(v)
+  }
+  final case class MetaAtLeast(v: Double) extends MetaPred {
+    def toPredicate(value: Column): Column = value.cast("double") >= lit(v)
+  }
+  final case class MetaAnyOf(vs: Seq[String]) extends MetaPred {
+    def toPredicate(value: Column): Column = value.isin(vs.map(x => x: Any): _*)
+  }
+  final case class MetaRange(gte: Option[Double] = None, lte: Option[Double] = None,
+                             gt: Option[Double] = None, lt: Option[Double] = None) extends MetaPred {
+    def toPredicate(value: Column): Column = {
+      val d = value.cast("double")
+      Seq(gte.map(d >= _), lte.map(d <= _), gt.map(d > _), lt.map(d < _))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    }
+  }
+
+  /** Apply a metadata filter against a map<string,string> column (AND over keys). */
+  def metaFilter(mapCol: Column, preds: Map[String, MetaPred]): Column =
+    preds.map { case (k, p) => p.toPredicate(element_at(mapCol, k)) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Same semantics over a JSON-string metadata column. */
+  def metaFilterJson(jsonCol: Column, preds: Map[String, MetaPred]): Column =
+    preds.map { case (k, p) => p.toPredicate(get_json_object(jsonCol, s"$$.$k")) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+  /** J2 — chunk hits → base memory, keeping the best chunk score
+    * (`memory_graph.py:6553-6560`): map-side combinable, one shuffle. */
+  def chunkRollup(chunkHits: DataFrame, chunkIdCol: String, scoreCol: String): DataFrame =
+    chunkHits
+      .withColumn("memory_id", baseId(col(chunkIdCol)))
+      .groupBy(col("memory_id"))
+      .agg(max(col(scoreCol)).as("best_score"), count(lit(1)).as("n_chunks"))
+
+  /** W3 — fuse per-source score sets: union, fill missing scores with the
+    * graph-branch default 0.7 (`memory_graph.py:6323-6327`), keep each id's
+    * best (score, source-priority) via one max-by aggregation. */
+  def fuseScores(sources: Seq[(String, DataFrame)], idCol: String,
+                 scoreCol: String, defaultScore: Double = 0.7): DataFrame = {
+    val tagged = sources.zipWithIndex.map { case ((name, df), pri) =>
+      df.select(
+        col(idCol).as("id"),
+        coalesce(col(scoreCol).cast("double"), lit(defaultScore)).as("score"),
+        lit(name).as("source"),
+        lit(pri).as("pri"))
+    }
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(max(struct(col("score"), col("pri"), col("source"))).as("best"))
+      .select(col("id"), col("best.score").as("score"), col("best.source").as("source"))
+  }
+
+  /** W1/W2 — stratified per-source sampling: rank within source, keep
+    * `quota(source)` rows (`memory_graph.py:6289-6330`). Deterministic
+    * tie-break on id. */
+  def stratifiedSample(df: DataFrame, sourceCol: String, scoreCol: String,
+                       idCol: String, quota: Map[String, Int], defaultQuota: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(desc(scoreCol), col(idCol))
+    val quotaCol = quota.foldLeft(lit(defaultQuota)) { case (acc, (s, q)) =>
+      when(col(sourceCol) === s, lit(q)).otherwise(acc)
+    }
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quotaCol)
+      .drop("rn")
+  }
+
+  /** A4 — decayed counter recompute over an event log: each event contributes
+    * value·0.5^(Δdays/halfLife) (`memory_management.py:3177-3190`). Batch
+    * twin of the streaming EMA; map-side partial sums. */
+  def decayedCounters(events: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, now: Column, halfLifeDays: Double): DataFrame =
+    events.groupBy(col(keyCol))
+      .agg(
+        round(sum(col(valCol) * timeDecay(col(tsCol), now, halfLifeDays)), 4).as("decayed_sum"),
+        count(lit(1)).as("hits"))
+
+  /** A5 — tier-1 ranking score (`memory_management.py:4044-4051`):
+    * 0.5·log1p(hits) + 0.3·ema + 0.2·conf, blended 0.7·cite + 0.3·cache when
+    * a citation score exists. */
+  def tier1Score(hits: Column, ema: Column, conf: Column): Column =
+    lit(0.5) * log1p(hits) + lit(0.3) * ema + lit(0.2) * conf
+
+  def tier1Blend(cacheScore: Column, citeScore: Column): Column =
+    when(citeScore.isNotNull, lit(0.7) * citeScore + lit(0.3) * cacheScore)
+      .otherwise(cacheScore)
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity-search operators over an embedding column (`array<float>`).
+  *
+  * Mirrors the reference's vector top-k retrieval (V1: cosine KNN with a score
+  * threshold, `memory/memory_graph.py:8047-8160`) re-expressed as declarative
+  * Spark plans:
+  *
+  *  - `knnCosine`/`knnDot` — brute-force exact scan. The query vector is a
+  *    1-row broadcast (never collected into the plan as a giant literal), the
+  *    score is a codegen'd Catalyst expression, and the `orderBy(...).limit(k)`
+  *    collapses to `TakeOrderedAndProject` — per-partition top-k then a k-row
+  *    merge on the driver, no global sort shuffle. At 100 TB this is one scan,
+  *    embarrassingly parallel.
+  *  - `ivfTopK` — the scale path (the HNSW analog): vectors are bucketed by
+  *    nearest centroid at "index build" time; a query probes only its own
+  *    centroid's bucket. Candidate-set pruning equivalent to Qdrant's
+  *    `full_scan_threshold` switch (`memory_graph.py:1052`).
+  */
+object Similarity {
+
+  /** Attach cosine scores against a single-row query DF holding `qvec`. */
+  def scored(corpus: DataFrame, query: DataFrame, vecCol: String): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .withColumn("score", cosineSim(col(vecCol), col("qvec")))
+
+  /** V1: exact cosine top-k with score threshold (rounded for oracle parity). */
+  def knnCosine(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                k: Int, threshold: Double): DataFrame =
+    scored(corpus, query, vecCol)
+      .withColumn("score", round(col("score"), 4))
+      .filter(col("score") >= threshold)
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Dot-product top-k (unnormalized spaces). */
+  def knnDot(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+             k: Int): DataFrame =
+    corpus.crossJoin(broadcast(query))
+      .withColumn("score", round(dot(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Assign every vector to its nearest centroid (IVF index build).
+    * Centroids DF: (centroid_id, cvec); must be small → broadcast.
+    * Deterministic argmin: ties break on centroid_id. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("dist", round(l2sq(col(vecCol), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "dist", "cvec")
+  }
+
+  /** IVF probe: search only the query's cluster (single-probe). */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, query: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val qAssigned = ivfAssign(
+      query.withColumn(idCol, lit(-1L)).withColumnRenamed("qvec", vecCol),
+      centroids, idCol, vecCol)
+      .select(col("centroid_id").as("q_centroid"))
+    assigned
+      .join(broadcast(qAssigned), col("centroid_id") === col("q_centroid"))
+      .crossJoin(broadcast(query))
+      .withColumn("score", round(cosineSim(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("centroid_id"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** J7 / near-dup: all pairs with cosine ≥ threshold. The right side is
+    * broadcast (embedding tables that fit; at 100 TB swap in the LSH-banded
+    * variant from Dedup.simhash-style blocking). Pairs are kept once (a<b). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("score", round(cosineSim(col("vec_a"), col("vec_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+
+/** Text-analysis operators for a training-data pipeline over
+  * `documents(doc_id, text)` — language ID, quality scoring, token counting,
+  * fingerprinting. All single-pass, codegen-friendly column expressions
+  * (no UDFs), so they vectorize over a 100 TB scan.
+  *
+  * The reference counts tokens for budget enforcement
+  * (`memory/memory_graph.py:7005-7010`) and trims content
+  * (`memory_graph.py:5175`); the rest generalizes that surface to corpus
+  * curation (BASELINE.json north star).
+  */
+object TextAnalysis {
+
+  /** n-gram / stopword marker sets per language. Tiny, deterministic —
+    * a heuristic classifier, not a model. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "von", "mit", "ein"))
+
+  /** Language ID: marker-token hit count per language; highest count wins,
+    * ties break alphabetically; no hits → "und" (undetermined). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = array_distinct(tokens(col(textCol)))
+    val scoreCols = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      size(array_intersect(toks, array(markers.map(lit): _*))).as(s"score_$lang")
+    }
+    val withScores = docs.select(Seq(col(idCol).as("doc_id")) ++ scoreCols: _*)
+    val best = langMarkers.keys.toSeq.sorted.foldLeft(
+      (lit("und"), lit(0))) { case ((bestLang, bestScore), lang) =>
+      val s = col(s"score_$lang")
+      (when(s > bestScore, lit(lang)).otherwise(bestLang),
+       when(s > bestScore, s).otherwise(bestScore))
+    }
+    withScores
+      .withColumn("pred_lang", best._1)
+      .withColumn("marker_hits", best._2)
+      .select(col("doc_id"), col("pred_lang"), col("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * 0.4·min(1, tokens/64) + 0.3·type-token-ratio + 0.3·(1 − stopword-ratio).
+    * (length / diversity / stopword mix — the usual cheap quality prior.) */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = array(langMarkers.values.flatten.toSeq.distinct.sorted.map(lit): _*)
+    docs
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stop, t))).cast("long"))
+      // NOTE: ratios of small integers stay UNROUNDED — both engines compute
+      // the identical single division, so the doubles are bit-identical,
+      // whereas round() itself disagrees across engines exactly at the
+      // .xxxx5 boundaries these ratios structurally land on.
+      .withColumn("ttr", col("n_distinct") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.4) * least(lit(1.0), col("n_tokens") / lit(64.0)) +
+        lit(0.3) * (col("n_distinct") / col("n_tokens")) +
+        lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")))
+      .select(col(idCol).as("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("ttr"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, characters, and a BPE-ish estimate
+    * (≈ chars/4 rounded up — the standard subword budget heuristic). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("bpe_est"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: sha256 of the content, the min shingle hash
+    * (a 1-hash minhash — stable under small edits), and shingle count. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    docs
+      .withColumn("sh", shingles(tokens(col(textCol)), shingleK))
+      .select(
+        col(idCol).as("doc_id"),
+        sha2(col(textCol), 256).as("content_sha"),
+        array_min(transform(col("sh"), s => hash60(s))).as("min_shingle_hash"),
+        size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A declared engine query: the Spark plan plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL the driver hash-compares against.
+  * Column names/aliases MUST match between the two (the driver sorts columns
+  * by name before hashing). */
+case class Entry(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String])
+
+object Registry {
+  lazy val all: Seq[Entry] =
+    RelationalQueries.entries ++ VectorQueries.entries ++
+      TextQueries.entries ++ DomainQueries.entries
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(e => e.name -> e.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(e => e.sql.map(e.name -> _)).toMap
+}

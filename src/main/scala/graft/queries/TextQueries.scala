@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis operators (BASELINE.json north-star additions) over
+  * `documents(doc_id, text, …)`. The md5-derived `hash60` keeps every
+  * intermediate hash reproducible in the DuckDB oracle.
+  */
+object TextQueries {
+
+  // DuckDB twin of Fns.hash60 / hash60Seeded.
+  private def h60(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  // Shared oracle CTEs: lowercased tokens and distinct 3-shingles.
+  private val shingleCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks)""".stripMargin
+
+  private val jaccardTail: String =
+    s"""inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+       |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       |SELECT i.doc_a, i.doc_b,
+       |  ninter::DOUBLE / (na.n + nb.n - ninter) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+
+    // A3 generalized: exact dedup by content hash, keep-first
+    // (memory_graph.py:10325-10393).
+    Entry("q19_exact_dedup",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text"),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)),
+
+    // MinHash + LSH near-dup: 16 seeded min-hashes, 4 bands × 4 rows,
+    // bucket join, exact-Jaccard verification ≥ 0.5.
+    Entry("q20_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5),
+      Some {
+        val sigCols = (0 until 16).map(i => s"min(${h60(s"shingle || '#' || '$i'")}) AS h$i").mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $shingleCtes,
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id),
+           |$jaccardTail""".stripMargin
+      }),
+
+    // Ground truth for the LSH path: exact n-gram Jaccard via the inverted
+    // index (no cross product — pairs only materialize on shared shingles).
+    Entry("q21_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.5),
+      Some(
+        s"""WITH $shingleCtes,
+           |cand AS (
+           |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+           |  FROM sh sa JOIN sh sb
+           |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+           |$jaccardTail""".stripMargin)),
+
+    // SimHash fingerprints (16-bit): term-frequency-weighted bit votes.
+    Entry("q22_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 16),
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents),
+           |th AS (SELECT doc_id, ${h60("token")} AS h FROM tok),
+           |votes AS (
+           |  SELECT doc_id, bit,
+           |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+           |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits
+           |  GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Language ID: marker-token hits per language, argmax with deterministic
+    // tie-break (first of de,en,es,fr), no hits → 'und'.
+    Entry("q23_lang_id",
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val marker = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [$lst])) AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH scores AS (
+           |  SELECT doc_id,
+           |    $marker
+           |  FROM documents),
+           |best AS (
+           |  SELECT doc_id, greatest(score_de, score_en, score_es, score_fr) AS b, *
+           |  FROM scores)
+           |SELECT doc_id,
+           |  CASE WHEN b <= 0 THEN 'und'
+           |       WHEN score_de = b THEN 'de'
+           |       WHEN score_en = b THEN 'en'
+           |       WHEN score_es = b THEN 'es'
+           |       ELSE 'fr' END AS pred_lang,
+           |  CAST(CASE WHEN b <= 0 THEN 0 ELSE b END AS INT) AS marker_hits
+           |FROM best ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: length/diversity/stopword composite.
+    Entry("q24_quality_score",
+      (s, d) => TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text"),
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq.distinct.sorted
+          .map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x))) AS BIGINT) AS n_stop
+           |  FROM t)
+           |SELECT doc_id, n_tokens, n_distinct,
+           |  n_distinct::DOUBLE / n_tokens AS ttr,
+           |  n_stop::DOUBLE / n_tokens AS stop_ratio,
+           |  0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    // Token counting: whitespace tokens + BPE-ish char/4 budget estimate
+    // (token budgeting per memory_graph.py:7005-7010).
+    Entry("q25_token_count",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: content sha + 1-hash minhash + shingle count.
+    Entry("q26_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", shingleK = 3),
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+           |s AS (
+           |  SELECT doc_id, text,
+           |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+           |  FROM t)
+           |SELECT doc_id, sha256(text) AS content_sha,
+           |  list_min(list_transform(sh, x -> ${h60("x")})) AS min_shingle_hash,
+           |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+           |FROM s ORDER BY doc_id""".stripMargin)))
+}

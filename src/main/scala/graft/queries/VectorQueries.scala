@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity
+
+/** Vector retrieval (SURVEY §2.4) over the `embeddings(vec_id, embedding,
+  * label)` table. The DuckDB oracle recomputes the identical double-precision
+  * arithmetic with list lambdas, so scores hash-match after round(…, 4).
+  */
+object VectorQueries {
+
+  // The oracle's explicit cosine, shared by several queries. Products are
+  // accumulated in doubles exactly like the Catalyst expression.
+  private def cosineSql(vecA: String, vecB: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($vecA)),
+       |    i -> $vecA[i]::DOUBLE * $vecB[i]::DOUBLE))
+       |  / (sqrt(list_sum(list_transform($vecA, x -> x::DOUBLE * x::DOUBLE)))
+       |   * sqrt(list_sum(list_transform($vecB, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+
+  def entries: Seq[Entry] = Seq(
+
+    // V1: exact cosine KNN top-k with score threshold
+    // (memory_graph.py:8047-8160; threshold 0.15 per BASELINE).
+    Entry("q15_knn_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnCosine(
+          emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+          "vec_id", "embedding", k = 20, threshold = 0.15)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 4) AS score
+              |  FROM embeddings, q WHERE vec_id <> 0)
+              |SELECT vec_id, score FROM scored WHERE score >= 0.15
+              |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // V1 variant: unnormalized dot-product space.
+    Entry("q16_knn_dot",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnDot(
+          emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+          "vec_id", "embedding", k = 20)
+      },
+      Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  round(list_sum(list_transform(generate_series(1, len(embedding)),
+             |    i -> embedding[i]::DOUBLE * qvec[i]::DOUBLE)), 4) AS score
+             |FROM embeddings, q WHERE vec_id <> 0
+             |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // J7: embedding near-duplicate pairs (cosine ≥ threshold; the planted
+    // max pairwise cosine here is ~0.51, so 0.45 exercises a thin tail).
+    Entry("q17_near_dup_embeddings",
+      (s, d) => Similarity.nearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS score
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // IVF ANN (the HNSW analog at scale): bucket by nearest centroid, probe
+    // only the query's bucket. Centroids here are a deterministic subset.
+    Entry("q18_ivf_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          corpus = emb.filter(col("vec_id") > 8),
+          centroids = emb.filter(col("vec_id").between(1, 8))
+            .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")),
+          query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+          idCol = "vec_id", vecCol = "embedding", k = 10)
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+              |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |qassign AS (
+              |  SELECT centroid_id AS q_centroid FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(q.qvec)),
+              |          i -> (q.qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (q.qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn = 1)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN qassign ON a.centroid_id = q_centroid
+              |CROSS JOIN q
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "one two")                                      // < 3 tokens: no shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 4)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 1L) // keep_id = min(1, 4)
+  }
+
+  test("jaccard pairs finds near-dup above threshold") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1,4) exact dup → jaccard 1.0; (1,2) and (2,4) differ in last token:
+    // 7 shingles each, 6 shared → 6/8 = 0.75
+    assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out.find(t => t._1 == 1L && t._2 == 4L).get._3 === 1.0)
+    assert(math.abs(out.find(t => t._1 == 1L && t._2 == 2L).get._3 - 0.75) < 1e-12)
+  }
+
+  test("minhash LSH finds the same verified pairs as exact jaccard here") {
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dup is always caught; high-jaccard pairs caught with these params
+    assert(lsh.contains((1L, 4L)))
+    assert(lsh.subsetOf(Set((1L, 2L), (1L, 4L), (2L, 4L))))
+  }
+
+  test("simhash: identical docs share fingerprint, disjoint docs differ") {
+    val out = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(4L))
+    assert(out(1L) !== out(3L))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("shingleSets drops documents shorter than k tokens") {
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    assert(sh.filter($"doc_id" === 5L).count() === 0)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Retrieval
+import graft.ops.Retrieval._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aclPredicate: OR across access arrays, reference F1 semantics") {
+    val rows = Seq(
+      // (id, owner, user_read, ws_read, role_read, org_read, ns_read)
+      (1L, "alice", Seq[String](), Seq[String](), Seq[String](), Seq[String](), Seq[String]()),
+      (2L, "bob", Seq("alice"), Seq[String](), Seq[String](), Seq[String](), Seq[String]()),
+      (3L, "bob", Seq[String](), Seq("ws1"), Seq[String](), Seq[String](), Seq[String]()),
+      (4L, "bob", Seq[String](), Seq[String](), Seq("admin"), Seq[String](), Seq[String]()),
+      (5L, "bob", Seq[String](), Seq[String](), Seq[String](), Seq("org1"), Seq[String]()),
+      (6L, "bob", Seq[String](), Seq[String](), Seq[String](), Seq[String](), Seq("ns1")),
+      (7L, "bob", Seq("carol"), Seq("ws9"), Seq("dev"), Seq("org9"), Seq("ns9"))
+    ).toDF("id", "user_id", "user_read_access", "workspace_read_access",
+      "role_read_access", "organization_read_access", "namespace_read_access")
+    val p = Principal("alice", Seq("ws1"), Seq("admin"), Seq("org1"), Seq("ns1"))
+    val got = rows.filter(Retrieval.aclPredicate(p)).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("metaFilter: bare numeric means >= lower bound (F4)") {
+    val rows = Seq(
+      (1L, Map("score" -> "10", "tag" -> "x")),
+      (2L, Map("score" -> "50", "tag" -> "x")),
+      (3L, Map("score" -> "90", "tag" -> "y")),
+      (4L, Map("tag" -> "x"))
+    ).toDF("id", "meta")
+    val got = rows.filter(Retrieval.metaFilter($"meta", Map("score" -> MetaAtLeast(50))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 3L))
+    val both = rows.filter(Retrieval.metaFilter($"meta",
+      Map("score" -> MetaAtLeast(50), "tag" -> MetaEq("x"))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(both === Set(2L))
+    val range = rows.filter(Retrieval.metaFilter($"meta",
+      Map("score" -> MetaRange(gte = Some(10), lt = Some(90)))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(range === Set(1L, 2L))
+    val anyOf = rows.filter(Retrieval.metaFilter($"meta",
+      Map("tag" -> MetaAnyOf(Seq("y", "z")))))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(anyOf === Set(3L))
+  }
+
+  test("chunkRollup maps chunk hits to base memory with max score") {
+    val hits = Seq(
+      ("mem1_0", 0.9), ("mem1_1", 0.7), ("mem2_0", 0.5)
+    ).toDF("chunk_id", "score")
+    val m = Retrieval.chunkRollup(hits, "chunk_id", "score").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m("mem1") === ((0.9, 2L)))
+    assert(m("mem2") === ((0.5, 1L)))
+  }
+
+  test("fuseScores: default 0.7 for null scores, best wins per id") {
+    val vector = Seq(("a", Some(0.9)), ("b", Some(0.4))).toDF("id", "score")
+    val graph = Seq(("b", Option.empty[Double]), ("c", Option.empty[Double])).toDF("id", "score")
+    val out = Retrieval.fuseScores(Seq("vector" -> vector, "graph" -> graph), "id", "score")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out("a") === ((0.9, "vector")))
+    assert(out("b") === ((0.7, "graph"))) // graph default 0.7 beats vector 0.4
+    assert(out("c") === ((0.7, "graph")))
+  }
+
+  test("stratifiedSample respects per-source quotas") {
+    val df = (1 to 20).map(i => ("s1", i.toLong, i.toDouble)) ++
+      (1 to 20).map(i => ("s2", (100 + i).toLong, i.toDouble))
+    val out = Retrieval.stratifiedSample(df.toDF("source", "id", "score"),
+      "source", "score", "id", Map("s1" -> 3), defaultQuota = 5)
+    val bySource = out.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource === Map("s1" -> 3, "s2" -> 5))
+  }
+
+  test("decayedCounters: 30-day half-life decay-at-read") {
+    val now = lit("2024-03-01").cast("timestamp")
+    val ev = Seq(
+      ("m1", Timestamp.valueOf("2024-03-01 00:00:00"), 1.0),  // weight 1
+      ("m1", Timestamp.valueOf("2024-01-31 00:00:00"), 1.0),  // 30d → 0.5
+      ("m2", Timestamp.valueOf("2023-12-02 00:00:00"), 4.0)   // 90d → 0.5^3
+    ).toDF("memory_id", "ts", "conf")
+    val out = Retrieval.decayedCounters(ev, "memory_id", "ts", "conf", now, 30.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("m1") - 1.5) < 1e-9)
+    assert(math.abs(out("m2") - 0.5) < 1e-9)
+  }
+
+  test("tier1 score formula and citation blend") {
+    val df = Seq((0L, 0.0, 0.0)).toDF("hits", "ema", "conf")
+    val zero = df.select(Retrieval.tier1Score($"hits", $"ema", $"conf")).head.getDouble(0)
+    assert(zero === 0.0)
+    val blended = df.select(Retrieval.tier1Blend(lit(1.0), lit(2.0))).head.getDouble(0)
+    assert(math.abs(blended - (0.7 * 2.0 + 0.3 * 1.0)) < 1e-12)
+    val noCite = df.select(Retrieval.tier1Blend(lit(1.0), lit(null).cast("double"))).head.getDouble(0)
+    assert(noCite === 1.0)
+  }
+}

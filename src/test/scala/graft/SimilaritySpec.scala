@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def query = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
+
+  test("knnCosine returns ranked hits above threshold") {
+    val out = Similarity.knnCosine(corpus, query, "vec_id", "embedding", 10, 0.15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // 3 is orthogonal(0), 4 negative
+    assert(out.head._2 === 1.0)
+  }
+
+  test("knnCosine respects k") {
+    val out = Similarity.knnCosine(corpus, query, "vec_id", "embedding", 1, -2.0)
+    assert(out.count() === 1)
+  }
+
+  test("nearDupPairs finds close pairs once (a<b)") {
+    val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 2L)))
+  }
+
+  test("ivfTopK probes only the query's cluster") {
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f))
+    ).toDF("centroid_id", "cvec")
+    val out = Similarity.ivfTopK(corpus, cents, query, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // cluster of centroid 10 holds vecs 1,2 (4 is closer to 20? no: (-1,0) is
+    // distance 4 from (1,0), distance 2 from (0,1) → cluster 20). 3 → 20.
+    assert(out.map(_._1).toSet === Set(1L, 2L))
+    assert(out.forall(_._2 == 10L))
+  }
+
+  test("ivf assignment covers every corpus vector exactly once") {
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cvec")
+    val assigned = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+    assert(assigned.count() === 4)
+    assert(assigned.select("vec_id").distinct().count() === 4)
+  }
+}

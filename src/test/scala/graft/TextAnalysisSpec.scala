@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat and the dog ran"),
+    (2L, "el perro y el gato en la casa de los vecinos"),
+    (3L, "xyzzy plugh quux")
+  ).toDF("doc_id", "text")
+
+  test("langId picks the language with most marker hits, 'und' when none") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+
+  test("quality: ttr and stopword ratio bounds") {
+    val out = TextAnalysis.quality(docs, "doc_id", "text").collect()
+    out.foreach { r =>
+      val ttr = r.getDouble(3); val stopRatio = r.getDouble(4); val q = r.getDouble(5)
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(stopRatio >= 0 && stopRatio <= 1.0)
+      assert(q > 0 && q <= 1.0)
+    }
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(byId(3L) > byId(1L)) // no stopwords + all-distinct beats stopword-heavy
+  }
+
+  test("tokenCounts: whitespace tokens and bpe estimate") {
+    val out = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 === 10L)
+    assert(out(3L) === ((3L, 16L, 4L)))
+  }
+
+  test("fingerprint: identical content → identical fingerprint") {
+    val dup = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(dup, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L)._1 !== out(3L)._1)
+    assert(out(1L)._3 === 3L) // 5 tokens → 3 distinct 3-shingles
+  }
+}
