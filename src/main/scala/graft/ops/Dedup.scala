@@ -118,4 +118,19 @@ object Dedup {
       .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
       .orderBy(col("doc_id"))
   }
+
+  /** SimHash near-dup pairs: hamming distance (popcount of xor) ≤ maxDist.
+    * The signature table is tiny relative to the corpus, so the self-join
+    * broadcasts; at extreme scale, band the signature bits first. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, bits: Int,
+                   maxDist: Int): DataFrame = {
+    val sig = simhash(docs, idCol, textCol, bits)
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

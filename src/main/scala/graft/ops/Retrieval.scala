@@ -143,4 +143,37 @@ object Retrieval {
   def tier1Blend(cacheScore: Column, citeScore: Column): Column =
     when(citeScore.isNotNull, lit(0.7) * citeScore + lit(0.3) * cacheScore)
       .otherwise(cacheScore)
+
+  /** F5 — OMO safety filter (`shared_types.py:2555+`, enforcement
+    * `memory_routes_v1.py:2000-2035`): consent must not be 'none', risk is
+    * an ordinal (none < sensitive < flagged) bounded by maxRisk. */
+  val riskOrdinal: Map[String, Int] = Map("none" -> 0, "sensitive" -> 1, "flagged" -> 2)
+
+  def omoPredicate(consentCol: Column, riskCol: Column, maxRisk: String): Column = {
+    val ord = riskOrdinal.foldLeft(lit(99)) { case (acc, (name, o)) =>
+      when(riskCol === name, lit(o)).otherwise(acc)
+    }
+    consentCol =!= "none" && ord <= lit(riskOrdinal(maxRisk))
+  }
+
+  /** A2 — last-wins dedup by key (`memory_graph.py:9113-9115`): keep the
+    * newest row per key, deterministic tie-break. */
+  def lastWins(df: DataFrame, keyCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** W2 — adaptive quota filling (`memory_graph.py:6330-6372`): take the
+    * per-source quota first, then fill the remaining `totalK − quota·nSources`
+    * slots from the leftovers by global score order. */
+  def adaptiveFill(df: DataFrame, sourceCol: String, scoreCol: String,
+                   idCol: String, quota: Int, nSources: Int, totalK: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(desc(scoreCol), col(idCol))
+    val ranked = df.withColumn("rn", row_number().over(w))
+    val base = ranked.filter(col("rn") <= quota)
+    val fill = ranked.filter(col("rn") > quota)
+      .orderBy(desc(scoreCol), col(idCol))
+      .limit(math.max(totalK - quota * nSources, 0))
+    base.unionByName(fill).drop("rn")
+  }
 }
