@@ -1,0 +1,158 @@
+package graft.engine
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.domain.Schemas._
+import graft.functions.VectorFunctions._
+
+/** Ingest pipeline (§3.2): chunk → embed → extract graph → entity-resolve →
+  * merge. All stages are Dataset transforms; the LLM extraction stage is a
+  * pluggable trait with a deterministic rule-based default so correctness
+  * tests stay hash-stable (FIXTURES.md §C).
+  */
+object Ingest {
+
+  /** Deterministic chunker (`process_memory_chunks_async`,
+    * memory_graph.py:10131): fixed window of `windowTokens` with `overlap`
+    * tokens carried over; chunk ids `{memory_id}_{i}`. Runs as one
+    * flatMap — no shuffle. */
+  def chunk(spark: SparkSession, mems: Dataset[Memory],
+            windowTokens: Int = 6, overlap: Int = 0,
+            embedder: Embedder = new HashEmbedder(64)): Dataset[Chunk] = {
+    import spark.implicits._
+    val step = math.max(windowTokens - overlap, 1)
+    mems.flatMap { m =>
+      val toks = m.content.split("\\s+").filter(_.nonEmpty)
+      val starts = toks.indices.by(step).takeWhile(_ < toks.length)
+      starts.zipWithIndex.map { case (s, i) =>
+        val text = toks.slice(s, s + windowTokens).mkString(" ")
+        Chunk(s"${m.memory_id}_$i", m.memory_id, i, text, embedder.embed(text),
+          m.user_id, m.user_read_access, m.workspace_read_access,
+          m.role_read_access, m.organization_read_access,
+          m.namespace_read_access, m.custom_metadata,
+          is_grouped = false, related_memory_ids = Nil, created_at = m.created_at)
+      }
+    }
+  }
+
+  /** Graph-extraction seam (`store_llm_generated_graph`,
+    * memory_graph.py:11819). Production = LLM structured output; the
+    * deterministic default extracts one Memory node per row plus entity
+    * candidates from a dictionary (a rule-based stand-in with the same
+    * output contract `LLMGraphNode`/`LLMGraphRelationship`,
+    * structured_outputs.py:452/918). */
+  trait GraphExtractor extends Serializable {
+    def extract(m: Memory): (Seq[Node], Seq[Edge])
+  }
+
+  final class DictionaryExtractor(entities: Map[String, String]) extends GraphExtractor {
+    def extract(m: Memory): (Seq[Node], Seq[Edge]) = {
+      val memNode = Node(m.memory_id, "Memory", m.title, Map("category" -> m.category),
+        m.user_id, m.user_read_access, m.workspace_read_access, m.created_at)
+      val found = m.content.toLowerCase.split("\\s+").distinct.toSeq.sorted
+        .flatMap(t => entities.get(t).map(label =>
+          Node(s"${label.toLowerCase}_$t", label, t, Map.empty,
+            m.user_id, m.user_read_access, m.workspace_read_access, m.created_at)))
+      val edges = found.map(n =>
+        Edge(m.memory_id, n.node_id, "REFERENCES", Map.empty, m.created_at))
+      (memNode +: found, edges)
+    }
+  }
+
+  def extractGraph(spark: SparkSession, mems: Dataset[Memory],
+                   extractor: GraphExtractor): (Dataset[Node], Dataset[Edge]) = {
+    import spark.implicits._
+    val nodes = mems.flatMap(m => extractor.extract(m)._1)
+    val edges = mems.flatMap(m => extractor.extract(m)._2)
+    (nodes, edges)
+  }
+
+  /** Entity-resolution cascade (the reference's hard part, SURVEY §7.4.2):
+    * for each candidate node, in priority order —
+    *   1. exact unique-identifier match: same (label, name)
+    *      (`_merge_node_with_unique_identifiers`, memory_graph.py:10542)
+    *   2. semantic: property-vector cosine ≥ semanticThreshold (0.85)
+    *      (`_search_qdrant_for_existing_entity`, memory_graph.py:10816)
+    *   3. fuzzy: case-insensitive containment
+    *      (`find_node_via_relationship` CONTAINS path, memory_graph.py:3135)
+    *   4. otherwise CREATE.
+    * Returns the candidate set annotated with (resolution, resolved_id).
+    * Implemented as three left joins resolved by priority coalesce — one
+    * pass, no per-row driver loops. */
+  def resolveEntities(candidates: DataFrame, existing: DataFrame,
+                      existingProps: DataFrame,
+                      embedder: Embedder,
+                      semanticThreshold: Double = 0.85): DataFrame = {
+    val embedUdf = udf((s: String) => embedder.embed(s))
+
+    val cand = candidates
+      .select(col("node_id").as("cand_id"), col("label").as("cand_label"),
+        col("name").as("cand_name"))
+      .distinct()
+      .withColumn("cand_vec", embedUdf(col("cand_name")))
+
+    val exact = existing
+      .select(col("node_id").as("exact_id"), col("label").as("cand_label"),
+        col("name").as("cand_name"))
+
+    val semantic = existingProps
+      .filter(col("property_name") === "name")
+      .select(col("node_id").as("sem_id"), col("node_label").as("cand_label"),
+        col("embedding").as("ex_vec"))
+
+    val fuzzy = existing
+      .select(col("node_id").as("fuzzy_id"), col("label").as("fz_label"),
+        lower(col("name")).as("ex_name_lower"))
+
+    import org.apache.spark.sql.expressions.Window
+    val bestSem = cand
+      .join(broadcast(semantic), Seq("cand_label"), "left")
+      .withColumn("sem_score", cosineSim(col("cand_vec"), col("ex_vec")))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("cand_id"))
+          .orderBy(desc_nulls_last("sem_score"), col("sem_id"))))
+      .filter(col("sem_rank") === 1)
+      .withColumn("sem_id",
+        when(col("sem_score") >= semanticThreshold, col("sem_id")).otherwise(lit(null)))
+      .select(col("cand_id"), col("cand_label"), col("cand_name"), col("sem_id"))
+
+    val withExact = bestSem
+      .join(broadcast(exact), Seq("cand_label", "cand_name"), "left")
+
+    val withFuzzy = withExact
+      .join(broadcast(fuzzy), col("cand_label") === col("fz_label") &&
+        (lower(col("cand_name")).contains(col("ex_name_lower")) ||
+          col("ex_name_lower").contains(lower(col("cand_name")))), "left")
+      .drop("fz_label")
+      .withColumn("fuzzy_rank", row_number().over(
+        Window.partitionBy(col("cand_id")).orderBy(asc_nulls_last("fuzzy_id"))))
+      .filter(col("fuzzy_rank") === 1)
+
+    withFuzzy.select(
+      col("cand_id"), col("cand_label"), col("cand_name"),
+      coalesce(col("exact_id"), col("sem_id"), col("fuzzy_id")).as("resolved_id"),
+      when(col("exact_id").isNotNull, "exact")
+        .when(col("sem_id").isNotNull, "semantic")
+        .when(col("fuzzy_id").isNotNull, "fuzzy")
+        .otherwise("create").as("resolution"))
+  }
+
+  /** A3 — find-and-delete duplicates by identical content per user
+    * (`find_and_delete_duplicates`, memory_graph.py:10325-10393): returns
+    * (survivors, deletions). */
+  def dedupeMemories(mems: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("content")).orderBy(col("memory_id"))
+    val ranked = mems.withColumn("rn", row_number().over(w))
+    (ranked.filter(col("rn") === 1).drop("rn"),
+      ranked.filter(col("rn") > 1).drop("rn"))
+  }
+
+  /** MERGE-style upsert: new rows win over existing on the key (the Delta
+    * `MERGE WHEN MATCHED` analog over plain parquet — compute the merged
+    * snapshot; the writer owns atomic swap semantics). */
+  def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.join(incoming.select(col(key)), Seq(key), "left_anti")
+      .unionByName(incoming)
+}

@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.ops.{Rerank, Reranker, LexicalReranker, Retrieval}
+import graft.ops.Retrieval.{MetaPred, Principal}
+
+/** The flagship read path — the reference's
+  * `find_related_memory_items_async` (`memory/memory_graph.py:5721-7120`,
+  * traced in SURVEY §3.1) as ONE declarative Spark plan:
+  *
+  *   chunks → ACL filter (F1) → metadata filter (F4) → cosine KNN over the
+  *   embedded query, ×3 oversampled (V1) → chunk→memory rollup keeping best
+  *   score (J2) → hydration join to `memories` (J1) → exclude-id (F6) →
+  *   global top-k (W4) → optional rerank (W5).
+  *
+  * Scale shape: the ACL/meta predicates and the column pruning reach the
+  * chunk scan (chunks are partitionable by tenant); the query vector is a
+  * broadcast literal; the only shuffles are the rollup groupBy (on
+  * memory_id, map-side combinable) and the hydration join (broadcast when
+  * the candidate set is small — it is ≤ 3k rows by construction).
+  */
+object Search {
+
+  case class SearchRequest(
+      queryText: String,
+      principal: Principal,
+      topK: Int = 20,
+      metaFilters: Map[String, MetaPred] = Map.empty,
+      namespaceId: Option[String] = None,
+      excludeMemoryId: Option[String] = None,
+      rerank: Boolean = false)
+
+  val OversampleFactor = 3          // memory_graph.py:6105-6107
+  val ScoreThreshold = 0.15         // memory_graph.py:8158
+
+  def search(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
+             req: SearchRequest,
+             embedder: Embedder = new HashEmbedder(64),
+             reranker: Reranker = LexicalReranker): DataFrame = {
+    import spark.implicits._
+
+    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
+
+    val filtered = {
+      val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
+      val scoped = req.namespaceId                       // F2: tenant AND-scope
+        .map(ns => acl.filter(col("namespace_id") === ns)).getOrElse(acl)
+      if (req.metaFilters.isEmpty) scoped
+      else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
+    }
+
+    val chunkHits = filtered
+      .crossJoin(broadcast(qvec))
+      .withColumn("score", cosineSim(col("embedding"), col("qvec")))
+      .filter(col("score") >= ScoreThreshold)
+      .select(col("chunk_id"), col("memory_id"), col("score"))
+      .orderBy(desc("score"), col("chunk_id"))
+      .limit(req.topK * OversampleFactor)
+
+    val rolled = chunkHits
+      .groupBy(col("memory_id"))
+      .agg(max(col("score")).as("score"), count(lit(1)).as("n_chunks"))
+
+    val hydrated = rolled
+      .join(memories, Seq("memory_id"))
+      .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
+      .select(col("memory_id"), col("score"), col("n_chunks"), col("content"),
+        col("title"), col("user_id"), col("topics"), col("created_at"))
+
+    val topK = hydrated.orderBy(desc("score"), col("memory_id")).limit(req.topK)
+
+    if (!req.rerank) topK
+    else Rerank.rerank(topK, "content", "memory_id", req.queryText, req.topK, reranker)
+  }
+
+  /** V3 — filter-only fallback when KNN returns nothing
+    * (`memory_graph.py:8327-8437`): newest matching rows, no vector. */
+  def fallbackScan(chunks: DataFrame, memories: DataFrame, req: SearchRequest): DataFrame =
+    chunks.filter(Retrieval.aclPredicate(req.principal))
+      .select(col("memory_id")).distinct()
+      .join(memories, Seq("memory_id"))
+      .select(col("memory_id"), lit(null).cast("double").as("score"),
+        lit(0L).as("n_chunks"), col("content"), col("title"), col("user_id"),
+        col("topics"), col("created_at"))
+      .orderBy(desc("created_at"), col("memory_id"))
+      .limit(req.topK)
+
+  /** The degradation policy around plan variants (`memory_graph.py:9137`,
+    * `:8582`): run the primary plan; if empty, strip property filters; if
+    * still empty, recency scan. Driver-side retry over tiny results — the
+    * plans themselves stay distributed. */
+  def searchWithFallback(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
+                         req: SearchRequest): DataFrame = {
+    val primary = search(spark, chunks, memories, req)
+    if (!primary.isEmpty) primary
+    else {
+      val unfiltered = search(spark, chunks, memories, req.copy(metaFilters = Map.empty))
+      if (!unfiltered.isEmpty) unfiltered
+      else fallbackScan(chunks, memories, req)
+    }
+  }
+}

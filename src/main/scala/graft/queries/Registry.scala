@@ -14,7 +14,8 @@ case class Entry(
 object Registry {
   lazy val all: Seq[Entry] =
     RelationalQueries.entries ++ VectorQueries.entries ++
-      TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries
+      TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
+      DomainPipelineQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap

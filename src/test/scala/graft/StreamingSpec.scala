@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.domain.Fixtures
+import graft.domain.Schemas.{AccessEvent, Message}
+import graft.ops.Retrieval
+import graft.streaming.{Counters, Sessions}
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session stream: batches of 15 trigger analysis with rolling summaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Message]
+    val query = Sessions.sessionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val msgs = Fixtures.messages(spark, sessions = 2, perSession = 40).collect()
+      input.addData(msgs.take(50))        // partial
+      query.processAllAvailable()
+      input.addData(msgs.drop(50))
+      query.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .as[Sessions.BatchAnalysis].collect()
+      // 40 msgs/session → 2 full batches of 15 each, 10 leftover pending
+      assert(out.count(_.session_id == "sess0") === 2)
+      assert(out.count(_.session_id == "sess1") === 2)
+      out.foreach { b =>
+        assert(b.short_summary.nonEmpty)
+        assert(b.long_summary.length >= b.short_summary.length)
+      }
+      // long summary of batch 2 extends batch 1's (rolling fold)
+      val s0 = out.filter(_.session_id == "sess0").sortBy(_.batch_index)
+      assert(s0(1).long_summary != s0(0).long_summary)
+    } finally query.stop()
+  }
+
+  test("counter stream: decay-at-update equals batch decay-at-read") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Fixtures.accessEvents(spark, n = 100, memCount = 8).collect()
+    val input = MemoryStream[AccessEvent]
+    val query = Counters.counterStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("counters_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(events)
+      query.processAllAvailable()
+      val streamed = spark.table("counters_out")
+        .as[Counters.CounterUpdate].collect()
+        .groupBy(_.memory_id).map { case (k, v) => k -> v.last }.toMap
+
+      // batch twin: conf-weighted EMA decayed to each memory's LAST event time
+      val evDf = Fixtures.accessEvents(spark, n = 100, memCount = 8).toDF()
+      val lastTs = evDf.groupBy($"memory_id").agg(max($"ts").as("last_ts"))
+      val batch = evDf.join(lastTs, "memory_id")
+        .groupBy($"memory_id")
+        .agg(sum($"confidence" *
+          pow(lit(0.5), (unix_timestamp($"last_ts") - unix_timestamp($"ts")) /
+            86400.0 / 30.0)).as("conf_w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+      streamed.foreach { case (mid, upd) =>
+        assert(math.abs(upd.conf_weighted_30d - batch(mid)) < 1e-6,
+          s"$mid: streamed ${upd.conf_weighted_30d} vs batch ${batch(mid)}")
+      }
+    } finally query.stop()
+  }
+
+  test("counter fold is incremental: two folds equal one") {
+    val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val (a, b) = events.splitAt(17)
+    val once = Counters.fold(None, events)
+    val twice = Counters.fold(Some(Counters.fold(None, a)), b)
+    assert(math.abs(once.ema30d - twice.ema30d) < 1e-9)
+    assert(math.abs(once.confWeighted30d - twice.confWeighted30d) < 1e-9)
+    assert(once.hitTotal === twice.hitTotal)
+  }
+}
