@@ -35,10 +35,20 @@ object Dedup {
         explode(shingles(tokens(col(textCol)), k)).as("shingle"))
       .distinct()
 
-  /** MinHash signatures: numHashes seeded min-hashes in ONE aggregation pass
+  /** MinHash hash family: ONE md5 per shingle reduced mod P, then affine
+    * variants h_i = (a_i·h + b_i) mod P — 16× fewer digest computations than
+    * seeded-md5 per hash, same theoretical guarantees. Constants are fixed
+    * so the DuckDB oracle reproduces every value. */
+  val MinhashP = 2147483647L                       // 2^31 − 1 (prime)
+  def minhashA(i: Int): Long = (2654435761L * (i + 1)) % MinhashP
+  def minhashB(i: Int): Long = (40503L * (i + 7)) % MinhashP
+
+  /** MinHash signatures: numHashes affine min-hashes in ONE aggregation pass
     * over the exploded shingles (map-side partial min → tiny shuffle). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(s => min(hash60Seeded(col("shingle"), s)).as(s"h$s"))
+    val base = hash60(col("shingle")) % MinhashP
+    val aggs = (0 until numHashes).map(i =>
+      min((lit(minhashA(i)) * base + lit(minhashB(i))) % MinhashP).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -63,12 +73,16 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard for given pairs via the inverted index (shingle join). */
+  /** Exact Jaccard for given candidate pairs. The intersection is computed
+    * by expanding the CANDIDATE pairs through the shingle index (two joins
+    * keyed on the pair's doc ids) — |pairs|·|shingles-per-doc| intermediate
+    * rows, NOT the full co-occurrence blow-up. This is what makes LSH pay
+    * off: the quadratic step only touches pairs a band already vouched for. */
   def jaccardVerify(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -81,24 +95,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline. */
+  /** Full MinHash-LSH near-dup pipeline. The shingle index feeds four
+    * consumers (signatures, sizes, and both verify legs) — persist it once
+    * instead of re-exploding the corpus per consumer. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
                  numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
     val cand = candidatePairs(bands(minhashSignatures(sh, numHashes), numHashes, numBands))
     jaccardVerify(cand, sh, threshold)
   }
 
-  /** Exact all-near-dup pairs by n-gram Jaccard (inverted-index join, then
-    * threshold). Ground truth for the LSH pipeline. */
+  /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH
+    * pipeline: one inverted-index self-join, intersection counts aggregated
+    * directly from the co-occurrence rows (single pass, no pair-set
+    * materialization + re-join). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
                    threshold: Double): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, shingleK)
-    val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    jaccardVerify(pairs, sh, threshold)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash fingerprint (`bits` ≤ 32): per token-hash, bit j votes +1/-1;

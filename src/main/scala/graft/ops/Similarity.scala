@@ -80,13 +80,18 @@ object Similarity {
 
   /** J7 / near-dup: all pairs with cosine ≥ threshold. The right side is
     * broadcast (embedding tables that fit; at 100 TB swap in the LSH-banded
-    * variant from Dedup.simhash-style blocking). Pairs are kept once (a<b). */
+    * variant from Dedup.simhash-style blocking). Pairs are kept once (a<b).
+    * Norms are computed ONCE per row before the join (2n flops/pair instead
+    * of 3n); the dot/(√na·√nb) association matches the oracle exactly. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val withNorm = corpus.select(col(idCol), col(vecCol))
+      .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("score", round(cosineSim(col("vec_a"), col("vec_b")), 4))
+      .withColumn("score",
+        round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))

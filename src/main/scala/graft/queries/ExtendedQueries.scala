@@ -204,5 +204,26 @@ object ExtendedQueries {
              |  ORDER BY value DESC, event_id LIMIT 10)
              |SELECT event_type, event_id, value FROM (
              |  SELECT * FROM base UNION ALL SELECT * FROM fill)
-             |ORDER BY value DESC, event_id""".stripMargin)))
+             |ORDER BY value DESC, event_id""".stripMargin)),
+
+    // W7 (beyond parity, free via Catalyst): frame-spec window — per-user
+    // running event count and running value sum in event-time order.
+    Entry("q55_running_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("running_n", count(lit(1)).over(w))
+          .withColumn("running_sum", round(sum(col("value")).over(w), 2))
+          .select(col("user_id"), col("event_id"), col("running_n"), col("running_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  count(*) OVER w AS running_n,
+             |  round(sum(value) OVER w, 2) AS running_sum
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)))
 }

@@ -54,16 +54,19 @@ object TextQueries {
       (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5),
       Some {
-        val sigCols = (0 until 16).map(i => s"min(${h60(s"shingle || '#' || '$i'")}) AS h$i").mkString(",\n    ")
+        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+        val sigCols = (0 until 16).map(i =>
+          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
         val bandRows = (0 until 4).map { b =>
           val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
           s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
         }.mkString("\n  UNION ALL ")
         s"""WITH $shingleCtes,
+           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
            |sig AS (
            |  SELECT doc_id,
            |    $sigCols
-           |  FROM sh GROUP BY doc_id),
+           |  FROM shh GROUP BY doc_id),
            |bands AS (
            |  $bandRows),
            |cand AS (

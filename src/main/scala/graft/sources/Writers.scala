@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.1 S4/S5/S7) over plain parquet. The reference upserts
+  * points/nodes/rows into Qdrant/Neo4j/Mongo with per-store retry code
+  * (`memory_graph.py:13763-13814`, `:12244`, `:9200-9459`); on Spark the
+  * write paths are table-level:
+  *
+  *  - append — `mode(Append)`, partitioned by a tenant/date column so a
+  *    100 TB table prunes on read;
+  *  - upsert — compute the merged snapshot (anti-join + union: the
+  *    `MERGE WHEN MATCHED` shape) and atomically swap directories;
+  *  - delete — anti-join rewrite of `DELETE WHERE` (S7's delete-by-id and
+  *    delete-all collapse to predicates).
+  *
+  * Plain parquet has no transaction log; `swapWrite` gives
+  * write-new-then-rename atomicity, the usual pattern when a table format
+  * (Delta/Iceberg) isn't on the classpath.
+  */
+object Writers {
+
+  def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** DELETE WHERE predicate → the surviving snapshot. */
+  def deleteWhere(table: DataFrame, predicate: Column): DataFrame =
+    table.filter(!coalesce(predicate, lit(false)))
+
+  /** Delete by id list (S7 `delete_memory_item` / parallel chunk deletes):
+    * anti-join — no row-at-a-time round trips. */
+  def deleteByIds(table: DataFrame, ids: DataFrame, key: String): DataFrame =
+    table.join(ids.select(col(key)).distinct(), Seq(key), "left_anti")
+
+  /** Upsert (S4 `batch_upsert_qdrant_points` shape): incoming wins on key. */
+  def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.join(incoming.select(col(key)), Seq(key), "left_anti")
+      .unionByName(incoming)
+
+  /** Write `df` to `path` atomically: materialize to `path.tmp`, then swap.
+    * Readers see the old or the new snapshot, never a half-written one. */
+  def swapWrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = path + ".tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath)) fs.delete(hadoopPath, true)
+    fs.rename(tmpPath, hadoopPath)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Writers
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deleteWhere keeps non-matching rows, null predicate rows survive") {
+    val t = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v")
+    val out = Writers.deleteWhere(t, col("v") > 2).collect().map(_.getString(0))
+    assert(out.toSet === Set("a", "b"))
+    val withNull = Seq(("a", Some(1)), ("b", None)).toDF("id", "v")
+    val out2 = Writers.deleteWhere(withNull, col("v") > 0).collect().map(_.getString(0))
+    assert(out2.toSet === Set("b")) // null predicate → not deleted
+  }
+
+  test("deleteByIds anti-joins the id list") {
+    val t = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v")
+    val ids = Seq("b", "zz").toDF("id")
+    val out = Writers.deleteByIds(t, ids, "id").collect().map(_.getString(0))
+    assert(out.toSet === Set("a", "c"))
+  }
+
+  test("swapWrite: readers always see a complete snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("swap").toString + "/table"
+    Writers.swapWrite(Seq(1, 2, 3).toDF("v"), dir)
+    assert(spark.read.parquet(dir).count() === 3)
+    Writers.swapWrite(Seq(4, 5).toDF("v"), dir)
+    val back = spark.read.parquet(dir).collect().map(_.getInt(0)).toSet
+    assert(back === Set(4, 5))
+  }
+
+  test("append with partitioning writes prunable layout") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/t"
+    Writers.append(Seq(("u0", 1), ("u1", 2)).toDF("user_id", "v"), dir, Seq("user_id"))
+    Writers.append(Seq(("u0", 3)).toDF("user_id", "v"), dir, Seq("user_id"))
+    assert(spark.read.parquet(dir).filter(col("user_id") === "u0").count() === 2)
+    assert(new java.io.File(dir, "user_id=u0").exists())
+  }
+}
