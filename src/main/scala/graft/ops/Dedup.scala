@@ -29,11 +29,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct (doc_id, shingle) pairs — the substrate for minhash/jaccard. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  /** Distinct (doc_id, shingle) pairs — the substrate for minhash/jaccard.
+    * A small parquet often arrives as a single input split, which would run
+    * the (CPU-heavy) explode on one core — spread the docs first when the
+    * source has fewer partitions than the cluster has slots. On a properly
+    * partitioned 100 TB table this is a no-op. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.select(col(idCol).as("doc_id"),
         explode(shingles(tokens(col(textCol)), k)).as("shingle"))
       .distinct()
+  }
 
   /** MinHash hash family: ONE md5 per shingle reduced mod P, then affine
     * variants h_i = (a_i·h + b_i) mod P — 16× fewer digest computations than
