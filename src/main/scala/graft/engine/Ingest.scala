@@ -131,6 +131,7 @@ object Ingest {
 
     withFuzzy.select(
       col("cand_id"), col("cand_label"), col("cand_name"),
+      col("exact_id"), col("sem_id"), col("fuzzy_id"),
       coalesce(col("exact_id"), col("sem_id"), col("fuzzy_id")).as("resolved_id"),
       when(col("exact_id").isNotNull, "exact")
         .when(col("sem_id").isNotNull, "semantic")
