@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch graph analytics over `edges(src, dst)` (SURVEY §7.5's
+  * GraphFrames-style capability, implemented directly as iterative DataFrame
+  * joins — no extra dependency):
+  *
+  *  - `connectedComponents` — min-label propagation to a fixpoint. Each
+  *    round is one join + two aggregations (all shuffle on the vertex id, so
+  *    AQE coalesces as the frontier shrinks). Iterations are
+  *    driver-coordinated but all data stays distributed; for
+  *    trillion-edge graphs swap the loop body for the large-star/small-star
+  *    variant — the interface is unchanged.
+  *  - `pageRank` — standard damped power iteration with fixed iteration
+  *    count (deterministic).
+  *
+  * The dedup pipeline composes with CC: near-dup PAIRS → components →
+  * cluster representative = min doc id (`dedupClusters`) — turning pairwise
+  * similarity into actual keep/drop lists.
+  */
+object GraphAnalytics {
+
+  /** Undirected connected components; returns (id, component) where
+    * component = min vertex id reachable. Only vertices present in edges. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = labels
+        .join(sym, labels("id") === sym("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(neighborMin)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Damped PageRank, fixed iterations (deterministic). Dangling nodes keep
+    * the base rank. Returns (id, rank). */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val out = edges.select(col("src"), col("dst")).distinct().persist()
+    val vertices = out.select(col("src").as("id"))
+      .union(out.select(col("dst").as("id"))).distinct().persist()
+    val n = vertices.count().toDouble
+    val degrees = out.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(degrees, ranks("id") === degrees("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+      ranks = vertices
+        .join(contribs.groupBy("id").agg(sum("contrib").as("in_rank")), Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+    }
+    out.unpersist(); vertices.unpersist()
+    ranks
+  }
+
+  /** Near-dup pairs → dedup clusters: component representative = min doc id.
+    * The keep/drop decision of corpus dedup at scale. */
+  def dedupClusters(pairs: DataFrame, idA: String = "doc_a", idB: String = "doc_b"): DataFrame =
+    connectedComponents(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+}

@@ -166,6 +166,34 @@ object TextQueries {
              |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Dedup clusters: near-dup pairs → connected components → cluster
+    // representative (min doc id). Oracle = recursive-CTE reachability.
+    Entry("q56_dedup_clusters",
+      (s, d) => graft.ops.GraphAnalytics.dedupClusters(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+          .select(col("doc_a"), col("doc_b"))),
+      Some(
+        s"""WITH RECURSIVE $shingleCtes,
+           |inter AS (
+           |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+           |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter i
+           |  JOIN sizes na ON na.doc_id = i.doc_a
+           |  JOIN sizes nb ON nb.doc_id = i.doc_b
+           |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+           |comp AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+           |SELECT doc_id, cluster FROM comp ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprinting: content sha + 1-hash minhash + shingle count.
     Entry("q26_fingerprint",
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text", shingleK = 3),

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.GraphAnalytics
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: two chains and an isolate pair") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),    // comp 1
+      (10L, 11L),                      // comp 10
+      (20L, 21L), (21L, 22L)           // comp 20
+    ).toDF("src", "dst")
+    val cc = GraphAnalytics.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components converge on a cycle") {
+    val edges = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val cc = GraphAnalytics.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(5L))
+  }
+
+  test("pageRank: sink of a star graph outranks its sources") {
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
+      .toDF("src", "dst")
+    val pr = GraphAnalytics.pageRank(edges, iterations = 15)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub") > pr("b"))
+    assert(pr("hub") > pr("c"))
+    assert(pr("a") > pr("b"))         // 'a' gets the hub's rank back
+    // ranks are a probability-ish distribution: all positive
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("dedupClusters picks min doc id as representative") {
+    val pairs = Seq((3L, 7L), (7L, 9L), (20L, 30L)).toDF("doc_a", "doc_b")
+    val out = GraphAnalytics.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
+  }
+}
