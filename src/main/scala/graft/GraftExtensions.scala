@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, DotProduct, L2Squared}
+
+/** SQL registration of the engine's Catalyst expressions, so
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` works next to the Column API.
+  *
+  * Two entry points sharing one function table:
+  *  - `.config("spark.sql.extensions", "graft.GraftExtensions")` /
+  *    `.withExtensions(new GraftExtensions)` at session build;
+  *  - `GraftExtensions.register(spark)` on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two array<float> vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<float> vectors"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two array<float> vectors"),
+      (args: Seq[Expression]) => L2Squared(args(0), args(1))))
+
+  /** Register on a live session (FunctionRegistry is private[sql] — goes
+    * through the bridge). */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunctions(spark, functions)
+}

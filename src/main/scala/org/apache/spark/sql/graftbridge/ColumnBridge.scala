@@ -1,14 +1,25 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge to Spark's `private[sql]` Column⇄Expression conversion (Spark 4
-  * moved Column construction behind ColumnNode). Lives in an
+/** Bridge to Spark's `private[sql]` surfaces (Spark 4 moved Column
+  * construction behind ColumnNode; SessionState is sql-private). Lives in an
   * `org.apache.spark.sql` subpackage purely to satisfy the access qualifier;
   * contains no Spark-internal logic. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)]): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
 }

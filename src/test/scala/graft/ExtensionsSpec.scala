@@ -1,0 +1,35 @@
+package graft
+
+/** The SQL surface: vector kernels registered on a live session. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_cosine / vec_dot / vec_l2sq callable from SQL after register()") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+        |             array(cast(1.0 as float), cast(0.0 as float))) AS c,
+        |  vec_dot(array(cast(3.0 as float), cast(4.0 as float)),
+        |          array(cast(4.0 as float), cast(3.0 as float))) AS d,
+        |  vec_l2sq(array(cast(1.0 as float)), array(cast(4.0 as float))) AS l
+        |""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 24.0)
+    assert(r.getDouble(2) === 9.0)
+  }
+
+  test("registered functions appear in the catalog") {
+    GraftExtensions.register(spark)
+    val fns = spark.sql("SHOW FUNCTIONS LIKE 'vec_*'")
+      .collect().map(_.getString(0)).toSet
+    assert(fns === Set("vec_cosine", "vec_dot", "vec_l2sq"))
+  }
+
+  test("type mismatch is rejected at analysis, not at runtime") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_cosine(array(1.0d), array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+  }
+}
