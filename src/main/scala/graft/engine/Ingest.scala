@@ -36,6 +36,34 @@ object Ingest {
     }
   }
 
+  /** Strategy-driven chunking (hierarchical_chunker.py modes — see
+    * `Chunkers`): pieces carry level/parent linkage in custom_metadata so
+    * hierarchical retrieval can hit children and hydrate parents. */
+  def chunkWith(spark: SparkSession, mems: Dataset[Memory],
+                chunker: Chunkers.Chunker,
+                embedder: Embedder = new HashEmbedder(64)): Dataset[Chunk] = {
+    import spark.implicits._
+    mems.flatMap { m =>
+      chunker.chunk(m.content).map { p =>
+        val linkage = Map("chunk_level" -> p.level.toString) ++
+          p.parentSeq.map(ps => "parent_chunk" -> s"${m.memory_id}_$ps")
+        Chunk(s"${m.memory_id}_${p.seq}", m.memory_id, p.seq, p.text,
+          embedder.embed(p.text), m.user_id, m.user_read_access,
+          m.workspace_read_access, m.role_read_access,
+          m.organization_read_access, m.namespace_read_access,
+          m.custom_metadata ++ linkage,
+          is_grouped = false, related_memory_ids = Nil, created_at = m.created_at)
+      }
+    }
+  }
+
+  /** Content-size gate (≤ maxBytes, default 15 KB — `MAX_CONTENT_LENGTH`,
+    * memory_routes_v1.py:277-281): (accepted, rejected). */
+  def validateContent(mems: DataFrame, maxBytes: Int = 15000): (DataFrame, DataFrame) = {
+    val ok = octet_length(col("content")) <= maxBytes
+    (mems.filter(ok), mems.filter(!ok))
+  }
+
   /** Graph-extraction seam (`store_llm_generated_graph`,
     * memory_graph.py:11819). Production = LLM structured output; the
     * deterministic default extracts one Memory node per row plus entity

@@ -91,8 +91,17 @@ object Search {
     * `:8582`): run the primary plan; if empty, strip property filters; if
     * still empty, recency scan. Driver-side retry over tiny results — the
     * plans themselves stay distributed. */
+  /** Generic-query canonicalization (`memory_models.py:899-927`: `"*"` and
+    * friends are rewritten to "show me my most recent memories"): a
+    * wildcard/empty query skips the vector branch entirely. */
+  def isGenericQuery(q: String): Boolean = {
+    val t = q.trim.toLowerCase
+    t.isEmpty || t == "*" || t == "all" || t == "everything"
+  }
+
   def searchWithFallback(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
                          req: SearchRequest): DataFrame = {
+    if (isGenericQuery(req.queryText)) return fallbackScan(chunks, memories, req)
     val primary = search(spark, chunks, memories, req)
     if (!primary.isEmpty) primary
     else {
