@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Fns.hash60
 import graft.functions.VectorFunctions._
 
 /** Similarity-search operators over an embedding column (`array<float>`).
@@ -90,6 +91,54 @@ object Similarity {
     val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("score",
+        round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign(v · h_j) where
+    * hyperplane components h_j[i] are hash-derived pseudo-randoms in [-1,1]
+    * — deterministic, no stored model. Cosine-close vectors collide with
+    * probability 1 − θ/π per bit. */
+  def rhpSignature(vecCol: Column, dim: Int, nBits: Int, seed: Int = 7): Column = {
+    val bits = (0 until nBits).map { j =>
+      val dotExpr = (0 until dim).map { i =>
+        val h = ((seed * 1000003 + j * 131 + i * 31) * 2654435761L % 1000003L).toDouble / 500001.5 - 1.0
+        element_at(vecCol, i + 1).cast("double") * lit(h)
+      }.reduce(_ + _)
+      when(dotExpr >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Scale path for `nearDupPairs`: band the RHP signature, join within
+    * bands, then verify candidates with exact cosine. Output ⊆ the exact
+    * variant (LSH recall < 1); at 100 TB this replaces the quadratic
+    * broadcast with |corpus|·bands bucket rows. */
+  def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int, nBits: Int = 16,
+                      nBands: Int = 4): DataFrame = {
+    val r = nBits / nBands
+    val mask = (1L << r) - 1
+    val signed = corpus.select(col(idCol), col(vecCol))
+      .withColumn("sig", rhpSignature(col(vecCol), dim, nBits))
+      .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .persist()
+    val banded = signed.select(col(idCol), col("sig"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = signed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
+    val b = signed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("score",
         round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("score") >= threshold)

@@ -40,6 +40,20 @@ object Writers {
     existing.join(incoming.select(col(key)), Seq(key), "left_anti")
       .unionByName(incoming)
 
+  /** Clustered layout: partition directories by low-cardinality tenant/date
+    * columns, sort within files by high-cardinality keys (the Z-ORDER-lite
+    * that makes parquet min/max stats selective — SURVEY §7.4.6's "Z-ORDER
+    * by tenant" layout decision). */
+  def clusteredWrite(df: DataFrame, path: String, partitionCols: Seq[String],
+                     sortCols: Seq[String]): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val w = sorted.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
   /** Write `df` to `path` atomically: materialize to `path.tmp`, then swap.
     * Readers see the old or the new snapshot, never a half-written one. */
   def swapWrite(df: DataFrame, path: String): Unit = {
