@@ -93,10 +93,16 @@ object Retrieval {
       .agg(max(col(scoreCol)).as("best_score"), count(lit(1)).as("n_chunks"))
 
   /** W3 — fuse per-source score sets: union, fill missing scores with the
-    * graph-branch default 0.7 (`memory_graph.py:6323-6327`), keep each id's
-    * best (score, source-priority) via one max-by aggregation. */
+    * graph-branch default 0.7 (`memory_graph.py:6323-6327`), keep one row
+    * per id via one max-by aggregation. Two merge policies:
+    *  - default (`lastSourceWins = false`): best score wins, priority breaks
+    *    ties — the fusion a ranking pipeline usually wants;
+    *  - `lastSourceWins = true`: the LAST-listed source overwrites earlier
+    *    ones regardless of score — the reference's dict-update semantics
+    *    (`all_similarity_scores` merge, memory_graph.py:6346-6358). */
   def fuseScores(sources: Seq[(String, DataFrame)], idCol: String,
-                 scoreCol: String, defaultScore: Double = 0.7): DataFrame = {
+                 scoreCol: String, defaultScore: Double = 0.7,
+                 lastSourceWins: Boolean = false): DataFrame = {
     val tagged = sources.zipWithIndex.map { case ((name, df), pri) =>
       df.select(
         col(idCol).as("id"),
@@ -104,9 +110,12 @@ object Retrieval {
         lit(name).as("source"),
         lit(pri).as("pri"))
     }
+    val best =
+      if (lastSourceWins) max(struct(col("pri"), col("score"), col("source")))
+      else max(struct(col("score"), col("pri"), col("source")))
     tagged.reduce(_ unionByName _)
       .groupBy(col("id"))
-      .agg(max(struct(col("score"), col("pri"), col("source"))).as("best"))
+      .agg(best.as("best"))
       .select(col("id"), col("best.score").as("score"), col("best.source").as("source"))
   }
 

@@ -101,7 +101,10 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit j = sign(v · h_j) where
     * hyperplane components h_j[i] are hash-derived pseudo-randoms in [-1,1]
     * — deterministic, no stored model. Cosine-close vectors collide with
-    * probability 1 − θ/π per bit. */
+    * probability 1 − θ/π per bit.
+    * NOTE: expands to dim×nBits scalar expressions — fine to ~32 dims;
+    * for 2560-dim production vectors promote this to a single Catalyst
+    * Expression with a codegen loop (same contract). */
   def rhpSignature(vecCol: Column, dim: Int, nBits: Int, seed: Int = 7): Column = {
     val bits = (0 until nBits).map { j =>
       val dotExpr = (0 until dim).map { i =>

@@ -225,5 +225,23 @@ object ExtendedQueries {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, event_id""".stripMargin)))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Catalyst decorrelation (SURVEY §4 "free via Catalyst"), exercised
+    // through the engine's SQL surface: orders more than 2× their own
+    // customer's average — correlated scalar subquery → join rewrite.
+    Entry("q57_correlated_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey FROM orders_v o
+                |WHERE o_totalprice > 2 * (
+                |  SELECT avg(o_totalprice) FROM orders_v o2
+                |  WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey FROM orders o
+             |WHERE o_totalprice > 2 * (
+             |  SELECT avg(o_totalprice) FROM orders o2
+             |  WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)))
 }

@@ -91,7 +91,7 @@ object Sessions {
     var cur = st.copy(pending = Nil)
     val out = fullBatches.zipWithIndex.map { case (b, i) =>
       val (analysis, next) = analyze(b, cur, sessionId, summarizer, classifier,
-        batchIndex = (cur.processedCount / BatchSize) + 0) // monotone per fold
+        batchIndex = cur.processedCount / BatchSize)
       cur = next
       analysis
     }

@@ -70,6 +70,15 @@ class RetrievalSpec extends SparkSpec {
     assert(out("c") === ((0.7, "graph")))
   }
 
+  test("fuseScores lastSourceWins: reference dict-update semantics") {
+    val vector = Seq(("a", Some(0.9))).toDF("id", "score")
+    val graph = Seq(("a", Some(0.1))).toDF("id", "score")
+    val out = Retrieval.fuseScores(Seq("vector" -> vector, "graph" -> graph),
+      "id", "score", lastSourceWins = true)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out("a") === ((0.1, "graph"))) // later source overwrites better score
+  }
+
   test("stratifiedSample respects per-source quotas") {
     val df = (1 to 20).map(i => ("s1", i.toLong, i.toDouble)) ++
       (1 to 20).map(i => ("s2", (100 + i).toLong, i.toDouble))
