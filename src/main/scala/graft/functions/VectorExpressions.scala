@@ -144,6 +144,73 @@ case class L2Squared(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH signature as a single codegen'd expression:
+  * bit j = sign(v · h_j), hyperplane components derived from a mixed integer
+  * hash of (seed, j, i) — no stored model, identical on any executor. The
+  * loop is nBits × dim multiply-adds inside WholeStageCodegen, so it scales
+  * to production dims (2560) where an expression-tree expansion would not.
+  */
+case class RhpSignature(child: Expression, nBits: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBits > 0 && nBits <= 63, "nBits must be in 1..63")
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_rhp_signature"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  @inline private def hyperplane(j: Int, i: Int): Double =
+    RhpSignature.component(seed, j, i)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += arr.getFloat(i).toDouble * hyperplane(j, i); i += 1 }
+      if (acc >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cls = classOf[RhpSignature].getName
+      s"""
+         |int $n = $a.numElements();
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $nBits; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * $cls.component($seed, $j, $i);
+         |  }
+         |  if ($acc >= 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RhpSignature {
+  /** Deterministic hyperplane component in [-1, 1] — shared by interpreted
+    * eval and generated code (must stay a static pure function). */
+  def component(seed: Int, j: Int, i: Int): Double =
+    (((seed * 1000003L + j * 131L + i * 31L) * 2654435761L % 1000003L).toDouble / 500001.5) - 1.0
+}
+
 object VectorFunctions {
   private def col2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
     ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -156,4 +223,8 @@ object VectorFunctions {
 
   /** squared euclidean distance of two array<float> columns (codegen'd). */
   def l2sq(a: Column, b: Column): Column = col2(L2Squared.apply)(a, b)
+
+  /** random-hyperplane LSH signature of an array<float> column (codegen'd). */
+  def rhpSignature(v: Column, nBits: Int, seed: Int = 7): Column =
+    ColumnBridge.column(RhpSignature(ColumnBridge.expression(v), nBits, seed))
 }

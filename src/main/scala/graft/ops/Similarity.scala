@@ -98,35 +98,19 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Random-hyperplane LSH signature: bit j = sign(v · h_j) where
-    * hyperplane components h_j[i] are hash-derived pseudo-randoms in [-1,1]
-    * — deterministic, no stored model. Cosine-close vectors collide with
-    * probability 1 − θ/π per bit.
-    * NOTE: expands to dim×nBits scalar expressions — fine to ~32 dims;
-    * for 2560-dim production vectors promote this to a single Catalyst
-    * Expression with a codegen loop (same contract). */
-  def rhpSignature(vecCol: Column, dim: Int, nBits: Int, seed: Int = 7): Column = {
-    val bits = (0 until nBits).map { j =>
-      val dotExpr = (0 until dim).map { i =>
-        val h = ((seed * 1000003 + j * 131 + i * 31) * 2654435761L % 1000003L).toDouble / 500001.5 - 1.0
-        element_at(vecCol, i + 1).cast("double") * lit(h)
-      }.reduce(_ + _)
-      when(dotExpr >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Scale path for `nearDupPairs`: band the RHP signature, join within
-    * bands, then verify candidates with exact cosine. Output ⊆ the exact
-    * variant (LSH recall < 1); at 100 TB this replaces the quadratic
-    * broadcast with |corpus|·bands bucket rows. */
+  /** Scale path for `nearDupPairs`: band the random-hyperplane signature
+    * (`RhpSignature`, a codegen'd Catalyst expression — bit j =
+    * sign(v·h_j), cosine-close vectors collide with prob 1 − θ/π per bit),
+    * join within bands, then verify candidates with exact cosine. Output ⊆
+    * the exact variant (LSH recall < 1); at 100 TB this replaces the
+    * quadratic broadcast with |corpus|·bands bucket rows. */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, dim: Int, nBits: Int = 16,
+                      threshold: Double, nBits: Int = 16,
                       nBands: Int = 4): DataFrame = {
     val r = nBits / nBands
     val mask = (1L << r) - 1
     val signed = corpus.select(col(idCol), col(vecCol))
-      .withColumn("sig", rhpSignature(col(vecCol), dim, nBits))
+      .withColumn("sig", rhpSignature(col(vecCol), nBits))
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
       .persist()
     val banded = signed.select(col(idCol), col("sig"),

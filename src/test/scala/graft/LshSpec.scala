@@ -19,7 +19,7 @@ class LshSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding")
     val exact = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.nearDupPairsLsh(df, "vec_id", "embedding", 0.999, dim = 16)
+    val lsh = Similarity.nearDupPairsLsh(df, "vec_id", "embedding", 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
     assert(lsh.subsetOf(exact))
@@ -27,12 +27,19 @@ class LshSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
-  test("RHP signature is deterministic and within bit range") {
+  test("RHP signature is deterministic, within bit range, codegen == interpreted") {
+    import graft.functions.VectorFunctions
     val df = Seq(1L -> Array.tabulate(8)(_.toFloat)).toDF("id", "v")
-    val s1 = df.select(Similarity.rhpSignature(col("v"), 8, 12)).head.getLong(0)
-    val s2 = df.select(Similarity.rhpSignature(col("v"), 8, 12)).head.getLong(0)
+    val s1 = df.select(VectorFunctions.rhpSignature(col("v"), 12)).head.getLong(0)
+    val s2 = df.select(VectorFunctions.rhpSignature(col("v"), 12)).head.getLong(0)
     assert(s1 === s2)
     assert(s1 >= 0 && s1 < (1L << 12))
+    // interpreted eval path agrees with codegen
+    val expr = graft.functions.RhpSignature(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), 12, 7)
+    val interpreted = expr.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.tabulate(8)(_.toFloat)))
+    assert(interpreted === s1)
   }
 
   test("clusteredWrite produces partition dirs with sorted files") {
