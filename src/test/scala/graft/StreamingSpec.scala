@@ -70,6 +70,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked tumbling-window aggregation over the event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AccessEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "7 days"), $"kind")
+      .agg(count("*").as("n"), avg($"confidence").as("avg_conf"))
+      .select($"window.start".as("ws"), $"kind", $"n", $"avg_conf")
+    val query = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val events = Fixtures.accessEvents(spark, n = 200).collect()
+      input.addData(events)
+      query.processAllAvailable()
+      // advance the watermark far enough to close all windows
+      input.addData(AccessEvent("late", "m0", "u0", "retrieval", 0.5, 0.5,
+        Timestamp.valueOf("2024-06-01 00:00:00")))
+      query.processAllAvailable()
+      val out = spark.table("win_out").collect()
+      assert(out.nonEmpty)
+      // batch equivalence: same counts per (window, kind)
+      val batch = Fixtures.accessEvents(spark, n = 200).toDF()
+        .groupBy(window($"ts", "7 days"), $"kind").agg(count("*").as("n"))
+        .select($"window.start".as("ws"), $"kind", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      out.foreach { r =>
+        val k = (r.getTimestamp(0), r.getString(1))
+        assert(batch(k) === r.getLong(2), s"window $k")
+      }
+    } finally query.stop()
+  }
+
   test("counter fold is incremental: two folds equal one") {
     val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
