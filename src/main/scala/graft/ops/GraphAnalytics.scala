@@ -23,12 +23,63 @@ import org.apache.spark.sql.functions._
 object GraphAnalytics {
 
   /** Undirected connected components; returns (id, component) where
-    * component = min vertex id reachable. Only vertices present in edges. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    * component = min vertex id reachable. Only vertices present in edges.
+    *
+    * Below `smallGraphEdges` distinct edges the component computation runs
+    * as driver-side union-find on a bounded collect (the reference's
+    * `full_scan_threshold` pattern — a fixpoint of Spark rounds costs more
+    * than the data); the distributed min-label loop handles everything
+    * bigger. Identical output either way. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          smallGraphEdges: Long = 500000): DataFrame = {
+    val spark = edges.sparkSession
+    // materialize the edge input once — the symmetrizing union would
+    // otherwise evaluate a possibly-expensive upstream (e.g. a jaccard
+    // pair pipeline) twice, once per branch.
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+
+    if (sym.count() <= smallGraphEdges) {
+      e.unpersist()
+      import scala.collection.mutable
+      val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: Any, b: Any): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+      pairs.foreach { case (a, b) => parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b); union(a, b) }
+      val members = parent.keys.toSeq
+      // component label = min member (Ordering over the runtime type)
+      val byRoot = members.groupBy(find)
+      implicit val anyOrd: Ordering[Any] = (x: Any, y: Any) => (x, y) match {
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int) => Integer.compare(a, b)
+        case (a, b) => a.toString.compareTo(b.toString)
+      }
+      val rows = byRoot.toSeq.flatMap { case (_, ms) =>
+        val label = ms.min
+        ms.map(m => org.apache.spark.sql.Row(m, label))
+      }
+      val idType = sym.schema("src").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("comp", idType)))
+      sym.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
@@ -49,6 +100,7 @@ object GraphAnalytics {
       converged = changed == 0
       iter += 1
     }
+    e.unpersist()
     sym.unpersist()
     labels
   }
