@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.ops.Similarity
+
+/** IVF index with an explicit build/probe split — the engine's analog of the
+  * reference's HNSW collection (built once at ingest, probed per query,
+  * `memory_graph.py:1015-1065`). Build assigns every chunk to its nearest
+  * centroid and persists the assignment as a table (partitionable by
+  * centroid); probe scores only the `nProbe` clusters nearest the query —
+  * at 1000 executors that is a partition-pruned scan instead of a full one.
+  * Centroid choice is deterministic (every k-th vector by id order — good
+  * enough without a model; swap in MLlib KMeans offline for tighter
+  * clusters, the table contract is unchanged).
+  */
+object IvfIndex {
+
+  case class Index(centroids: DataFrame, assigned: DataFrame)
+
+  /** Build: pick nCentroids deterministic seeds, assign all rows. */
+  def build(chunks: DataFrame, idCol: String, vecCol: String, nCentroids: Int): Index = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(idCol))
+    val n = chunks.count()
+    val stride = math.max(n / nCentroids, 1L)
+    val centroids = chunks.select(col(idCol), col(vecCol))
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % stride === 0)
+      .limit(nCentroids)
+      .select(col("rn").as("centroid_id"), col(vecCol).as("cvec"))
+    val assigned = Similarity.ivfAssign(chunks, centroids, idCol, vecCol)
+    Index(centroids, assigned)
+  }
+
+  /** Probe: the nProbe centroids nearest the query vector (single-row DF
+    * with `qvec`), then the caller scans only those clusters. */
+  def probeClusters(index: Index, query: DataFrame, nProbe: Int): DataFrame =
+    index.centroids.crossJoin(broadcast(query))
+      .withColumn("dist", l2sq(col("cvec"), col("qvec")))
+      .orderBy(col("dist"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id"))
+
+  /** Pruned corpus for a query: only rows in the probed clusters. */
+  def prunedCorpus(index: Index, query: DataFrame, nProbe: Int): DataFrame =
+    index.assigned.join(broadcast(probeClusters(index, query, nProbe)), Seq("centroid_id"))
+}

@@ -75,6 +75,21 @@ object Search {
     else Rerank.rerank(topK, "content", "memory_id", req.queryText, req.topK, reranker)
   }
 
+  /** Flagship search against a prebuilt IVF index: identical pipeline, but
+    * the KNN scan touches only the query's `nProbe` nearest clusters
+    * (`IvfIndex.prunedCorpus`) — the candidate-pruned path for corpora where
+    * a full scan per query is too expensive. Recall < 1 like any ANN; raise
+    * nProbe to trade time for recall. */
+  def searchIndexed(spark: SparkSession, index: IvfIndex.Index, memories: DataFrame,
+                    req: SearchRequest, nProbe: Int = 2,
+                    embedder: Embedder = new HashEmbedder(64),
+                    reranker: Reranker = LexicalReranker): DataFrame = {
+    import spark.implicits._
+    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
+    val pruned = IvfIndex.prunedCorpus(index, qvec, nProbe).drop("centroid_id")
+    search(spark, pruned, memories, req, embedder, reranker)
+  }
+
   /** V3 — filter-only fallback when KNN returns nothing
     * (`memory_graph.py:8327-8437`): newest matching rows, no vector. */
   def fallbackScan(chunks: DataFrame, memories: DataFrame, req: SearchRequest): DataFrame =
