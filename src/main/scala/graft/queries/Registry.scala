@@ -15,7 +15,7 @@ object Registry {
   lazy val all: Seq[Entry] =
     RelationalQueries.entries ++ VectorQueries.entries ++
       TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
-      DomainPipelineQueries.entries
+      DomainPipelineQueries.entries ++ StatsQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap
