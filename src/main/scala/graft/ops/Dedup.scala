@@ -29,18 +29,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct (doc_id, shingle) pairs — the substrate for minhash/jaccard.
+  /** Raw exploded (doc_id, shingle) pairs, duplicates kept — no shuffle.
     * A small parquet often arrives as a single input split, which would run
     * the (CPU-heavy) explode on one core — spread the docs first when the
     * source has fewer partitions than the cluster has slots. On a properly
     * partitioned 100 TB table this is a no-op. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def shingleRaw(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     spread.select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), k)).as("shingle"))
-      .distinct()
+      explode(shingles(tokens(col(textCol)), k)).as("shingle"))
   }
+
+  /** Distinct (doc_id, shingle) pairs — the substrate for exact jaccard. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleRaw(docs, idCol, textCol, k).distinct()
 
   /** MinHash hash family: ONE md5 per shingle reduced mod P, then affine
     * variants h_i = (a_i·h + b_i) mod P — 16× fewer digest computations than
@@ -51,7 +54,9 @@ object Dedup {
   def minhashB(i: Int): Long = (40503L * (i + 7)) % MinhashP
 
   /** MinHash signatures: numHashes affine min-hashes in ONE aggregation pass
-    * over the exploded shingles (map-side partial min → tiny shuffle). */
+    * over the exploded shingles (map-side partial min → tiny shuffle).
+    * Duplicate shingles are harmless — `min` is idempotent — so callers can
+    * feed the raw (non-distinct) explode and skip a full-corpus shuffle. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val base = hash60(col("shingle")) % MinhashP
     val aggs = (0 until numHashes).map(i =>
@@ -102,13 +107,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline. The shingle index feeds four
-    * consumers (signatures, sizes, and both verify legs) — persist it once
-    * instead of re-exploding the corpus per consumer. */
+  /** Full MinHash-LSH near-dup pipeline.
+    *
+    * Shuffle budget (the thing that decides whether this survives 100 TB):
+    * the corpus-sized intermediate — the exploded shingle list — is NEVER
+    * shuffled in full. Signatures aggregate the raw explode with map-side
+    * partial `min` (shuffle = #docs × numHashes longs); the distinct shingle
+    * SETS needed for exact-Jaccard verification are built only for docs that
+    * actually appear in a candidate pair (a semi-join against the usually
+    * tiny candidate list), so the `distinct` shuffle is proportional to the
+    * near-duplicate population, not the corpus. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
                  numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
-    val cand = candidatePairs(bands(minhashSignatures(sh, numHashes), numHashes, numBands))
+    val raw = shingleRaw(docs, idCol, textCol, shingleK).persist()
+    val cand = candidatePairs(
+      bands(minhashSignatures(raw, numHashes), numHashes, numBands)).persist()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = raw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
     jaccardVerify(cand, sh, threshold)
   }
 
