@@ -80,6 +80,21 @@ object GraphAnalytics {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
+    val labels = starComponents(sym, maxIter)
+    e.unpersist()
+    sym.unpersist()
+    labels
+  }
+
+  /** Min-label propagation to a fixpoint — O(diameter) rounds. Kept as the
+    * cross-check implementation; `connectedComponents` routes large graphs
+    * through the O(log n) star algorithm instead. */
+  def connectedComponentsMinLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
@@ -89,10 +104,13 @@ object GraphAnalytics {
       val neighborMin = labels
         .join(sym, labels("id") === sym("src"))
         .select(col("dst").as("id"), col("comp"))
+      // localCheckpoint truncates the logical plan — without it the lineage
+      // grows by one join per round and tree traversal eventually overflows
+      // the stack (same pattern GraphFrames uses for its iterative loops).
       val next = labels.select(col("id"), col("comp"))
         .union(neighborMin)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") < col("old")).count()
       labels.unpersist()
@@ -103,6 +121,81 @@ object GraphAnalytics {
     e.unpersist()
     sym.unpersist()
     labels
+  }
+
+  /** Large-star/small-star alternation (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * converges in O(log n) rounds regardless of graph diameter, which is
+    * what makes CC feasible on trillion-edge graphs where a long chain would
+    * force a diameter-length min-label loop.
+    *
+    *  - large-star(u): link every neighbor LARGER than u to the minimum of
+    *    u's closed neighborhood;
+    *  - small-star(u): link every not-larger neighbor (and u itself) to that
+    *    minimum.
+    *
+    * Each half-round is one groupBy + one join, all shuffling on the vertex
+    * id. Input `sym` must be the symmetrized distinct edge list; output is
+    * (id, comp) with comp = min reachable vertex, identical to min-label. */
+  private def starComponents(sym: DataFrame, maxIter: Int): DataFrame = {
+    val spark = sym.sparkSession
+
+    // orient large→small; drop self loops (their vertices rejoin at the end)
+    def largeStar(g: DataFrame): DataFrame = {
+      val und = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      und.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(g: DataFrame): DataFrame = {
+      val mins = g.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      g.join(mins, "src")
+        .select(col("dst").as("node"), col("m"))
+        .union(mins.select(col("src").as("node"), col("m")))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // order-independent content hash; bit_xor (not sum) — a Long sum of
+    // xxhash64 values overflows under ANSI mode
+    def fingerprint(g: DataFrame): (Long, Long) = {
+      val r = g.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // localCheckpoint (not persist): each round's plan must start from
+    // materialized data, or lineage depth grows ~10 nodes/round and the
+    // driver stack-overflows traversing the tree around round 40.
+    var g = sym.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+              least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var fp = fingerprint(g)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(g)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      g = next
+      converged = nfp == fp
+      fp = nfp
+      iter += 1
+    }
+    // converged g is a star forest: (member, root). Roots and self-loop-only
+    // vertices label themselves.
+    val labeled = g.select(col("src").as("id"), col("dst").as("comp"))
+    val selfLabeled = sym.select(col("src").as("id")).distinct()
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    labeled.union(selfLabeled)
   }
 
   /** Damped PageRank, fixed iterations (deterministic). Dangling nodes keep
@@ -123,6 +216,7 @@ object GraphAnalytics {
         .join(contribs.groupBy("id").agg(sum("contrib").as("in_rank")), Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .localCheckpoint(true) // materialize per round; keeps the plan flat
     }
     out.unpersist(); vertices.unpersist()
     ranks

@@ -24,6 +24,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(cc.values.toSet === Set(5L))
   }
 
+  test("star CC == min-label CC == union-find on a random graph, all paths") {
+    // long chains (worst case for min-label), a big cycle, isolates via
+    // self-referencing pairs, and random cross links — deterministic seed
+    val rnd = new scala.util.Random(42)
+    val chain = (0L until 40L).map(i => (i, i + 1))                   // diameter 40
+    val cycle = (1000L until 1100L).map(i => (i, 1000L + (i - 999L) % 100L))
+    val random = (1 to 200).map(_ => (2000L + rnd.nextInt(150), 2000L + rnd.nextInt(150)))
+    val edges = (chain ++ cycle ++ random).toDF("src", "dst")
+
+    val minLabel = GraphAnalytics.connectedComponentsMinLabel(edges, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the distributed star path (threshold 0 disables union-find)
+    val star = GraphAnalytics.connectedComponents(edges, smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unionFind = GraphAnalytics.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(star === minLabel)
+    assert(unionFind === minLabel)
+    assert(star(40L) === 0L)    // chain collapsed to its min in O(log n) rounds
+  }
+
   test("pageRank: sink of a star graph outranks its sources") {
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
       .toDF("src", "dst")
