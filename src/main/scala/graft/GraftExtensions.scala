@@ -14,8 +14,13 @@ import graft.functions.{CosineSimilarity, DotProduct, L2Squared}
   *  - `GraftExtensions.register(spark)` on an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    // ANN rewrite (SURVEY §7.3): inert until an index is registered via
+    // AnnRewrite.register — which also arms live sessions through
+    // spark.experimental.extraOptimizations, so either path works.
+    e.injectOptimizerRule(_ => graft.plans.AnnRewrite)
+  }
 }
 
 object GraftExtensions {

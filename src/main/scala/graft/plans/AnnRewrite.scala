@@ -1,0 +1,179 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.engine.IvfIndex
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** SURVEY §7.3's optional optimizer rule: rewrite an exact vector top-k —
+  * `Sort(vec_cosine(emb, <literal query>) DESC) + Limit k` over a table that
+  * carries an IVF cluster assignment — into a cluster-pruned scan, by
+  * injecting `Filter(centroid_id IN <nProbe nearest clusters>)` below the
+  * sort. The Qdrant-HNSW analog of the reference (`memory_graph.py:1015-1065`):
+  * the index is built once at ingest, and the planner — not the query author —
+  * decides exact-vs-ANN per query, mirroring the reference's
+  * `full_scan_threshold=10000` switch (`memory_graph.py:1052`).
+  *
+  * Mechanics:
+  *  - `AnnRewrite.register(spark, index, embCol, rows)` collects the (small)
+  *    centroid table driver-side and arms the rule on the live session via
+  *    `spark.experimental.extraOptimizations` (also injectable at session
+  *    build through [[graft.GraftExtensions]]).
+  *  - The rule fires only when: the sort key is `CosineSimilarity`/`DotProduct`
+  *    of a registered embedding column against a LITERAL query vector, the
+  *    plan below the sort still exposes the index's cluster column, and the
+  *    registered row count exceeds `spark.graft.ann.fullScanThreshold` —
+  *    below that an exact scan is cheaper than it is wrong.
+  *  - Probed clusters are chosen driver-side from the registered centroids
+  *    (nearest by L2², ties by id — same order as `IvfIndex.probeClusters`),
+  *    so optimization never launches a Spark job.
+  *
+  * The rewrite trades recall for scan cost (top-k within probed clusters),
+  * exactly like the reference's HNSW path; disable per-session with
+  * `spark.graft.ann.enabled=false`. At 100 TB with the assignment table
+  * partitioned by `centroid_id`, the injected IN-filter becomes partition
+  * pruning: the scan touches nProbe/nCentroids of the data.
+  */
+object AnnRewrite extends Rule[LogicalPlan] {
+
+  /** Driver-side index metadata: centroid vectors are tiny (≤ thousands of
+    * rows) — holding them on the driver is what lets the rule pick probe
+    * clusters without running a job. */
+  case class RegisteredIndex(
+      embCol: String,
+      clusterCol: String,
+      centroids: Array[(Int, Array[Double])],
+      rows: Long)
+
+  private val indexes = TrieMap.empty[String, RegisteredIndex]
+
+  /** Register an IVF index for `embCol` and arm the rule on the session. */
+  def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
+               rows: Long, clusterCol: String = "centroid_id"): Unit = {
+    val cents = index.centroids.collect().map { r =>
+      val id = r.get(0) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => other.toString.toInt
+      }
+      val vec = r.getSeq[Any](1).map(toD).toArray
+      (id, vec)
+    }
+    indexes.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
+    if (!spark.experimental.extraOptimizations.contains(this)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+    }
+  }
+
+  def deregister(embCol: String): Unit = indexes.remove(embCol)
+  def clear(): Unit = indexes.clear()
+
+  private def toD(a: Any): Double = a match {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case n: Number => n.doubleValue()
+  }
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.ann.enabled", "true").toBoolean
+  private def fullScanThreshold: Long =
+    conf.getConfString("spark.graft.ann.fullScanThreshold", "10000").toLong
+  private def nProbe: Int =
+    conf.getConfString("spark.graft.ann.nProbe", "4").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (indexes.isEmpty || !enabled) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort)) =>
+        rewriteSort(s).map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
+    }
+  }
+
+  private def rewriteSort(s: Sort): Option[Sort] = s.order match {
+    case Seq(SortOrder(key, Descending, _, _), _*) =>
+      // resolve the sort key to the scoring expression (usually an alias in
+      // the Project directly below the sort)
+      val scoring: Option[Expression] = key match {
+        case a: Attribute => s.child match {
+          case Project(plist, _) =>
+            plist.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+          case _ => None
+        }
+        case e => Some(e)
+      }
+      // round(score, n) is order-preserving up to ties the query must break
+      // itself (every engine query sorts (score, id)) — see through it, since
+      // oracle-compared plans all round for hash parity.
+      val unwrapped = scoring.map {
+        case Round(inner, _, _) => inner
+        case e => e
+      }
+      unwrapped.flatMap {
+        case CosineSimilarity(emb: AttributeReference, q: Literal) => prune(s, emb, q)
+        case DotProduct(emb: AttributeReference, q: Literal) => prune(s, emb, q)
+        case CosineSimilarity(q: Literal, emb: AttributeReference) => prune(s, emb, q)
+        case DotProduct(q: Literal, emb: AttributeReference) => prune(s, emb, q)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def literalVec(q: Literal): Option[Array[Double]] = (q.dataType, q.value) match {
+    case (ArrayType(FloatType, _), a: ArrayData) => Some(a.toFloatArray().map(_.toDouble))
+    case (ArrayType(DoubleType, _), a: ArrayData) => Some(a.toDoubleArray())
+    case _ => None
+  }
+
+  private def prune(s: Sort, emb: AttributeReference, q: Literal): Option[Sort] = {
+    for {
+      meta <- indexes.get(emb.name)
+      if meta.rows > fullScanThreshold
+      qv <- literalVec(q)
+      if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length
+      probed = probeIds(meta.centroids, qv, nProbe)
+      if probed.length < meta.centroids.length // pruning must actually prune
+      rewritten <- injectFilter(s, meta.clusterCol, probed)
+    } yield rewritten
+  }
+
+  /** nProbe nearest centroids by L2², ties by centroid id — matches
+    * `IvfIndex.probeClusters` ordering. */
+  private def probeIds(centroids: Array[(Int, Array[Double])], q: Array[Double],
+                       n: Int): Array[Int] = {
+    centroids.map { case (id, c) =>
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val x = c(i) - q(i); d += x * x; i += 1 }
+      (d, id)
+    }.sortBy(identity).take(n).map(_._2)
+  }
+
+  /** Place `clusterCol IN probed` directly below the sort (and below the
+    * scoring Project, where the cluster column is still in scope). No-op if
+    * an identical pruning filter is already present (keeps the rule
+    * idempotent under the fixed-point optimizer batch). */
+  private def injectFilter(s: Sort, clusterCol: String, probed: Array[Int]): Option[Sort] = {
+    def alreadyPruned(p: LogicalPlan): Boolean = p.collectFirst {
+      case Filter(In(a: Attribute, _), _) if a.name == clusterCol => true
+    }.nonEmpty
+
+    def filtered(child: LogicalPlan): Option[LogicalPlan] =
+      child.output.find(_.name == clusterCol).map { attr =>
+        Filter(In(attr, probed.toSeq.map(i => Literal(i))), child)
+      }
+
+    if (alreadyPruned(s)) None
+    else s.child match {
+      case p @ Project(_, pc) => filtered(pc).map(f => s.copy(child = p.copy(child = f)))
+      case other => filtered(other).map(f => s.copy(child = f))
+    }
+  }
+}

@@ -2,7 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.engine.IvfIndex
+import graft.functions.VectorFunctions.cosineSim
 import graft.ops.Similarity
+import graft.plans.AnnRewrite
 
 /** Vector retrieval (SURVEY §2.4) over the `embeddings(vec_id, embedding,
   * label)` table. The DuckDB oracle recomputes the identical double-precision
@@ -102,5 +105,77 @@ object VectorQueries {
               |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
               |FROM assign a JOIN qassign ON a.centroid_id = q_centroid
               |CROSS JOIN q
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
+
+    // §7.3 optimizer rule end-to-end: the query is written as an EXACT
+    // top-k (sort by cosine desc + limit); AnnRewrite injects the
+    // cluster-pruning IN-filter because an IVF index is registered for the
+    // embedding column. Materialized eagerly inside the entry so the
+    // registration can't leak into other queries' optimization, and a
+    // require() guards that the rule actually fired (otherwise the result
+    // would be the exact top-k and the oracle — which computes the PRUNED
+    // top-k — would only match by coincidence).
+    Entry("q61_ann_rule",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 0).select(col("vec_id"), col("embedding"))
+        val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 8)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        AnnRewrite.register(s, idx, "embedding", rows = corpus.count())
+        val prevThresh = s.conf.getOption("spark.graft.ann.fullScanThreshold")
+        val prevProbe = s.conf.getOption("spark.graft.ann.nProbe")
+        s.conf.set("spark.graft.ann.fullScanThreshold", "100")
+        s.conf.set("spark.graft.ann.nProbe", "2")
+        try {
+          val out = idx.assigned
+            .withColumn("score", round(cosineSim(col("embedding"), lit(qv)), 4))
+            .orderBy(desc("score"), col("vec_id"))
+            .limit(10)
+            .select(col("vec_id"), col("centroid_id"), col("score"))
+          require(out.queryExecution.optimizedPlan.toString.contains(" IN "),
+            "ANN rewrite rule did not fire")
+          val rows = out.collect().toSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        } finally {
+          AnnRewrite.deregister("embedding")
+          prevThresh.fold(s.conf.unset("spark.graft.ann.fullScanThreshold"))(
+            v => s.conf.set("spark.graft.ann.fullScanThreshold", v))
+          prevProbe.fold(s.conf.unset("spark.graft.ann.nProbe"))(
+            v => s.conf.set("spark.graft.ann.nProbe", v))
+        }
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+              |params AS (SELECT greatest(count(*) // 8, 1) AS stride FROM corpus),
+              |numbered AS (
+              |  SELECT vec_id, embedding,
+              |    row_number() OVER (ORDER BY vec_id) AS rn FROM corpus),
+              |cent AS (
+              |  SELECT rn AS centroid_id, embedding AS cvec
+              |  FROM numbered, params WHERE (rn - 1) % stride = 0
+              |  ORDER BY rn LIMIT 8),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |probe AS (
+              |  SELECT centroid_id FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        list_sum(list_transform(generate_series(1, len(qvec)),
+              |          i -> (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 2)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)))
 }

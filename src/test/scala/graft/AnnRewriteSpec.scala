@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.IvfIndex
+import graft.functions.VectorFunctions._
+import graft.plans.AnnRewrite
+
+/** The §7.3 optimizer rule: Sort(vec_cosine desc)+Limit over an IVF-assigned
+  * table is rewritten to scan only the probed clusters. */
+class AnnRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with 4 well-separated clusters on distinct axes, so ANN top-k ==
+    * exact top-k and the probe choice is unambiguous. */
+  private def corpus(): DataFrame = {
+    val rows = (0 until 400).map { i =>
+      val axis = i % 4
+      val base = Array.fill(8)(0.01f)
+      base(axis) = 1.0f + (i / 4) * 0.001f // slight spread within a cluster
+      (i.toLong, base)
+    }
+    rows.toDF("id", "emb")
+  }
+
+  private def topK(assigned: DataFrame, q: Array[Float], k: Int): DataFrame =
+    assigned
+      .withColumn("score", cosineSim(col("emb"), lit(q)))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+
+  private val query: Array[Float] = {
+    val q = Array.fill(8)(0.0f); q(2) = 1.0f; q // cluster of axis 2
+  }
+
+  test("registered index + literal query → plan gains cluster IN-filter, results stay exact-equal") {
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+
+      val exact = topK(idx.assigned, query, 10).select("id").as[Long].collect().toSet
+
+      AnnRewrite.register(spark, idx, "emb", rows = 400)
+      val ann = topK(idx.assigned, query, 10)
+      val optimized = ann.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("centroid_id"), s"no pruning filter in:\n$optimized")
+      assert(optimized.contains(" IN "), s"no IN filter in:\n$optimized")
+      assert(ann.select("id").as[Long].collect().toSet === exact)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
+  test("below fullScanThreshold or disabled or unregistered → plan untouched") {
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    def planOf(): String = topK(idx.assigned, query, 10)
+      .queryExecution.optimizedPlan.toString
+    try {
+      // unregistered: no rewrite even though the rule may be armed
+      assert(!planOf().contains(" IN "))
+
+      AnnRewrite.register(spark, idx, "emb", rows = 400)
+      // rows(400) <= default threshold(10000): exact scan wins
+      assert(!planOf().contains(" IN "))
+
+      // above threshold but rule disabled
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.enabled", "false")
+      assert(!planOf().contains(" IN "))
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.enabled")
+    }
+  }
+
+  test("non-literal query vector is left exact (rule needs a driver-known query)") {
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      AnnRewrite.register(spark, idx, "emb", rows = 400)
+      val df = idx.assigned
+        .withColumn("score", cosineSim(col("emb"), col("emb"))) // column, not literal
+        .orderBy(desc("score"), col("id"))
+        .limit(5)
+      assert(!df.queryExecution.optimizedPlan.toString.contains(" IN "))
+      assert(df.count() === 5)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+    }
+  }
+}
