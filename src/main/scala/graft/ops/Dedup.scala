@@ -119,12 +119,21 @@ object Dedup {
     * near-duplicate population, not the corpus. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
                  numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
-    val raw = shingleRaw(docs, idCol, textCol, shingleK).persist()
+    // Signatures consume the raw explode STREAMING — explode, hash and
+    // partially aggregate inside one codegen stage, nothing corpus-sized is
+    // cached or shuffled (the explode is the biggest intermediate in the
+    // whole pipeline; persisting it costs more than one extra pass).
     val cand = candidatePairs(
-      bands(minhashSignatures(raw, numHashes), numHashes, numBands)).persist()
+      bands(minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK),
+        numHashes), numHashes, numBands)).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = raw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    // Shingle SETS for verification: semi-join the DOCS table down to the
+    // (usually tiny) candidate population, re-explode just those, and persist
+    // — jaccardVerify reads this three times (two join legs + sizes).
+    val candTexts = docs.join(broadcast(candDocs),
+      docs(idCol) === candDocs("doc_id"), "left_semi")
+    val sh = shingleSets(candTexts, idCol, textCol, shingleK).persist()
     jaccardVerify(cand, sh, threshold)
   }
 
