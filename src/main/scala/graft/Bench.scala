@@ -16,23 +16,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm up JIT/codegen/parquet-reader paths so the first measured query
-    // isn't paying one-time JVM cost (a cluster would be long-warm). The
-    // dedup family warms at sf0.001: its cold cost is dominated by
-    // compiling/JITting the wide minhash aggregation, which is
-    // data-size-independent — tiny inputs buy the same warm code.
-    Seq("q25_token_count", "q06_topk_orders", "q15_knn_cosine").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
+    // Warm up JIT/codegen/parquet-reader paths so measured queries aren't
+    // paying one-time JVM cost (a cluster is long-warm). Cold cost is
+    // dominated by Janino compilation + JIT of each query's generated code,
+    // which is data-size-independent — so run EVERY query once at sf0.001:
+    // tiny inputs buy the same warm code the sf0.1 pass then reuses.
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+    val warmPath = if (warmDir.isDirectory) warmDir.getPath else sfDir
+    SparkEntry.queries.keys.foreach { q =>
+      try SparkEntry.queries(q)(spark, warmPath).count()
       catch { case _: Throwable => }
     }
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
-    if (warmDir.isDirectory) {
-      Seq("q20_minhash_lsh", "q56_dedup_clusters", "q21_jaccard_pairs").foreach { q =>
-        try SparkEntry.queries(q)(spark, warmDir.getPath).count()
-        catch { case _: Throwable => }
-      }
-      spark.sharedState.cacheManager.clearCache()
-    }
+    spark.sharedState.cacheManager.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -143,7 +143,9 @@ object Dedup {
     * materialization + re-join). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
                    threshold: Double): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleK)
+    // persisted: consumed three times below (both join legs + sizes) — without
+    // the cache the corpus-wide explode+distinct runs once per consumer
+    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
