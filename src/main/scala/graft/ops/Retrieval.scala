@@ -185,4 +185,53 @@ object Retrieval {
       .limit(math.max(totalK - quota * nSources, 0))
     base.unionByName(fill).drop("rn")
   }
+
+  /** BM25 lexical top-k over `docs(idCol, textCol)` for a literal bag of
+    * query terms — the keyword leg a hybrid retrieval stack runs next to
+    * vector KNN (the reference's lexical rerank features,
+    * `memory_graph.py:7001-7090`, generalized to corpus scoring).
+    *
+    * Shape (2 shuffles, both on doc id / none corpus-wide beyond the agg):
+    * one explode+groupBy pass computes per-doc length and per-term term
+    * frequencies as conditional aggregates (map-side combined); corpus
+    * stats (N, avgdl, per-term document frequency) reduce to ONE broadcast
+    * row; scoring is then a fixed arithmetic expression — term contributions
+    * are added in declaration order, never a data-order float sum, so
+    * results are bit-reproducible across engines.
+    *
+    * idf = ln(1 + (N − df + .5)/(df + .5)) (Lucene BM25), k1/b standard. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "bm25TopK needs a non-empty, duplicate-free term list")
+    val tf = (t: String) => s"tf_${queryTerms.indexOf(t)}"
+    // persisted: consumed by the corpus-stats reduction AND the scoring
+    // pass — without the cache the corpus explode+aggregate runs twice.
+    // Size is #docs × (2 + #terms) longs, tiny next to the corpus.
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        queryTerms.map(t =>
+          sum(when(col("token") === t, 1L).otherwise(0L)).as(tf(t))): _*)
+      .persist()
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      queryTerms.map(t =>
+        sum(when(col(tf(t)) > 0, 1L).otherwise(0L)).as(s"df_${tf(t)}"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val termScore = (t: String) => {
+      val tfc = col(tf(t)).cast("double")
+      val dfc = col(s"df_${tf(t)}").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      idf * tfc * lit(k1 + 1.0) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", queryTerms.map(termScore).reduce(_ + _))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
 }

@@ -71,6 +71,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-stratified corpus sample: per predicted language, the first
+    * `quota` docs in deterministic pseudo-random order (`hash60` of the doc
+    * id — a seedable shuffle both engines reproduce, unlike rand()). The
+    * training-mix curation step: cap each language's contribution instead of
+    * letting the majority language swamp the sample. One window shuffle,
+    * partitioned by language — skew-safe because the per-partition work is a
+    * top-`quota` heap, not a full sort at 100 TB (TakeOrdered semantics via
+    * rank pruning; for extreme single-language skew pre-salt the window). */
+  def languageStratifiedSample(docs: DataFrame, idCol: String, textCol: String,
+                               quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
+    langId(docs, idCol, textCol)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+      .select(col("doc_id"), col("pred_lang"), col("sample_rank"))
+      .orderBy(col("pred_lang"), col("sample_rank"))
+  }
+
   /** Token counting: whitespace tokens, characters, and a BPE-ish estimate
     * (≈ chars/4 rounded up — the standard subword budget heuristic). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =

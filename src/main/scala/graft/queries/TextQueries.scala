@@ -208,5 +208,79 @@ object TextQueries {
            |SELECT doc_id, sha256(text) AS content_sha,
            |  list_min(list_transform(sh, x -> ${h60("x")})) AS min_shingle_hash,
            |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
-           |FROM s ORDER BY doc_id""".stripMargin)))
+           |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // BM25 lexical top-k — the keyword leg of hybrid retrieval. Term
+    // contributions are added in fixed declaration order on both sides, so
+    // the double score is bit-identical (never a data-order float sum).
+    Entry("q62_bm25",
+      (s, d) => graft.ops.Retrieval.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("query", "merge", "vector"), k = 20),
+      Some {
+        val terms = Seq("query", "merge", "vector")
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf_$i"
+        }.mkString(",\n    ")
+        val dfCols = terms.indices.map(i =>
+          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n    ")
+        val score = terms.indices.map(i =>
+          s"""ln(1 + (n_docs - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+             |      * CAST(tf_$i AS DOUBLE) * (1.2 + 1)
+             |      / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin)
+          .mkString("\n    + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents),
+           |perdoc AS (
+           |  SELECT doc_id, count(*) AS dl,
+           |    $tfCols
+           |  FROM tok GROUP BY doc_id),
+           |stats AS (
+           |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           |    $dfCols
+           |  FROM perdoc),
+           |scored AS (
+           |  SELECT doc_id,
+           |    $score AS score
+           |  FROM perdoc, stats)
+           |SELECT doc_id, score FROM scored WHERE score > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // Language-stratified corpus sample: per-language quota in deterministic
+    // hash60 pseudo-random order — training-mix curation.
+    Entry("q63_lang_sample",
+      (s, d) => TextAnalysis.languageStratifiedSample(
+        Tables.documents(s, d), "doc_id", "text", quota = 50),
+      Some {
+        val marker = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [$lst])) AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH scores AS (
+           |  SELECT doc_id,
+           |    $marker
+           |  FROM documents),
+           |best AS (
+           |  SELECT doc_id, greatest(score_de, score_en, score_es, score_fr) AS b, *
+           |  FROM scores),
+           |langs AS (
+           |  SELECT doc_id,
+           |    CASE WHEN b <= 0 THEN 'und'
+           |         WHEN score_de = b THEN 'de'
+           |         WHEN score_en = b THEN 'en'
+           |         WHEN score_es = b THEN 'es'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM best),
+           |ranked AS (
+           |  SELECT doc_id, pred_lang,
+           |    CAST(row_number() OVER (PARTITION BY pred_lang
+           |      ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT)
+           |      AS sample_rank
+           |  FROM langs)
+           |SELECT doc_id, pred_lang, sample_rank FROM ranked
+           |WHERE sample_rank <= 50
+           |ORDER BY pred_lang, sample_rank""".stripMargin
+      }))
 }

@@ -110,4 +110,23 @@ class RetrievalSpec extends SparkSpec {
     val noCite = df.select(Retrieval.tier1Blend(lit(1.0), lit(null).cast("double"))).head.getDouble(0)
     assert(noCite === 1.0)
   }
+
+  test("bm25: term-dense doc outranks sparse; zero-hit docs filtered; rare term outweighs common") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),     // tf(spark)=3, short
+      (2L, "spark engine engine engine"),   // tf(spark)=1
+      (3L, "engine engine engine engine"),  // no query terms
+      (4L, "rare spark"),                   // rare term + spark
+      (5L, "engine plan cost")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queryTerms = Seq("spark", "rare"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ids = out.map(_._1)
+    assert(!ids.contains(3L) && !ids.contains(5L)) // score>0 filter
+    val score = out.toMap
+    assert(score(1L) > score(2L))   // higher tf wins at equal df
+    // doc 4 carries 'rare' (df=1) — idf dwarfs the common term's
+    assert(score(4L) > score(1L))
+  }
 }

@@ -47,4 +47,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._1 !== out(3L)._1)
     assert(out(1L)._3 === 3L) // 5 tokens → 3 distinct 3-shingles
   }
+
+  test("language-stratified sample caps each language at the quota, deterministically") {
+    val docs = (
+      (1L to 10L).map(i => (i, "the cat of the house is here and to stay")) ++   // en
+      (11L to 13L).map(i => (i, "el gato de la casa y los otros que en")) ++     // es
+      Seq((20L, "xyzzy plugh"))                                                  // und
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageStratifiedSample(docs, "doc_id", "text", quota = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byLang = out.groupBy(_._2)
+    assert(byLang("en").length === 4)   // 10 candidates capped at quota
+    assert(byLang("es").length === 3)   // under quota → all kept
+    assert(byLang("und").length === 1)
+    assert(byLang("en").map(_._3).sorted === Seq(1, 2, 3, 4))
+    // deterministic: a second run picks the identical sample
+    val again = TextAnalysis.languageStratifiedSample(docs, "doc_id", "text", quota = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === again.toSeq)
+  }
 }
