@@ -179,17 +179,54 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance (popcount of xor) ≤ maxDist.
-    * The signature table is tiny relative to the corpus, so the self-join
-    * broadcasts; at extreme scale, band the signature bits first. */
+    *
+    * Two physical strategies with IDENTICAL output:
+    *  - ≤ `broadcastDocs` signatures: broadcast nested-loop all-pairs — at
+    *    that size the n² popcount beats any shuffle.
+    *  - above: band-LSH join. The signature is cut into `maxDist + 1` bit
+    *    bands; by pigeonhole, two signatures within hamming `maxDist` MUST
+    *    agree on at least one whole band, so joining on (band_idx,
+    *    band_val) is exact, not approximate — the quadratic step touches
+    *    only pairs sharing a band bucket. This is the path that holds at
+    *    corpus scale (wider signatures → wider bands → sharper buckets).
+    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, bits: Int,
-                   maxDist: Int): DataFrame = {
-    val sig = simhash(docs, idCol, textCol, bits)
-    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+                   maxDist: Int, broadcastDocs: Long = 100000): DataFrame = {
+    val sig = simhash(docs, idCol, textCol, bits).persist()
+    val numBands = maxDist + 1
+    val out =
+      if (numBands > bits || sig.count() <= broadcastDocs) {
+        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+        a.join(broadcast(b), col("doc_a") < col("doc_b"))
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+          .filter(col("hamming") <= maxDist)
+      } else {
+        val width = (bits + numBands - 1) / numBands
+        val bandCols = (0 until numBands).map { b =>
+          struct(lit(b).as("band_idx"),
+            shiftright(col("simhash"), b * width)
+              .bitwiseAND(lit((1L << math.min(width, bits - b * width)) - 1))
+              .as("band_val"))
+        }
+        val banded = sig
+          .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
+          .select(col("doc_id"), col("simhash"),
+            col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+        val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+          col("band_idx"), col("band_val"))
+        val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+          col("band_idx"), col("band_val"))
+        a.join(b, Seq("band_idx", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+          .distinct() // a pair may share several bands
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+          .filter(col("hamming") <= maxDist)
+      }
+    out.select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -51,4 +51,20 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
     assert(sh.filter($"doc_id" === 5L).count() === 0)
   }
+
+  test("simhashPairs: banded LSH path returns exactly the all-pairs result") {
+    // 40 docs drawn from overlapping token pools so hamming-close pairs exist
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i + j * (1 + i % 3)) % 17}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val allPairs = Dedup.simhashPairs(corpus, "doc_id", "text", bits = 16, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // threshold 0 forces the banded join
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", bits = 16, maxDist = 3,
+        broadcastDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(allPairs.nonEmpty)
+    assert(banded === allPairs) // pigeonhole: banding is exact for maxDist < bands
+  }
 }
