@@ -97,15 +97,25 @@ object AnnRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Walk from the sort child down to the Project that defines the score,
+    * looking through Filter layers (the KNN shape is
+    * Sort(Filter(score ≥ τ, Project(score, …)))); returns the Project plus a
+    * function rebuilding the intermediate layers around its replacement. */
+  private def projectUnder(p: LogicalPlan,
+      rebuild: LogicalPlan => LogicalPlan = identity)
+      : Option[(Project, LogicalPlan => LogicalPlan)] = p match {
+    case pr: Project => Some((pr, rebuild))
+    case f: Filter => projectUnder(f.child, np => rebuild(f.copy(child = np)))
+    case _ => None
+  }
+
   private def rewriteSort(s: Sort): Option[Sort] = s.order match {
     case Seq(SortOrder(key, Descending, _, _), _*) =>
       // resolve the sort key to the scoring expression (usually an alias in
-      // the Project directly below the sort)
+      // the Project below the sort, possibly under score-threshold Filters)
       val scoring: Option[Expression] = key match {
-        case a: Attribute => s.child match {
-          case Project(plist, _) =>
-            plist.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
-          case _ => None
+        case a: Attribute => projectUnder(s.child).flatMap { case (pr, _) =>
+          pr.projectList.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
         }
         case e => Some(e)
       }
@@ -156,10 +166,10 @@ object AnnRewrite extends Rule[LogicalPlan] {
     }.sortBy(identity).take(n).map(_._2)
   }
 
-  /** Place `clusterCol IN probed` directly below the sort (and below the
-    * scoring Project, where the cluster column is still in scope). No-op if
-    * an identical pruning filter is already present (keeps the rule
-    * idempotent under the fixed-point optimizer batch). */
+  /** Place `clusterCol IN probed` below the scoring Project (where the
+    * cluster column is still in scope), rebuilding any Filter layers between
+    * it and the sort. No-op if an identical pruning filter is already
+    * present (keeps the rule idempotent under the fixed-point batch). */
   private def injectFilter(s: Sort, clusterCol: String, probed: Array[Int]): Option[Sort] = {
     def alreadyPruned(p: LogicalPlan): Boolean = p.collectFirst {
       case Filter(In(a: Attribute, _), _) if a.name == clusterCol => true
@@ -171,9 +181,10 @@ object AnnRewrite extends Rule[LogicalPlan] {
       }
 
     if (alreadyPruned(s)) None
-    else s.child match {
-      case p @ Project(_, pc) => filtered(pc).map(f => s.copy(child = p.copy(child = f)))
-      case other => filtered(other).map(f => s.copy(child = f))
+    else projectUnder(s.child) match {
+      case Some((pr, rebuild)) =>
+        filtered(pr.child).map(f => s.copy(child = rebuild(pr.copy(child = f))))
+      case None => filtered(s.child).map(f => s.copy(child = f))
     }
   }
 }

@@ -78,6 +78,29 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("score-threshold Filter between sort and scoring Project is seen through") {
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      AnnRewrite.register(spark, idx, "emb", rows = 400)
+      // the knnCosine shape: score project → threshold filter → sort → limit
+      val df = idx.assigned
+        .withColumn("score", cosineSim(col("emb"), lit(query)))
+        .filter(col("score") >= 0.15)
+        .orderBy(desc("score"), col("id"))
+        .limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("centroid_id") && plan.contains(" IN "),
+        s"rule did not fire through the threshold filter:\n$plan")
+      assert(df.count() === 10)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {
