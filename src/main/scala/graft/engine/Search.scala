@@ -117,10 +117,14 @@ object Search {
   def searchWithFallback(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
                          req: SearchRequest): DataFrame = {
     if (isGenericQuery(req.queryText)) return fallbackScan(chunks, memories, req)
-    val primary = search(spark, chunks, memories, req)
+    // persist each variant before probing emptiness: isEmpty materializes the
+    // plan, and without the cache the caller's collect would re-run the full
+    // corpus scan a second time. The cached result is ≤ topK rows.
+    val primary = search(spark, chunks, memories, req).persist()
     if (!primary.isEmpty) primary
     else {
-      val unfiltered = search(spark, chunks, memories, req.copy(metaFilters = Map.empty))
+      val unfiltered =
+        search(spark, chunks, memories, req.copy(metaFilters = Map.empty)).persist()
       if (!unfiltered.isEmpty) unfiltered
       else fallbackScan(chunks, memories, req)
     }
