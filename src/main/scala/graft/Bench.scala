@@ -23,6 +23,9 @@ object Bench {
     // tiny inputs buy the same warm code the sf0.1 pass then reuses.
     val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
     val warmPath = if (warmDir.isDirectory) warmDir.getPath else sfDir
+    if (warmPath == sfDir)
+      System.err.println(s"[bench] WARNING: no sf0.001 sibling dir — warming at " +
+        s"full measurement scale $sfDir (bench wall time roughly doubles)")
     SparkEntry.queries.keys.foreach { q =>
       try SparkEntry.queries(q)(spark, warmPath).count()
       catch { case _: Throwable => }

@@ -119,14 +119,20 @@ object Search {
     if (isGenericQuery(req.queryText)) return fallbackScan(chunks, memories, req)
     // persist each variant before probing emptiness: isEmpty materializes the
     // plan, and without the cache the caller's collect would re-run the full
-    // corpus scan a second time. The cached result is ≤ topK rows.
+    // corpus scan a second time. The cached result is ≤ topK rows. Abandoned
+    // (empty) variants are unpersisted immediately; the RETURNED DataFrame
+    // stays cached — serving loops should unpersist it once consumed.
     val primary = search(spark, chunks, memories, req).persist()
     if (!primary.isEmpty) primary
     else {
+      primary.unpersist()
       val unfiltered =
         search(spark, chunks, memories, req.copy(metaFilters = Map.empty)).persist()
       if (!unfiltered.isEmpty) unfiltered
-      else fallbackScan(chunks, memories, req)
+      else {
+        unfiltered.unpersist()
+        fallbackScan(chunks, memories, req)
+      }
     }
   }
 }

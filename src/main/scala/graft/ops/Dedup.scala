@@ -203,12 +203,20 @@ object Dedup {
             bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
           .filter(col("hamming") <= maxDist)
       } else {
-        val width = (bits + numBands - 1) / numBands
+        // distribute bits evenly so every band is non-empty (bits=16,
+        // bands=5 → widths 4,3,3,3,3 — a trailing zero-width band would
+        // put EVERY doc in one bucket and the join degenerates to n²);
+        // width can reach 64 only when numBands==1, where (1L<<64)-1
+        // wraps to 0 — take the un-masked signature instead.
+        val base = bits / numBands
+        val rem = bits % numBands
+        val widths = (0 until numBands).map(b => base + (if (b < rem) 1 else 0))
+        val offsets = widths.scanLeft(0)(_ + _)
         val bandCols = (0 until numBands).map { b =>
-          struct(lit(b).as("band_idx"),
-            shiftright(col("simhash"), b * width)
-              .bitwiseAND(lit((1L << math.min(width, bits - b * width)) - 1))
-              .as("band_val"))
+          val sh = shiftright(col("simhash"), offsets(b))
+          val v = if (widths(b) >= 64) sh
+                  else sh.bitwiseAND(lit((1L << widths(b)) - 1))
+          struct(lit(b).as("band_idx"), v.as("band_val"))
         }
         val banded = sig
           .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))

@@ -30,7 +30,7 @@ object GraphAnalytics {
     * `full_scan_threshold` pattern — a fixpoint of Spark rounds costs more
     * than the data); the distributed min-label loop handles everything
     * bigger. Identical output either way. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
                           smallGraphEdges: Long = 500000): DataFrame = {
     val spark = edges.sparkSession
     // materialize the edge input once — the symmetrizing union would
@@ -80,7 +80,10 @@ object GraphAnalytics {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
     }
-    val labels = starComponents(sym, maxIter)
+    // materialize BEFORE unpersisting: the star result's isolated-vertex leg
+    // still references sym — unpersisting first would recompute the whole
+    // (possibly expensive) edge pipeline on the caller's first action.
+    val labels = starComponents(sym, maxIter).localCheckpoint(true)
     e.unpersist()
     sym.unpersist()
     labels
@@ -189,6 +192,12 @@ object GraphAnalytics {
       fp = nfp
       iter += 1
     }
+    // Mid-convergence g can hold several outgoing edges per vertex — a
+    // truncated loop would emit duplicate ids with conflicting labels.
+    // Structurally invalid output must fail loudly, not flow downstream.
+    require(converged,
+      s"star connected-components did not converge in $maxIter rounds " +
+        "(each round is O(log n) progress — raise maxIter)")
     // converged g is a star forest: (member, root). Roots and self-loop-only
     // vertices label themselves.
     val labeled = g.select(col("src").as("id"), col("dst").as("comp"))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.engine.IvfIndex
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.CosineSimilarity
 
 /** SURVEY §7.3's optional optimizer rule: rewrite an exact vector top-k —
   * `Sort(vec_cosine(emb, <literal query>) DESC) + Limit k` over a table that
@@ -26,8 +26,9 @@ import graft.functions.{CosineSimilarity, DotProduct}
   *    centroid table driver-side and arms the rule on the live session via
   *    `spark.experimental.extraOptimizations` (also injectable at session
   *    build through [[graft.GraftExtensions]]).
-  *  - The rule fires only when: the sort key is `CosineSimilarity`/`DotProduct`
-  *    of a registered embedding column against a LITERAL query vector, the
+  *  - The rule fires only when: the sort key is `CosineSimilarity` of a
+  *    registered embedding column against a LITERAL query vector (dot-product
+  *    keys stay exact — MIPS doesn't track L2-centroid proximity), the
   *    plan below the sort still exposes the index's cluster column, and the
   *    registered row count exceeds `spark.graft.ann.fullScanThreshold` —
   *    below that an exact scan is cheaper than it is wrong.
@@ -52,7 +53,19 @@ object AnnRewrite extends Rule[LogicalPlan] {
       centroids: Array[(Int, Array[Double])],
       rows: Long)
 
-  private val indexes = TrieMap.empty[String, RegisteredIndex]
+  /** Registry scoped PER SESSION (weak keys — dropping the session drops its
+    * indexes), keyed by embedding column name within it. The column name is
+    * the index identity, mirroring the reference's one-collection-per-
+    * embedding-space model (`memory_graph.py:6085-6127`): give each indexed
+    * corpus a distinct embedding column name; two same-session tables
+    * sharing both `embCol` and `clusterCol` names would be indistinguishable
+    * to the rule. */
+  private val indexes =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, RegisteredIndex]]()
+
+  private def sessionIndexes: Option[TrieMap[String, RegisteredIndex]] =
+    SparkSession.getActiveSession.flatMap(s =>
+      Option(indexes.synchronized(indexes.get(s))))
 
   /** Register an IVF index for `embCol` and arm the rule on the session. */
   def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
@@ -66,15 +79,20 @@ object AnnRewrite extends Rule[LogicalPlan] {
       val vec = r.getSeq[Any](1).map(toD).toArray
       (id, vec)
     }
-    indexes.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
+    indexes.synchronized {
+      var m = indexes.get(spark)
+      if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
+      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
+    }
     if (!spark.experimental.extraOptimizations.contains(this)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
     }
   }
 
-  def deregister(embCol: String): Unit = indexes.remove(embCol)
-  def clear(): Unit = indexes.clear()
+  def deregister(embCol: String): Unit =
+    indexes.synchronized(indexes.values.forEach(_.remove(embCol)))
+  def clear(): Unit = indexes.synchronized(indexes.clear())
 
   private def toD(a: Any): Double = a match {
     case f: Float => f.toDouble
@@ -90,10 +108,11 @@ object AnnRewrite extends Rule[LogicalPlan] {
     conf.getConfString("spark.graft.ann.nProbe", "4").toInt
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (indexes.isEmpty || !enabled) return plan
+    val idx = sessionIndexes.getOrElse(return plan)
+    if (idx.isEmpty || !enabled) return plan
     plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort)) =>
-        rewriteSort(s).map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
+        rewriteSort(s, idx).map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
     }
   }
 
@@ -109,7 +128,8 @@ object AnnRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewriteSort(s: Sort): Option[Sort] = s.order match {
+  private def rewriteSort(s: Sort,
+      idx: TrieMap[String, RegisteredIndex]): Option[Sort] = s.order match {
     case Seq(SortOrder(key, Descending, _, _), _*) =>
       // resolve the sort key to the scoring expression (usually an alias in
       // the Project below the sort, possibly under score-threshold Filters)
@@ -122,15 +142,17 @@ object AnnRewrite extends Rule[LogicalPlan] {
       // round(score, n) is order-preserving up to ties the query must break
       // itself (every engine query sorts (score, id)) — see through it, since
       // oracle-compared plans all round for hash parity.
+      // ONLY CosineSimilarity: L2-nearest-centroid probing tracks cosine
+      // ranking (normalized-ish spaces) but NOT max-inner-product — a
+      // high-norm vector in an L2-distant cluster can be the true dot-product
+      // top-1, so DotProduct sort keys are left exact.
       val unwrapped = scoring.map {
         case Round(inner, _, _) => inner
         case e => e
       }
       unwrapped.flatMap {
-        case CosineSimilarity(emb: AttributeReference, q: Literal) => prune(s, emb, q)
-        case DotProduct(emb: AttributeReference, q: Literal) => prune(s, emb, q)
-        case CosineSimilarity(q: Literal, emb: AttributeReference) => prune(s, emb, q)
-        case DotProduct(q: Literal, emb: AttributeReference) => prune(s, emb, q)
+        case CosineSimilarity(emb: AttributeReference, q: Literal) => prune(s, emb, q, idx)
+        case CosineSimilarity(q: Literal, emb: AttributeReference) => prune(s, emb, q, idx)
         case _ => None
       }
     case _ => None
@@ -142,9 +164,10 @@ object AnnRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def prune(s: Sort, emb: AttributeReference, q: Literal): Option[Sort] = {
+  private def prune(s: Sort, emb: AttributeReference, q: Literal,
+      idx: TrieMap[String, RegisteredIndex]): Option[Sort] = {
     for {
-      meta <- indexes.get(emb.name)
+      meta <- idx.get(emb.name)
       if meta.rows > fullScanThreshold
       qv <- literalVec(q)
       if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length

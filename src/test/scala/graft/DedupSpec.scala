@@ -58,13 +58,18 @@ class DedupSpec extends SparkSpec {
       val words = (0 until 12).map(j => s"w${(i + j * (1 + i % 3)) % 17}")
       (i, words.mkString(" "))
     }.toDF("doc_id", "text")
-    val allPairs = Dedup.simhashPairs(corpus, "doc_id", "text", bits = 16, maxDist = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // threshold 0 forces the banded join
-    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", bits = 16, maxDist = 3,
-        broadcastDocs = 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(allPairs.nonEmpty)
-    assert(banded === allPairs) // pigeonhole: banding is exact for maxDist < bands
+    // maxDist 3: even 4-bit bands; 4: uneven widths (4,3,3,3,3); 0: one
+    // whole-signature band (exact-dup path, 64-shift guard)
+    for (maxDist <- Seq(0, 3, 4)) {
+      val allPairs = Dedup.simhashPairs(corpus, "doc_id", "text", bits = 16, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // threshold 0 forces the banded join
+      val banded = Dedup.simhashPairs(corpus, "doc_id", "text", bits = 16, maxDist,
+          broadcastDocs = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      if (maxDist > 0) assert(allPairs.nonEmpty)
+      assert(banded === allPairs, // pigeonhole: banding exact for maxDist < bands
+        s"banded != all-pairs at maxDist=$maxDist")
+    }
   }
 }
