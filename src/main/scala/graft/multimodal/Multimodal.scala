@@ -91,6 +91,32 @@ object Multimodal {
     }
   }
 
+  /** Image resize stage: binary in → binary out with the target dims stamped
+    * into the metadata. The pixel transform is STUBBED (content passes
+    * through tagged with the target box — a real impl swaps in a codec
+    * inside the same mapPartitions seam); aspect-preserving box-fit
+    * arithmetic is real: scale = min(maxW/w, maxH/h), never upscale.
+    * Non-images pass through untouched. */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+                   maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image" || r.meta.width <= 0 || r.meta.height <= 0) r
+        else {
+          val scale = math.min(
+            math.min(maxW.toDouble / r.meta.width, maxH.toDouble / r.meta.height), 1.0)
+          val (nw, nh) = (math.max((r.meta.width * scale).toInt, 1),
+                          math.max((r.meta.height * scale).toInt, 1))
+          // ??? real codec: decode → bilinear resample to (nw, nh) → re-encode.
+          // Stub: bytes pass through; dims update so downstream stages see
+          // the real contract (metadata-driven batch shaping).
+          r.copy(meta = r.meta.copy(width = nw, height = nh))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video: every `everyMs` up to the clip duration,
     * one (deterministic stub) feature vector per frame. flatMap — rows fan
     * out without a shuffle. */

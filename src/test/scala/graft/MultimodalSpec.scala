@@ -38,6 +38,31 @@ class MultimodalSpec extends SparkSpec {
     if (f0.length > 1) assert(f0(0).features.toSeq !== f0(1).features.toSeq)
   }
 
+  test("resize: aspect-preserving box fit, no upscale, non-images untouched") {
+    val out = Multimodal.resizeImages(spark, media, maxW = 32, maxH = 32)
+      .collect().map(r => r.media_id -> r).toMap
+    val in = media.collect().map(r => r.media_id -> r).toMap
+    in.values.foreach { r =>
+      val o = out(r.media_id)
+      if (r.kind == "image") {
+        assert(o.meta.width <= 32 && o.meta.height <= 32)
+        // aspect ratio preserved within integer truncation
+        val expScale = math.min(math.min(32.0 / r.meta.width, 32.0 / r.meta.height), 1.0)
+        assert(o.meta.width === math.max((r.meta.width * expScale).toInt, 1))
+        assert(o.meta.height === math.max((r.meta.height * expScale).toInt, 1))
+        assert(o.content.toSeq === r.content.toSeq) // stub passes bytes through
+      } else {
+        assert(o.meta === r.meta)
+      }
+    }
+    // already-small images are not upscaled
+    val tiny = Multimodal.resizeImages(spark, media, maxW = 4096, maxH = 4096)
+      .collect().map(r => r.media_id -> r.meta).toMap
+    in.values.filter(_.kind == "image").foreach { r =>
+      assert(tiny(r.media_id) === r.meta)
+    }
+  }
+
   test("schema: binary content + typed metadata survive a parquet round-trip") {
     val path = java.nio.file.Files.createTempDirectory("media").toString
     media.write.mode("overwrite").parquet(path)
