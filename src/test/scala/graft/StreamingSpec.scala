@@ -102,6 +102,59 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late data: an event behind the advanced watermark cannot reopen its closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AccessEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "7 days"))
+      .agg(count("*").as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val query = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: String, t: String) =
+        AccessEvent(id, "m0", "u0", "retrieval", 0.5, 0.5, Timestamp.valueOf(t))
+      input.addData(ev("a", "2024-01-01 00:00:00"), ev("b", "2024-01-02 00:00:00"))
+      query.processAllAvailable()
+      input.addData(ev("future", "2024-06-01 00:00:00")) // watermark → late May
+      query.processAllAvailable()
+      val closed = spark.table("late_out").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val janWindow = closed.keys.find(_.toString.startsWith("2023-12-28")).orElse(
+        closed.keys.find(_.toString.startsWith("2024-0"))).get
+      val janCount = closed(janWindow)
+      assert(janCount === 2L)
+      // replay an event into the long-closed January window
+      input.addData(ev("too-late", "2024-01-03 00:00:00"))
+      query.processAllAvailable()
+      val after = spark.table("late_out").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(after(janWindow) === janCount) // dropped, not recounted
+    } finally query.stop()
+  }
+
+  test("streaming dedup: replayed event ids are dropped within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AccessEvent]
+    val deduped = input.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: String, t: String) =
+        AccessEvent(id, "m0", "u0", "retrieval", 0.5, 0.5, Timestamp.valueOf(t))
+      input.addData(ev("e1", "2024-01-01 10:00:00"), ev("e2", "2024-01-01 10:01:00"))
+      query.processAllAvailable()
+      // at-least-once upstream replays e1; same id, slightly different ts
+      input.addData(ev("e1", "2024-01-01 10:02:00"), ev("e3", "2024-01-01 10:03:00"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getString(0)).toSeq
+      assert(ids.sorted === Seq("e1", "e2", "e3"))
+    } finally query.stop()
+  }
+
   test("counter fold is incremental: two folds equal one") {
     val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
