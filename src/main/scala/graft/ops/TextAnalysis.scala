@@ -91,14 +91,19 @@ object TextAnalysis {
       .orderBy(col("pred_lang"), col("sample_rank"))
   }
 
-  /** Token counting: whitespace tokens, characters, and a BPE-ish estimate
-    * (≈ chars/4 rounded up — the standard subword budget heuristic). */
+  /** Token counting: whitespace tokens, characters, a chars/4 budget
+    * estimate, and a BPE-ish regex segmentation (letter runs | digit runs |
+    * single other-glyphs — the GPT-2-style pre-tokenizer shape, restricted
+    * to an ASCII pattern both regex engines read identically). */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
         col(idCol).as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("ws_tokens"),
         length(col(textCol)).cast("long").as("n_chars"),
-        ceil(length(col(textCol)) / 4.0).cast("long").as("bpe_est"))
+        ceil(length(col(textCol)) / 4.0).cast("long").as("bpe_est"),
+        size(regexp_extract_all(lower(col(textCol)), lit(BpeishPattern), lit(0)))
+          .cast("long").as("re_tokens"))
       .orderBy(col("doc_id"))
 
   /** Document fingerprint: sha256 of the content, the min shingle hash

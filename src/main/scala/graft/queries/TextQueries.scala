@@ -163,7 +163,9 @@ object TextQueries {
       Some("""SELECT doc_id,
              |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
              |  CAST(length(text) AS BIGINT) AS n_chars,
-             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+             |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+             |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS BIGINT) AS re_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Dedup clusters: near-dup pairs → connected components → cluster
