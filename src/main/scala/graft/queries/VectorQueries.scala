@@ -107,6 +107,54 @@ object VectorQueries {
               |CROSS JOIN q
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    // Random-hyperplane LSH near-dup — the production-scale twin of q17's
+    // all-pairs cosine (candidates = band collisions only; output ⊆ exact).
+    // The hyperplane components are a pure function of (seed, bit, dim), so
+    // the oracle inlines them as literal arrays computed at SQL-build time;
+    // per-bit dot products accumulate in ascending index order on both
+    // sides (list_sum of an ordered transform == the codegen loop), making
+    // even the sign decisions bit-identical.
+    Entry("q64_near_dup_lsh",
+      (s, d) => Similarity.nearDupPairsLsh(
+        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45),
+      Some {
+        val (nBits, nBands, seed, dim) = (16, 4, 7, 64)
+        val r = nBits / nBands
+        val hpRows = (0 until nBits).map { j =>
+          val comps = (0 until dim)
+            .map(i => graft.functions.RhpSignature.component(seed, j, i)).mkString(", ")
+          s"($j, [$comps])"
+        }.mkString(",\n    ")
+        val bandRows = (0 until nBands).map(b => s"($b)").mkString(", ")
+        s"""WITH hp(j, harr) AS (VALUES
+           |    $hpRows),
+           |e AS (SELECT vec_id, embedding FROM embeddings),
+           |acc AS (
+           |  SELECT e.vec_id, hp.j,
+           |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> e.embedding[i]::DOUBLE * hp.harr[i])) AS a
+           |  FROM e CROSS JOIN hp),
+           |sig AS (
+           |  SELECT vec_id,
+           |    CAST(sum(CASE WHEN a >= 0 THEN (CAST(1 AS BIGINT) << j)
+           |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+           |  FROM acc GROUP BY vec_id),
+           |banded AS (
+           |  SELECT vec_id, b, (s >> (b * $r)) & ${(1 << r) - 1} AS key
+           |  FROM sig CROSS JOIN (VALUES $bandRows) AS bands(b)),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM banded x
+           |  JOIN banded y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id)
+           |SELECT c.id_a, c.id_b,
+           |  round(${cosineSql("a.embedding", "b.embedding")}, 4) AS score
+           |FROM cand c
+           |JOIN e a ON a.vec_id = c.id_a
+           |JOIN e b ON b.vec_id = c.id_b
+           |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.45
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // §7.3 optimizer rule end-to-end: the query is written as an EXACT
     // top-k (sort by cosine desc + limit); AnnRewrite injects the
     // cluster-pruning IN-filter because an IVF index is registered for the
