@@ -18,8 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     // ANN rewrite (SURVEY §7.3): inert until an index is registered via
     // AnnRewrite.register — which also arms live sessions through
-    // spark.experimental.extraOptimizations, so either path works.
-    e.injectOptimizerRule(_ => graft.plans.AnnRewrite)
+    // spark.experimental.extraOptimizations, so either path works. The rule
+    // instance is bound to the session it's injected into.
+    e.injectOptimizerRule(session => new graft.plans.AnnRewriteRule(session))
   }
 }
 

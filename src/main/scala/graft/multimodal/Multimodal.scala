@@ -99,6 +99,7 @@ object Multimodal {
     * Non-images pass through untouched. */
   def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
                    maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    require(maxW > 0 && maxH > 0, s"resize box must be positive, got ${maxW}x$maxH")
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>

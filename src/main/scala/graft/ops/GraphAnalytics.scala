@@ -192,6 +192,14 @@ object GraphAnalytics {
       fp = nfp
       iter += 1
     }
+    // Convergence is only OBSERVED one round late (round k must equal round
+    // k−1) — a fixpoint first reached exactly at round maxIter looks
+    // unconverged, so confirm with one extra round before giving up.
+    if (!converged) {
+      val confirm = smallStar(largeStar(g)).localCheckpoint(true)
+      converged = fingerprint(confirm) == fp
+      g = confirm // identical content when converged
+    }
     // Mid-convergence g can hold several outgoing edges per vertex — a
     // truncated loop would emit duplicate ids with conflicting labels.
     // Structurally invalid output must fail loudly, not flow downstream.

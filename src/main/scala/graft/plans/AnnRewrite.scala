@@ -23,9 +23,11 @@ import graft.functions.CosineSimilarity
   *
   * Mechanics:
   *  - `AnnRewrite.register(spark, index, embCol, rows)` collects the (small)
-  *    centroid table driver-side and arms the rule on the live session via
-  *    `spark.experimental.extraOptimizations` (also injectable at session
-  *    build through [[graft.GraftExtensions]]).
+  *    centroid table driver-side and arms an [[AnnRewriteRule]] bound to that
+  *    session via `spark.experimental.extraOptimizations` (also injected at
+  *    session build through [[graft.GraftExtensions]]). The rule instance is
+  *    BOUND to its owning session — never the thread-local active session,
+  *    which can point elsewhere when plans are optimized on shared threads.
   *  - The rule fires only when: the sort key is `CosineSimilarity` of a
   *    registered embedding column against a LITERAL query vector (dot-product
   *    keys stay exact — MIPS doesn't track L2-centroid proximity), the
@@ -42,7 +44,12 @@ import graft.functions.CosineSimilarity
   * partitioned by `centroid_id`, the injected IN-filter becomes partition
   * pruning: the scan touches nProbe/nCentroids of the data.
   */
-object AnnRewrite extends Rule[LogicalPlan] {
+class AnnRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    AnnRewrite.rewrite(session, plan)
+}
+
+object AnnRewrite {
 
   /** Driver-side index metadata: centroid vectors are tiny (≤ thousands of
     * rows) — holding them on the driver is what lets the rule pick probe
@@ -63,9 +70,8 @@ object AnnRewrite extends Rule[LogicalPlan] {
   private val indexes =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, RegisteredIndex]]()
 
-  private def sessionIndexes: Option[TrieMap[String, RegisteredIndex]] =
-    SparkSession.getActiveSession.flatMap(s =>
-      Option(indexes.synchronized(indexes.get(s))))
+  private def indexesFor(s: SparkSession): Option[TrieMap[String, RegisteredIndex]] =
+    indexes.synchronized(Option(indexes.get(s)))
 
   /** Register an IVF index for `embCol` and arm the rule on the session. */
   def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
@@ -84,14 +90,15 @@ object AnnRewrite extends Rule[LogicalPlan] {
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
       m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
     }
-    if (!spark.experimental.extraOptimizations.contains(this)) {
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnRewriteRule])) {
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ this
+        spark.experimental.extraOptimizations :+ new AnnRewriteRule(spark)
     }
   }
 
-  def deregister(embCol: String): Unit =
-    indexes.synchronized(indexes.values.forEach(_.remove(embCol)))
+  /** Drop ONE session's index for `embCol` — other sessions keep theirs. */
+  def deregister(spark: SparkSession, embCol: String): Unit =
+    indexes.synchronized(Option(indexes.get(spark)).foreach(_.remove(embCol)))
   def clear(): Unit = indexes.synchronized(indexes.clear())
 
   private def toD(a: Any): Double = a match {
@@ -100,19 +107,16 @@ object AnnRewrite extends Rule[LogicalPlan] {
     case n: Number => n.doubleValue()
   }
 
-  private def enabled: Boolean =
-    conf.getConfString("spark.graft.ann.enabled", "true").toBoolean
-  private def fullScanThreshold: Long =
-    conf.getConfString("spark.graft.ann.fullScanThreshold", "10000").toLong
-  private def nProbe: Int =
-    conf.getConfString("spark.graft.ann.nProbe", "4").toInt
-
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val idx = sessionIndexes.getOrElse(return plan)
-    if (idx.isEmpty || !enabled) return plan
+  private[plans] def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val idx = indexesFor(session).getOrElse(return plan)
+    if (idx.isEmpty ||
+        !session.conf.get("spark.graft.ann.enabled", "true").toBoolean) return plan
+    val threshold = session.conf.get("spark.graft.ann.fullScanThreshold", "10000").toLong
+    val nProbe = session.conf.get("spark.graft.ann.nProbe", "4").toInt
     plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort)) =>
-        rewriteSort(s, idx).map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
+        rewriteSort(s, idx, threshold, nProbe)
+          .map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
     }
   }
 
@@ -128,8 +132,8 @@ object AnnRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def rewriteSort(s: Sort,
-      idx: TrieMap[String, RegisteredIndex]): Option[Sort] = s.order match {
+  private def rewriteSort(s: Sort, idx: TrieMap[String, RegisteredIndex],
+      threshold: Long, nProbe: Int): Option[Sort] = s.order match {
     case Seq(SortOrder(key, Descending, _, _), _*) =>
       // resolve the sort key to the scoring expression (usually an alias in
       // the Project below the sort, possibly under score-threshold Filters)
@@ -151,8 +155,10 @@ object AnnRewrite extends Rule[LogicalPlan] {
         case e => e
       }
       unwrapped.flatMap {
-        case CosineSimilarity(emb: AttributeReference, q: Literal) => prune(s, emb, q, idx)
-        case CosineSimilarity(q: Literal, emb: AttributeReference) => prune(s, emb, q, idx)
+        case CosineSimilarity(emb: AttributeReference, q: Literal) =>
+          prune(s, emb, q, idx, threshold, nProbe)
+        case CosineSimilarity(q: Literal, emb: AttributeReference) =>
+          prune(s, emb, q, idx, threshold, nProbe)
         case _ => None
       }
     case _ => None
@@ -165,10 +171,11 @@ object AnnRewrite extends Rule[LogicalPlan] {
   }
 
   private def prune(s: Sort, emb: AttributeReference, q: Literal,
-      idx: TrieMap[String, RegisteredIndex]): Option[Sort] = {
+      idx: TrieMap[String, RegisteredIndex],
+      threshold: Long, nProbe: Int): Option[Sort] = {
     for {
       meta <- idx.get(emb.name)
-      if meta.rows > fullScanThreshold
+      if meta.rows > threshold
       qv <- literalVec(q)
       if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length
       probed = probeIds(meta.centroids, qv, nProbe)

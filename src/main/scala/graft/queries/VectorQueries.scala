@@ -115,8 +115,14 @@ object VectorQueries {
     // sides (list_sum of an ordered transform == the codegen loop), making
     // even the sign decisions bit-identical.
     Entry("q64_near_dup_lsh",
-      (s, d) => Similarity.nearDupPairsLsh(
-        Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.45),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // the oracle inlines hyperplanes for EXACTLY 64 dims; a silent
+        // truncation on wider embeddings must fail here, not at the gate
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        require(dim == 64, s"q64 oracle is built for dim=64, data has $dim")
+        Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", threshold = 0.45)
+      },
       Some {
         val (nBits, nBands, seed, dim) = (16, 4, 7, 64)
         val r = nBits / nBands
@@ -186,7 +192,7 @@ object VectorQueries {
           val rows = out.collect().toSeq
           s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
         } finally {
-          AnnRewrite.deregister("embedding")
+          AnnRewrite.deregister(s, "embedding")
           prevThresh.fold(s.conf.unset("spark.graft.ann.fullScanThreshold"))(
             v => s.conf.set("spark.graft.ann.fullScanThreshold", v))
           prevProbe.fold(s.conf.unset("spark.graft.ann.nProbe"))(

@@ -119,14 +119,15 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData(ev("future", "2024-06-01 00:00:00")) // watermark → late May
       query.processAllAvailable()
+      // identify the January window by its count (2 events) — never by a
+      // rendered timestamp string, which shifts with the JVM timezone
       val closed = spark.table("late_out").collect()
         .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-      val janWindow = closed.keys.find(_.toString.startsWith("2023-12-28")).orElse(
-        closed.keys.find(_.toString.startsWith("2024-0"))).get
-      val janCount = closed(janWindow)
+      val (janWindow, janCount) = closed.find(_._2 == 2L).getOrElse(
+        fail(s"no closed window with both January events in $closed"))
       assert(janCount === 2L)
       // replay an event into the long-closed January window
-      input.addData(ev("too-late", "2024-01-03 00:00:00"))
+      input.addData(ev("too-late", "2024-01-02 12:00:00"))
       query.processAllAvailable()
       val after = spark.table("late_out").collect()
         .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap

@@ -38,6 +38,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((3L, 16L, 4L)))
   }
 
+  test("tokenCounts: BPE-ish regex segments letters, digit runs and glyphs separately") {
+    val d = Seq((1L, "abc12 de-f!")).toDF("doc_id", "text")
+    // segments: abc | 12 | de | - | f | !  → 6
+    val re = TextAnalysis.tokenCounts(d, "doc_id", "text")
+      .select("re_tokens").head().getLong(0)
+    assert(re === 6L)
+  }
+
   test("fingerprint: identical content → identical fingerprint") {
     val dup = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"))
       .toDF("doc_id", "text")
