@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins over event streams — the feature-store staple a
+  * training-data pipeline needs (point-in-time-correct features: "the
+  * latest observation at or before each label's timestamp"). The reference
+  * has no as-of operator (SURVEY §2.3 J8); this is the scale-path design:
+  *
+  * An as-of join is NOT implemented as an inequality join (quadratic within
+  * key, and Spark would nested-loop it). Both sides union into one stream,
+  * sorted per key by (ts, side) with right-side rows first at equal
+  * timestamps (≤ semantics), and a running `last(right_ts, ignoreNulls)`
+  * window carries the most recent right-side observation forward onto every
+  * left row — ONE shuffle on the key, linear work, the same plan shape at
+  * any scale. Skewed keys shard like any window (pre-salt if one key
+  * dominates).
+  */
+object Temporal {
+
+  /** For each left row: the greatest right `tsCol` ≤ the left row's ts,
+    * per `keyCol` (null when no right row precedes it). Left rows keep
+    * `idCol` for re-join/hydration; output = (idCol, key, ts, asof_ts). */
+  def asofLatest(left: DataFrame, right: DataFrame, keyCol: String,
+                 tsCol: String, idCol: String): DataFrame = {
+    val l = left.select(col(idCol), col(keyCol).as("k"), col(tsCol).as("ts"))
+      .withColumn("side", lit(1))
+    val r = right.select(lit(null).cast(l.schema(idCol).dataType).as(idCol),
+        col(keyCol).as("k"), col(tsCol).as("ts"))
+      .withColumn("side", lit(0))
+    // right rows sort BEFORE left rows at an equal timestamp → "≤" as-of
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col(idCol), col("k").as(keyCol), col("ts"), col("asof_ts"))
+  }
+}

@@ -264,5 +264,27 @@ object DomainQueries {
              |  FROM (SELECT user_id, ts, event_id,
              |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |    FROM events))
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // As-of join (SURVEY J8, the feature-store staple): for each purchase,
+    // the latest view at-or-before it by the same user. Implemented as a
+    // single-shuffle carry-forward window, never an inequality join; the
+    // oracle uses DuckDB's native ASOF LEFT JOIN.
+    Entry("q65_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.ops.Temporal.asofLatest(
+            left = ev.filter(col("event_type") === "purchase"),
+            right = ev.filter(col("event_type") === "view"),
+            keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+          .select(col("event_id"), col("asof_ts").as("asof_view_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, CAST(v.ts AS TIMESTAMP) AS asof_view_ts
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+             |                WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND v.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)))
 }
