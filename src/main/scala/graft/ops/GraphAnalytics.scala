@@ -204,7 +204,7 @@ object GraphAnalytics {
     // truncated loop would emit duplicate ids with conflicting labels.
     // Structurally invalid output must fail loudly, not flow downstream.
     require(converged,
-      s"star connected-components did not converge in $maxIter rounds " +
+      s"star connected-components did not converge in ${maxIter + 1} rounds " +
         "(each round is O(log n) progress — raise maxIter)")
     // converged g is a star forest: (member, root). Roots and self-loop-only
     // vertices label themselves.

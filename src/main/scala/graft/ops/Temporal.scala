@@ -27,7 +27,12 @@ object Temporal {
                  tsCol: String, idCol: String): DataFrame = {
     val l = left.select(col(idCol), col(keyCol).as("k"), col(tsCol).as("ts"))
       .withColumn("side", lit(1))
-    val r = right.select(lit(null).cast(l.schema(idCol).dataType).as(idCol),
+    // NULL keys never match in join semantics, but a window PARTITION BY
+    // groups nulls together — drop null-key right rows so a null-key left
+    // row gets asof_ts = null (its partition holds no right rows), matching
+    // SQL ASOF JOIN equality.
+    val r = right.filter(col(keyCol).isNotNull)
+      .select(lit(null).cast(l.schema(idCol).dataType).as(idCol),
         col(keyCol).as("k"), col(tsCol).as("ts"))
       .withColumn("side", lit(0))
     // right rows sort BEFORE left rows at an equal timestamp → "≤" as-of

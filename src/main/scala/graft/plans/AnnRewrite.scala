@@ -44,7 +44,8 @@ import graft.functions.CosineSimilarity
   * partitioned by `centroid_id`, the injected IN-filter becomes partition
   * pruning: the scan touches nProbe/nCentroids of the data.
   */
-class AnnRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+class AnnRewriteRule(private[plans] val session: SparkSession)
+    extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     AnnRewrite.rewrite(session, plan)
 }
@@ -90,7 +91,14 @@ object AnnRewrite {
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
       m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
     }
-    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnRewriteRule])) {
+    // arm only if THIS session's rule is absent — newSession()/cloneSession
+    // copy extraOptimizations, so another session's bound instance may be
+    // present and would consult the wrong registry
+    val armed = spark.experimental.extraOptimizations.exists {
+      case r: AnnRewriteRule => r.session eq spark
+      case _ => false
+    }
+    if (!armed) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new AnnRewriteRule(spark)
     }

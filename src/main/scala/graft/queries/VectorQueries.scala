@@ -119,8 +119,10 @@ object VectorQueries {
         val emb = Tables.embeddings(s, d)
         // the oracle inlines hyperplanes for EXACTLY 64 dims; a silent
         // truncation on wider embeddings must fail here, not at the gate
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        require(dim == 64, s"q64 oracle is built for dim=64, data has $dim")
+        // (empty table / null first vector skip the guard gracefully)
+        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
+          .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+        require(dim.forall(_ == 64), s"q64 oracle is built for dim=64, data has $dim")
         Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", threshold = 0.45)
       },
       Some {

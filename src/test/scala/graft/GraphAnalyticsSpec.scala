@@ -46,6 +46,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(star(40L) === 0L)    // chain collapsed to its min in O(log n) rounds
   }
 
+  test("star CC: fixpoint reached exactly at round maxIter succeeds via the confirm round") {
+    // chain 0-1-2: round 1 already yields the stable star {(1,0),(2,0)} but
+    // that differs from the initial orientation, so with maxIter=1 the loop
+    // exits "unconverged" and only the confirmation round proves the fixpoint
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val cc = GraphAnalytics.connectedComponents(edges, maxIter = 1, smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("star CC: genuinely unconverged at maxIter fails loudly instead of emitting garbage") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnalytics.connectedComponents(chain, maxIter = 1, smallGraphEdges = 0).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("pageRank: sink of a star graph outranks its sources") {
     val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"))
       .toDF("src", "dst")

@@ -32,4 +32,15 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L) === Some(ts("2024-01-01 09:30:00")))
     assert(out(5L) === None)
   }
+
+  test("asofLatest: NULL keys never match (join semantics, not window-partition semantics)") {
+    val left = Seq((1L, Option.empty[String], ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user", "ts")
+    val right = Seq((Option.empty[String], ts("2024-01-01 09:00:00")),
+        (Some("a"), ts("2024-01-01 09:00:00")))
+      .toDF("user", "ts")
+    val out = Temporal.asofLatest(left, right, "user", "ts", "event_id").collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(3)) // NULL = NULL is not a match
+  }
 }
