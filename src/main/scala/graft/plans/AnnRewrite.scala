@@ -122,10 +122,26 @@ object AnnRewrite {
     val threshold = session.conf.get("spark.graft.ann.fullScanThreshold", "10000").toLong
     val nProbe = session.conf.get("spark.graft.ann.nProbe", "4").toInt
     plan.transformDown {
-      case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort)) =>
-        rewriteSort(s, idx, threshold, nProbe)
-          .map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, child)) =>
+        sortUnder(child).flatMap { case (s, rebuildAbove) =>
+          rewriteSort(s, idx, threshold, nProbe)
+            .map(ns => gl.copy(child = ll.copy(child = rebuildAbove(ns))))
+        }.getOrElse(gl)
     }
+  }
+
+  /** Find the Sort under a limit, looking through renaming/pruning Projects
+    * and post-sort Filters — `orderBy.select(...).limit(k)` keeps
+    * Project(Sort) at the logical level (only the physical
+    * TakeOrderedAndProject fuses them), and the rule must still fire there.
+    * Returns the sort plus a rebuilder for the layers above it. */
+  private def sortUnder(p: LogicalPlan,
+      rebuild: LogicalPlan => LogicalPlan = identity)
+      : Option[(Sort, LogicalPlan => LogicalPlan)] = p match {
+    case s: Sort => Some((s, rebuild))
+    case pr: Project => sortUnder(pr.child, np => rebuild(pr.copy(child = np)))
+    case f: Filter => sortUnder(f.child, np => rebuild(f.copy(child = np)))
+    case _ => None
   }
 
   /** Walk from the sort child down to the Project that defines the score,

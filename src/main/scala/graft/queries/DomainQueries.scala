@@ -286,5 +286,27 @@ object DomainQueries {
              |ASOF LEFT JOIN (SELECT user_id, ts FROM events
              |                WHERE event_type = 'view') v
              |  ON p.user_id = v.user_id AND v.ts <= p.ts
-             |ORDER BY p.event_id""".stripMargin)))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Skew-defeating join: selective salting of heavy-hitter keys, plain
+    // shuffle join for the tail. Salting only reroutes rows, so the result
+    // (here: revenue by order priority through a lineitem⋈orders join) must
+    // hash-match the plain-join oracle exactly — that IS the guarantee.
+    // heavyThreshold=5 makes the heavy branch non-empty at every SF
+    // (lineitem has up to 7 rows per order), exercising both branches.
+    Entry("q66_skew_join",
+      (s, d) => {
+        val joined = graft.ops.Skew.skewJoin(
+          Tables.lineitem(s, d), Tables.orders(s, d),
+          leftKey = "l_orderkey", rightKey = "o_orderkey",
+          saltFactor = 4, heavyThreshold = 5)
+        joined.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
 }

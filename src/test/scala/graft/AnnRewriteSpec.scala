@@ -101,6 +101,34 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("Project between limit and sort (orderBy.select.limit) is seen through") {
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      AnnRewrite.register(spark, idx, "emb", rows = 400)
+
+      // a renaming Project above the Sort cannot collapse through it, so the
+      // logical shape is Limit(Project(Sort(Project(scan)))) — only the
+      // physical TakeOrderedAndProject fuses these layers
+      val df = idx.assigned
+        .withColumn("score", cosineSim(col("emb"), lit(query)))
+        .orderBy(desc("score"), col("id"))
+        .select(col("id"), col("score").as("s"))
+        .limit(10)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("centroid_id") && plan.contains(" IN "),
+        s"rule did not fire through the post-sort Project:\n$plan")
+
+      val exact = topK(idx.assigned, query, 10).select("id").as[Long].collect().toSet
+      assert(df.select("id").as[Long].collect().toSet === exact)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {
