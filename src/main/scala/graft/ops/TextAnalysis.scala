@@ -106,6 +106,52 @@ object TextAnalysis {
           .cast("long").as("re_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-frequency repetition signal (the Gopher/RefinedWeb duplicate
+    * n-gram fraction): per document, the share of its DISTINCT word n-grams
+    * that are "common" — occurring in ≥ `minDocFreq` distinct documents
+    * corpus-wide. A high fraction marks boilerplate/template content a
+    * training mix should downweight or drop.
+    *
+    * Scale shape: one explode → two aggregations, all shuffled on the
+    * high-cardinality gram key (no hot keys by construction). The exploded
+    * grams relation is consumed twice and deliberately NOT cached — it is
+    * corpus-sized, and re-scanning the source beats spilling a cache of it
+    * at 100 TB; the common-gram set (post-HAVING) is the only small
+    * intermediate. Docs shorter than n tokens surface with zero grams. */
+  def duplicateNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocFreq: Long): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode_outer(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+    val common = grams.filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("gram"), lit(1).as("is_common"))
+    grams.join(common, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_grams"),
+        count(col("is_common")).as("n_common"))
+      .withColumn("dup_frac",
+        col("n_common").cast("double") / greatest(col("n_grams"), lit(1L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing: mask emails, phone-shaped numbers, then any long digit
+    * run, in that order (emails first so their digits aren't half-eaten by
+    * the number pass). Patterns stay in the Java∩RE2 common subset so the
+    * DuckDB oracle applies the same semantics; Spark's regexp_replace is
+    * global by default (DuckDB needs the 'g' flag). Pure map work — no
+    * shuffle, fully codegen'd, scales linearly. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val LongDigitPattern = "[0-9]{7,}"
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"),
+        LongDigitPattern, "<ID>"))
+
   /** Document fingerprint: sha256 of the content, the min shingle hash
     * (a 1-hash minhash — stable under small edits), and shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =

@@ -284,5 +284,57 @@ object TextQueries {
            |SELECT doc_id, pred_lang, sample_rank FROM ranked
            |WHERE sample_rank <= 50
            |ORDER BY pred_lang, sample_rank""".stripMargin
-      }))
+      }),
+
+    // Duplicate n-gram fraction (Gopher/RefinedWeb repetition rule): share
+    // of each doc's distinct 3-grams that occur in ≥3 documents corpus-wide.
+    Entry("q67_common_ngrams",
+      (s, d) => TextAnalysis.duplicateNgramStats(
+        Tables.documents(s, d), "doc_id", "text", n = 3, minDocFreq = 3),
+      Some(
+        s"""WITH $shingleCtes,
+           |common AS (
+           |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 3),
+           |stats AS (
+           |  SELECT sh.doc_id, count(*) AS n_grams, count(common.shingle) AS n_common
+           |  FROM sh LEFT JOIN common USING (shingle)
+           |  GROUP BY sh.doc_id)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+           |  CAST(COALESCE(n_common, 0) AS DOUBLE)
+           |    / greatest(COALESCE(n_grams, 0), 1) AS dup_frac
+           |FROM documents d LEFT JOIN stats ON stats.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    // PII scrubbing over deterministically synthesized contact text (the
+    // corpus tables carry no PII, so the fixture builds emails/phones/account
+    // ids from customer keys). Masking order: email → phone → long digit run.
+    Entry("q68_pii_scrub",
+      (s, d) => {
+        val synth = concat(
+          lit("reach "), lower(col("c_name")), lit(" at "),
+          regexp_replace(lower(col("c_name")), "#", ""),
+          col("c_custkey").cast("string"), lit("@example.com or 555-"),
+          lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" acct "), (col("c_custkey") * 1234567L + 9999999L).cast("string"))
+        TextAnalysis.scrubPii(
+            Tables.customer(s, d).select(col("c_custkey"), synth.as("text")),
+            "text")
+          .orderBy(col("c_custkey"))
+      },
+      Some(
+        s"""SELECT c_custkey,
+           |  regexp_replace(regexp_replace(regexp_replace(
+           |    'reach ' || lower(c_name) || ' at '
+           |      || replace(lower(c_name), '#', '') || CAST(c_custkey AS VARCHAR)
+           |      || '@example.com or 555-'
+           |      || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+           |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           |      || ' acct ' || CAST(c_custkey * 1234567 + 9999999 AS VARCHAR),
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+           |    '[0-9]{7,}', '<ID>', 'g') AS text
+           |FROM customer ORDER BY c_custkey""".stripMargin)))
 }

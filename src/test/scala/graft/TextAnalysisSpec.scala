@@ -74,4 +74,30 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("duplicateNgramStats: boilerplate grams flagged, short docs survive with zero grams") {
+    // "a b c" appears in docs 1,2,3 (df=3 → common at minDocFreq=3);
+    // every other gram is rarer; doc 5 is too short for any 3-gram
+    val docs = Seq(
+      (1L, "a b c x y"), (2L, "a b c p q"), (3L, "a b c"),
+      (4L, "m n o p q"), (5L, "hi")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateNgramStats(docs, "doc_id", "text", n = 3, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)))  // {a b c, b c x, c x y} — one common
+    assert(out(3L) === ((1L, 1L, 1.0)))      // its only gram is the boilerplate
+    assert(out(4L) === ((3L, 0L, 0.0)))      // unique content
+    assert(out(5L) === ((0L, 0L, 0.0)))      // no grams, not dropped
+  }
+
+  test("scrubPii masks email, then phone, then long digit runs — in that order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org call 555-867-5309 acct 1234567890"),
+      (2L, "short num 123456 stays, 1234567 goes"),
+      (3L, "clean text untouched")).toDF("id", "text")
+    val out = TextAnalysis.scrubPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "mail <EMAIL> call <PHONE> acct <ID>")
+    assert(out(2L) === "short num 123456 stays, <ID> goes")
+    assert(out(3L) === "clean text untouched")
+  }
 }
