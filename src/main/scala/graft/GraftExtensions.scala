@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, L2Squared}
+import graft.functions.{CosineSimilarity, DotProduct, Int8CosineSim, Int8Quantize, Int8Scale, L2Squared}
 
 /** SQL registration of the engine's Catalyst expressions, so
   * `spark.sql("SELECT vec_cosine(a, b) ...")` works next to the Column API.
@@ -37,7 +37,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("vec_l2sq"),
       info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two array<float> vectors"),
-      (args: Seq[Expression]) => L2Squared(args(0), args(1))))
+      (args: Seq[Expression]) => L2Squared(args(0), args(1))),
+    (FunctionIdentifier("vec_int8_quantize"),
+      info("vec_int8_quantize", "vec_int8_quantize(v) - pack an array<float> vector into signed INT8 bytes"),
+      (args: Seq[Expression]) => Int8Quantize(args(0))),
+    (FunctionIdentifier("vec_int8_scale"),
+      info("vec_int8_scale", "vec_int8_scale(v) - INT8 dequantization scale (max(|x|)/127) of an array<float> vector"),
+      (args: Seq[Expression]) => Int8Scale(args(0))),
+    (FunctionIdentifier("vec_int8_cosine"),
+      info("vec_int8_cosine", "vec_int8_cosine(a, b) - cosine similarity of two packed-INT8 binary vectors"),
+      (args: Seq[Expression]) => Int8CosineSim(args(0), args(1))))
 
   /** Register on a live session (FunctionRegistry is private[sql] — goes
     * through the bridge). */

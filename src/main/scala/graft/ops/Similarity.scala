@@ -39,6 +39,30 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** INT8-quantized cosine top-k — the reference's scalar-quantization
+    * design (`memory_graph.py:1036-1057`) as an engine operator: score over
+    * packed signed bytes (4× fewer scan bytes than float32; quantize at
+    * ingest and store the binary column so the scan never touches floats),
+    * then re-rank the `rescoreFactor`·k survivors with exact float cosine —
+    * Qdrant's oversampling+rescore shape. Quantization error only has to
+    * preserve membership of the top-(factor·k), which per-vector symmetric
+    * INT8 does comfortably; the FINAL ordering is exact-scored. */
+  def knnCosineInt8(corpus: DataFrame, query: DataFrame, idCol: String,
+                    vecCol: String, k: Int, rescoreFactor: Int = 4): DataFrame = {
+    import graft.functions.QuantFunctions._
+    val candidates = corpus
+      .withColumn("qcorpus", int8Quantize(col(vecCol)))
+      .crossJoin(broadcast(query.withColumn("qq", int8Quantize(col("qvec")))))
+      .withColumn("qscore", int8Cosine(col("qcorpus"), col("qq")))
+      .orderBy(desc("qscore"), col(idCol))
+      .limit(k * rescoreFactor)
+    candidates
+      .withColumn("score", round(cosineSim(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Dot-product top-k (unnormalized spaces). */
   def knnDot(corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
              k: Int): DataFrame =

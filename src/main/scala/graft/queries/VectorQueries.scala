@@ -233,5 +233,40 @@ object VectorQueries {
               |SELECT a.vec_id, a.centroid_id,
               |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
               |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
-              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)))
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
+
+    // INT8 scalar quantization (the reference's Qdrant config,
+    // memory_graph.py:1036-1057): candidate top-(4k) over packed bytes,
+    // exact float rescore of the survivors. floor(x/scale + 0.5) half-up
+    // rounding is identical in Java and DuckDB, so even the quantized
+    // candidate ORDER hash-matches; the final scores are exact cosine.
+    Entry("q69_quantized_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnCosineInt8(
+          emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+          "vec_id", "embedding", k = 10, rescoreFactor = 4)
+      },
+      Some {
+        def quantSql(v: String): String =
+          s"""list_transform($v, x -> floor(x::DOUBLE /
+             |    (CASE WHEN list_max(list_transform($v, y -> abs(y::DOUBLE))) = 0
+             |          THEN 1.0
+             |          ELSE list_max(list_transform($v, y -> abs(y::DOUBLE))) / 127.0
+             |     END) + 0.5))""".stripMargin
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qq AS (SELECT qvec, ${quantSql("qvec")} AS qqv FROM q),
+           |qc AS (
+           |  SELECT vec_id, embedding, ${quantSql("embedding")} AS qcv
+           |  FROM embeddings WHERE vec_id <> 0),
+           |cand AS (
+           |  SELECT qc.vec_id, qc.embedding, qq.qvec,
+           |    ${cosineSql("qcv", "qqv")} AS qscore
+           |  FROM qc CROSS JOIN qq
+           |  ORDER BY qscore DESC, vec_id LIMIT 40)
+           |SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 4) AS score
+           |FROM cand
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+      }))
 }

@@ -22,7 +22,8 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val fns = spark.sql("SHOW FUNCTIONS LIKE 'vec_*'")
       .collect().map(_.getString(0)).toSet
-    assert(fns === Set("vec_cosine", "vec_dot", "vec_l2sq"))
+    assert(fns === Set("vec_cosine", "vec_dot", "vec_l2sq",
+      "vec_int8_quantize", "vec_int8_scale", "vec_int8_cosine"))
   }
 
   test("type mismatch is rejected at analysis, not at runtime") {
