@@ -54,6 +54,23 @@ object Writers {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed layout for co-located joins: both fact tables hash-bucketed
+    * on the join key with the SAME bucket count join with NO shuffle on
+    * either side (and no per-task sort when `sortCols` covers the key) —
+    * the ONE join strategy whose cost doesn't grow with a 100×
+    * re-partitioning of the cluster. Bucketing requires the session
+    * catalog, hence `saveAsTable` rather than a bare path; at production
+    * scale this is the layout for chunk↔memory and edge↔node co-location
+    * (SURVEY §4's "partitioned/Z-ordered by user_id" as a join strategy). */
+  def bucketedWrite(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Write `df` to `path` atomically: materialize to `path.tmp`, then swap.
     * Readers see the old or the new snapshot, never a half-written one. */
   def swapWrite(df: DataFrame, path: String): Unit = {

@@ -48,4 +48,40 @@ class PlanQualitySpec extends SparkSpec {
     val p = planOf("q06_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k heap:\n$p")
   }
+
+  test("bucketed tables co-locate: the join runs with no shuffle and no sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val chunks = (0L until 2000L).map(i => (i % 400, i, s"chunk_$i"))
+      .toDF("memory_id", "chunk_id", "text")
+    val memories = (0L until 400L).map(i => (i, s"memory_$i")).toDF("mem_id", "title")
+    // one writer task → one file per bucket; Spark only trusts the sortBy
+    // order (and skips the per-task sort) for single-file buckets
+    graft.sources.Writers.bucketedWrite(chunks.repartition(1), "bq_chunks",
+      "memory_id", 8, sortCols = Seq("memory_id"))
+    graft.sources.Writers.bucketedWrite(memories.repartition(1), "bq_memories",
+      "mem_id", 8, sortCols = Seq("mem_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
+    // since 3.0 Spark ignores the buckets' sortBy order unless told to trust
+    // it (it requires the one-file-per-bucket layout we wrote above)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = spark.table("bq_chunks")
+        .join(spark.table("bq_memories"),
+          col("memory_id") === col("mem_id"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles — co-location lost:\n$p")
+      // sortBy'd single-file buckets arrive pre-sorted: no per-task sort either
+      assert(!p.contains("Sort ["), s"bucketed-sorted data re-sorted:\n$p")
+      assert(joined.count() === 2000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS bq_chunks")
+      spark.sql("DROP TABLE IF EXISTS bq_memories")
+    }
+  }
 }
