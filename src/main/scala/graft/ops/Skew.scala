@@ -32,14 +32,18 @@ object Skew {
   private val LSalt = "__graft_lsalt"
   private val RSalt = "__graft_rsalt"
 
-  /** Deterministic per-row salt: a hash of the whole row modulo
-    * `saltFactor`. Any value in [0, saltFactor) is CORRECT (the right side
-    * carries every salt); hashing the row just spreads a hot key's rows
-    * evenly without needing a unique-id column or nondeterministic rand()
-    * (which Spark forbids in join keys and which breaks retry idempotence
-    * — a re-executed task must route rows identically). */
-  private def rowSalt(df: DataFrame, saltFactor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int")
+  /** Deterministic per-row salt: hash of (input partition id, row content)
+    * modulo `saltFactor`. Any value in [0, saltFactor) is CORRECT (the
+    * right side carries every salt), so the only job here is SPREAD.
+    * Content alone is not enough — exact-duplicate rows of a hot key
+    * (replayed events, a key-only projection) would all hash to one shard
+    * and re-create the straggler; mixing in `spark_partition_id()` spreads
+    * duplicates across as many shards as they have input partitions.
+    * Still retry-idempotent: partition id + content are stable for a given
+    * input layout, unlike rand() (which Spark also forbids in join keys). */
+  private[graft] def rowSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(hash((spark_partition_id() +: df.columns.map(col).toIndexedSeq): _*),
+      lit(saltFactor)).cast("int")
 
   /** Equi-join with every left row salted and the right side replicated
     * `saltFactor` times. Supports "inner" and "left" (an unmatched left key
@@ -72,9 +76,6 @@ object Skew {
                leftKey: String, rightKey: String,
                saltFactor: Int, heavyThreshold: Long,
                joinType: String = "inner"): DataFrame = {
-    require(leftKey != rightKey,
-      "skewJoin unions two join branches — identically-named key columns " +
-        "would collide in the output; rename one side first")
     val heavy = left.groupBy(col(leftKey)).count()
       .filter(col("count") > heavyThreshold)
       .select(col(leftKey).as("__graft_hk"))
@@ -83,8 +84,11 @@ object Skew {
     val lTail = left.join(hk, col(leftKey) === col("__graft_hk"), "left_anti")
     val rHeavy = right.join(hk, col(rightKey) === col("__graft_hk"), "left_semi")
     val rTail = right.join(hk, col(rightKey) === col("__graft_hk"), "left_anti")
+    // positional union: both branches emit (left columns ++ right columns)
+    // in identical order, and a plain join's output may legally carry
+    // duplicate column names (shared non-key names) that a by-name union
+    // would reject even though the equivalent plain join succeeds
     saltedJoin(lHeavy, rHeavy, leftKey, rightKey, saltFactor, joinType)
-      .unionByName(
-        lTail.join(rTail, lTail(leftKey) === rTail(rightKey), joinType))
+      .union(lTail.join(rTail, lTail(leftKey) === rTail(rightKey), joinType))
   }
 }

@@ -91,17 +91,23 @@ object AnnRewrite {
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
       m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
     }
-    // arm only if THIS session's rule is absent — newSession()/cloneSession
-    // copy extraOptimizations, so another session's bound instance may be
-    // present and would consult the wrong registry
-    val armed = spark.experimental.extraOptimizations.exists {
+    // newSession()/cloneSession copy extraOptimizations, so a rule bound to
+    // ANOTHER session may sit in this session's list. It would run first,
+    // consult the wrong registry, and its injected IN-filter would make our
+    // own rule a no-op (the idempotence guard sees a pruning filter and
+    // backs off) — so foreign-bound instances are evicted, not supplemented.
+    // Each session owns its list; evicting here never affects the session
+    // the stale rule was bound to.
+    val keep = spark.experimental.extraOptimizations.filter {
+      case r: AnnRewriteRule => r.session eq spark
+      case _ => true
+    }
+    val armed = keep.exists {
       case r: AnnRewriteRule => r.session eq spark
       case _ => false
     }
-    if (!armed) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ new AnnRewriteRule(spark)
-    }
+    spark.experimental.extraOptimizations =
+      if (armed) keep else keep :+ new AnnRewriteRule(spark)
   }
 
   /** Drop ONE session's index for `embCol` — other sessions keep theirs. */

@@ -118,11 +118,14 @@ object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         // the oracle inlines hyperplanes for EXACTLY 64 dims; a silent
-        // truncation on wider embeddings must fail here, not at the gate
-        // (empty table / null first vector skip the guard gracefully)
-        val dim = emb.select(size(col("embedding")).as("d")).limit(1).collect()
-          .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
-        require(dim.forall(_ == 64), s"q64 oracle is built for dim=64, data has $dim")
+        // truncation on wider embeddings must fail here, not at the gate.
+        // Sample a NON-NULL vector (a null in the first row must not skip
+        // the guard); only a fully empty/all-null table passes vacuously.
+        val dim = emb.filter(col("embedding").isNotNull)
+          .select(size(col("embedding")).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0))
+        require(dim.forall(_ == 64),
+          s"q64 oracle is built for dim=64, data has ${dim.getOrElse(-1)}")
         Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", threshold = 0.45)
       },
       Some {

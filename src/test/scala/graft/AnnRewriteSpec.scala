@@ -129,6 +129,25 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("registering evicts a stale rule bound to another session") {
+    import graft.plans.AnnRewriteRule
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    val child = spark.newSession()
+    try {
+      // simulate cloneSession's copied extraOptimizations: a rule bound to
+      // the PARENT sitting in the child's list — it would fire first,
+      // consult the parent registry, and neuter the child's own rule
+      child.experimental.extraOptimizations = Seq(new AnnRewriteRule(spark))
+      AnnRewrite.register(child, idx, "emb", rows = 400)
+      val annRules = child.experimental.extraOptimizations
+        .filter(_.isInstanceOf[AnnRewriteRule])
+      assert(annRules.length === 1, s"stale foreign rule not evicted: $annRules")
+    } finally {
+      AnnRewrite.clear()
+      child.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {

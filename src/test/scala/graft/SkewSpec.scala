@@ -58,6 +58,30 @@ class SkewSpec extends SparkSpec {
     assert(out === plain("inner"))
   }
 
+  test("shared non-key column names survive (plain joins allow them; so must we)") {
+    val l = Seq((1L, "t1", "p1"), (2L, "t2", "p2")).toDF("k", "ts", "payload")
+    val r = Seq((1L, "t9", "d1")).toDF("rk", "ts", "dim")
+    val out = Skew.skewJoin(l, r, "k", "rk", saltFactor = 3, heavyThreshold = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(out === Seq(Seq(1L, "t1", "p1", 1L, "t9", "d1")))
+  }
+
+  test("exact-duplicate hot-key rows spread across salt shards") {
+    // 200 identical rows in >1 input partitions: content-only hashing would
+    // put them all in one shard; partition-id mixing must not
+    val dup = spark.range(200).repartition(8)
+      .selectExpr("CAST(1 AS LONG) AS k", "'same' AS payload")
+    val r = Seq((1L, "dim")).toDF("rk", "dim")
+    val joined = Skew.saltedJoin(dup, r, "k", "rk", saltFactor = 8)
+    assert(joined.count() === 200)
+    // observe the spread through the same salt function the join uses: at
+    // least two distinct salts must appear for rows spanning partitions
+    val distinctSalts = dup.select(Skew.rowSalt(dup, 8).as("salt"))
+      .distinct().count()
+    assert(distinctSalts >= 2,
+      s"identical rows all landed on one salt shard ($distinctSalts)")
+  }
+
   test("null left keys: dropped on inner, kept once on left") {
     val l = Seq((Some(1L), "x"), (None, "n1"), (None, "n2")).toDF("k", "payload")
     val r = Seq((1L, "dim_1")).toDF("rk", "dim")
