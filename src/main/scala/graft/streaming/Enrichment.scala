@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream enrichment joins. The reference processes events one at a
+  * time against stored state (feedback events looked up against memories,
+  * `services/memory_management.py:3192-3404`); the streaming-native shape
+  * is a watermarked interval join: each left event matched to right events
+  * with the same key inside a bounded time window.
+  *
+  * The window bound is what makes this run forever on a cluster: Spark
+  * keeps right-side rows in join state only until
+  * `watermark + lookback` passes them, so state size is
+  * O(rate × (lookback + lateness)) — independent of stream age. An
+  * unbounded-condition stream-stream join would grow state without limit
+  * and is rejected here by construction (the interval predicate is always
+  * emitted).
+  */
+object Enrichment {
+
+  /** For each left-stream row: all right-stream rows with the same `keyCol`
+    * whose `tsCol` falls in `[left.ts - lookback, left.ts]`. Right columns
+    * (except the key) come back `r_`-prefixed. Both inputs must be
+    * streaming DataFrames; `allowedLateness` sets both watermarks and
+    * therefore both the dropped-late-data bound and the state horizon.
+    * `lookback`/`allowedLateness` are SQL interval strings ("10 minutes").
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, lookback: String,
+                   allowedLateness: String): DataFrame = {
+    val l = left.withWatermark(tsCol, allowedLateness)
+    val renamed = right.columns.foldLeft(right) { (df, c) =>
+      if (c == keyCol) df else df.withColumnRenamed(c, s"r_$c")
+    }
+    val r = renamed.withWatermark(s"r_$tsCol", allowedLateness)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(tsCol))
+      .drop(r(keyCol))
+  }
+}

@@ -156,6 +156,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: purchases pick up same-user views inside the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[AccessEvent]
+    val views = MemoryStream[AccessEvent]
+    val joined = graft.streaming.Enrichment.intervalJoin(
+      purchases.toDF(), views.toDF(), keyCol = "user_id", tsCol = "ts",
+      lookback = "10 minutes", allowedLateness = "5 minutes")
+    val query = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: String, user: String, t: String) =
+        AccessEvent(id, "m0", user, "x", 0.5, 0.5, Timestamp.valueOf(t))
+      views.addData(
+        ev("v1", "alice", "2024-01-01 09:55:00"),  // in window for p1
+        ev("v2", "alice", "2024-01-01 09:40:00"),  // too old for p1
+        ev("v3", "bob", "2024-01-01 09:58:00"),    // other user
+        ev("v4", "alice", "2024-01-01 10:01:00"))  // after the purchase
+      purchases.addData(ev("p1", "alice", "2024-01-01 10:00:00"))
+      query.processAllAvailable()
+      // advance both watermarks far enough to close p1's window
+      views.addData(ev("v9", "carol", "2024-01-01 11:00:00"))
+      purchases.addData(ev("p9", "carol", "2024-01-01 11:00:00"))
+      query.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "r_event_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out.contains(("p1", "v1")), s"in-window view not joined: $out")
+      assert(!out.exists(_._2 == "v2"), "view older than the lookback joined")
+      assert(!out.exists(_._2 == "v3"), "cross-user view joined")
+      assert(!out.exists(_._2 == "v4"), "future view joined")
+    } finally query.stop()
+  }
+
   test("counter fold is incremental: two folds equal one") {
     val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
