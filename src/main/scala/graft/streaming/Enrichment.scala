@@ -29,10 +29,15 @@ object Enrichment {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    tsCol: String, lookback: String,
                    allowedLateness: String): DataFrame = {
+    val clashes = (left.columns ++ right.columns.filter(_ != keyCol).map("r_" + _))
+      .groupBy(identity).collect { case (c, hits) if hits.length > 1 => c }
+    require(clashes.isEmpty,
+      s"r_-prefixed right columns would collide with ${clashes.mkString(", ")} " +
+        "— rename before joining")
     val l = left.withWatermark(tsCol, allowedLateness)
-    val renamed = right.columns.foldLeft(right) { (df, c) =>
-      if (c == keyCol) df else df.withColumnRenamed(c, s"r_$c")
-    }
+    // one projection, not a withColumnRenamed chain (a Project per column)
+    val renamed = right.select(right.columns.map(c =>
+      if (c == keyCol) col(c) else col(c).as(s"r_$c")).toIndexedSeq: _*)
     val r = renamed.withWatermark(s"r_$tsCol", allowedLateness)
     l.join(r,
       l(keyCol) === r(keyCol) &&
