@@ -19,17 +19,28 @@ object IvfIndex {
 
   case class Index(centroids: DataFrame, assigned: DataFrame)
 
-  /** Build: pick nCentroids deterministic seeds, assign all rows. */
+  /** Build: pick nCentroids deterministic seeds, assign all rows.
+    *
+    * Seeding is hash-mod sampling (portable hash60 of the id), NOT a global
+    * row_number over the corpus — a full-corpus unpartitioned window is a
+    * single-partition sort and would serialize the whole table through one
+    * task at scale. The mod filter keeps the candidate pool at ~2·nCentroids
+    * rows in expectation; only that tiny pool is windowed to assign stable
+    * centroid ids.
+    */
   def build(chunks: DataFrame, idCol: String, vecCol: String, nCentroids: Int): Index = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(idCol))
+    import graft.functions.Fns
     val n = chunks.count()
-    val stride = math.max(n / nCentroids, 1L)
+    val stride = math.max(n / (2L * nCentroids), 1L)
+    val h = Fns.hash60(col(idCol).cast("string"))
+    val w = Window.orderBy(col("h"), col(idCol))
     val centroids = chunks.select(col(idCol), col(vecCol))
-      .withColumn("rn", row_number().over(w))
-      .filter((col("rn") - 1) % stride === 0)
-      .limit(nCentroids)
-      .select(col("rn").as("centroid_id"), col(vecCol).as("cvec"))
+      .filter(h % stride === 0)
+      .withColumn("h", h)
+      .withColumn("centroid_id", row_number().over(w))
+      .filter(col("centroid_id") <= nCentroids)
+      .select(col("centroid_id"), col(vecCol).as("cvec"))
     val assigned = Similarity.ivfAssign(chunks, centroids, idCol, vecCol)
     Index(centroids, assigned)
   }
