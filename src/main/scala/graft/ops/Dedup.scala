@@ -37,8 +37,13 @@ object Dedup {
   def shingleRaw(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    spread.select(col(idCol).as("doc_id"),
-      explode(shingles(tokens(col(textCol)), k)).as("shingle"))
+    // Tokens are materialized in their own projection: inlined, the shingle
+    // lambda would re-run split(lower(text)) for every element_at — O(k·n)
+    // regex splits per doc (higher-order funcs are interpreted, no CSE).
+    // CollapseProject keeps the boundary because split is non-cheap and
+    // referenced multiple times.
+    spread.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
   }
 
   /** Distinct (doc_id, shingle) pairs — the substrate for exact jaccard. */

@@ -120,8 +120,10 @@ object TextAnalysis {
     * intermediate. Docs shorter than n tokens surface with zero grams. */
   def duplicateNgramStats(docs: DataFrame, idCol: String, textCol: String,
                           n: Int, minDocFreq: Long): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-      explode_outer(array_distinct(shingles(tokens(col(textCol)), n))).as("gram"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(shingles(col("toks"), n))).as("gram"))
     val common = grams.filter(col("gram").isNotNull)
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
@@ -156,7 +158,8 @@ object TextAnalysis {
     * (a 1-hash minhash — stable under small edits), and shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
     docs
-      .withColumn("sh", shingles(tokens(col(textCol)), shingleK))
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("sh", shingles(col("toks"), shingleK))
       .select(
         col(idCol).as("doc_id"),
         sha2(col(textCol), 256).as("content_sha"),
