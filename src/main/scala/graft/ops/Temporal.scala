@@ -45,4 +45,39 @@ object Temporal {
       .filter(col("side") === 1)
       .select(col(idCol), col("k").as(keyCol), col("ts"), col("asof_ts"))
   }
+
+  /** Point-in-interval range join, half-open `[start, end)`, optionally
+    * per-key. The classic Spark trap here is writing the containment as a
+    * join condition — with no equi-key (or a low-cardinality one) that plans
+    * as a nested-loop over every (point, interval) pair. Instead each
+    * interval is exploded into the fixed-width epoch bins it covers and each
+    * point maps to exactly ONE bin, so the match becomes an equi-join on
+    * (keys…, bin) plus a residual containment filter: shuffle-hash/SMJ
+    * machinery, partial pruning for free, and the same plan shape at any
+    * scale.
+    *
+    * `binWidthSec` trades interval fan-out (≈ duration/width + 1 exploded
+    * rows per interval) against candidate selectivity (wide bins → more
+    * rows the residual filter discards) — set it near the typical interval
+    * length. Bin ids come from second-truncated epochs (consistent for both
+    * sides); the residual filter compares full-precision timestamps, so
+    * boundary bins only ever produce extra candidates, never wrong results.
+    * Null keys/timestamps drop out exactly as join semantics require.
+    */
+  def rangeJoin(points: DataFrame, tsCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                binWidthSec: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
+    val bin = "__graft_bin"
+    val pb = points.withColumn(bin,
+      floor(unix_timestamp(col(tsCol)) / binWidthSec))
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn(bin, explode(sequence(
+        floor(unix_timestamp(col(startCol)) / binWidthSec),
+        floor(unix_timestamp(col(endCol)) / binWidthSec))))
+    pb.join(ib, (keys :+ bin).toSeq)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop(bin)
+  }
 }

@@ -137,6 +137,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition (the Gopher/RefinedWeb top-n-gram rule):
+    * per document, the share of n-gram OCCURRENCES covered by the single
+    * most frequent n-gram (`top_gram_frac` — Gopher drops docs where the
+    * top 2-gram covers > 0.20) and the distinct/total gram ratio
+    * (`distinct_ratio` — low means loopy, templated text).
+    *
+    * Unlike `duplicateNgramStats` (corpus-frequency, needs a gram shuffle)
+    * this is entirely MAP-SIDE: the gram array is sorted per row and the
+    * longest equal-run measured with one aggregate() fold — zero shuffles,
+    * zero corpus-sized intermediates, embarrassingly parallel over a 100 TB
+    * scan. Docs shorter than n tokens report zero grams and 0.0 ratios. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val withGrams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), n).as("grams"))
+      .select(col("doc_id"), col("grams"), array_sort(col("grams")).as("sorted"))
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val bestRun = aggregate(
+      col("sorted"), acc0,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    withGrams
+      .withColumn("top_gram_count", bestRun)
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct_grams", size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("top_gram_frac",
+        col("top_gram_count").cast("double") / greatest(col("n_grams"), lit(1L)))
+      .withColumn("distinct_ratio",
+        col("n_distinct_grams").cast("double") / greatest(col("n_grams"), lit(1L)))
+      .select(col("doc_id"), col("top_gram_count"), col("n_grams"),
+        col("n_distinct_grams"), col("top_gram_frac"), col("distinct_ratio"))
+  }
+
   /** PII scrubbing: mask emails, phone-shaped numbers, then any long digit
     * run, in that order (emails first so their digits aren't half-eaten by
     * the number pass). Patterns stay in the Java∩RE2 common subset so the

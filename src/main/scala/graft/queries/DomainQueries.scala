@@ -308,5 +308,34 @@ object DomainQueries {
       Some("""SELECT o_orderpriority, count(*) AS n_items,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Range join (point-in-interval): clicks landing inside the
+    // 4-hour attribution window after each error by the same user. Bin-bucketed
+    // equi-join (Temporal.rangeJoin) — the containment predicate is a
+    // residual filter, never the join condition, so the plan stays a
+    // shuffle-hash join at any scale. Window is half-open [ts, ts+4h).
+    Entry("q70_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 240 MINUTES")).as("w_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        graft.ops.Temporal.rangeJoin(clicks, "ts", errors,
+            "w_start", "w_end", binWidthSec = 600, keys = Seq("user_id"))
+          .groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("err_id"))
+      },
+      Some("""SELECT e.event_id AS err_id, count(*) AS n_clicks
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'error') e
+             |JOIN (SELECT user_id, ts FROM events
+             |      WHERE event_type = 'click') c
+             |  ON c.user_id = e.user_id
+             | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 240 MINUTE
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)))
 }

@@ -336,5 +336,34 @@ object TextQueries {
            |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
            |    '[0-9]{7,}', '<ID>', 'g') AS text
-           |FROM customer ORDER BY c_custkey""".stripMargin)))
+           |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Within-document repetition (Gopher top-2-gram rule): top gram coverage
+    // and distinct-gram ratio, computed map-side per row (sorted-array run
+    // fold) — the Spark plan has NO shuffle before the dump's orderBy.
+    Entry("q71_repetition",
+      (s, d) => TextAnalysis.repetitionStats(
+          Tables.documents(s, d), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+             |      i -> t[i] || ' ' || t[i+1])) AS gram
+             |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+             |        FROM documents)),
+             |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+             |per AS (
+             |  SELECT doc_id, max(c) AS best, sum(c) AS tot,
+             |    count(*) AS n_distinct
+             |  FROM cnt GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(best, 0) AS BIGINT) AS top_gram_count,
+             |  CAST(COALESCE(tot, 0) AS BIGINT) AS n_grams,
+             |  CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct_grams,
+             |  CAST(COALESCE(best, 0) AS DOUBLE)
+             |    / greatest(CAST(COALESCE(tot, 0) AS BIGINT), 1) AS top_gram_frac,
+             |  CAST(COALESCE(n_distinct, 0) AS DOUBLE)
+             |    / greatest(CAST(COALESCE(tot, 0) AS BIGINT), 1) AS distinct_ratio
+             |FROM documents d LEFT JOIN per USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)))
 }

@@ -43,4 +43,61 @@ class TemporalSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out.head.isNullAt(3)) // NULL = NULL is not a match
   }
+
+  test("rangeJoin: half-open [start,end), per key, bins only add candidates") {
+    val points = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),  // == start → IN
+      (2L, "u1", ts("2024-01-01 10:09:59")),  // inside → IN
+      (3L, "u1", ts("2024-01-01 10:10:00")),  // == end → OUT (half-open)
+      (4L, "u1", ts("2024-01-01 09:59:59")),  // before → OUT
+      (5L, "u2", ts("2024-01-01 10:05:00")),  // other key, no interval → OUT
+      (6L, "u1", ts("2024-01-02 03:07:00"))   // second interval, mid-bin → IN
+    ).toDF("point_id", "user", "ts")
+    val intervals = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), "w1"),
+      // deliberately NOT bin-aligned and spanning multiple 600s bins
+      ("u1", ts("2024-01-02 03:04:05"), ts("2024-01-02 03:24:05"), "w2"),
+      ("u1", ts("2024-01-03 00:00:00"), ts("2024-01-02 00:00:00"), "neg") // end<start → dropped
+    ).toDF("user", "w_start", "w_end", "w_name")
+
+    val out = Temporal.rangeJoin(points, "ts", intervals,
+        "w_start", "w_end", binWidthSec = 600, keys = Seq("user"))
+      .select("point_id", "w_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "w1"), (2L, "w1"), (6L, "w2")))
+  }
+
+  test("rangeJoin matches the naive inequality join on random data") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val points = (1 to 300).map { i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", new Timestamp(base + rnd.nextInt(86400) * 1000L))
+    }.toDF("point_id", "user", "ts")
+    val intervals = (1 to 60).map { i =>
+      val s = base + rnd.nextInt(86400) * 1000L
+      (s"u${rnd.nextInt(5)}", new Timestamp(s),
+        new Timestamp(s + (60 + rnd.nextInt(7200)) * 1000L), i.toLong)
+    }.toDF("user", "w_start", "w_end", "w_id")
+
+    val got = Temporal.rangeJoin(points, "ts", intervals,
+        "w_start", "w_end", binWidthSec = 900, keys = Seq("user"))
+      .select("point_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, Seq("user"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("point_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("rangeJoin with no keys: pure bin equi-join, still exact") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:30")),
+      (2L, ts("2024-01-01 05:00:00"))).toDF("point_id", "ts")
+    val intervals = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00"), 10L)).toDF("w_start", "w_end", "w_id")
+    val out = Temporal.rangeJoin(points, "ts", intervals,
+        "w_start", "w_end", binWidthSec = 60)
+      .select("point_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L)))
+  }
 }

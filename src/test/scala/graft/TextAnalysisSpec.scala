@@ -100,4 +100,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === "short num 123456 stays, <ID> goes")
     assert(out(3L) === "clean text untouched")
   }
+
+  test("repetitionStats: top-gram coverage and distinct ratio per doc") {
+    val docs = Seq(
+      (1L, "go go go go go"),        // 2-grams: 4x "go go" → frac 1.0, distinct 1/4
+      (2L, "a b a b a b"),           // grams: {a b}x3 {b a}x2 → top 3/5
+      (3L, "all words differ here"), // 3 distinct grams, top run 1 → 1/3
+      (4L, "solo")                   // no 2-grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) === ((4L, 4L, 1L, 1.0, 0.25)))
+    assert(out(2L) === ((3L, 5L, 2L, 0.6, 0.4)))
+    assert(out(3L) === ((1L, 3L, 3L, 1.0 / 3, 1.0)))
+    assert(out(4L) === ((0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("repetitionStats plan is shuffle-free (pure map-side fold)") {
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"repetitionStats must not shuffle — per-doc work only:\n$p")
+  }
 }
