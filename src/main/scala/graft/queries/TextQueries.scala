@@ -365,5 +365,31 @@ object TextQueries {
              |  CAST(COALESCE(n_distinct, 0) AS DOUBLE)
              |    / greatest(CAST(COALESCE(tot, 0) AS BIGINT), 1) AS distinct_ratio
              |FROM documents d LEFT JOIN per USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // JSONL ingest round-trip through the quarantining line parser
+    // (sources.Readers): serialize documents to JSON lines, corrupt every
+    // 50th line, parse with an explicit schema — corrupt lines land in the
+    // bad side-channel (never fail the job, never silently drop), good rows
+    // reproduce the source table exactly. The oracle recomputes the
+    // expected good set directly.
+    Entry("q72_jsonl_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lines = docs.select(
+          when(col("doc_id") % 50 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"text\": \"trunc")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("text"))))
+          .as("value"))
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("lang", "string").add("text", "string")
+        val (good, bad) = graft.sources.Readers.parseJsonLines(lines, schema)
+        require(bad.count() > 0, "corrupt lines must reach the quarantine")
+        good.select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+             |FROM documents WHERE doc_id % 50 <> 0
+             |ORDER BY doc_id""".stripMargin)))
 }
