@@ -114,10 +114,15 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
     val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("score",
-        round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4))
-      .filter(col("score") >= threshold)
+    val score = round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4)
+    // Both predicates live IN the join condition, cheap id-order test first:
+    // && short-circuits in the generated code, so the dot product runs for
+    // the n²/2 ordered pairs, not all n². (Writing the threshold as a
+    // post-join filter ends up pushed into the condition anyway — but
+    // AND-ed in FRONT of the id test, paying the kernel on every pair.)
+    // The projection recomputes the score only for the few surviving rows.
+    a.join(broadcast(b), col("id_a") < col("id_b") && score >= threshold)
+      .withColumn("score", score)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
   }
