@@ -80,4 +80,29 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop(bin)
   }
+
+  /** SCD Type-2 dimension build from a change log: one versioned row per
+    * ATTRIBUTE CHANGE per key, with `[valid_from, valid_to)` validity and
+    * an `is_current` flag on the open version. No-op updates (consecutive
+    * rows with identical attributes) collapse into the earlier version —
+    * the change-detection `lag` and the validity `lead` share one window
+    * partitioning, so the whole build is a single shuffle on the key and
+    * two sorts reuse each other. Attribute comparison is null-safe (`<=>`);
+    * `orderCol` breaks timestamp ties deterministically. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String, orderCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val attrs = struct(attrCols.map(col): _*)
+    changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // first row per key: attrs <=> null is false → kept
+      .filter(!(attrs <=> col("__prev")))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(col(keyCol)) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
+  }
 }

@@ -337,5 +337,68 @@ object DomainQueries {
              |      WHERE event_type = 'click') c
              |  ON c.user_id = e.user_id
              | AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 240 MINUTE
-             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)))
+             |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin)),
+
+    // SCD Type-2 dimension build: one versioned row per event_type change
+    // per user, [valid_from, valid_to) validity, open version flagged
+    // current. Single shuffle on the key — change-detect lag and validity
+    // lead share the window partitioning.
+    Entry("q73_scd2",
+      (s, d) => graft.ops.Temporal.scd2(Tables.events(s, d),
+          keyCol = "user_id", tsCol = "ts", orderCol = "event_id",
+          attrCols = Seq("event_type"))
+        .orderBy(col("user_id"), col("valid_from")),
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |changed AS (
+             |  SELECT user_id, ts, event_id, event_type FROM ordered
+             |  WHERE prev_type IS NULL OR event_type <> prev_type)
+             |SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from,
+             |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    AS TIMESTAMP) AS valid_to,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |    IS NULL AS is_current
+             |FROM changed ORDER BY user_id, valid_from""".stripMargin)),
+
+    // Snapshot reconciliation: classify keys added / removed / changed
+    // between two versions of orders (synthetic churn: %11 keys absent from
+    // the old snapshot, %17 absent from the new, %13 repriced). One
+    // full-outer join; unchanged keys never leave the join.
+    Entry("q74_snapshot_diff",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val oldSnap = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 10)
+              .otherwise(col("o_totalprice")))
+        val newSnap = orders.filter(col("o_orderkey") % 17 =!= 0)
+        graft.ops.Snapshots.diff(oldSnap, newSnap,
+            keyCols = Seq("o_orderkey"),
+            compareCols = Seq("o_totalprice", "o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH oldv AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10
+             |         ELSE o_totalprice END AS p,
+             |    o_orderstatus AS st, true AS oldp
+             |  FROM orders WHERE o_orderkey % 11 <> 0),
+             |newv AS (
+             |  SELECT o_orderkey, o_totalprice AS p, o_orderstatus AS st,
+             |    true AS newp
+             |  FROM orders WHERE o_orderkey % 17 <> 0)
+             |SELECT o_orderkey,
+             |  CASE WHEN oldp IS NULL THEN 'added'
+             |       WHEN newp IS NULL THEN 'removed'
+             |       WHEN (n.p, n.st) IS DISTINCT FROM (o.p, o.st)
+             |         THEN 'changed' END AS change_type
+             |FROM newv n FULL OUTER JOIN oldv o USING (o_orderkey)
+             |WHERE CASE WHEN oldp IS NULL THEN 'added'
+             |           WHEN newp IS NULL THEN 'removed'
+             |           WHEN (n.p, n.st) IS DISTINCT FROM (o.p, o.st)
+             |             THEN 'changed' END IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin)))
 }

@@ -89,6 +89,44 @@ class TemporalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("scd2: versions per attribute change, no-op updates collapse, open version current") {
+    val log = Seq(
+      (1L, "u1", ts("2024-01-01 09:00:00"), "bronze"),
+      (2L, "u1", ts("2024-01-02 09:00:00"), "bronze"), // no-op → collapses
+      (3L, "u1", ts("2024-01-03 09:00:00"), "gold"),
+      (4L, "u1", ts("2024-01-04 09:00:00"), "bronze"), // back again → NEW version
+      (5L, "u2", ts("2024-01-01 12:00:00"), "silver")
+    ).toDF("event_id", "user", "ts", "tier")
+    val out = Temporal.scd2(log, "user", "ts", "event_id", Seq("tier"))
+      .orderBy(col("user"), col("valid_from")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("u1", "bronze", ts("2024-01-01 09:00:00"), Some(ts("2024-01-03 09:00:00")), false),
+      ("u1", "gold", ts("2024-01-03 09:00:00"), Some(ts("2024-01-04 09:00:00")), false),
+      ("u1", "bronze", ts("2024-01-04 09:00:00"), None, true),
+      ("u2", "silver", ts("2024-01-01 12:00:00"), None, true)))
+  }
+
+  test("scd2: null attribute values compare null-safely") {
+    val log = Seq(
+      (1L, "u1", ts("2024-01-01 09:00:00"), Option.empty[String]),
+      (2L, "u1", ts("2024-01-02 09:00:00"), Option.empty[String]), // null==null → no-op
+      (3L, "u1", ts("2024-01-03 09:00:00"), Some("x"))
+    ).toDF("event_id", "user", "ts", "tier")
+    val out = Temporal.scd2(log, "user", "ts", "event_id", Seq("tier")).collect()
+    assert(out.length === 2)
+  }
+
+  test("scd2 plan: change-detect and validity windows share ONE shuffle") {
+    val log = Seq((1L, "u1", ts("2024-01-01 09:00:00"), "a"))
+      .toDF("event_id", "user", "ts", "tier")
+    val p = Temporal.scd2(log, "user", "ts", "event_id", Seq("tier"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected one key shuffle, got $exchanges:\n$p")
+  }
+
   test("rangeJoin with no keys: pure bin equi-join, still exact") {
     val points = Seq(
       (1L, ts("2024-01-01 00:00:30")),
