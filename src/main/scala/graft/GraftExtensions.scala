@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.experimental.extraOptimizations, so either path works. The rule
     // instance is bound to the session it's injected into.
     e.injectOptimizerRule(session => new graft.plans.AnnRewriteRule(session))
+    // Bounded fuzzy matching: levenshtein(a,b) <= k → length guard +
+    // banded threshold DP. Pure predicate rewrite, no session state.
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }
 
@@ -52,4 +55,14 @@ object GraftExtensions {
     * through the bridge). */
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graftbridge.ColumnBridge.registerFunctions(spark, functions)
+
+  /** Arm the stateless optimizer rules on a live session (idempotent).
+    * AnnRewrite is NOT armed here — it carries index state and has its own
+    * register/deregister lifecycle. */
+  def armOptimizations(spark: SparkSession): Unit = {
+    val have = spark.experimental.extraOptimizations
+    if (!have.contains(graft.plans.LevenshteinPrefilter))
+      spark.experimental.extraOptimizations =
+        have :+ graft.plans.LevenshteinPrefilter
+  }
 }

@@ -193,6 +193,36 @@ object TextAnalysis {
           PhonePattern, "<PHONE>"),
         LongDigitPattern, "<ID>"))
 
+  /** TF-IDF top terms per document — the lexical summary/keyword operator
+    * (BM25's corpus-statistics machinery, reused for per-doc term salience
+    * instead of query scoring). Smoothed idf = ln((N+1)/(df+1)) + 1, so
+    * every-doc terms still score > 0 and the log argument never hits 0.
+    *
+    * Scale shape: explode → (doc, term) count [shuffle 1] → vocabulary df
+    * [shuffle 2, vocab-sized] → join tf⋈df on term [same key as shuffle 2]
+    * → per-doc top-N window [shuffle 3, key doc]. The tf relation is
+    * persisted — three consumers (df, N, weights) would otherwise re-run
+    * the corpus explode per consumer. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .persist()
+    val dfTbl = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("weight"), col("token"))
+    tf.join(dfTbl, "token").crossJoin(broadcast(stats))
+      .withColumn("weight",
+        col("c").cast("double") *
+          (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("doc_id"), col("token"), col("rnk"), col("weight"))
+  }
+
   /** Document fingerprint: sha256 of the content, the min shingle hash
     * (a 1-hash minhash — stable under small edits), and shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =

@@ -134,6 +134,8 @@ object DomainQueries {
     // fuzzy match) — block on (noun, brand) so the quadratic stays local.
     Entry("q31_fuzzy_join",
       (s, d) => {
+        // stateless predicate rewrite: lev<=k → length guard + banded DP
+        graft.GraftExtensions.armOptimizations(s)
         val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"),
           element_at(split(col("p_name"), " "), 2).as("noun"))
         val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),

@@ -391,5 +391,29 @@ object TextQueries {
       },
       Some("""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
              |FROM documents WHERE doc_id % 50 <> 0
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // TF-IDF top-3 terms per document (smoothed idf, ties by term asc) —
+    // per-doc keyword extraction from pure corpus statistics.
+    Entry("q75_tfidf_terms",
+      (s, d) => TextAnalysis.tfidfTopTerms(
+          Tables.documents(s, d), "doc_id", "text", topN = 3)
+        .orderBy(col("doc_id"), col("rnk")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+             |stats AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+             |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |w AS (
+             |  SELECT doc_id, token,
+             |    CAST(c AS DOUBLE) * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS weight
+             |  FROM tf JOIN dft USING (token) CROSS JOIN stats),
+             |ranked AS (
+             |  SELECT doc_id, token, weight,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY weight DESC, token) AS INT) AS rnk
+             |  FROM w)
+             |SELECT doc_id, token, rnk, weight FROM ranked
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)))
 }

@@ -117,6 +117,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("tfidfTopTerms: distinctive terms outrank ubiquitous ones") {
+    val corpus = Seq(
+      (1L, "common zebra"),
+      (2L, "common words here"),
+      (3L, "common words there")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
+    // doc 1: "zebra" (df=1, idf ln(2)+1) beats "common" (df=3, idf 1)
+    assert(out((1L, 1)) === "zebra")
+    assert(out((1L, 2)) === "common")
+    // every doc gets exactly topN rows (it has ≥2 distinct terms)
+    assert(out.size === 6)
+  }
+
   test("repetitionStats plan is shuffle-free (pure map-side fold)") {
     val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
     val p = out.queryExecution.executedPlan.toString
