@@ -189,6 +189,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch keyed-upsert sink: merges batches, batch replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sink").toFile
+    val path = new java.io.File(dir, "snapshot").getPath
+    val input = MemoryStream[(String, Long)]
+    val query = input.toDS().toDF("k", "v")
+      .writeStream
+      .foreachBatch(graft.streaming.Sinks.keyedUpsert(path, "k") _)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("a", 1L), ("b", 2L))
+      query.processAllAvailable()
+      input.addData(("b", 20L), ("c", 3L))   // b updated, c inserted
+      query.processAllAvailable()
+      def snap() = spark.read.parquet(path).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val afterTwo = snap()
+      assert(afterTwo === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+      // simulate at-least-once redelivery of the last micro-batch: the sink
+      // must converge to the same snapshot, not duplicate or reorder
+      val replay = Seq(("b", 20L), ("c", 3L)).toDF("k", "v")
+      graft.streaming.Sinks.keyedUpsert(path, "k")(replay, batchId = 1L)
+      assert(snap() === afterTwo)
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("counter fold is incremental: two folds equal one") {
     val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
