@@ -21,25 +21,23 @@ object IvfIndex {
 
   /** Build: pick nCentroids deterministic seeds, assign all rows.
     *
-    * Seeding is hash-mod sampling (portable hash60 of the id), NOT a global
-    * row_number over the corpus — a full-corpus unpartitioned window is a
-    * single-partition sort and would serialize the whole table through one
-    * task at scale. The mod filter keeps the candidate pool at ~2·nCentroids
-    * rows in expectation; only that tiny pool is windowed to assign stable
-    * centroid ids.
+    * Seeds are the nCentroids smallest (hash60(id), id) rows — a
+    * pseudo-random but deterministic draw. `orderBy(...).limit(k)` plans as
+    * TakeOrdered: per-partition k-row heaps merged on the driver, NOT a
+    * full sort and NOT a full-corpus unpartitioned window (which would
+    * serialize the whole table through one task at scale). Exactly
+    * min(n, nCentroids) seeds, guaranteed; only the k selected rows pass
+    * through the id-assigning window.
     */
   def build(chunks: DataFrame, idCol: String, vecCol: String, nCentroids: Int): Index = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Fns
-    val n = chunks.count()
-    val stride = math.max(n / (2L * nCentroids), 1L)
-    val h = Fns.hash60(col(idCol).cast("string"))
     val w = Window.orderBy(col("h"), col(idCol))
     val centroids = chunks.select(col(idCol), col(vecCol))
-      .filter(h % stride === 0)
-      .withColumn("h", h)
+      .withColumn("h", Fns.hash60(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol))
+      .limit(nCentroids)
       .withColumn("centroid_id", row_number().over(w))
-      .filter(col("centroid_id") <= nCentroids)
       .select(col("centroid_id"), col(vecCol).as("cvec"))
     val assigned = Similarity.ivfAssign(chunks, centroids, idCol, vecCol)
     Index(centroids, assigned)

@@ -66,16 +66,29 @@ object Temporal {
     */
   def rangeJoin(points: DataFrame, tsCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                binWidthSec: Long, keys: Seq[String] = Nil): DataFrame = {
+                binWidthSec: Long, keys: Seq[String] = Nil,
+                maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
     val bin = "__graft_bin"
     val pb = points.withColumn(bin,
       floor(unix_timestamp(col(tsCol)) / binWidthSec))
+    val startBin = floor(unix_timestamp(col(startCol)) / binWidthSec)
+    val endBin = floor(unix_timestamp(col(endCol)) / binWidthSec)
+    // Fan-out guard: ONE dirty interval (an open-ended 9999-12-31 sentinel,
+    // a swapped pair of columns) would otherwise explode into hundreds of
+    // millions of bin rows in a single task and kill the whole job. Fail
+    // fast with the offending duration in the message — callers that expect
+    // long intervals raise the cap or pre-filter.
+    val guarded = when(endBin - startBin >= maxBinsPerInterval,
+      raise_error(concat(
+        lit(s"rangeJoin: interval spans >= $maxBinsPerInterval bins of " +
+          s"${binWidthSec}s (start="), col(startCol).cast("string"),
+        lit(", end="), col(endCol).cast("string"),
+        lit("); raise maxBinsPerInterval or pre-filter"))).cast("long"))
+      .otherwise(startBin)
     val ib = intervals
       .filter(col(endCol) > col(startCol))
-      .withColumn(bin, explode(sequence(
-        floor(unix_timestamp(col(startCol)) / binWidthSec),
-        floor(unix_timestamp(col(endCol)) / binWidthSec))))
+      .withColumn(bin, explode(sequence(guarded, endBin)))
     pb.join(ib, (keys :+ bin).toSeq)
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop(bin)

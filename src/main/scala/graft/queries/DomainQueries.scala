@@ -353,11 +353,15 @@ object DomainQueries {
       Some("""WITH ordered AS (
              |  SELECT user_id, ts, event_id, event_type,
              |    lag(event_type) OVER (PARTITION BY user_id
-             |      ORDER BY ts, event_id) AS prev_type
+             |      ORDER BY ts, event_id) AS prev_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
              |  FROM events),
              |changed AS (
+             |  -- rn=1 (not prev IS NULL) + IS DISTINCT FROM: mirrors the
+             |  -- operator's null-safe <=> for null attribute values
              |  SELECT user_id, ts, event_id, event_type FROM ordered
-             |  WHERE prev_type IS NULL OR event_type <> prev_type)
+             |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
              |SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from,
              |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              |    AS TIMESTAMP) AS valid_to,

@@ -206,17 +206,12 @@ object VectorQueries {
       },
       Some(s"""WITH corpus AS (
               |  SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
-              |params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM corpus),
-              |cand AS (
-              |  SELECT vec_id, embedding,
-              |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
-              |  FROM corpus, params
-              |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % stride = 0),
               |cent AS (
-              |  SELECT centroid_id, cvec FROM (
-              |    SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
-              |      embedding AS cvec FROM cand)
-              |  WHERE centroid_id <= 8),
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+              |    embedding AS cvec FROM (
+              |    SELECT vec_id, embedding,
+              |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+              |    FROM corpus ORDER BY h, vec_id LIMIT 8)),
               |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
               |assign AS (
               |  SELECT vec_id, centroid_id, embedding FROM (

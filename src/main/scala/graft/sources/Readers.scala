@@ -24,20 +24,17 @@ object Readers {
 
   val CorruptCol = "_graft_corrupt"
 
-  /** Split parsed lines into (good, bad). `lines` must have a string
-    * `value` column (what `spark.read.text` / `readStream.text` yield).
-    * Good rows carry the schema's columns; bad rows carry the raw line. */
-  def parseJsonLines(lines: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+  /** Shared quarantine split: a parser yields a null struct for an
+    * unparseable line and fills the capture column for a partially-valid
+    * one — both are quarantine cases. */
+  private def split(lines: DataFrame, schema: StructType,
+                    parse: (org.apache.spark.sql.Column, StructType) => org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not contain reserved column $CorruptCol")
-    val withCapture = schema.add(CorruptCol, StringType)
     val parsed = lines.select(
-      from_json(col("value"), withCapture,
-        Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> CorruptCol)).as("rec"),
+      parse(col("value"), schema.add(CorruptCol, StringType)).as("rec"),
       col("value"))
-    // from_json yields a null struct for non-JSON input and fills the
-    // capture column for partially-valid JSON — both are quarantine cases.
     val bad = parsed
       .filter(col("rec").isNull || col(s"rec.$CorruptCol").isNotNull)
       .select(col("value").as("raw_line"))
@@ -47,25 +44,19 @@ object Readers {
     (good, bad)
   }
 
+  /** Split parsed lines into (good, bad). `lines` must have a string
+    * `value` column (what `spark.read.text` / `readStream.text` yield).
+    * Good rows carry the schema's columns; bad rows carry the raw line. */
+  def parseJsonLines(lines: DataFrame, schema: StructType): (DataFrame, DataFrame) =
+    split(lines, schema, (c, s) => from_json(c, s,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+
   /** Same contract for CSV lines (no header handling — headers are metadata,
     * strip the first line upstream or pass real files to `csvFiles`). */
-  def parseCsvLines(lines: DataFrame, schema: StructType, sep: String = ","): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains(CorruptCol),
-      s"schema must not contain reserved column $CorruptCol")
-    val withCapture = schema.add(CorruptCol, StringType)
-    val parsed = lines.select(
-      from_csv(col("value"), withCapture,
-        Map("mode" -> "PERMISSIVE", "sep" -> sep,
-            "columnNameOfCorruptRecord" -> CorruptCol)).as("rec"),
-      col("value"))
-    val bad = parsed
-      .filter(col("rec").isNull || col(s"rec.$CorruptCol").isNotNull)
-      .select(col("value").as("raw_line"))
-    val good = parsed
-      .filter(col("rec").isNotNull && col(s"rec.$CorruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"rec.$f").as(f)).toSeq: _*)
-    (good, bad)
-  }
+  def parseCsvLines(lines: DataFrame, schema: StructType, sep: String = ","): (DataFrame, DataFrame) =
+    split(lines, schema, (c, s) => from_csv(c, s,
+      Map("mode" -> "PERMISSIVE", "sep" -> sep,
+          "columnNameOfCorruptRecord" -> CorruptCol)))
 
   /** File-path entry points: text scan → parse. Splittable parallel read. */
   def jsonlFiles(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) =

@@ -71,16 +71,42 @@ object Writers {
       .saveAsTable(table)
   }
 
-  /** Write `df` to `path` atomically: materialize to `path.tmp`, then swap.
-    * Readers see the old or the new snapshot, never a half-written one. */
+  /** Write `df` to `path` atomically: materialize to `path.tmp`, retire the
+    * current snapshot to `path.swap.old`, promote tmp, then drop the
+    * retired copy. Readers see the old or the new snapshot, never a
+    * half-written one — and no crash window loses data: if the process
+    * dies between retire and promote, the last complete snapshot still
+    * exists at `path.swap.old` (see `readSnapshot`). A stale `.swap.old`
+    * from such a crash is cleaned up on the next swap. */
   def swapWrite(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val tmp = path + ".tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hadoopPath)) fs.delete(hadoopPath, true)
-    fs.rename(tmpPath, hadoopPath)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    df.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
+    // heal a prior retire→promote crash BEFORE touching the retired copy:
+    // without this, deleting .swap.old below could orphan the only
+    // complete snapshot if we crash again before promoting tmp
+    if (!fs.exists(p(path)) && fs.exists(p(path + ".swap.old")))
+      fs.rename(p(path + ".swap.old"), p(path))
+    if (fs.exists(p(path + ".swap.old"))) fs.delete(p(path + ".swap.old"), true)
+    if (fs.exists(p(path))) fs.rename(p(path), p(path + ".swap.old"))
+    fs.rename(p(path + ".tmp"), p(path))
+    fs.delete(p(path + ".swap.old"), true)
+  }
+
+  /** Read the snapshot maintained by `swapWrite`, recovering from a crash
+    * that landed between retire and promote (primary missing → the retired
+    * copy IS the last complete snapshot). Returns None only when neither
+    * exists — a genuine first run. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.schema(schema).parquet(path))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path + ".swap.old")))
+      Some(spark.read.schema(schema).parquet(path + ".swap.old"))
+    else None
   }
 }

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import graft.sources.Writers
 
 /** Streaming sinks built from the batch writers.
@@ -9,11 +11,12 @@ import graft.sources.Writers
   * at-least-once: after a failure the SAME micro-batch can be re-run.
   * A sink therefore has to be idempotent per (batchId, rows) to make
   * end-to-end results effectively exactly-once. Keyed upsert has that
-  * property for free — re-merging identical rows onto the same keys is a
-  * no-op — as long as the swap to the new snapshot is atomic, which
-  * `Writers.swapWrite` provides (write tmp → rename): readers never see a
-  * half-written snapshot, and a crash between write and rename just
-  * leaves the old snapshot for the replay to redo.
+  * property — re-merging identical rows onto the same keys is a no-op —
+  * provided (a) the snapshot replace survives a crash at any point, which
+  * `Writers.swapWrite` + `Writers.readSnapshot` give (the previous
+  * complete snapshot is always recoverable), and (b) the row chosen per
+  * key is deterministic, which `versionCol` provides when a micro-batch
+  * can carry the same key twice.
   *
   * This is the reference's upsert-on-write path (S4/S5 sinks) lifted onto
   * a stream; the session pipeline (T2–T4) feeds it summarized rows.
@@ -22,18 +25,27 @@ object Sinks {
 
   /** foreachBatch body: merge the micro-batch into the keyed parquet
     * snapshot at `path`. Use as
-    * `.writeStream.foreachBatch(Sinks.keyedUpsert(path, "k") _)`. */
-  def keyedUpsert(path: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
+    * `.writeStream.foreachBatch(Sinks.keyedUpsert(path, "k", Some("ts")) _)`.
+    *
+    * `versionCol`: when a batch may contain the same key more than once,
+    * name a totally-ordering column (event time, sequence number) — the
+    * highest version wins, deterministically, so replays converge.
+    * Without it the caller must guarantee per-batch key uniqueness
+    * (`dropDuplicates` alone picks an arbitrary row, which would make a
+    * replay able to produce a different snapshot). */
+  def keyedUpsert(path: String, key: String, versionCol: Option[String] = None)
+                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // one row per key within the batch (later micro-batch rows for the same
-    // key win via the upsert; intra-batch ties are collapsed here)
-    val incoming = batch.dropDuplicates(Seq(key))
-    val existing =
-      try spark.read.schema(batch.schema).parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          batch.schema)
-      }
+    val incoming = versionCol match {
+      case Some(v) =>
+        val w = Window.partitionBy(col(key)).orderBy(desc(v))
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch.dropDuplicates(Seq(key))
+    }
+    val existing = Writers.readSnapshot(spark, path, batch.schema)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
     // upsert is lazy over `existing`; swapWrite materializes to a tmp dir
     // BEFORE touching `path`, so read-then-replace is safe.
     Writers.swapWrite(Writers.upsert(existing, incoming, key), path)

@@ -218,6 +218,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("keyedUpsert with versionCol: intra-batch duplicate keys resolve deterministically") {
+    val dir = java.nio.file.Files.createTempDirectory("sinkv").toFile
+    val path = new java.io.File(dir, "snapshot").getPath
+    try {
+      val sink = graft.streaming.Sinks.keyedUpsert(path, "k", Some("ver")) _
+      // same key twice in one batch, deliberately out of order
+      val batch = Seq(("k1", 2L, "new"), ("k1", 1L, "old"), ("k2", 1L, "x"))
+        .toDF("k", "ver", "payload")
+      sink(batch, 0L)
+      def snap() = spark.read.parquet(path).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(snap() === Map("k1" -> "new", "k2" -> "x"))
+      // replaying the identical batch converges (highest version wins again)
+      sink(batch, 0L)
+      assert(snap() === Map("k1" -> "new", "k2" -> "x"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("counter fold is incremental: two folds equal one") {
     val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq

@@ -127,6 +127,19 @@ class TemporalSpec extends SparkSpec {
     assert(exchanges === 1, s"expected one key shuffle, got $exchanges:\n$p")
   }
 
+  test("rangeJoin: a runaway interval fails fast instead of exploding the task") {
+    val points = Seq((1L, ts("2024-01-01 00:00:30"))).toDF("point_id", "ts")
+    val intervals = Seq(
+      (ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"), 1L)
+    ).toDF("w_start", "w_end", "w_id")
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(points, "ts", intervals, "w_start", "w_end",
+        binWidthSec = 600, maxBinsPerInterval = 1000).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("rangeJoin"),
+      s"expected the fan-out guard, got: $e")
+  }
+
   test("rangeJoin with no keys: pure bin equi-join, still exact") {
     val points = Seq(
       (1L, ts("2024-01-01 00:00:30")),

@@ -31,6 +31,27 @@ class WritersSpec extends SparkSpec {
     assert(back === Set(4, 5))
   }
 
+  test("swapWrite crash between retire and promote: readSnapshot recovers the retired copy") {
+    val dir = java.nio.file.Files.createTempDirectory("swapcrash").toString + "/table"
+    Writers.swapWrite(Seq(1, 2, 3).toDF("v"), dir)
+    // simulate the crash window: snapshot retired to .swap.old, promote of
+    // .tmp never happened
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+    val schema = Seq(1).toDF("v").schema
+    val recovered = Writers.readSnapshot(spark, dir, schema)
+    assert(recovered.isDefined)
+    assert(recovered.get.collect().map(_.getInt(0)).toSet === Set(1, 2, 3))
+    // the next swap self-heals: old snapshot promoted, new one written over it
+    Writers.swapWrite(Seq(9).toDF("v"), dir)
+    assert(spark.read.parquet(dir).collect().map(_.getInt(0)).toSet === Set(9))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+    // no snapshot at all → None, not an exception
+    assert(Writers.readSnapshot(spark, dir + "_nope", schema).isEmpty)
+  }
+
   test("append with partitioning writes prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/t"
     Writers.append(Seq(("u0", 1), ("u1", 2)).toDF("user_id", "v"), dir, Seq("user_id"))
