@@ -148,15 +148,12 @@ object TextAnalysis {
     * longest equal-run measured with one aggregate() fold — zero shuffles,
     * zero corpus-sized intermediates, embarrassingly parallel over a 100 TB
     * scan. Docs shorter than n tokens report zero grams and 0.0 ratios. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    val withGrams = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shingles(col("toks"), n).as("grams"))
-      .select(col("doc_id"), col("grams"), array_sort(col("grams")).as("sorted"))
+  /** Longest equal-run in a SORTED array = the count of its most frequent
+    * element — one aggregate() fold, no shuffle. */
+  private[ops] def longestRun(sorted: Column): Column = {
     val acc0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
-    val bestRun = aggregate(
-      col("sorted"), acc0,
+    aggregate(
+      sorted, acc0,
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
           .otherwise(lit(1L))
@@ -164,8 +161,16 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+  }
+
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val withGrams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), n).as("grams"))
+      .select(col("doc_id"), col("grams"), array_sort(col("grams")).as("sorted"))
     withGrams
-      .withColumn("top_gram_count", bestRun)
+      .withColumn("top_gram_count", longestRun(col("sorted")))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn("n_distinct_grams", size(array_distinct(col("grams"))).cast("long"))
       .withColumn("top_gram_frac",
@@ -192,6 +197,64 @@ object TextAnalysis {
           regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
           PhonePattern, "<PHONE>"),
         LongDigitPattern, "<ID>"))
+
+  /** End-to-end corpus curation decision — the composed training-mix gate a
+    * 100 TB pipeline runs nightly: exact-dup survivorship, quality floor,
+    * repetition ceiling, with language ID carried for downstream
+    * stratification. One verdict per document with the FIRST failing rule
+    * as the reason (dup > low_quality > repetitive > ok).
+    *
+    * Scale shape: ONE scan computes every per-document feature map-side
+    * (token stats, language scores, sorted-gram run fold) — no joins
+    * between the feature operators, no repeated tokenization. The only
+    * shuffle pair is the exact-dup keeper join (groupBy content hash →
+    * min id, re-join on the hash). Thresholds are caller-set; the
+    * individual operators (langId/quality/repetitionStats/Dedup.exact)
+    * remain the à-la-carte versions of the same expressions. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double, maxTopGramFrac: Double, n: Int = 2): DataFrame = {
+    val stop = array(langMarkers.values.flatten.toSeq.distinct.sorted.map(lit): _*)
+    val base = docs.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("__sha"), tokens(col(textCol)).as("toks"))
+    val withGrams = base.select(col("doc_id"), col("__sha"), col("toks"),
+      shingles(col("toks"), n).as("grams"))
+    val langScoreCols = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      size(array_intersect(array_distinct(col("toks")), array(ms.map(lit): _*)))
+        .as(s"__s_$lang")
+    }
+    val feat = withGrams.select(Seq(
+      col("doc_id"), col("__sha"),
+      size(col("toks")).cast("long").as("__nt"),
+      size(array_distinct(col("toks"))).cast("long").as("__nd"),
+      size(filter(col("toks"), t => array_contains(stop, t))).cast("long").as("__ns"),
+      longestRun(array_sort(col("grams"))).as("__best"),
+      size(col("grams")).cast("long").as("__ng")) ++ langScoreCols: _*)
+    // same fold as langId: first language (alphabetical) with the max wins
+    val best = langMarkers.keys.toSeq.sorted.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), lang) =>
+        val sc = col(s"__s_$lang")
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    val keepers = docs.groupBy(sha2(col(textCol), 256).as("__sha"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    feat.join(keepers, "__sha")
+      .withColumn("pred_lang", best._1)
+      // identical operand order to `quality` — bit-stable across engines
+      .withColumn("quality",
+        lit(0.4) * least(lit(1.0), col("__nt") / lit(64.0)) +
+        lit(0.3) * (col("__nd") / col("__nt")) +
+        lit(0.3) * (lit(1.0) - col("__ns") / col("__nt")))
+      .withColumn("top_gram_frac",
+        col("__best").cast("double") / greatest(col("__ng"), lit(1L)))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("__keep_id"), lit("dup"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .when(col("top_gram_frac") > maxTopGramFrac, lit("repetitive"))
+          .otherwise(lit("ok")))
+      .withColumn("keep", col("reason") === "ok")
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        col("top_gram_frac"), col("reason"), col("keep"))
+  }
 
   /** TF-IDF top terms per document — the lexical summary/keyword operator
     * (BM25's corpus-statistics machinery, reused for per-doc term salience

@@ -416,5 +416,69 @@ object TextQueries {
              |      ORDER BY weight DESC, token) AS INT) AS rnk
              |  FROM w)
              |SELECT doc_id, token, rnk, weight FROM ranked
-             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)))
+             |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // The composed curation gate: dup survivorship + quality floor +
+    // repetition ceiling, language carried for stratification. Thresholds
+    // chosen so both reject branches fire on this corpus (q0.1 quality ≈
+    // 0.63, p95 top-2-gram ≈ 0.087).
+    Entry("q76_curation",
+      (s, d) => TextAnalysis.curate(Tables.documents(s, d), "doc_id", "text",
+          minQuality = 0.65, maxTopGramFrac = 0.07)
+        .orderBy(col("doc_id")),
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq.distinct.sorted
+          .map(m => s"'$m'").mkString(", ")
+        val marker = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_intersect(list_distinct(toks), [$lst])) AS s_$lang"
+        }.mkString(",\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(toks) AS BIGINT) AS nt,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS ns,
+           |    $marker
+           |  FROM t),
+           |g AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+           |  FROM t),
+           |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+           |rep AS (SELECT doc_id, max(c) AS best, sum(c) AS tot FROM cnt GROUP BY 1),
+           |keepers AS (
+           |  SELECT sha256(text) AS h, min(doc_id) AS keep_id
+           |  FROM documents GROUP BY 1),
+           |scored AS (
+           |  SELECT f.doc_id,
+           |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+           |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           |         ELSE 'fr' END AS pred_lang,
+           |    0.4 * least(1.0, nt / 64.0)
+           |      + 0.3 * (nd::DOUBLE / nt)
+           |      + 0.3 * (1.0 - ns::DOUBLE / nt) AS quality,
+           |    CAST(COALESCE(best, 0) AS DOUBLE)
+           |      / greatest(CAST(COALESCE(tot, 0) AS BIGINT), 1) AS top_gram_frac,
+           |    k.keep_id
+           |  FROM f
+           |  LEFT JOIN rep ON rep.doc_id = f.doc_id
+           |  JOIN keepers k ON k.h = sha256(f.text))
+           |SELECT doc_id, pred_lang, quality, top_gram_frac,
+           |  CASE WHEN doc_id <> keep_id THEN 'dup'
+           |       WHEN quality < 0.65 THEN 'low_quality'
+           |       WHEN top_gram_frac > 0.07 THEN 'repetitive'
+           |       ELSE 'ok' END AS reason,
+           |  (CASE WHEN doc_id <> keep_id THEN 'dup'
+           |        WHEN quality < 0.65 THEN 'low_quality'
+           |        WHEN top_gram_frac > 0.07 THEN 'repetitive'
+           |        ELSE 'ok' END) = 'ok' AS keep
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }))
 }

@@ -131,6 +131,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 6)
   }
 
+  test("curate: dup beats low_quality beats repetitive beats ok") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the riverbank today"),
+      (2L, "go go go go go go"),                      // repetitive (and low ttr)
+      (3L, "the quick brown fox jumps over the lazy dog near the riverbank today"), // dup of 1
+      (4L, "a the of and to in is a the of and to") // stopword soup → low quality
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curate(corpus, "doc_id", "text",
+        minQuality = 0.5, maxTopGramFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === (("ok", true)))
+    assert(out(3L) === (("dup", false)))      // dup wins even though identical quality
+    assert(out(4L)._1 === "low_quality")
+    assert(out(2L)._1 === "low_quality" || out(2L)._1 === "repetitive")
+    // doc 2 must NOT be ok; if its quality clears the floor it's repetitive
+    assert(!out(2L)._2)
+  }
+
   test("repetitionStats plan is shuffle-free (pure map-side fold)") {
     val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
     val p = out.queryExecution.executedPlan.toString
