@@ -133,6 +133,29 @@ object Retrieval {
       .drop("rn")
   }
 
+  /** Deterministic weighted sampling without replacement, per stratum —
+    * the training-mix construction step: draw k rows per group with
+    * inclusion probability proportional to `weightCol` (Efraimidis–
+    * Spirakis A-ES: rank by u^(1/w), here by the monotone-equivalent
+    * ln(u)/w). The uniform u derives from the portable hash60 of the id
+    * instead of rand(), so the draw is reproducible across engines, runs,
+    * and retries — rerunning a failed stage cannot change the sample.
+    * Rows with weight <= 0 or null are excluded (zero mass). One window
+    * shuffle on the stratum; the per-partition work is a top-k heap. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     strataCol: String, k: Int): DataFrame = {
+    // (hash60+1)/2^60 ∈ (0, 1] — 2^60 is exactly representable, so both
+    // engines compute the identical double
+    val u = (hash60(col(idCol).cast("string")) + lit(1L)) / lit(math.pow(2, 60))
+    val key = log(u) / col(weightCol)
+    val w = Window.partitionBy(col(strataCol)).orderBy(desc("__aes_key"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes_key", key)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__aes_key")
+  }
+
   /** A4 — decayed counter recompute over an event log: each event contributes
     * value·0.5^(Δdays/halfLife) (`memory_management.py:3177-3190`). Batch
     * twin of the streaming EMA; map-side partial sums. */

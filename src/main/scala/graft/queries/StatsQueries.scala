@@ -58,5 +58,32 @@ object StatsQueries {
              |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
              |  count(*) AS n
              |FROM orders WHERE o_totalprice > 480000
-             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)))
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Column profiling (the ANALYZE / data-quality step): one scan, one
+    // aggregation (multi-distinct via Expand), one row per column. Profiled
+    // columns are rendering-stable types (ints/strings) so min/max string
+    // casts hash-match across engines.
+    Entry("q78_profile",
+      (s, d) => graft.ops.Profiling.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column_name")),
+      Some("""SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+             |  count(*) - count(o_orderkey) AS n_nulls,
+             |  count(DISTINCT o_orderkey) AS n_distinct,
+             |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+             |  CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             |  count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),
+             |  CAST(max(o_custkey) AS VARCHAR) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             |  count(DISTINCT o_orderstatus), min(o_orderstatus),
+             |  max(o_orderstatus) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             |  count(DISTINCT o_orderpriority), min(o_orderpriority),
+             |  max(o_orderpriority) FROM orders
+             |ORDER BY column_name""".stripMargin)))
 }

@@ -480,5 +480,25 @@ object TextQueries {
            |        WHEN top_gram_frac > 0.07 THEN 'repetitive'
            |        ELSE 'ok' END) = 'ok' AS keep
            |FROM scored ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // Weighted sampling without replacement per language (Efraimidis-
+    // Spirakis, rank by ln(u)/w): longer documents (n_chars weight) are
+    // proportionally likelier, the draw is hash-deterministic — rerunning
+    // a failed stage cannot change the sample. Rank output only; the A-ES
+    // key stays internal so a last-ulp ln() divergence can't flip a hash.
+    Entry("q77_weighted_sample",
+      (s, d) => graft.ops.Retrieval.weightedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          idCol = "doc_id", weightCol = "n_chars", strataCol = "lang", k = 25)
+        .select(col("lang"), col("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank")),
+      Some("""SELECT lang, rank, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+             |      ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+             |         / 1152921504606846976.0) / n_chars DESC, doc_id)
+             |      AS INT) AS rank
+             |  FROM documents WHERE n_chars > 0)
+             |WHERE rank <= 25 ORDER BY lang, rank""".stripMargin)))
 }

@@ -49,6 +49,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k heap:\n$p")
   }
 
+  test("q70 range join: equi-join machinery, never a nested loop") {
+    val p = planOf("q70_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join nested-looped:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join went cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join machinery:\n$p")
+  }
+
   test("bucketed tables co-locate: the join runs with no shuffle and no sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -129,4 +129,24 @@ class RetrievalSpec extends SparkSpec {
     // doc 4 carries 'rare' (df=1) — idf dwarfs the common term's
     assert(score(4L) > score(1L))
   }
+
+  test("weightedSample: deterministic, bounded by k, biased toward heavy weights") {
+    val rows = (0 until 200).flatMap { g =>
+      Seq((s"g$g-heavy", Some(50.0), s"g$g"), (s"g$g-light", Some(1.0), s"g$g"),
+        (s"g$g-zero", Some(0.0), s"g$g"), (s"g$g-null", Option.empty[Double], s"g$g"))
+    }
+    val df = rows.toDF("id", "w", "grp")
+    val got = Retrieval.weightedSample(df, "id", "w", "grp", k = 1)
+      .collect().map(_.getString(0))
+    assert(got.length === 200) // one winner per stratum
+    assert(!got.exists(_.endsWith("zero")) && !got.exists(_.endsWith("null")),
+      "zero/null weights must carry no mass")
+    val heavyWins = got.count(_.endsWith("heavy"))
+    // P(heavy) = 50/51 per stratum → binomial(200, .98); <170 is astronomically unlikely
+    assert(heavyWins > 170, s"weighting ignored: heavy won only $heavyWins/200")
+    // deterministic replay: the identical sample, not a fresh draw
+    val again = Retrieval.weightedSample(df, "id", "w", "grp", k = 1)
+      .collect().map(_.getString(0))
+    assert(got.toSet === again.toSet)
+  }
 }
