@@ -56,6 +56,58 @@ object ScaleSmoke {
     assert(badEdges == 0, "edge endpoints in different components")
     assert(badLabels == 0, "component label is not the min member")
     assert(chainComps == 100, s"expected 100 chain components, got $chainComps")
+
+    // ---- range join: bin-width invariance at 2M points × 200k intervals.
+    // The bin width is a physical knob — it must NEVER change results.
+    // Comparing two widths distributedly needs no second implementation.
+    val base = lit(1700000000L)
+    val points = spark.range(0, 2000000).select(
+      col("id").as("point_id"),
+      pmod(xxhash64(col("id")), lit(5000)).as("k"),
+      timestamp_seconds(base + pmod(xxhash64(col("id") + 17), lit(2592000L))).as("ts"))
+    val ivStart = pmod(xxhash64(col("id") * 31 + 7), lit(2592000L))
+    val intervals = spark.range(0, 200000).select(
+      col("id").as("iv_id"),
+      pmod(xxhash64(col("id") + 3), lit(5000)).as("k"),
+      timestamp_seconds(base + ivStart).as("w_start"),
+      timestamp_seconds(base + ivStart + pmod(xxhash64(col("id") + 29), lit(7200L)) + 1).as("w_end"))
+    val t1 = System.nanoTime()
+    val narrow = graft.ops.Temporal.rangeJoin(points, "ts", intervals,
+      "w_start", "w_end", binWidthSec = 600, keys = Seq("k")).count()
+    val wide = graft.ops.Temporal.rangeJoin(points, "ts", intervals,
+      "w_start", "w_end", binWidthSec = 3600, keys = Seq("k")).count()
+    val rjSecs = (System.nanoTime() - t1) / 1e9
+    println(f"[scale-smoke] rangeJoin matches=$narrow rjSeconds=$rjSecs%.1f")
+    assert(narrow == wide, s"bin width changed results: $narrow vs $wide")
+    assert(narrow > 0, "range join produced nothing — generator broken")
+
+    // ---- scd2: versions must TILE each key's timeline (valid_to of
+    // version i equals valid_from of version i+1; exactly one open
+    // version per key) at 2M events × 100k keys.
+    val changes = spark.range(0, 2000000).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id") * 13 + 5), lit(100000)).as("k"),
+      timestamp_seconds(base + pmod(xxhash64(col("id") + 41), lit(10000000L))).as("ts"),
+      pmod(xxhash64(col("id") * 3 + 11), lit(3)).cast("string").as("tier"))
+    val t2 = System.nanoTime()
+    val dim = graft.ops.Temporal.scd2(changes, "k", "ts", "event_id", Seq("tier")).persist()
+    val nVersions = dim.count()
+    val scdSecs = (System.nanoTime() - t2) / 1e9
+    val wTile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val gaps = dim
+      .withColumn("next_from", lead(col("valid_from"), 1).over(wTile))
+      .filter((col("next_from").isNotNull && !(col("valid_to") <=> col("next_from"))) ||
+        (col("next_from").isNull && col("valid_to").isNotNull))
+      .count()
+    val openPerKey = dim.filter(col("is_current")).groupBy(col("k"))
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= 1).count()
+    val nKeys = dim.select(col("k")).distinct().count()
+    println(f"[scale-smoke] scd2 versions=$nVersions keys=$nKeys " +
+      f"scdSeconds=$scdSecs%.1f tilingViolations=$gaps badOpenCounts=$openPerKey")
+    assert(gaps == 0, "scd2 versions do not tile the key timeline")
+    assert(openPerKey == 0, "a key has != 1 open version")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }
