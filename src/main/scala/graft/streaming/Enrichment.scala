@@ -45,4 +45,28 @@ object Enrichment {
         col(s"r_$tsCol") <= col(tsCol))
       .drop(r(keyCol))
   }
+
+  /** Stream-static enrichment: left-join rows against the parquet
+    * dimension at `dimPath`; dimension columns (except the key) come back
+    * `dim_`-prefixed, and the dimension is broadcast so the stream side
+    * never shuffles.
+    *
+    * WHERE you call this decides the freshness semantics, because a static
+    * join side's FILE LISTING is resolved when the plan is built, not per
+    * micro-batch:
+    *  - in the streaming plan (`staticEnrich(stream, ...)`) the dimension
+    *    is frozen at stream start — and a `swapWrite` under a running
+    *    stream makes the pinned file paths vanish (FAILED_READ_FILE);
+    *  - inside `foreachBatch { (batch, _) => staticEnrich(batch, ...) }`
+    *    each micro-batch builds a fresh plan, so an atomically swapped
+    *    dimension is re-listed and picked up without restarting the
+    *    stream. That is the pattern for `swapWrite`/`keyedUpsert`-
+    *    maintained dimensions (spec-pinned). */
+  def staticEnrich(stream: DataFrame, dimPath: String, keyCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    val dim = spark.read.parquet(dimPath)
+    val renamed = dim.select(dim.columns.map(c =>
+      if (c == keyCol) col(c) else col(c).as(s"dim_$c")).toIndexedSeq: _*)
+    stream.join(broadcast(renamed), Seq(keyCol), "left")
+  }
 }

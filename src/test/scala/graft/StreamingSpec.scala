@@ -218,6 +218,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment via foreachBatch picks up a swapped dimension without restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dim").toFile
+    val dimPath = new java.io.File(dir, "dim").getPath
+    graft.sources.Writers.swapWrite(Seq(("u1", "bronze")).toDF("k", "tier"), dimPath)
+    val input = MemoryStream[(String, Long)]
+    val seen = new scala.collection.mutable.ArrayBuffer[((String, Long), Option[String])]
+    val query = input.toDS().toDF("k", "v")
+      .writeStream
+      // foreachBatch: each micro-batch re-plans the dimension read, so the
+      // atomic swap below lands mid-stream (an in-plan static join would
+      // pin stream-start file paths and fail after the swap)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.Enrichment.staticEnrich(batch, dimPath, "k")
+          .collect().foreach(r =>
+            seen.synchronized { seen += (((r.getString(0), r.getLong(1)),
+              Option(r.getString(2)))) })
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("u1", 1L), ("u2", 2L))
+      query.processAllAvailable()
+      // swap the dimension mid-stream: next batches must see the new tier
+      graft.sources.Writers.swapWrite(
+        Seq(("u1", "gold"), ("u2", "silver")).toDF("k", "tier"), dimPath)
+      input.addData(("u1", 3L), ("u2", 4L))
+      query.processAllAvailable()
+      val out = seen.synchronized(seen.toMap)
+      assert(out(("u1", 1L)) === Some("bronze"))
+      assert(out(("u2", 2L)) === None)          // not in dim v1 → left join null
+      assert(out(("u1", 3L)) === Some("gold"))  // dim v2 picked up, no restart
+      assert(out(("u2", 4L)) === Some("silver"))
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("keyedUpsert with versionCol: intra-batch duplicate keys resolve deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("sinkv").toFile
     val path = new java.io.File(dir, "snapshot").getPath

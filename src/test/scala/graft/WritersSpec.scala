@@ -52,6 +52,35 @@ class WritersSpec extends SparkSpec {
     assert(Writers.readSnapshot(spark, dir + "_nope", schema).isEmpty)
   }
 
+  test("versioned snapshots: publish, time travel, diff as changelog, prune") {
+    import graft.ops.Snapshots
+    val path = java.nio.file.Files.createTempDirectory("versioned").toString + "/t"
+    val v1 = Writers.Versioned.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), path)
+    val v2 = Writers.Versioned.publish(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s"), path)
+    assert((v1, v2) === ((1L, 2L)))
+    // latest vs pinned time travel
+    assert(Writers.Versioned.read(spark, path).count() === 3)
+    assert(Writers.Versioned.read(spark, path, Some(1L)).count() === 2)
+    // CDC changelog between versions via the snapshot differ
+    val changes = Snapshots.diff(
+        Writers.Versioned.read(spark, path, Some(1L)),
+        Writers.Versioned.read(spark, path, Some(2L)),
+        Seq("k"), Seq("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes === Map(2L -> "changed", 3L -> "added"))
+    // crash in the pointer flip: readers fall back to newest complete dir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_LATEST"), false)
+    assert(Writers.Versioned.latestVersion(spark, path) === Some(2L))
+    val v3 = Writers.Versioned.publish(Seq((9L, "z")).toDF("k", "s"), path)
+    assert(v3 === 3L)
+    // prune keeps the newest two
+    Writers.Versioned.pruneVersions(spark, path, keep = 2)
+    assert(Writers.Versioned.listVersions(spark, path) === Seq(2L, 3L))
+    assert(Writers.Versioned.read(spark, path).collect().head.getLong(0) === 9L)
+  }
+
   test("append with partitioning writes prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString + "/t"
     Writers.append(Seq(("u0", 1), ("u1", 2)).toDF("user_id", "v"), dir, Seq("user_id"))
