@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.engine.IvfIndex
+import graft.engine.{IvfIndex, PqIndex}
 import graft.functions.VectorFunctions.cosineSim
 import graft.ops.Similarity
 import graft.plans.AnnRewrite
@@ -269,5 +269,59 @@ object VectorQueries {
            |SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 4) AS score
            |FROM cand
            |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
+    // Product-quantization KNN: hash-sampled codebook (16 centroids × 8
+    // subspaces), integer micro-unit ADC candidate scan, exact rescore of
+    // the 40 best. Codes are 8 ints per 64-float vector — the candidate
+    // pass reads 32× fewer vector bytes; integer distances make the ADC
+    // sum order-independent, so the oracle reproduces every code and
+    // score exactly.
+    Entry("q79_pq_knn",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 0)
+          .select(col("vec_id"), col("embedding"))
+        val model = PqIndex.train(corpus, "vec_id", "embedding", m = 8, nCentroids = 16)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val enc = PqIndex.encode(corpus, "vec_id", "embedding", model)
+        PqIndex.topK(enc, corpus, "vec_id", "embedding", model, qv,
+          k = 10, candidates = 40)
+      },
+      Some {
+        def microDistSql(a: String, b: String, j: String): String =
+          s"""CAST(floor(list_sum(list_transform(generate_series(1, 8),
+             |      i -> ($a[$j*8 + i]::DOUBLE - $b[$j*8 + i]::DOUBLE)
+             |         * ($a[$j*8 + i]::DOUBLE - $b[$j*8 + i]::DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT)""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id > 0),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |samp AS (
+           |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+           |    embedding AS cvec
+           |  FROM (SELECT vec_id, embedding,
+           |          ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+           |        FROM corpus ORDER BY h, vec_id LIMIT 16)),
+           |sub AS (SELECT j FROM generate_series(0, 7) AS g(j)),
+           |enc AS (
+           |  SELECT vec_id, j, cid FROM (
+           |    SELECT v.vec_id, sub.j, s.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id, sub.j ORDER BY
+           |        ${microDistSql("v.embedding", "s.cvec", "sub.j")}, s.cid) AS rn
+           |    FROM corpus v CROSS JOIN samp s CROSS JOIN sub) WHERE rn = 1),
+           |qtab AS (
+           |  SELECT sub.j, s.cid,
+           |    ${microDistSql("q.qvec", "s.cvec", "sub.j")} AS d
+           |  FROM q CROSS JOIN samp s CROSS JOIN sub),
+           |adc AS (
+           |  SELECT enc.vec_id, sum(qtab.d) AS approx
+           |  FROM enc JOIN qtab ON qtab.j = enc.j AND qtab.cid = enc.cid
+           |  GROUP BY enc.vec_id),
+           |cand AS (SELECT vec_id FROM adc ORDER BY approx, vec_id LIMIT 40)
+           |SELECT c.vec_id, round(${cosineSql("c.embedding", "qvec")}, 4) AS score
+           |FROM corpus c JOIN cand USING (vec_id) CROSS JOIN q
+           |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin
       }))
 }
