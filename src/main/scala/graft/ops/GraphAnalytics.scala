@@ -245,4 +245,82 @@ object GraphAnalytics {
     connectedComponents(pairs.select(col(idA).as("src"), col(idB).as("dst")))
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
       .orderBy(col("doc_id"))
+
+  /** Exact per-vertex triangle counts via degree-ordered edge orientation
+    * (Suri & Vassilvitskii's MR-friendly scheme): orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, generate
+    * wedges only at the order-minimum vertex, and close them against the
+    * canonical edge set. Each triangle is found exactly once, and — the
+    * reason this survives 100 TB — out-degrees under this orientation are
+    * O(√m) REGARDLESS of skew, so the wedge self-join is bounded by Σ
+    * outdeg² ≤ O(m^1.5) even when a celebrity vertex has 10⁸ neighbors
+    * (a naive id-ordered orientation puts all 10⁸ wedges on that one key).
+    *
+    * Input `edges(src, dst)` may be directed/duplicated; self loops are
+    * dropped. Returns (id, triangles) — each triangle contributes 1 to each
+    * of its three vertices; vertices on no triangle are absent. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .persist()
+    // wedges at u, de-duplicated by id order of the two out-neighbors; the
+    // closing edge is looked up by its id-canonical (least, greatest) key
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val triangles = wedges
+      .join(canon.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val counts = triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(true) // materialize before dropping the cached inputs
+    canon.unpersist()
+    oriented.unpersist()
+    counts
+  }
+
+  /** Multi-source unweighted BFS: shortest-path length from any source to
+    * every reachable vertex within `maxDepth` hops. One equi-join + one
+    * anti-join per round, all shuffling on the vertex id; each round is
+    * localCheckpoint'ed so lineage stays flat (the GraphFrames pattern) and
+    * the frontier-empty test doesn't recompute prior rounds. Rounds are
+    * driver-coordinated but O(diameter) of the REACHED region only — the
+    * frontier shrinks to nothing as soon as the ball around the sources is
+    * exhausted. Returns (id, dist) with dist ∈ [0, maxDepth]. */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    var visited = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+      frontierSize = frontier.count()
+    }
+    e.unpersist()
+    visited
+  }
 }

@@ -15,7 +15,8 @@ object Registry {
   lazy val all: Seq[Entry] =
     RelationalQueries.entries ++ VectorQueries.entries ++
       TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
-      DomainPipelineQueries.entries ++ StatsQueries.entries
+      DomainPipelineQueries.entries ++ StatsQueries.entries ++
+      BreadthQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap

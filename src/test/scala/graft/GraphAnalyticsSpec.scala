@@ -82,4 +82,61 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
   }
+
+  test("triangleCounts: known triangles, direction/duplication/self-loop-proof") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per vertex) + a pendant edge + noise:
+    // reversed duplicates and a self loop must not change counts
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L),                    // pendant — 5 is in no triangle
+      (2L, 1L), (3L, 1L),          // reversed duplicates
+      (3L, 3L)                     // self loop
+    ).toDF("src", "dst")
+    val out = GraphAnalytics.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts matches brute force on a random graph (skewed degrees)") {
+    val rnd = new scala.util.Random(7)
+    // hub-heavy: vertex 0 joins many edges -> exercises the degree orientation
+    val raw = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      (1 to 60).map(_ => (0L, rnd.nextInt(40).toLong))
+    val edges = raw.toDF("src", "dst")
+    val out = GraphAnalytics.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute force over the canonical undirected edge set
+    val canon = raw.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val verts = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- verts; j <- verts if j > i; k <- verts if k > j
+      if canon((i, j)) && canon((j, k)) && canon((i, k))
+    } { brute(i) += 1; brute(j) += 1; brute(k) += 1 }
+    assert(out === brute.toMap)
+  }
+
+  test("bfsDistances: first-visit depths, unreachable absent, depth capped") {
+    //  0 -> 1 -> 2 -> 3 -> 4 ; 0 -> 2 (shortcut) ; 9 isolated target-only
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L), (8L, 9L))
+      .toDF("src", "dst")
+    val sources = Seq(0L).toDF("id")
+    val out = GraphAnalytics.bfsDistances(edges, sources, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3))
+
+    val capped = GraphAnalytics.bfsDistances(edges, sources, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfsDistances: multi-source takes the nearer source") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 3L)).toDF("src", "dst")
+    val sources = Seq(0L, 10L).toDF("id")
+    val out = GraphAnalytics.bfsDistances(edges, sources, maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 10L -> 0, 1L -> 1, 3L -> 1, 2L -> 2))
+  }
 }
