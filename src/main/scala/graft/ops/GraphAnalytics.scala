@@ -303,24 +303,29 @@ object GraphAnalytics {
     * exhausted. Returns (id, dist) with dist ∈ [0, maxDepth]. */
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
-    var visited = sources.select(col("id")).distinct()
+    val first = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint(true)
-    var frontier = visited
+    // one materialization per round: each LAYER is checkpointed; the visited
+    // set stays a lazy union of those already-materialized layers (scanning
+    // k cached layers is cheaper than re-checkpointing their union per round)
+    val layers = scala.collection.mutable.ArrayBuffer(first)
+    var frontier = first
     var depth = 0
     var frontierSize = frontier.count()
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
+      val visitedIds = layers.map(_.select(col("id"))).reduce(_ union _)
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .join(visitedIds, Seq("id"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      layers += next
       frontier = next
       frontierSize = frontier.count()
     }
     e.unpersist()
-    visited
+    layers.reduce(_ union _)
   }
 }
