@@ -286,6 +286,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("rnk"), col("weight"))
   }
 
+  /** Collocation mining by lift (= exp(PMI)): for token pairs co-occurring
+    * in at least `minPairDocs` documents, lift = P(a,b) / (P(a)·P(b)) =
+    * n_ab·N / (df_a·df_b) on presence counts. Pure integer arithmetic + one
+    * IEEE division — bit-identical across engines (no transcendental in the
+    * compared output; PMI itself is just ln(lift)).
+    *
+    * The pair blow-up is bounded the standard way: only the `topTokens`
+    * most-frequent tokens participate (broadcast list), so the within-doc
+    * self-join emits ≤ C(topTokens, 2) distinct keys regardless of corpus
+    * size, and the heavy explode is never shuffled raw — it collapses into
+    * the (token_a, token_b) aggregation with map-side combine. */
+  def collocationLift(docs: DataFrame, idCol: String, textCol: String,
+                      topTokens: Int, minPairDocs: Long, topN: Int): DataFrame = {
+    val nDocs = docs.count()
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(topTokens)
+    val t = tok.join(broadcast(top), "token")
+    t.select(col("doc_id"), col("token").as("token_a"), col("df").as("df_a"))
+      .join(t.select(col("doc_id"), col("token").as("token_b"), col("df").as("df_b")),
+        "doc_id")
+      .filter(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .withColumn("lift", (col("n_ab") * lit(nDocs)) / (col("df_a") * col("df_b")))
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("lift"))
+      .orderBy(desc("lift"), col("token_a"), col("token_b"))
+      .limit(topN)
+  }
+
   /** Document fingerprint: sha256 of the content, the min shingle hash
     * (a 1-hash minhash — stable under small edits), and shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =

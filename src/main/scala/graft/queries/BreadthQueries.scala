@@ -201,5 +201,149 @@ object BreadthQueries {
              |FROM (SELECT DISTINCT event_type FROM ev) t
              |CROSS JOIN days
              |LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = days.day
-             |ORDER BY t.event_type, days.day""".stripMargin)))
+             |ORDER BY t.event_type, days.day""".stripMargin)),
+
+    // Bounded-heap top-k per group: partial aggregation reduces every map
+    // partition to ≤ k rows per group BEFORE the shuffle (vs the window
+    // form, which shuffles all rows). Ties broken by id — deterministic.
+    Entry("q87_topk_group",
+      (s, d) => {
+        val top3 = graft.ops.TopK.topK(3)
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_orderpriority"), posexplode(col("top")))
+          .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.score").as("o_totalprice"), col("col.id").as("o_orderkey"))
+          .orderBy(col("o_orderpriority"), col("rank"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_totalprice, o_orderkey
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders)
+             |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin)),
+
+    // Conversion funnel view→click→purchase per user in ONE shuffle: three
+    // stacked window aggregates over the same user partition (Catalyst
+    // plans one Exchange + one Sort for all three), then a per-user stage
+    // verdict and stage population counts.
+    Entry("q88_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("t_view")).as("t_view"),
+            max(col("t_click")).as("t_click"),
+            max(col("t_purchase")).as("t_purchase"))
+          .select(when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+             |      OVER (PARTITION BY user_id) AS t_view,
+             |    CAST(ts AS TIMESTAMP) AS tts, event_type
+             |  FROM events
+             |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-03'),
+             |staged2 AS (
+             |  SELECT user_id, t_view,
+             |    min(CASE WHEN event_type = 'click' AND tts > t_view THEN tts END)
+             |      OVER (PARTITION BY user_id) AS t_click, tts, event_type
+             |  FROM staged),
+             |staged3 AS (
+             |  SELECT user_id, t_view, t_click,
+             |    min(CASE WHEN event_type = 'purchase' AND tts > t_click THEN tts END)
+             |      OVER (PARTITION BY user_id) AS t_purchase
+             |  FROM staged2),
+             |per_user AS (
+             |  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+             |    max(t_purchase) AS t_purchase
+             |  FROM staged3 GROUP BY user_id)
+             |SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+             |            WHEN t_click IS NOT NULL THEN 2
+             |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             |  count(*) AS n_users
+             |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cohort retention: users grouped by first-activity day, distinct-user
+    // counts at day offsets 0..6 — the classic triangle table, flat format.
+    Entry("q89_cohort",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        ev.join(cohorts, "user_id")
+          .withColumn("offset", datediff(col("day"), col("cohort_day")))
+          .filter(col("offset").between(0, 6))
+          .select(col("cohort_day"), col("offset"), col("user_id")).distinct()
+          .groupBy(col("cohort_day"), col("offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_day"), col("offset"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |cohorts AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+             |SELECT cohort_day,
+             |  CAST(date_diff('day', cohort_day, day) AS INT) AS offset,
+             |  count(DISTINCT ev.user_id) AS n_active
+             |FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+             |WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 6
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Collocation mining by lift (= exp(PMI)) on presence counts, bounded
+    // to the top-40 vocabulary — the pair aggregation has ≤ C(40,2) keys
+    // regardless of corpus size. Lift is integer arithmetic + one IEEE
+    // division: bit-identical across engines, no transcendental compared.
+    Entry("q90_collocations",
+      (s, d) => graft.ops.TextAnalysis.collocationLift(
+        Tables.documents(s, d), "doc_id", "text",
+        topTokens = 40, minPairDocs = 5, topN = 30),
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, token FROM (
+             |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             |    FROM documents)),
+             |top AS (
+             |  SELECT token, count(*) AS df FROM tok GROUP BY token
+             |  ORDER BY df DESC, token LIMIT 40),
+             |t AS (SELECT tok.doc_id, tok.token, top.df
+             |      FROM tok JOIN top USING (token)),
+             |pairs AS (
+             |  SELECT a.token AS token_a, b.token AS token_b,
+             |    a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+             |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+             |  GROUP BY 1, 2, 3, 4
+             |  HAVING count(*) >= 5)
+             |SELECT token_a, token_b, n_ab,
+             |  (n_ab * (SELECT count(*) FROM documents)) / (df_a * df_b) AS lift
+             |FROM pairs
+             |ORDER BY lift DESC, token_a, token_b
+             |LIMIT 30""".stripMargin)),
+
+    // Equi-width histogram — fixed bucket arithmetic, one map-side-combined
+    // aggregation (the data-profiling companion to q78's column stats).
+    Entry("q91_histogram",
+      (s, d) => Tables.orders(s, d)
+        .groupBy((floor(col("o_totalprice") / 50000) * 50000).cast("long")
+          .as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket_lo")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
