@@ -108,6 +108,45 @@ object ScaleSmoke {
     assert(gaps == 0, "scd2 versions do not tile the key timeline")
     assert(openPerKey == 0, "a key has != 1 open version")
 
+    // ---- triangles: 200k disjoint K3s (analytically 200k triangles, every
+    // vertex on exactly one) + 100k chain edges that close nothing. Also
+    // exercises the degree orientation under duplication: each K3 edge is
+    // emitted twice in opposite directions.
+    val k3 = spark.range(0, 200000).select(col("id"))
+    val triEdges = k3.select((col("id") * 3).as("src"), (col("id") * 3 + 1).as("dst"))
+      .union(k3.select((col("id") * 3 + 1).as("src"), (col("id") * 3 + 2).as("dst")))
+      .union(k3.select((col("id") * 3 + 2).as("src"), (col("id") * 3).as("dst")))
+    val triNoise = spark.range(0, 100000)
+      .select((col("id") + 10000000L).as("src"), (col("id") + 10000001L).as("dst"))
+    val t3 = System.nanoTime()
+    val tc = GraphAnalytics.triangleCounts(
+      triEdges.union(triEdges.select(col("dst").as("src"), col("src").as("dst")))
+        .union(triNoise)).persist()
+    val triVerts = tc.count()
+    val triBad = tc.filter(col("triangles") =!= 1).count()
+    val triSecs = (System.nanoTime() - t3) / 1e9
+    println(f"[scale-smoke] triangles verts=$triVerts bad=$triBad triSeconds=$triSecs%.1f")
+    assert(triVerts == 600000, s"expected 600000 triangle vertices, got $triVerts")
+    assert(triBad == 0, "a K3 vertex counted != 1 triangle")
+
+    // ---- BFS: complete binary tree on [1, 2^18) via i→2i, i→2i+1.
+    // dist(v) = floor(log2 v) analytically; frontier doubles every round
+    // (wide-frontier stress, the opposite shape of the CC chain case).
+    val tree = spark.range(1, 131072).select(col("id").as("src"), (col("id") * 2).as("dst"))
+      .union(spark.range(1, 131072).select(col("id").as("src"), (col("id") * 2 + 1).as("dst")))
+    val t4 = System.nanoTime()
+    val dists = GraphAnalytics.bfsDistances(tree,
+      spark.range(1).select(lit(1L).as("id")), maxDepth = 17).persist()
+    val bfsN = dists.count()
+    // floor(log2 v) computed EXACTLY as binary-digit count − 1 (a float
+    // log2 can land at 2.9999… on exact powers of two and floor wrong)
+    val bfsBad = dists
+      .filter(col("dist") =!= (length(conv(col("id"), 10, 2)) - 1).cast("int")).count()
+    val bfsSecs = (System.nanoTime() - t4) / 1e9
+    println(f"[scale-smoke] bfs reached=$bfsN bad=$bfsBad bfsSeconds=$bfsSecs%.1f")
+    assert(bfsN == 262143, s"expected 262143 reached vertices, got $bfsN")
+    assert(bfsBad == 0, "bfs dist != floor(log2(id)) on the binary tree")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }
