@@ -47,4 +47,21 @@ object Fns {
     */
   def timeDecay(ts: Column, now: Column, halfLifeDays: Double): Column =
     pow(lit(0.5), datediff(now, ts).cast("double") / halfLifeDays)
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
+    * int columns: bit i of `a` lands at position 2i+1, bit i of `b` at 2i.
+    * Built from shift/and/or builtins only, so the whole thing stays inside
+    * whole-stage codegen (2·bits constant-shift ops, no UDF). Sorting by
+    * this key gives every parquet file a COMPACT bounding box in (a, b) —
+    * min/max stats then prune on EITHER dimension, where a linear
+    * sort-by-(a,b) layout prunes only on the leading column. */
+  def zorder2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast(LongType)
+    val bl = b.cast(LongType)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
 }

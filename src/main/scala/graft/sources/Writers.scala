@@ -54,6 +54,24 @@ object Writers {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** True Z-ORDER layout (the full version of `clusteredWrite`'s
+    * sort-lite): rows are range-partitioned and sorted by the Morton
+    * interleave of two filter columns, giving every output file a compact
+    * bounding box in BOTH dimensions. Parquet min/max stats then prune
+    * scans for predicates on either column alone — the multi-tenant 100 TB
+    * case (`user_id` × `created_day`) where queries filter sometimes by
+    * tenant, sometimes by time, and a linear sort only serves one of them.
+    * `bits` must cover the columns' value range (values ≥ 2^bits share the
+    * top bucket — still correct, just less selective there). */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  bits: Int, nFiles: Int): Unit = {
+    df.withColumn("__z", graft.functions.Fns.zorder2(col(colA), col(colB), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed layout for co-located joins: both fact tables hash-bucketed
     * on the join key with the SAME bucket count join with NO shuffle on
     * either side (and no per-task sort when `sortCols` covers the key) —
