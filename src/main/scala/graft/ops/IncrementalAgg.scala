@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the materialized-view refresh
+  * pattern that keeps 100 TB analytics affordable: the rollup table stores
+  * MERGEABLE partial states (count, sum, min, max — avg is derived, never
+  * stored), so folding a new batch in costs O(batch + |rollup|), never a
+  * rescan of history. This is the batch twin of the reference's running
+  * counters (`memory_management.py:3192-3368` maintains per-memory
+  * cumulative hit/EMA fields event-by-event; here whole partitions fold in
+  * one merge), and the same algebra Spark's own partial aggregation uses
+  * map-side.
+  *
+  * Invariant (spec-enforced): refresh(b1); refresh(b2); … ≡ aggregate(b1 ∪
+  * b2 ∪ …) for any batch split, because (cnt,sm,mn,mx) forms a commutative
+  * monoid under (sum,sum,min,max).
+  */
+object IncrementalAgg {
+
+  private val stateCols = Seq("cnt", "sm", "mn", "mx")
+
+  /** Partial (mergeable) state of one batch, grouped by `keys`. */
+  def partial(events: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    events.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valueCol).cast("double")).as("sm"),
+      min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+
+  /** Merge two partial-state tables (same key columns). */
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.select((keys ++ stateCols).map(col): _*)
+      .unionByName(b.select((keys ++ stateCols).map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+
+  /** Derive the user-facing view (adds avg) from stored state. */
+  def finalized(state: DataFrame): DataFrame =
+    state.withColumn("avg", col("sm") / col("cnt"))
+
+  /** Fold a new event batch into the rollup at `aggPath` (created on first
+    * call), atomically via the snapshot swap — readers never see a partial
+    * refresh. Only the NEW batch is scanned. */
+  def refresh(spark: SparkSession, aggPath: String, newEvents: DataFrame,
+              keys: Seq[String], valueCol: String): Unit = {
+    val incoming = partial(newEvents, keys, valueCol)
+    val exists = new java.io.File(aggPath).exists() ||
+      scala.util.Try(spark.read.parquet(aggPath).schema).isSuccess
+    val next =
+      if (exists) merge(spark.read.parquet(aggPath), incoming, keys)
+      else incoming
+    graft.sources.Writers.swapWrite(next, aggPath)
+  }
+}

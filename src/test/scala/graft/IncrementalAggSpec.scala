@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{IncrementalAgg, Sketches}
+
+class IncrementalAggSpec extends SparkSpec {
+
+  test("three incremental refreshes == one full recompute (real events)") {
+    val ev = Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("incragg").toString + "/rollup"
+    val batches = Seq(
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")).between(11, 20)),
+      ev.filter(dayofmonth(col("ts")) > 20))
+    batches.foreach(b =>
+      IncrementalAgg.refresh(spark, dir, b, Seq("event_type"), "value"))
+
+    val got = IncrementalAgg.finalized(spark.read.parquet(dir))
+      .select("event_type", "cnt", "sm", "mn", "mx", "avg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+    val full = IncrementalAgg.finalized(
+        IncrementalAgg.partial(ev, Seq("event_type"), "value"))
+      .select("event_type", "cnt", "sm", "mn", "mx", "avg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+    assert(got.keySet === full.keySet)
+    got.foreach { case (k, (cnt, sm, mn, mx, _)) =>
+      val (fcnt, fsm, fmn, fmx, _) = full(k)
+      assert(cnt === fcnt, s"$k cnt")
+      assert(math.abs(sm - fsm) < 1e-6, s"$k sum")   // double sum: order-dependent ulps
+      assert(mn === fmn, s"$k min")
+      assert(mx === fmx, s"$k max")
+    }
+  }
+
+  test("refresh batches in any order — state is a commutative monoid") {
+    import spark.implicits._
+    val d1 = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
+    val d2 = Seq(("a", 3.0), ("c", 7.0)).toDF("k", "v")
+    val p12 = IncrementalAgg.merge(
+      IncrementalAgg.partial(d1, Seq("k"), "v"),
+      IncrementalAgg.partial(d2, Seq("k"), "v"), Seq("k"))
+    val p21 = IncrementalAgg.merge(
+      IncrementalAgg.partial(d2, Seq("k"), "v"),
+      IncrementalAgg.partial(d1, Seq("k"), "v"), Seq("k"))
+    val as = p12.orderBy("k").collect().toSeq
+    val bs = p21.orderBy("k").collect().toSeq
+    assert(as === bs)
+    val a = p12.filter(col("k") === "a").head()
+    assert(a.getLong(a.fieldIndex("cnt")) === 3L)
+    assert(a.getDouble(a.fieldIndex("sm")) === 9.0)
+    assert(a.getDouble(a.fieldIndex("mn")) === 1.0)
+    assert(a.getDouble(a.fieldIndex("mx")) === 5.0)
+  }
+
+  test("HLL sketches: merged daily partials == whole-data sketch, ~exact at this scale") {
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev.withColumn("day", dayofmonth(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = Sketches.estimate(
+        Sketches.mergeSketches(daily, Seq("event_type")))
+      .select(col("event_type"), col("approx_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val whole = Sketches.estimate(
+        Sketches.distinctSketch(ev, Seq("event_type"), "user_id"))
+      .select(col("event_type"), col("approx_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === whole) // sketch union is lossless vs one-shot build
+
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, est) =>
+      val err = math.abs(est.toDouble - exact(k)) / exact(k).toDouble
+      assert(err < 0.05, s"$k: est=$est exact=${exact(k)} err=$err")
+    }
+  }
+}
