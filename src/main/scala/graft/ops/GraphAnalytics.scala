@@ -293,6 +293,41 @@ object GraphAnalytics {
     counts
   }
 
+  /** k-core decomposition membership: the maximal subgraph where every
+    * vertex has degree ≥ k, computed by iterative peeling — drop all
+    * vertices below degree k, recompute degrees, repeat to fixpoint. Each
+    * round is one aggregation + one semi join on the vertex id; rounds are
+    * O(peeling depth), each localCheckpoint'ed flat. The classic filter for
+    * "dense interaction cores" (spam rings, hot entity clusters) that
+    * PageRank and CC both miss. Returns the vertices of the k-core. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    var g = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    var nEdges = g.count()
+    while (changed && iter < maxIter && nEdges > 0) {
+      val deg = g.select(col("src").as("id")).union(g.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val next = g
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      changed = nNext != nEdges
+      nEdges = nNext
+      g = next
+      iter += 1
+    }
+    g.select(col("src").as("id")).union(g.select(col("dst").as("id"))).distinct()
+  }
+
   /** Multi-source unweighted BFS: shortest-path length from any source to
     * every reachable vertex within `maxDepth` hops. One equi-join + one
     * anti-join per round, all shuffling on the vertex id; each round is

@@ -345,5 +345,21 @@ object BreadthQueries {
         .orderBy(col("bucket_lo")),
       Some("""SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
              |  count(*) AS n
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Dense-core extraction: the 3-core of the co-purchase graph (iterative
+    // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
+    // spec-proven on analytic graphs and the driver records rows>0).
+    Entry("q92_kcore",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+        GraphAnalytics.kCore(edges, k = 3).orderBy(col("id"))
+      },
+      None))
 }

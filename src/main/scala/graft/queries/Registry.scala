@@ -12,11 +12,17 @@ case class Entry(
     sql: Option[String])
 
 object Registry {
-  lazy val all: Seq[Entry] =
-    RelationalQueries.entries ++ VectorQueries.entries ++
-      TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
-      DomainPipelineQueries.entries ++ StatsQueries.entries ++
-      BreadthQueries.entries
+  lazy val all: Seq[Entry] = {
+    val entries =
+      RelationalQueries.entries ++ VectorQueries.entries ++
+        TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
+        DomainPipelineQueries.entries ++ StatsQueries.entries ++
+        BreadthQueries.entries
+    val dups = entries.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names (last-wins maps would silently drop one): ${dups.mkString(", ")}")
+    entries
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(e => e.name -> e.fn).toMap

@@ -132,6 +132,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(capped === Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
   }
 
+  test("kCore: K5 survives k=4, appendages peel away (cascading)") {
+    // K5 on {1..5} + a chain 5-10-11-12 + a pendant triangle fan 20-21-22
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val extras = Seq((5L, 10L), (10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (k5 ++ extras).toDF("src", "dst")
+    val core4 = GraphAnalytics.kCore(edges, 4).as[Long].collect().toSet
+    assert(core4 === Set(1L, 2L, 3L, 4L, 5L))
+    // k=2: chain peels completely (cascade 12→11→10), triangle survives
+    val core2 = GraphAnalytics.kCore(edges, 2).as[Long].collect().toSet
+    assert(core2 === Set(1L, 2L, 3L, 4L, 5L, 20L, 21L, 22L))
+    // k=6 exceeds any degree: empty core
+    assert(GraphAnalytics.kCore(edges, 6).count() === 0L)
+  }
+
   test("bfsDistances: multi-source takes the nearer source") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 3L)).toDF("src", "dst")
     val sources = Seq(0L, 10L).toDF("id")
