@@ -51,16 +51,21 @@ object Retrieval {
   /** F4 — the reference's typed customMetadata filter semantics
     * (`memory_graph.py:5966-6046`): per key, a list means ANY-overlap, a bool
     * means equality, a *bare number means a `>=` lower bound*, a range object
-    * means gte/lte/gt/lt, a string means equality. Encoded once here. */
+    * means gte/lte/gt/lt, a string means equality. Encoded once here.
+    * Numeric/bool comparisons use try_cast: customMetadata is OPEN-schema, so
+    * a non-numeric value under a numeric predicate must be a non-match (the
+    * reference's `value_matches` behavior) — under ANSI mode a plain cast
+    * would fail the whole query on the first stray string. Found by the
+    * PropertySpec F4 model check. */
   sealed trait MetaPred { def toPredicate(value: Column): Column }
   final case class MetaEq(v: String) extends MetaPred {
     def toPredicate(value: Column): Column = value === lit(v)
   }
   final case class MetaBool(v: Boolean) extends MetaPred {
-    def toPredicate(value: Column): Column = value.cast("boolean") === lit(v)
+    def toPredicate(value: Column): Column = value.try_cast("boolean") === lit(v)
   }
   final case class MetaAtLeast(v: Double) extends MetaPred {
-    def toPredicate(value: Column): Column = value.cast("double") >= lit(v)
+    def toPredicate(value: Column): Column = value.try_cast("double") >= lit(v)
   }
   final case class MetaAnyOf(vs: Seq[String]) extends MetaPred {
     def toPredicate(value: Column): Column = value.isin(vs.map(x => x: Any): _*)
@@ -68,7 +73,7 @@ object Retrieval {
   final case class MetaRange(gte: Option[Double] = None, lte: Option[Double] = None,
                              gt: Option[Double] = None, lt: Option[Double] = None) extends MetaPred {
     def toPredicate(value: Column): Column = {
-      val d = value.cast("double")
+      val d = value.try_cast("double")
       Seq(gte.map(d >= _), lte.map(d <= _), gt.map(d > _), lt.map(d < _))
         .flatten.reduceOption(_ && _).getOrElse(lit(true))
     }

@@ -57,6 +57,39 @@ class PlanQualitySpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi-join machinery:\n$p")
   }
 
+  test("q82 bloom semi join: prefilter evaluated scan-side, then a real semi join") {
+    val p = planOf("q82_bloom_semi")
+    // the bloom probe must run BEFORE the join (a Filter under the join),
+    // and the exactness pass must still be a semi join
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom semi join degenerated:\n$p")
+  }
+
+  test("q87 top-k per group: partial ObjectHashAggregate, no Window operator") {
+    val p = planOf("q87_topk_group")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial/final aggregator pair in:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
+  }
+
+  test("q80 triangles: all equi-joins, no cartesian/nested-loop anywhere") {
+    val p = planOf("q80_triangle_counts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting degenerated to a product:\n$p")
+  }
+
+  test("q88 funnel: the three stacked windows share ONE user_id exchange") {
+    val p = planOf("q88_funnel")
+    assert("\\bWindow\\b".r.findAllIn(p).length >= 3, s"expected 3 Window ops in:\n$p")
+    // only 3 exchanges total: one for the windows' user_id partition, one
+    // for the per-user groupBy (same key, AQE-reused or planned), one for
+    // the stage-count groupBy + final order. The regression guarded against
+    // is per-window exchanges (5+).
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"window stack re-shuffles ($exchanges exchanges):\n$p")
+  }
+
   test("bucketed tables co-locate: the join runs with no shuffle and no sort") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
