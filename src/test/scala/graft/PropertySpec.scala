@@ -48,19 +48,40 @@ class PropertySpec extends SparkSpec {
       id <- Gen.choose(0, 1000000)
       k <- Gen.option(Gen.oneOf(
         Gen.choose(-100.0, 100.0).map(Left(_): Either[Double, String]),
-        Gen.oneOf("x", "y", "z", "42").map(Right(_): Either[Double, String])))
+        Gen.oneOf("x", "y", "z", "42", "true", "False", "0")
+          .map(Right(_): Either[Double, String])))
     } yield Doc(id, k)
 
+    val rangeGen: Gen[MetaRange] = for {
+      gte <- Gen.option(Gen.choose(-50.0, 50.0))
+      lte <- Gen.option(Gen.choose(-50.0, 50.0))
+      gt <- Gen.option(Gen.choose(-50.0, 50.0))
+      lt <- Gen.option(Gen.choose(-50.0, 50.0))
+    } yield MetaRange(gte, lte, gt, lt)
     val predGen: Gen[MetaPred] = Gen.oneOf(
       Gen.choose(-50.0, 50.0).map(MetaAtLeast),
-      Gen.oneOf("x", "y", "42").map(MetaEq(_)),
-      Gen.someOf(Seq("x", "y", "z", "42")).map(vs => MetaAnyOf(vs.toSeq)))
+      Gen.oneOf("x", "y", "42", "true").map(MetaEq(_)),
+      Gen.someOf(Seq("x", "y", "z", "42")).map(vs => MetaAnyOf(vs.toSeq)),
+      Gen.oneOf(true, false).map(MetaBool),
+      rangeGen)
+
+    // Spark's permissive string→boolean cast table (try_cast returns null
+    // outside it)
+    def asBool(s: String): Option[Boolean] = s.toLowerCase match {
+      case "true" | "t" | "y" | "yes" | "1"  => Some(true)
+      case "false" | "f" | "n" | "no" | "0" => Some(false)
+      case _ => None
+    }
+    def asNum(s: String): Option[Double] = scala.util.Try(s.toDouble).toOption
 
     def modelPass(doc: Doc, pred: MetaPred): Boolean = (doc.k, pred) match {
-      case (None, _) => false // missing key never matches (SQL 3VL)
+      // MetaRange with NO bounds is vacuously true — even for a missing key
+      // (the predicate reduces to lit(true) before seeing the value)
+      case (_, MetaRange(None, None, None, None)) => true
+      case (None, _) => false // otherwise a missing key never matches (3VL)
       case (Some(Left(n)), MetaAtLeast(v))  => n >= v
       case (Some(Right(s)), MetaAtLeast(v)) => // numeric-string coercion
-        scala.util.Try(s.toDouble).toOption.exists(_ >= v)
+        asNum(s).exists(_ >= v)
       case (Some(Left(n)), MetaEq(v)) =>
         // JSON render of a double never string-equals a plain token unless
         // the rendered forms coincide
@@ -68,6 +89,12 @@ class PropertySpec extends SparkSpec {
       case (Some(Right(s)), MetaEq(v))      => s == v
       case (Some(Left(n)), MetaAnyOf(vs))   => vs.contains(jsonNum(n))
       case (Some(Right(s)), MetaAnyOf(vs))  => vs.contains(s)
+      case (Some(Left(_)), MetaBool(_))     => false // numerals cast via "1"/"0" only
+      case (Some(Right(s)), MetaBool(v))    => asBool(s).contains(v)
+      case (Some(k), MetaRange(gte, lte, gt, lt)) =>
+        val num = k.fold(Some(_): Option[Double], asNum)
+        num.exists(n =>
+          gte.forall(n >= _) && lte.forall(n <= _) && gt.forall(n > _) && lt.forall(n < _))
       case _ => false
     }
     // get_json_object renders numerics as written; we write via to_json of
