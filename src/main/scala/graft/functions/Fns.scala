@@ -57,8 +57,13 @@ object Fns {
     * sort-by-(a,b) layout prunes only on the leading column. */
   def zorder2(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val al = a.cast(LongType)
-    val bl = b.cast(LongType)
+    // saturate, don't wrap: a value ≥ 2^bits must land in the TOP bucket —
+    // taking its low bits would alias it onto small keys (user 1024 at
+    // bits=10 would z-sort next to user 0 and poison min/max pruning for
+    // the whole low range, not just the overflow population)
+    val cap = lit((1L << bits) - 1)
+    val al = least(a.cast(LongType), cap)
+    val bl = least(b.cast(LongType), cap)
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))

@@ -325,6 +325,12 @@ object GraphAnalytics {
       g = next
       iter += 1
     }
+    // A truncated peel returns a SUPERSET of the k-core (vertices with
+    // degree < k still present) — structurally wrong output must fail
+    // loudly, same contract as the star-CC loop. Deep cascades (a long
+    // path peels 2 vertices/round) legitimately need many rounds.
+    require(!changed || nEdges == 0,
+      s"k-core peel did not converge in $maxIter rounds — raise maxIter")
     g.select(col("src").as("id")).union(g.select(col("dst").as("id"))).distinct()
   }
 

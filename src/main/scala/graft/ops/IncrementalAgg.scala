@@ -47,11 +47,13 @@ object IncrementalAgg {
   def refresh(spark: SparkSession, aggPath: String, newEvents: DataFrame,
               keys: Seq[String], valueCol: String): Unit = {
     val incoming = partial(newEvents, keys, valueCol)
-    val exists = new java.io.File(aggPath).exists() ||
-      scala.util.Try(spark.read.parquet(aggPath).schema).isSuccess
-    val next =
-      if (exists) merge(spark.read.parquet(aggPath), incoming, keys)
-      else incoming
+    // readSnapshot, not a bare exists-check: after a crash inside a prior
+    // swapWrite the only complete rollup can live at `aggPath.swap.old` —
+    // ignoring it would silently reset accumulated state to this batch.
+    val next = graft.sources.Writers
+      .readSnapshot(spark, aggPath, incoming.schema)
+      .map(existing => merge(existing, incoming, keys))
+      .getOrElse(incoming)
     graft.sources.Writers.swapWrite(next, aggPath)
   }
 }

@@ -36,7 +36,16 @@ object Pruning {
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val filter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // materialize the dim KEYS once: the bloom build is an eager action and
+    // the exact semi join is a second consumer — without this the whole dim
+    // subplan (the expensive case the scaladoc motivates) runs twice. The
+    // distinct also shrinks both the sketch build and the join build side.
+    val dimKeys = dim.select(col(dimKey).as(factKey)).distinct()
+      .localCheckpoint(true)
+    val filter = dimKeys.stat.bloomFilter(factKey, expectedItems, fpp)
+    // broadcast (not closure-captured) so the bloom image ships once per
+    // executor, not once per task; Spark's ContextCleaner reclaims it when
+    // this reference is collected.
     val bc = fact.sparkSession.sparkContext.broadcast(filter)
     val mightContain: Column = fact.schema(factKey).dataType match {
       case org.apache.spark.sql.types.StringType =>
@@ -47,7 +56,6 @@ object Pruning {
           .apply(col(factKey).cast("long"))
     }
     fact.filter(mightContain)
-      .join(dim.select(col(dimKey).as(factKey)).distinct(),
-        Seq(factKey), "left_semi")
+      .join(dimKeys, Seq(factKey), "left_semi")
   }
 }

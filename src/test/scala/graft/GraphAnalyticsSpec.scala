@@ -146,6 +146,18 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.kCore(edges, 6).count() === 0L)
   }
 
+  test("kCore: truncated peel fails loudly instead of returning a superset") {
+    // a path graph peels only its 2 endpoints per round — maxIter=2 cannot
+    // finish a 30-vertex path at k=2, and the survivors are NOT a 2-core
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnalytics.kCore(path, k = 2, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with enough rounds the same graph converges (to the empty core)
+    assert(GraphAnalytics.kCore(path, k = 2, maxIter = 30).count() === 0L)
+  }
+
   test("bfsDistances: multi-source takes the nearer source") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 3L)).toDF("src", "dst")
     val sources = Seq(0L, 10L).toDF("id")

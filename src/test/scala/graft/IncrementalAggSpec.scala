@@ -39,6 +39,24 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("refresh recovers the .swap.old crash snapshot instead of resetting state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("incrcrash").toString + "/rollup"
+    val b1 = Seq(("a", 1.0), ("a", 3.0)).toDF("k", "v")
+    val b2 = Seq(("a", 5.0)).toDF("k", "v")
+    IncrementalAgg.refresh(spark, dir, b1, Seq("k"), "v")
+    // simulate a crash inside a later swapWrite: state retired to .swap.old,
+    // promotion never happened
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+    IncrementalAgg.refresh(spark, dir, b2, Seq("k"), "v")
+    val r = spark.read.parquet(dir).filter(col("k") === "a").head()
+    assert(r.getLong(r.fieldIndex("cnt")) === 3L, "crash snapshot was not merged")
+    assert(r.getDouble(r.fieldIndex("sm")) === 9.0)
+  }
+
   test("refresh batches in any order — state is a commutative monoid") {
     import spark.implicits._
     val d1 = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")

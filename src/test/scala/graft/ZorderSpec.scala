@@ -20,6 +20,16 @@ class ZorderSpec extends SparkSpec {
     out.foreach { case ((a, b), z) => assert(z === morton(a, b), s"($a,$b)") }
     // z is monotone-ish: the curve visits each quadrant fully before leaving
     assert(morton(0, 0) < morton(0, 1) && morton(1, 1) < morton(2, 0))
+
+    // out-of-range values SATURATE into the top bucket — never wrap onto
+    // small keys (which would co-locate user 2^bits with user 0 and poison
+    // min/max pruning across the low range)
+    val sat = Seq((16, 0), (100, 3), (15, 0)).toDF("a", "b")
+      .select(Fns.zorder2(col("a"), col("b"), 4).as("z"))
+      .as[Long].collect()
+    assert(sat(0) === morton(15, 0), "16 must clamp to 15 at bits=4")
+    assert(sat(1) === morton(15, 3), "100 must clamp to 15 at bits=4")
+    assert(sat(2) === morton(15, 0))
   }
 
   /** Files whose (min,max) range of `c` intersects [lo, hi] — the number a
