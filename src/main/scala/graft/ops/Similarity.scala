@@ -161,4 +161,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Late-interaction retrieval (ColBERT-style MaxSim): documents are BAGS
+    * of vectors (chunk/token embeddings — the reference already stores
+    * per-chunk vectors, `memory_graph.py:10131-10192`; this scores the
+    * whole memory by its best-matching chunk PER query facet instead of a
+    * single pooled vector). score(doc) = Σ_q max_{v∈doc} cos(q, v).
+    *
+    * Plan shape: the query bag (a handful of vectors) broadcasts; the doc
+    * side streams ONCE through a single groupBy(doc) with per-qid
+    * conditional `max` — map-side combine reduces every partition to one
+    * row per doc before the only shuffle. The final score is a FIXED-ORDER
+    * sum of the per-qid maxima (same bit-reproducibility discipline as
+    * BM25's term sum), so the oracle hash-matches. */
+  def maxSimTopK(docVectors: DataFrame, docIdCol: String, vecCol: String,
+                 queryVectors: DataFrame, qidCol: String, qvecCol: String,
+                 qids: Seq[Int], k: Int): DataFrame = {
+    val sims = docVectors.crossJoin(broadcast(queryVectors))
+      .withColumn("sim", cosineSim(col(vecCol), col(qvecCol)))
+    val perQid = qids.map(q =>
+      round(max(when(col(qidCol) === q, col("sim"))), 4).as(s"m$q"))
+    val total = qids.map(q => coalesce(col(s"m$q"), lit(0.0))).reduce(_ + _)
+    sims.groupBy(col(docIdCol))
+      .agg(perQid.head, perQid.tail: _*)
+      .withColumn("maxsim", total)
+      .select(col(docIdCol), col("maxsim"))
+      .orderBy(desc("maxsim"), col(docIdCol))
+      .limit(k)
+  }
 }

@@ -323,5 +323,35 @@ object VectorQueries {
            |SELECT c.vec_id, round(${cosineSql("c.embedding", "qvec")}, 4) AS score
            |FROM corpus c JOIN cand USING (vec_id) CROSS JOIN q
            |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin
+      }),
+
+    // Late-interaction MaxSim (ColBERT scoring): label groups play the
+    // multi-vector documents, vec_ids 0-3 the query bag. Per-qid maxima
+    // are rounded then summed in FIXED qid order — bit-reproducible.
+    Entry("q93_maxsim",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.ops.Similarity.maxSimTopK(
+          emb.select(col("label").as("doc"), col("embedding")), "doc", "embedding",
+          emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", qids = Seq(0, 1, 2, 3), k = 5)
+      },
+      Some {
+        val mcols = (0 to 3).map(q =>
+          s"round(max(CASE WHEN qid = $q THEN sim END), 4) AS m$q").mkString(",\n  ")
+        val total = (0 to 3).map(q => s"coalesce(m$q, 0.0)").mkString(" + ")
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+           |sims AS (
+           |  SELECT e.label AS doc, q.qid,
+           |    ${cosineSql("e.embedding", "q.qvec")} AS sim
+           |  FROM embeddings e CROSS JOIN q),
+           |agg AS (
+           |  SELECT doc,
+           |  $mcols
+           |  FROM sims GROUP BY doc)
+           |SELECT doc, $total AS maxsim FROM agg
+           |ORDER BY maxsim DESC, doc LIMIT 5""".stripMargin
       }))
 }

@@ -27,6 +27,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("maxSimTopK: per-facet best chunk, summed; coverage beats one good chunk") {
+    // doc 10 covers BOTH query facets (one vector each); doc 20 matches
+    // facet 0 twice (max dedups — still only 1.0 for that facet); doc 30
+    // is orthogonal to everything
+    val docs = Seq(
+      (10, Array(1.0f, 0.0f, 0.0f)), (10, Array(0.0f, 1.0f, 0.0f)),
+      (20, Array(1.0f, 0.0f, 0.0f)), (20, Array(0.96f, 0.28f, 0.0f)),
+      (30, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("doc", "embedding")
+    val qs = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("qid", "qvec")
+    val out = Similarity.maxSimTopK(docs, "doc", "embedding",
+        qs, "qid", "qvec", qids = Seq(0, 1), k = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq === Seq(10, 20, 30))
+    assert(out(0)._2 === 2.0)          // both facets perfectly covered
+    assert(out(1)._2 === 1.0 + 0.28)   // facet0 max=1.0, facet1 best=0.28
+    assert(out(2)._2 === 0.0)
+  }
+
   test("nearDupPairs finds close pairs once (a<b)") {
     val out = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
