@@ -122,6 +122,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asofLatest == max-right-ts-<= model, tie/null-key/empty-partition edges") {
+    // small key and ts domains force equal-timestamp ties, keys with no
+    // right rows, and null keys — each a distinct semantic branch
+    val leftGen = Gen.listOfN(40, for {
+      id <- Gen.choose(0L, 1000000L)
+      k <- Gen.option(Gen.choose(0, 4))
+      ts <- Gen.choose(0L, 20L)
+    } yield (id, k, ts))
+    val rightGen = Gen.listOfN(25, for {
+      k <- Gen.option(Gen.choose(0, 4))
+      ts <- Gen.choose(0L, 20L)
+    } yield (k, ts))
+    check(forAll(Gen.zip(leftGen, rightGen)) { case (ls, rs) =>
+      val left = ls.toDF("event_id", "k", "ts")
+      val right = rs.toDF("k", "ts")
+      val got = graft.ops.Temporal
+        .asofLatest(left, right, "k", "ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      val want = ls.map { case (id, k, ts) =>
+        val asof = k.flatMap(kk => rs.collect {
+          case (Some(rk), rts) if rk == kk && rts <= ts => rts
+        }.maxOption)
+        (id, k, ts) -> asof
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      got == want
+    }, minTests = 20)
+  }
+
   test("TopK aggregator == sort-take model under random data and partitioning") {
     val rowsGen = for {
       n <- Gen.choose(1, 300)
