@@ -347,6 +347,41 @@ object BreadthQueries {
              |  count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Full analytic-window suite in one pass: offset functions, ntile
+    // bucketing, distribution ranks — one Exchange + one Sort serves all
+    // seven functions (same-partition windows coalesce).
+    Entry("q94_window_suite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("first_key", first(col("o_orderkey")).over(wf))
+          .withColumn("last_key", last(col("o_orderkey")).over(wf))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume,
+             |  first_value(o_orderkey) OVER wf AS first_key,
+             |  last_value(o_orderkey) OVER wf AS last_key
+             |FROM orders WHERE o_totalprice > 450000
+             |WINDOW
+             |  w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+             |  wf AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
