@@ -130,15 +130,23 @@ object Constraints {
     * check, applied set-wise). Unknown rel types pass through. */
   def applyEdgeConstraints(edges: DataFrame, nodes: DataFrame,
                            constraints: Seq[EdgeConstraint]): DataFrame = {
-    val labels = nodes.select(col("node_id"), col("label"))
+    // LEFT joins + per-id dedup: an endpoint missing from `nodes` (created
+    // elsewhere, or skipped by a create:never node policy) must not delete
+    // the edge before any rule is even evaluated — an inner join silently
+    // dropped every dangling edge, and duplicate node_ids duplicated edges.
+    val labels = nodes.select(col("node_id"), col("label")).dropDuplicates("node_id")
     val withLabels = edges
-      .join(labels.withColumnRenamed("node_id", "src").withColumnRenamed("label", "src_label"), "src")
-      .join(labels.withColumnRenamed("node_id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+      .join(labels.withColumnRenamed("node_id", "src").withColumnRenamed("label", "src_label"),
+        Seq("src"), "left")
+      .join(labels.withColumnRenamed("node_id", "dst").withColumnRenamed("label", "dst_label"),
+        Seq("dst"), "left")
     val keep = constraints.foldLeft(lit(true)) { case (acc, ec) =>
+      // unknown endpoint label ⇒ permissive pass-through (coalesce beats the
+      // 3VL null that would otherwise filter the row out)
       val srcOk = if (ec.allowedSourceLabels.isEmpty) lit(true)
-        else col("src_label").isin(ec.allowedSourceLabels.toSeq: _*)
+        else coalesce(col("src_label").isin(ec.allowedSourceLabels.toSeq: _*), lit(true))
       val dstOk = if (ec.allowedTargetLabels.isEmpty) lit(true)
-        else col("dst_label").isin(ec.allowedTargetLabels.toSeq: _*)
+        else coalesce(col("dst_label").isin(ec.allowedTargetLabels.toSeq: _*), lit(true))
       acc && when(col("rel_type") === ec.relType, srcOk && dstOk).otherwise(lit(true))
     }
     withLabels.filter(keep).drop("src_label", "dst_label")

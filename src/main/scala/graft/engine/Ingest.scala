@@ -91,9 +91,11 @@ object Ingest {
   def extractGraph(spark: SparkSession, mems: Dataset[Memory],
                    extractor: GraphExtractor): (Dataset[Node], Dataset[Edge]) = {
     import spark.implicits._
-    val nodes = mems.flatMap(m => extractor.extract(m)._1)
-    val edges = mems.flatMap(m => extractor.extract(m)._2)
-    (nodes, edges)
+    // extract ONCE per memory and persist the pairs — with two independent
+    // flatMaps the (LLM-priced in production) extractor ran twice per row,
+    // once for each output leg
+    val extracted = mems.map(m => extractor.extract(m)).persist()
+    (extracted.flatMap(_._1), extracted.flatMap(_._2))
   }
 
   /** Entity-resolution cascade (the reference's hard part, SURVEY §7.4.2):
@@ -148,8 +150,12 @@ object Ingest {
     val withExact = bestSem
       .join(broadcast(exact), Seq("cand_label", "cand_name"), "left")
 
+    // the containment test needs a minimum length on BOTH sides: an empty
+    // (or 1-char) name is contained in everything and would merge the
+    // candidate into an arbitrary unrelated entity
     val withFuzzy = withExact
       .join(broadcast(fuzzy), col("cand_label") === col("fz_label") &&
+        length(col("ex_name_lower")) >= 2 && length(col("cand_name")) >= 2 &&
         (lower(col("cand_name")).contains(col("ex_name_lower")) ||
           col("ex_name_lower").contains(lower(col("cand_name")))), "left")
       .drop("fz_label")
@@ -180,8 +186,8 @@ object Ingest {
 
   /** MERGE-style upsert: new rows win over existing on the key (the Delta
     * `MERGE WHEN MATCHED` analog over plain parquet — compute the merged
-    * snapshot; the writer owns atomic swap semantics). */
+    * snapshot; the writer owns atomic swap semantics). Delegates to the
+    * single implementation in `Writers` so the semantics cannot drift. */
   def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
-    existing.join(incoming.select(col(key)), Seq(key), "left_anti")
-      .unionByName(incoming)
+    graft.sources.Writers.upsert(existing, incoming, key)
 }

@@ -45,8 +45,14 @@ object Search {
 
     val filtered = {
       val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
-      val scoped = req.namespaceId                       // F2: tenant AND-scope
-        .map(ns => acl.filter(col("namespace_id") === ns)).getOrElse(acl)
+      // F2: tenant AND-scope. Chunks denormalize the namespace GRANT list
+      // (namespace_read_access), not a namespace_id column — scope on
+      // whichever the input schema actually carries (memories have the id;
+      // chunk payloads, like the reference's Qdrant points, have the list).
+      val scoped = req.namespaceId.map { ns =>
+        if (acl.columns.contains("namespace_id")) acl.filter(col("namespace_id") === ns)
+        else acl.filter(array_contains(col("namespace_read_access"), ns))
+      }.getOrElse(acl)
       if (req.metaFilters.isEmpty) scoped
       else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
     }
@@ -96,6 +102,9 @@ object Search {
     chunks.filter(Retrieval.aclPredicate(req.principal))
       .select(col("memory_id")).distinct()
       .join(memories, Seq("memory_id"))
+      // F6 applies on EVERY path — the fallback must not return the very
+      // memory the caller asked to exclude (primary path filters at hydrate)
+      .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
       .select(col("memory_id"), lit(null).cast("double").as("score"),
         lit(0L).as("n_chunks"), col("content"), col("title"), col("user_id"),
         col("topics"), col("created_at"))

@@ -36,17 +36,32 @@ object Counters {
     value * math.pow(0.5, days / HalfLifeDays)
   }
 
-  /** Event-time-ordered fold of one memory's events into its counters. */
+  /** Event-time-ordered fold of one memory's events into its counters.
+    *
+    * Late events (ts < state.lastTs — possible ACROSS micro-batches, since
+    * only each batch is sorted) must not produce a negative decay interval:
+    * `0.5^(-Δ)` would INFLATE the EMA and regress lastTs, permanently
+    * corrupting the counters. Instead a late contribution is itself decayed
+    * forward by its age (conf · 0.5^((lastTs−ts)/H)) and lastTs keeps its
+    * maximum — with this, the fold is arrival-order independent and stays
+    * exactly equal to the batch decay-at-read recompute. */
   def fold(state: Option[CounterState], events: Seq[AccessEvent]): CounterState = {
     val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
     sorted.foldLeft(state.getOrElse(CounterState(0, 0, 0, sorted.head.ts.getTime))) {
       case (st, e) =>
         val t = e.ts.getTime
-        CounterState(
-          hitTotal = st.hitTotal + 1,
-          ema30d = decay(st.ema30d, st.lastTs, t) + 1.0,
-          confWeighted30d = decay(st.confWeighted30d, st.lastTs, t) + e.confidence,
-          lastTs = t)
+        if (t >= st.lastTs)
+          CounterState(
+            hitTotal = st.hitTotal + 1,
+            ema30d = decay(st.ema30d, st.lastTs, t) + 1.0,
+            confWeighted30d = decay(st.confWeighted30d, st.lastTs, t) + e.confidence,
+            lastTs = t)
+        else
+          CounterState(
+            hitTotal = st.hitTotal + 1,
+            ema30d = st.ema30d + decay(1.0, t, st.lastTs),
+            confWeighted30d = st.confWeighted30d + decay(e.confidence, t, st.lastTs),
+            lastTs = st.lastTs)
     }
   }
 

@@ -20,16 +20,18 @@ import graft.domain.Schemas.Message
   */
 object Sessions {
 
-  /** Rolling summaries + pending buffer per session. */
+  /** Rolling summaries + pending buffer per session. (No shortSummary
+    * field: the short summary is last-batch-only by definition, recomputed
+    * from "" each batch — persisting it would be dead bytes in the state
+    * store.) */
   case class SessionState(
       pending: Seq[Message],
-      shortSummary: String,
       mediumSummary: String,
       longSummary: String,
       processedCount: Int)
 
   object SessionState {
-    val empty: SessionState = SessionState(Nil, "", "", "", 0)
+    val empty: SessionState = SessionState(Nil, "", "", 0)
   }
 
   /** Emitted once per completed batch: the memory-worthy candidates plus the
@@ -75,7 +77,7 @@ object Sessions {
     val longS = summarizer.fold(state.longSummary, batch)         // whole session
     val candidates = batch.filter(classifier.worthy).map(_.content)
     (BatchAnalysis(sessionId, batchIndex, candidates, shortS, mediumS, longS),
-      state.copy(pending = Nil, shortSummary = shortS, mediumSummary = mediumS,
+      state.copy(pending = Nil, mediumSummary = mediumS,
         longSummary = longS, processedCount = state.processedCount + batch.size))
   }
 
@@ -99,16 +101,45 @@ object Sessions {
     out.iterator
   }
 
-  /** Streaming entry: messages stream → per-session batch analyses. */
+  /** Timeout branch: a session idle past the flush window emits its
+    * sub-batchSize leftover as a final (short) batch and releases its
+    * state — without this, trailing messages were never analyzed and every
+    * session's state lived in the store forever. */
+  def flushExpired(sessionId: String, state: GroupState[SessionState],
+                   summarizer: Summarizer,
+                   classifier: WorthinessClassifier): Iterator[BatchAnalysis] = {
+    val st = state.getOption.getOrElse(SessionState.empty)
+    state.remove()
+    if (st.pending.isEmpty) Iterator.empty
+    else {
+      val (analysis, _) = analyze(st.pending, st.copy(pending = Nil), sessionId,
+        summarizer, classifier, batchIndex = st.processedCount / BatchSize)
+      Iterator(analysis)
+    }
+  }
+
+  /** Streaming entry: messages stream → per-session batch analyses.
+    * `flushAfter` (e.g. "30 minutes") arms a processing-time timeout that
+    * flushes trailing sub-batchSize messages and evicts the session state;
+    * None preserves the reference's pure count-trigger behavior (its
+    * `/sessions/{id}/process` endpoint is the manual analog of the flush). */
   def sessionStream(spark: SparkSession, messages: Dataset[Message],
                     summarizer: Summarizer = new ConcatSummarizer(400),
-                    classifier: WorthinessClassifier = new LengthClassifier(5))
+                    classifier: WorthinessClassifier = new LengthClassifier(5),
+                    flushAfter: Option[String] = None)
       : Dataset[BatchAnalysis] = {
     import spark.implicits._
+    val timeoutConf = if (flushAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     messages
       .groupByKey(_.session_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (sid: String, it: Iterator[Message], st: GroupState[SessionState]) =>
-          processGroup(sid, it, st, summarizer, classifier))
+          if (st.hasTimedOut) flushExpired(sid, st, summarizer, classifier)
+          else {
+            val out = processGroup(sid, it, st, summarizer, classifier)
+            flushAfter.foreach(st.setTimeoutDuration)
+            out
+          })
   }
 }

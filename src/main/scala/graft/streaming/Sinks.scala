@@ -38,7 +38,12 @@ object Sinks {
     val spark = batch.sparkSession
     val incoming = versionCol match {
       case Some(v) =>
-        val w = Window.partitionBy(col(key)).orderBy(desc(v))
+        // content-hash tiebreaker: two rows sharing (key, version) would
+        // otherwise be ordered by partition layout, and a post-failure
+        // replay could pick the OTHER row — same data must always yield
+        // the same snapshot for the exactly-once argument to hold
+        val contentHash = xxhash64(batch.columns.map(col): _*)
+        val w = Window.partitionBy(col(key)).orderBy(desc(v), contentHash)
         batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None => batch.dropDuplicates(Seq(key))

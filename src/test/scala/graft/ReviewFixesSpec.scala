@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.domain.Fixtures
+import graft.domain.Schemas.{AccessEvent, Message}
+import graft.engine.{Constraints, Ingest, Search}
+import graft.engine.Search.SearchRequest
+import graft.ops.Retrieval.Principal
+import graft.streaming.{Counters, Sessions}
+
+/** Regression tests for the engine/streaming review findings. */
+class ReviewFixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val mems = Fixtures.memories(spark).collect().toSeq
+  private lazy val memories = Fixtures.memories(spark).toDF()
+  private lazy val chunks = Fixtures.chunks(spark, mems).toDF()
+
+  test("namespace scope runs against the chunk schema (grant list, no namespace_id)") {
+    val owner = Principal("u0")
+    val someContent = mems.find(_.user_id == "u0").get.content
+    // fixture chunks grant no namespaces → scoped search is EMPTY, not a crash
+    val none = Search.search(spark, chunks, memories,
+      SearchRequest(someContent, owner, topK = 5, namespaceId = Some("ns0")))
+    assert(none.count() === 0)
+    // grant ns0 on u0's chunks only → scoped search returns u0 results again
+    val granted = chunks.withColumn("namespace_read_access",
+      when(col("user_id") === "u0", array(lit("ns0")))
+        .otherwise(array().cast("array<string>")))
+    val out = Search.search(spark, granted, memories,
+      SearchRequest(someContent, owner, topK = 5, namespaceId = Some("ns0"))).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("user_id") == "u0"))
+  }
+
+  test("fallbackScan honors excludeMemoryId (F6 on the degraded path)") {
+    val owner = Principal("u0")
+    val base = Search.fallbackScan(chunks, memories,
+      SearchRequest("q", owner, topK = 5)).collect()
+    assert(base.nonEmpty)
+    val excluded = base.head.getAs[String]("memory_id")
+    val out = Search.fallbackScan(chunks, memories,
+      SearchRequest("q", owner, topK = 5, excludeMemoryId = Some(excluded)))
+      .collect().map(_.getAs[String]("memory_id"))
+    assert(!out.contains(excluded))
+  }
+
+  private def ev(id: String, day: Int, conf: Double) =
+    AccessEvent(id, "m1", "u1", "retrieval", 0.9, conf,
+      new Timestamp(day.toLong * 86400000L))
+
+  test("counter fold: a late event decays its own contribution, never inflates") {
+    // in-order prefix, then a LATE event 30 days behind the frontier
+    val st1 = Counters.fold(None, Seq(ev("a", 0, 1.0)))
+    val st2 = Counters.fold(Some(st1), Seq(ev("b", 60, 1.0)))
+    val st3 = Counters.fold(Some(st2), Seq(ev("c", 30, 1.0)))
+    // batch decay-at-read at the frontier (day 60):
+    // 0.5^(60/30) + 0.5^(30/30) + 0.5^0 = 0.25 + 0.5 + 1.0
+    assert(math.abs(st3.ema30d - 1.75) < 1e-12,
+      s"late event corrupted the EMA: ${st3.ema30d}")
+    assert(st3.lastTs === 60L * 86400000L, "lastTs must not regress")
+    // order independence: any arrival order gives the same state
+    val alt = Counters.fold(Some(Counters.fold(None,
+      Seq(ev("a", 0, 1.0), ev("b", 60, 1.0)))), Seq(ev("c", 30, 1.0)))
+    assert(math.abs(alt.ema30d - st3.ema30d) < 1e-12)
+  }
+
+  test("session flush: trailing sub-batch messages are emitted and state released") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val pending = (0 until 4).map(i => Message(s"msg$i", "s1", "u1", "user",
+      s"some sufficiently long user content number $i", new Timestamp(i * 1000L)))
+    val st = TestGroupState.create[Sessions.SessionState](
+      org.apache.spark.api.java.Optional.of(Sessions.SessionState(pending, "med", "long", 30)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out = Sessions.flushExpired("s1", st,
+      new Sessions.ConcatSummarizer(400), new Sessions.LengthClassifier(5)).toSeq
+    assert(out.length === 1)
+    assert(out.head.batch_index === 2)              // 30 processed / 15
+    assert(out.head.memory_candidates.length === 4) // all long user turns
+    assert(st.isRemoved, "session state must be evicted after the flush")
+
+    // no pending → nothing emitted, state still released
+    val empty = TestGroupState.create[Sessions.SessionState](
+      org.apache.spark.api.java.Optional.of(Sessions.SessionState(Nil, "m", "l", 15)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(Sessions.flushExpired("s1", empty,
+      new Sessions.ConcatSummarizer(400), new Sessions.LengthClassifier(5)).isEmpty)
+    assert(empty.isRemoved)
+  }
+
+  test("edge constraints: dangling edges pass through instead of vanishing") {
+    val nodes = Seq(("n1", "Person"), ("n2", "Company")).toDF("node_id", "label")
+    val edges = Seq(
+      ("n1", "n2", "WORKS_AT"),     // both endpoints known
+      ("n1", "ghost", "WORKS_AT"),  // dst unknown → permissive pass
+      ("m7", "n9", "MENTIONS")      // both unknown, unconstrained type
+    ).toDF("src", "dst", "rel_type")
+    // no constraints: nothing may be dropped
+    val free = Constraints.applyEdgeConstraints(edges, nodes, Nil)
+    assert(free.count() === 3)
+    // constrain WORKS_AT targets to Company: known-bad is dropped, unknown passes
+    val c = Constraints.EdgeConstraint("WORKS_AT",
+      allowedSourceLabels = Set("Person"), allowedTargetLabels = Set("Company"))
+    val bad = Seq(("n2", "n1", "WORKS_AT")).toDF("src", "dst", "rel_type") // Company→Person
+    val kept = Constraints.applyEdgeConstraints(edges.union(bad), nodes, Seq(c))
+      .select("src", "dst").as[(String, String)].collect().toSet
+    assert(kept === Set(("n1", "n2"), ("n1", "ghost"), ("m7", "n9")))
+  }
+
+  test("blank/1-char names never fuzzy-match everything") {
+    val cands = Seq(("c1", "Person", ""), ("c2", "Person", "x"),
+      ("c3", "Person", "alice smith")).toDF("node_id", "label", "name")
+    val existing = Seq(("e1", "Person", "Alice Smith Jr"), ("e2", "Person", "Bob"))
+      .toDF("node_id", "label", "name")
+    val props = Seq.empty[(String, String, String, Array[Float])]
+      .toDF("node_id", "node_label", "property_name", "embedding")
+    val out = Ingest.resolveEntities(cands, existing, props,
+        new graft.engine.HashEmbedder(8))
+      .select("cand_id", "resolution").as[(String, String)].collect().toMap
+    assert(out("c1") === "create", "empty name must not merge into an arbitrary entity")
+    assert(out("c2") === "create", "1-char name must not merge into an arbitrary entity")
+    assert(out("c3") === "fuzzy")
+  }
+
+  test("keyedUpsert version ties resolve identically across replays (input order independent)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-tie").toString
+    val rows = Seq(("k1", 5L, "payload-a"), ("k1", 5L, "payload-b"), ("k2", 1L, "z"))
+    def run(path: String, data: Seq[(String, Long, String)]): Set[(String, Long, String)] = {
+      graft.streaming.Sinks.keyedUpsert(path, "k", Some("v"))(
+        data.toDF("k", "v", "payload"), 0L)
+      spark.read.parquet(path).as[(String, Long, String)].collect().toSet
+    }
+    val first = run(s"$dir/a", rows)
+    val second = run(s"$dir/b", rows.reverse)
+    assert(first === second, "tie-break must not depend on input order")
+    assert(first.count(_._1 == "k1") === 1)
+  }
+}
