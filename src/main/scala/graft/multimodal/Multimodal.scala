@@ -124,6 +124,8 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], everyMs: Long,
                    decoder: Decoder = new StubDecoder(32)): Dataset[Frame] = {
     import spark.implicits._
+    // fail at the driver, not as a per-row ArithmeticException in executors
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     media.filter(_.kind == "video").flatMap { r =>
       val n = math.max((r.meta.duration_ms / everyMs).toInt, 1)
       (0 until n).flatMap { i =>

@@ -72,6 +72,12 @@ object Dedup {
   /** LSH banding: hash r consecutive signature slots per band; docs sharing
     * any (band_idx, band_key) are candidates. */
   def bands(signatures: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    // r = 0 would give EVERY doc the same empty-string band key and the
+    // candidate join degenerates to the full n² cross product — the exact
+    // blow-up LSH exists to avoid; non-divisible configs silently drop
+    // trailing hashes (changing recall). Reject both loudly.
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
     val r = numHashes / numBands
     val bandCols = (0 until numBands).map { b =>
       val slot = concat_ws("|", (0 until r).map(i => col(s"h${b * r + i}")): _*)
@@ -139,7 +145,11 @@ object Dedup {
     val candTexts = docs.join(broadcast(candDocs),
       docs(idCol) === candDocs("doc_id"), "left_semi")
     val sh = shingleSets(candTexts, idCol, textCol, shingleK).persist()
-    jaccardVerify(cand, sh, threshold)
+    val out = jaccardVerify(cand, sh, threshold)
+      .localCheckpoint(true) // materialize, then release the caches below
+    cand.unpersist()
+    sh.unpersist()
+    out
   }
 
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH
@@ -156,13 +166,16 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // materialize, then release the cache below
+    sh.unpersist()
+    out
   }
 
   /** SimHash fingerprint (`bits` ≤ 32): per token-hash, bit j votes +1/-1;
@@ -239,7 +252,10 @@ object Dedup {
             bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
           .filter(col("hamming") <= maxDist)
       }
-    out.select(col("doc_a"), col("doc_b"), col("hamming"))
+    val res = out.select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true) // materialize, then release the cache below
+    sig.unpersist()
+    res
   }
 }

@@ -123,6 +123,10 @@ object GraphAnalytics {
     }
     e.unpersist()
     sym.unpersist()
+    // same contract as the star loop and kCore: a truncated propagation
+    // carries non-minimal labels — wrong output must fail loudly
+    require(converged,
+      s"min-label CC did not converge in $maxIter rounds (needs O(diameter)) — raise maxIter")
     labels
   }
 

@@ -22,19 +22,27 @@ object Profiling {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+    // internal aliases are INDEX-based and the unpivot is built from typed
+    // Columns (not a selectExpr string) so profiled column names with
+    // spaces/quotes/dashes — routine in ingested CSV headers — can never
+    // break or corrupt the generated expression
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        count(col(c)).as(s"__nn_$i"),
+        countDistinct(col(c)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      s"'$c', __n, __n - __nn_$c, __nd_$c, __min_$c, __max_$c"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.length}, $stacked) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_val"),
+        col(s"__max_$i").as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 }

@@ -40,7 +40,14 @@ object Pruning {
     // the exact semi join is a second consumer — without this the whole dim
     // subplan (the expensive case the scaladoc motivates) runs twice. The
     // distinct also shrinks both the sketch build and the join build side.
-    val dimKeys = dim.select(col(dimKey).as(factKey)).distinct()
+    // Keys are cast to the FACT side's type first: a long fact key against
+    // an int dim key would otherwise be inserted with one hash width and
+    // probed with another — every probe misses and the "no false
+    // negatives" contract breaks. (Cross-family keys — string vs numeric —
+    // should be pre-cast by the caller.)
+    val dimKeys = dim
+      .select(col(dimKey).cast(fact.schema(factKey).dataType).as(factKey))
+      .distinct()
       .localCheckpoint(true)
     val filter = dimKeys.stat.bloomFilter(factKey, expectedItems, fpp)
     // broadcast (not closure-captured) so the bloom image ships once per

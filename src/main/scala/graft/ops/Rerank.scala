@@ -21,7 +21,10 @@ object LexicalReranker extends Reranker {
   /** rr_score = |tokens(query) ∩ tokens(doc)| / |tokens(query)| — a ratio of
     * small integers, left unrounded for cross-engine bit-stability. */
   def score(candidates: DataFrame, textCol: String, query: String): DataFrame = {
-    val qTokens = query.toLowerCase.split(" ").distinct.sorted
+    // split on runs of whitespace and drop empties: "foo  bar".split(" ")
+    // keeps a "" token, inflating the denominator and letting unrelated
+    // docs intersect on the phantom empty string
+    val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted
     val qArr = array(qTokens.map(lit): _*)
     candidates.withColumn("rr_score",
       size(array_intersect(array_distinct(tokens(col(textCol))), qArr)) /

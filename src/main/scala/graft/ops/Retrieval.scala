@@ -255,11 +255,14 @@ object Retrieval {
       idf * tfc * lit(k1 + 1.0) /
         (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     }
-    perDoc.crossJoin(broadcast(stats))
+    val out = perDoc.crossJoin(broadcast(stats))
       .withColumn("score", queryTerms.map(termScore).reduce(_ + _))
       .filter(col("score") > 0)
       .select(col("doc_id"), col("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
+      .localCheckpoint(true) // materialize, then release the cache below
+    perDoc.unpersist()
+    out
   }
 }

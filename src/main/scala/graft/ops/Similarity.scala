@@ -136,16 +136,27 @@ object Similarity {
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nBits: Int = 16,
                       nBands: Int = 4): DataFrame = {
-    val r = nBits / nBands
-    val mask = (1L << r) - 1
+    // distribute bits evenly so every band is non-empty: nBands > nBits
+    // would give r=0/mask=0 — every row in ONE bucket, the candidate join
+    // degenerates to all-pairs; non-divisible configs would silently drop
+    // the top bits (recall loss). Same treatment as Dedup.simhashPairs.
+    require(nBands >= 1 && nBands <= nBits,
+      s"nBands ($nBands) must be in [1, nBits=$nBits]")
+    val base = nBits / nBands
+    val rem = nBits % nBands
+    val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val signed = corpus.select(col(idCol), col(vecCol))
       .withColumn("sig", rhpSignature(col(vecCol), nBits))
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
       .persist()
     val banded = signed.select(col(idCol), col("sig"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * r).bitwiseAND(mask).as("key"))): _*)).as("bk"))
+      explode(array((0 until nBands).map { b =>
+        val sh = shiftright(col("sig"), offsets(b))
+        val key = if (widths(b) >= 64) sh
+                  else sh.bitwiseAND(lit((1L << widths(b)) - 1))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
     val cand = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
       .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
@@ -154,12 +165,15 @@ object Similarity {
       .select("id_a", "id_b").distinct()
     val a = signed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = signed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    val out = cand.join(a, "id_a").join(b, "id_b")
       .withColumn("score",
         round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // materialize, then release the cache below
+    signed.unpersist()
+    out
   }
 
   /** Late-interaction retrieval (ColBERT-style MaxSim): documents are BAGS

@@ -41,9 +41,22 @@ object Skew {
     * duplicates across as many shards as they have input partitions.
     * Still retry-idempotent: partition id + content are stable for a given
     * input layout, unlike rand() (which Spark also forbids in join keys). */
-  private[graft] def rowSalt(df: DataFrame, saltFactor: Int): Column =
-    pmod(hash((spark_partition_id() +: df.columns.map(col).toIndexedSeq): _*),
-      lit(saltFactor)).cast("int")
+  private[graft] def rowSalt(df: DataFrame, saltFactor: Int): Column = {
+    // hash() rejects MapType (anywhere in the tree) at analysis — salting a
+    // wide production row with a metadata map column must not crash, so
+    // only hashable columns contribute spread; partition id alone is the
+    // floor (still spreads duplicates across input partitions)
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    pmod(hash((spark_partition_id() +: cols): _*), lit(saltFactor)).cast("int")
+  }
 
   /** Equi-join with every left row salted and the right side replicated
     * `saltFactor` times. Supports "inner" and "left" (an unmatched left key

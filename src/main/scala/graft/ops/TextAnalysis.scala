@@ -277,13 +277,16 @@ object TextAnalysis {
     val stats = tf.agg(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("weight"), col("token"))
-    tf.join(dfTbl, "token").crossJoin(broadcast(stats))
+    val out = tf.join(dfTbl, "token").crossJoin(broadcast(stats))
       .withColumn("weight",
         col("c").cast("double") *
           (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topN)
       .select(col("doc_id"), col("token"), col("rnk"), col("weight"))
+      .localCheckpoint(true) // materialize, then release the cache below
+    tf.unpersist()
+    out
   }
 
   /** Collocation mining by lift (= exp(PMI)): for token pairs co-occurring

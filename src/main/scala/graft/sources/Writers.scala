@@ -102,14 +102,20 @@ object Writers {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     df.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
+    // Hadoop FileSystem.rename reports failure by returning FALSE, not by
+    // throwing — every rename must be checked, and the function must abort
+    // BEFORE the final delete of .swap.old: an unchecked failed promote
+    // followed by that delete would destroy the only complete snapshot.
+    def mustRename(from: String, to: String): Unit =
+      require(fs.rename(p(from), p(to)), s"swapWrite: rename $from -> $to failed")
     // heal a prior retire→promote crash BEFORE touching the retired copy:
     // without this, deleting .swap.old below could orphan the only
     // complete snapshot if we crash again before promoting tmp
     if (!fs.exists(p(path)) && fs.exists(p(path + ".swap.old")))
-      fs.rename(p(path + ".swap.old"), p(path))
+      mustRename(path + ".swap.old", path)
     if (fs.exists(p(path + ".swap.old"))) fs.delete(p(path + ".swap.old"), true)
-    if (fs.exists(p(path))) fs.rename(p(path), p(path + ".swap.old"))
-    fs.rename(p(path + ".tmp"), p(path))
+    if (fs.exists(p(path))) mustRename(path, path + ".swap.old")
+    mustRename(path + ".tmp", path)
     fs.delete(p(path + ".swap.old"), true)
   }
 
