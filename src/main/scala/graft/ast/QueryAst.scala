@@ -74,8 +74,12 @@ object QueryCompiler {
       if (!w.op.needsValue && w.value.isDefined)
         throw new AstValidationException(s"operator ${w.op} takes no value (${w.alias}.${w.prop})")
     }
-    q.ret.orderBy.foreach { case (alias, _, _) =>
+    q.ret.orderBy.foreach { case (alias, prop, _) =>
       if (!Aliases(alias)) throw new AstValidationException(s"order-by alias '$alias' invalid")
+      // the ORDER BY column must exist in the projection the sort runs over
+      if (!q.ret.props.contains((alias, prop)))
+        throw new AstValidationException(
+          s"order-by $alias.$prop must be among the projected properties")
     }
     if (q.ret.props.isEmpty) throw new AstValidationException("RETURN must project at least one property")
   }
@@ -85,9 +89,11 @@ object QueryCompiler {
     * reads the properties map. */
   private def resolve(alias: String, prop: String): Column = prop match {
     case "id"       => col(s"${alias}_id")
+    // a relationship's "label" IS its type (Cypher type(r)) — the joined
+    // schema has r_type, never r_label
+    case "label" | "type" if alias == "r" => col("r_type")
     case "label"    => col(s"${alias}_label")
     case "name"     => col(s"${alias}_name")
-    case "type" if alias == "r" => col("r_type")
     case other      => element_at(col(s"${alias}_props"), other)
   }
 
@@ -147,7 +153,10 @@ object QueryCompiler {
         .join(edge("r"), col("r1_dst") === col("r_src"))
         .join(dst, col("r_dst") === col("n_id"))
         .drop("r1_src", "r1_dst", "r1_type", "r1_props")
-      oneHop.unionByName(twoHop).dropDuplicates("m_id", "n_id", "r_src", "r_dst")
+      // r_type is part of the path identity: parallel edges (a)-[KNOWS]->(b)
+      // and (a)-[WORKS_WITH]->(b) are DISTINCT matches — deduping only on
+      // endpoints collapsed them to one arbitrary survivor
+      oneHop.unionByName(twoHop).dropDuplicates("m_id", "n_id", "r_src", "r_dst", "r_type")
     }
 
     val withType = matched.withColumn("r_id", concat_ws("->", col("r_src"), col("r_dst")))

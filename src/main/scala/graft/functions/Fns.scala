@@ -61,9 +61,12 @@ object Fns {
     // taking its low bits would alias it onto small keys (user 1024 at
     // bits=10 would z-sort next to user 0 and poison min/max pruning for
     // the whole low range, not just the overflow population)
+    // clamp BOTH ends: negatives (e.g. a -1 missing-value sentinel) would
+    // sign-extend to all-ones interleave bits and z-sort past the top of
+    // the valid range — the same stat poisoning as wrap-around, low side
     val cap = lit((1L << bits) - 1)
-    val al = least(a.cast(LongType), cap)
-    val bl = least(b.cast(LongType), cap)
+    val al = greatest(least(a.cast(LongType), cap), lit(0L))
+    val bl = greatest(least(b.cast(LongType), cap), lit(0L))
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))

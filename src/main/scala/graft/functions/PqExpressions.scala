@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   * rounding-boundary caveats. Ties break on the lower centroid id.
   */
 object PqOps {
+  /** Runtime guards shared by interpreted eval and generated code: vectors
+    * encoded with the wrong codebook (or codes from an older codebook) must
+    * fail with a clear message, not read past buffers (unchecked Platform
+    * reads on UnsafeArrayData return garbage, not exceptions). */
+  def checkLen(n: Int, expected: Int, name: String): Unit =
+    if (n != expected) throw new IllegalArgumentException(
+      s"$name: input length $n does not match codebook layout ($expected)")
+  def checkCode(code: Int, nCentroids: Int, name: String): Int = {
+    if (code < 0 || code >= nCentroids) throw new IllegalArgumentException(
+      s"$name: code $code out of range [0, $nCentroids)")
+    code
+  }
+
   /** l2sq of subvector j against one centroid, in micro-units. Fixed
     * index-order double accumulation, shared by eval and codegen. */
   def subDistMicro(v: ArrayData, centroid: Array[Float], offset: Int): Long = {
@@ -44,6 +57,8 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     extends UnaryExpression {
   require(codebook.nonEmpty && codebook.forall(_.length == codebook(0).length),
     "codebook must be non-empty with a uniform centroid count")
+  require(codebook.forall(_.forall(_.length == codebook(0)(0).length)),
+    "codebook must have a uniform subvector width across all subspaces/centroids")
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -59,6 +74,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val m = codebook.length
+    PqOps.checkLen(arr.numElements(), m * subDim, prettyName)
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -84,6 +100,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
       val d = ctx.freshName("d"); val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD"); val codes = ctx.freshName("codes")
       s"""
+         |$ops.checkLen($a.numElements(), $cb.length * ${subDim}, "$prettyName");
          |int[] $codes = new int[$cb.length];
          |for (int $j = 0; $j < $cb.length; $j++) {
          |  int $best = 0; long $bestD = Long.MAX_VALUE;
@@ -117,20 +134,26 @@ case class PqAdcDistance(child: Expression, table: Array[Array[Long]])
 
   override def nullSafeEval(v: Any): Any = {
     val codes = v.asInstanceOf[ArrayData]
+    PqOps.checkLen(codes.numElements(), table.length, prettyName)
     var acc = 0L
     var j = 0
-    while (j < table.length) { acc += table(j)(codes.getInt(j)); j += 1 }
+    while (j < table.length) {
+      acc += table(j)(PqOps.checkCode(codes.getInt(j), table(j).length, prettyName))
+      j += 1
+    }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tbl = ctx.addReferenceObj("pqAdcTable", table, "long[][]")
+    val ops = PqOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, a => {
       val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
       s"""
+         |$ops.checkLen($a.numElements(), $tbl.length, "$prettyName");
          |long $acc = 0L;
          |for (int $j = 0; $j < $tbl.length; $j++) {
-         |  $acc += $tbl[$j][$a.getInt($j)];
+         |  $acc += $tbl[$j][$ops.checkCode($a.getInt($j), $tbl[$j].length, "$prettyName")];
          |}
          |${ev.value} = $acc;
        """.stripMargin

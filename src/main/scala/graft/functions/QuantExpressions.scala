@@ -123,7 +123,7 @@ case class Int8CosineSim(left: Expression, right: Expression) extends BinaryExpr
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    val n = graft.functions.VecChecks.dims(x.length, y.length, prettyName)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -141,7 +141,7 @@ case class Int8CosineSim(left: Expression, right: Expression) extends BinaryExpr
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |int $n = graft.functions.VecChecks.dims($a.length, $b.length, "$prettyName");
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $a[$i];

@@ -30,6 +30,19 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
+/** Shared runtime dimension guard for the vector kernels: silently scoring
+  * the common prefix of mismatched vectors (e.g. a corpus mixing 768- and
+  * 2560-dim embeddings after a model migration) returns plausible-looking
+  * garbage — the data bug would be undetectable from output. Static so the
+  * generated code can call it. */
+object VecChecks {
+  def dims(na: Int, nb: Int, name: String): Int = {
+    if (na != nb) throw new IllegalArgumentException(
+      s"$name: vector dimension mismatch ($na vs $nb)")
+    na
+  }
+}
+
 /** dot(a, b) — inner product in double precision. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_dot"
@@ -37,7 +50,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecChecks.dims(x.numElements(), y.numElements(), prettyName)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -50,7 +63,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecChecks.dims($a.numElements(), $b.numElements(), "$prettyName");
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -70,7 +83,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecChecks.dims(x.numElements(), y.numElements(), prettyName)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -91,7 +104,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecChecks.dims($a.numElements(), $b.numElements(), "$prettyName");
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $a.getFloat($i);
@@ -113,7 +126,7 @@ case class L2Squared(left: Expression, right: Expression) extends VectorBinaryEx
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecChecks.dims(x.numElements(), y.numElements(), prettyName)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -130,7 +143,7 @@ case class L2Squared(left: Expression, right: Expression) extends VectorBinaryEx
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecChecks.dims($a.numElements(), $b.numElements(), "$prettyName");
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
@@ -208,7 +221,11 @@ object RhpSignature {
   /** Deterministic hyperplane component in [-1, 1] — shared by interpreted
     * eval and generated code (must stay a static pure function). */
   def component(seed: Int, j: Int, i: Int): Double =
-    (((seed * 1000003L + j * 131L + i * 31L) * 2654435761L % 1000003L).toDouble / 500001.5) - 1.0
+    // seed multiplier must NOT be a multiple of the modulus 1000003 — the
+    // original seed*1000003L vanished under % 1000003, making every seed
+    // produce identical hyperplanes (multi-table LSH amplification became
+    // four copies of one table). 999983 is a distinct prime.
+    (((seed * 999983L + j * 131L + i * 31L) * 2654435761L % 1000003L).toDouble / 500001.5) - 1.0
 }
 
 object VectorFunctions {

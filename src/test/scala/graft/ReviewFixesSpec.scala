@@ -125,6 +125,57 @@ class ReviewFixesSpec extends SparkSpec {
     assert(out("c3") === "fuzzy")
   }
 
+  test("rhp seeds produce independent hyperplanes (multi-table LSH)") {
+    import graft.functions.{RhpSignature, VectorFunctions}
+    // direct: the component function must vary with the seed
+    val c = (s: Int) => (0 until 8).map(i => RhpSignature.component(s, 0, i))
+    assert(c(1) !== c(2))
+    assert(c(0) !== c(7))
+    // end to end: different-seed signature columns differ on real vectors
+    val vecs = Seq(Tuple1(Array(0.3f, -0.7f, 0.2f, 0.9f)),
+      Tuple1(Array(-0.5f, 0.1f, 0.8f, -0.2f))).toDF("v")
+    val sigs = vecs.select(
+      graft.functions.VectorFunctions.rhpSignature(col("v"), 16, seed = 1).as("s1"),
+      graft.functions.VectorFunctions.rhpSignature(col("v"), 16, seed = 2).as("s2"))
+      .as[(Long, Long)].collect()
+    assert(sigs.exists { case (a, b) => a != b },
+      "seeds 1 and 2 must not produce identical signatures")
+  }
+
+  test("vector kernels reject dimension mismatches instead of scoring a prefix") {
+    import graft.functions.VectorFunctions.cosineSim
+    val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("AST: r.label resolves to the rel type; parallel edges stay distinct at *1..2") {
+    import graft.ast._
+    val nodes = Seq(("a", "Person", "a", Map.empty[String, String]),
+      ("b", "Person", "b", Map.empty[String, String]))
+      .toDF("node_id", "label", "name", "properties")
+    val edges = Seq(("a", "b", "KNOWS", Map.empty[String, String]),
+      ("a", "b", "WORKS_WITH", Map.empty[String, String]))
+      .toDF("src", "dst", "rel_type", "properties")
+    val q = GraphQuery(Pattern("Person", maxHops = 2),
+      wheres = Seq(Where("r", "label", CompOp.Eq, Some("WORKS_WITH"))),
+      ret = Return(props = Seq(("m", "id"), ("n", "id"), ("r", "type"))))
+    val out = QueryCompiler.compile(q, nodes, edges).collect()
+    assert(out.length === 1, "the WORKS_WITH parallel edge must survive dedup")
+    assert(out.head.getString(2) === "WORKS_WITH")
+
+    // ordering by an unprojected property is a validation error, not an
+    // AnalysisException from deep inside Catalyst
+    val badOrder = GraphQuery(Pattern("Person"), Nil,
+      Return(props = Seq(("m", "id")), orderBy = Some(("n", "name", true))))
+    intercept[AstValidationException] {
+      QueryCompiler.compile(badOrder, nodes, edges)
+    }
+  }
+
   test("keyedUpsert version ties resolve identically across replays (input order independent)") {
     val dir = java.nio.file.Files.createTempDirectory("sink-tie").toString
     val rows = Seq(("k1", 5L, "payload-a"), ("k1", 5L, "payload-b"), ("k2", 1L, "z"))
