@@ -147,6 +147,18 @@ object ScaleSmoke {
     assert(bfsN == 262143, s"expected 262143 reached vertices, got $bfsN")
     assert(bfsBad == 0, "bfs dist != floor(log2(id)) on the binary tree")
 
+    // ---- bloom semi join: exactness at 10M fact rows × 10k dim keys, with
+    // a deliberate int-vs-long key-type mismatch (the sketch-width trap).
+    val factB = spark.range(0, 10000000).select(col("id").as("k"))
+    val dimB = spark.range(0, 10000000, 1000)
+      .select(col("id").cast("int").as("k"))
+    val t5 = System.nanoTime()
+    val bloomMatches = graft.ops.Pruning
+      .bloomSemiJoin(factB, "k", dimB, "k", expectedItems = 20000L).count()
+    val bloomSecs = (System.nanoTime() - t5) / 1e9
+    println(f"[scale-smoke] bloomSemiJoin matches=$bloomMatches bloomSeconds=$bloomSecs%.1f")
+    assert(bloomMatches == 10000, s"expected 10000 semi-join matches, got $bloomMatches")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

@@ -382,6 +382,70 @@ object BreadthQueries {
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
 
+    // Sliding event-time windows (12h length, 6h hop): every event lands in
+    // exactly length/hop = 2 windows — Spark's window() explodes them
+    // natively; the oracle reproduces the assignment as a union of two
+    // 6h-staggered tumbling bucketings.
+    Entry("q95_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "12 hours", "6 hours").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+        .orderBy(col("ws")),
+      Some("""SELECT ws, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM (
+             |  SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+             |           - k * INTERVAL 6 HOUR AS ws, value
+             |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+             |GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // Trailing 7-day RANGE window per (type, day): frame membership by day
+    // VALUE, not row position — days missing from the data contribute
+    // nothing and the frame still spans exactly 7 calendar days.
+    Entry("q96_trailing_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.withColumn("trailing_7d", sum(col("n")).over(w))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INT) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n,
+             |  sum(n) OVER (PARTITION BY event_type ORDER BY day
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS trailing_7d
+             |FROM daily ORDER BY event_type, day""".stripMargin)),
+
+    // Schema-evolution union: two relations with partially-overlapping
+    // columns align BY NAME, absent columns fill with NULL — the read-side
+    // posture when a 100 TB table's schema grew a column mid-history.
+    Entry("q97_union_by_name",
+      (s, d) => {
+        val old = Tables.part(s, d).filter(col("p_partkey") <= 200)
+          .select(col("p_partkey").as("key"), col("p_name").as("name"),
+            col("p_size").as("size"))
+        val grown = Tables.part(s, d)
+          .filter(col("p_partkey") > 200 && col("p_partkey") <= 400)
+          .select(col("p_partkey").as("key"), col("p_name").as("name"),
+            col("p_size").as("size"), col("p_brand").as("brand"))
+        old.unionByName(grown, allowMissingColumns = true)
+          .orderBy(col("key"))
+      },
+      Some("""SELECT p_partkey AS key, p_name AS name, p_size AS size,
+             |  CAST(NULL AS VARCHAR) AS brand
+             |FROM part WHERE p_partkey <= 200
+             |UNION ALL BY NAME
+             |SELECT p_partkey AS key, p_name AS name, p_size AS size, p_brand AS brand
+             |FROM part WHERE p_partkey > 200 AND p_partkey <= 400
+             |ORDER BY key""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
