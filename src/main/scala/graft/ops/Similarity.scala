@@ -103,6 +103,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe IVF: search the query's `nProbe` nearest clusters instead
+    * of one — the recall knob of the ANN scale path (Qdrant's `hnsw_ef`
+    * analog): each extra probe adds one cluster's worth of scan and
+    * recovers the neighbors that straddle a Voronoi boundary. nProbe =
+    * #centroids degenerates to the exact scan (spec-asserted). */
+  def ivfTopKMulti(corpus: DataFrame, centroids: DataFrame, query: DataFrame,
+                   idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val w = Window.orderBy(col("dist"), col("centroid_id"))
+    val qProbes = query.crossJoin(broadcast(centroids))
+      .withColumn("dist", round(l2sq(col("qvec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("centroid_id").as("q_centroid"))
+    assigned
+      .join(broadcast(qProbes), col("centroid_id") === col("q_centroid"))
+      .crossJoin(broadcast(query))
+      .withColumn("score", round(cosineSim(col(vecCol), col("qvec")), 4))
+      .select(col(idCol), col("centroid_id"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** J7 / near-dup: all pairs with cosine ≥ threshold. The right side is
     * broadcast (embedding tables that fit; at 100 TB swap in the LSH-banded
     * variant from Dedup.simhash-style blocking). Pairs are kept once (a<b).

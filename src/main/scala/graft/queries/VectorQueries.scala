@@ -107,6 +107,47 @@ object VectorQueries {
               |CROSS JOIN q
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    // Multi-probe IVF (nProbe=2): the recall knob of the ANN path — scans
+    // the query's TWO nearest clusters, recovering boundary-straddling
+    // neighbors the single-probe q18 misses.
+    Entry("q98_ivf_multiprobe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKMulti(
+          corpus = emb.filter(col("vec_id") > 8),
+          centroids = emb.filter(col("vec_id").between(1, 8))
+            .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")),
+          query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+          idCol = "vec_id", vecCol = "embedding", k = 10, nProbe = 2)
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+              |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |qprobes AS (
+              |  SELECT centroid_id AS q_centroid FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(q.qvec)),
+              |          i -> (q.qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (q.qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 2)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN qprobes ON a.centroid_id = q_centroid
+              |CROSS JOIN q
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
+
     // Random-hyperplane LSH near-dup — the production-scale twin of q17's
     // all-pairs cosine (candidates = band collisions only; output ⊆ exact).
     // The hyperplane components are a pure function of (seed, bit, dim), so

@@ -27,6 +27,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() === 1)
   }
 
+  test("ivfTopKMulti: nProbe = all centroids degenerates to the exact scan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") > 8)
+    val cents = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = Similarity.knnCosine(corpus, q, "vec_id", "embedding", 10, -2.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val all = Similarity.ivfTopKMulti(corpus, cents, q, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .select(col("vec_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all === exact)
+    // more probes can only add candidates (k > |corpus| so the result IS
+    // the candidate set — a top-k of a larger pool needn't contain the
+    // top-k of a smaller one, but the pools themselves nest)
+    val big = 1000000
+    val p1 = Similarity.ivfTopKMulti(corpus, cents, q, "vec_id", "embedding", big, 1)
+      .select("vec_id").as[Long].collect().toSet
+    val p2 = Similarity.ivfTopKMulti(corpus, cents, q, "vec_id", "embedding", big, 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(p1.subsetOf(p2) && p2.size >= p1.size)
+  }
+
   test("maxSimTopK: per-facet best chunk, summed; coverage beats one good chunk") {
     // doc 10 covers BOTH query facets (one vector each); doc 20 matches
     // facet 0 twice (max dedups — still only 1.0 for that facet); doc 30
