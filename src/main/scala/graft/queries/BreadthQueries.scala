@@ -446,6 +446,20 @@ object BreadthQueries {
              |FROM part WHERE p_partkey > 200 AND p_partkey <= 400
              |ORDER BY key""".stripMargin)),
 
+    // Two-phase heavy hitters: Misra-Gries candidates (one pass, k-bounded
+    // summary, no full-vocabulary shuffle) → exact counts for candidates
+    // only. With k=50 > |vocab| the summary retains everything, so the
+    // result provably equals the plain top-10 — the oracle.
+    Entry("q99_heavy_hitters",
+      (s, d) => graft.ops.HeavyHitters.exactTop(
+        Tables.documents(s, d)
+          .select(explode(graft.functions.Fns.tokens(col("text"))).as("tok")),
+        "tok", k = 50, topN = 10),
+      Some("""SELECT token AS item, count(*) AS n FROM (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS token
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, item LIMIT 10""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
