@@ -460,6 +460,36 @@ object BreadthQueries {
              |  FROM documents)
              |GROUP BY 1 ORDER BY n DESC, item LIMIT 10""".stripMargin)),
 
+    // Ingest chunking parity: the reference's default splitter (fixed
+    // token window with overlap) reproduced in SQL via list slicing — the
+    // chunker that feeds every downstream embed/index step is itself
+    // oracle-checked, not just spec-tested.
+    Entry("q100_chunking",
+      (s, d) => {
+        import s.implicits._
+        val ch = new graft.engine.Chunkers.FixedWindowChunker(
+          windowTokens = 16, overlap = 4)
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            ch.chunk(text).map(p => (id, p.seq, p.text)) }
+          .toDF("doc_id", "seq", "chunk")
+          .withColumn("n_toks", size(split(col("chunk"), " ")))
+          .orderBy(col("doc_id"), col("seq"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |starts AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks), 12)) AS start
+             |  FROM tok)
+             |SELECT doc_id,
+             |  CAST((start - 1) / 12 AS INT) AS seq,
+             |  array_to_string(toks[start : least(start + 15, len(toks))], ' ') AS chunk,
+             |  CAST(least(start + 15, len(toks)) - start + 1 AS INT) AS n_toks
+             |FROM starts
+             |ORDER BY doc_id, seq""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
