@@ -148,15 +148,19 @@ object QueryCompiler {
       // (m)-[r1]->(mid)-[r2]->(n): r-conditions apply to the LAST hop,
       // matching the reference's rendering of *1..2 patterns.
       val mid = edge("r1")
+      // the FIRST hop's identity (mid node + rel type) is part of the path
+      // key too — without it, paths differing only in their first edge
+      // (parallel edges, or different mids) collapse to one arbitrary row
       val twoHop = src
         .join(mid, col("m_id") === col("r1_src"))
         .join(edge("r"), col("r1_dst") === col("r_src"))
         .join(dst, col("r_dst") === col("n_id"))
+        .withColumn("hop1", concat_ws("|", col("r1_type"), col("r1_dst")))
         .drop("r1_src", "r1_dst", "r1_type", "r1_props")
-      // r_type is part of the path identity: parallel edges (a)-[KNOWS]->(b)
-      // and (a)-[WORKS_WITH]->(b) are DISTINCT matches — deduping only on
-      // endpoints collapsed them to one arbitrary survivor
-      oneHop.unionByName(twoHop).dropDuplicates("m_id", "n_id", "r_src", "r_dst", "r_type")
+      oneHop.withColumn("hop1", lit(""))
+        .unionByName(twoHop)
+        .dropDuplicates("m_id", "n_id", "r_src", "r_dst", "r_type", "hop1")
+        .drop("hop1")
     }
 
     val withType = matched.withColumn("r_id", concat_ws("->", col("r_src"), col("r_dst")))

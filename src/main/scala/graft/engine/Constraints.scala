@@ -134,7 +134,9 @@ object Constraints {
     // elsewhere, or skipped by a create:never node policy) must not delete
     // the edge before any rule is even evaluated — an inner join silently
     // dropped every dangling edge, and duplicate node_ids duplicated edges.
-    val labels = nodes.select(col("node_id"), col("label")).dropDuplicates("node_id")
+    // deterministic pick for conflicting duplicate node_ids (entity-
+    // resolution leftovers): min(label), not an arbitrary shuffle survivor
+    val labels = nodes.groupBy(col("node_id")).agg(min(col("label")).as("label"))
     val withLabels = edges
       .join(labels.withColumnRenamed("node_id", "src").withColumnRenamed("label", "src_label"),
         Seq("src"), "left")

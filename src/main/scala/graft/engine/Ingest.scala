@@ -91,10 +91,12 @@ object Ingest {
   def extractGraph(spark: SparkSession, mems: Dataset[Memory],
                    extractor: GraphExtractor): (Dataset[Node], Dataset[Edge]) = {
     import spark.implicits._
-    // extract ONCE per memory and persist the pairs — with two independent
-    // flatMaps the (LLM-priced in production) extractor ran twice per row,
-    // once for each output leg
-    val extracted = mems.map(m => extractor.extract(m)).persist()
+    // extract ONCE per memory: the pairs are localCheckpoint'ed (eager),
+    // so both output legs read materialized blocks — with two independent
+    // flatMaps the (LLM-priced in production) extractor ran twice per row.
+    // Blocks are reclaimed by the ContextCleaner when the dataset is
+    // collected; no session-lifetime persist pin.
+    val extracted = mems.map(m => extractor.extract(m)).localCheckpoint(true)
     (extracted.flatMap(_._1), extracted.flatMap(_._2))
   }
 

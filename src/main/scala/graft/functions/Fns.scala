@@ -48,6 +48,20 @@ object Fns {
   def timeDecay(ts: Column, now: Column, halfLifeDays: Double): Column =
     pow(lit(0.5), datediff(now, ts).cast("double") / halfLifeDays)
 
+  /** Column names whose types Spark's hash()/xxhash64() accept (MapType —
+    * anywhere in the tree — is rejected at analysis). Shared by every spot
+    * that content-hashes whole rows (skew salts, sink tiebreakers). */
+  def hashableCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
+      case a: ArrayType => ok(a.elementType)
+      case _ => true
+    }
+    df.schema.fields.filter(f => ok(f.dataType)).map(f => f.name).toSeq
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
     * int columns: bit i of `a` lands at position 2i+1, bit i of `b` at 2i.
     * Built from shift/and/or builtins only, so the whole thing stays inside
@@ -64,9 +78,12 @@ object Fns {
     // clamp BOTH ends: negatives (e.g. a -1 missing-value sentinel) would
     // sign-extend to all-ones interleave bits and z-sort past the top of
     // the valid range — the same stat poisoning as wrap-around, low side
+    // nulls land in the BOTTOM bucket (coalesce to 0): least/greatest SKIP
+    // nulls, so an un-coalesced null would otherwise clamp to cap and pack
+    // null-key rows in with the very top keys
     val cap = lit((1L << bits) - 1)
-    val al = greatest(least(a.cast(LongType), cap), lit(0L))
-    val bl = greatest(least(b.cast(LongType), cap), lit(0L))
+    val al = greatest(least(coalesce(a.cast(LongType), lit(0L)), cap), lit(0L))
+    val bl = greatest(least(coalesce(b.cast(LongType), lit(0L)), cap), lit(0L))
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))

@@ -57,6 +57,7 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     extends UnaryExpression {
   require(codebook.nonEmpty && codebook.forall(_.length == codebook(0).length),
     "codebook must be non-empty with a uniform centroid count")
+  require(codebook(0).nonEmpty, "codebook subspaces must have at least one centroid")
   require(codebook.forall(_.forall(_.length == codebook(0)(0).length)),
     "codebook must have a uniform subvector width across all subspaces/centroids")
   override def nullIntolerant: Boolean = true

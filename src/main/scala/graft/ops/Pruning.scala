@@ -40,13 +40,21 @@ object Pruning {
     // the exact semi join is a second consumer — without this the whole dim
     // subplan (the expensive case the scaladoc motivates) runs twice. The
     // distinct also shrinks both the sketch build and the join build side.
-    // Keys are cast to the FACT side's type first: a long fact key against
-    // an int dim key would otherwise be inserted with one hash width and
-    // probed with another — every probe misses and the "no false
-    // negatives" contract breaks. (Cross-family keys — string vs numeric —
-    // should be pre-cast by the caller.)
+    // Keys are WIDENED to the probe's hash domain (string or long — the
+    // same domain the mightContain dispatch below uses for the fact side):
+    // mismatched integral widths would otherwise insert with one hash
+    // width and probe with another (every probe misses — false negatives);
+    // casting dim DOWN to a narrower fact type would overflow-wrap and
+    // manufacture matches. try_cast keeps cross-family garbage a non-match
+    // instead of an ANSI error. The semi join then upcasts both sides
+    // itself, so results equal the plain semi join.
+    val probeType = fact.schema(factKey).dataType match {
+      case org.apache.spark.sql.types.StringType => "string"
+      case _ => "bigint"
+    }
     val dimKeys = dim
-      .select(col(dimKey).cast(fact.schema(factKey).dataType).as(factKey))
+      .select(col(dimKey).try_cast(probeType).as(factKey))
+      .filter(col(factKey).isNotNull)
       .distinct()
       .localCheckpoint(true)
     val filter = dimKeys.stat.bloomFilter(factKey, expectedItems, fpp)

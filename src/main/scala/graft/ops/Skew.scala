@@ -46,15 +46,7 @@ object Skew {
     // wide production row with a metadata map column must not crash, so
     // only hashable columns contribute spread; partition id alone is the
     // floor (still spreads duplicates across input partitions)
-    import org.apache.spark.sql.types._
-    def hashable(dt: DataType): Boolean = dt match {
-      case _: MapType => false
-      case s: StructType => s.fields.forall(f => hashable(f.dataType))
-      case a: ArrayType => hashable(a.elementType)
-      case _ => true
-    }
-    val cols = df.schema.fields.filter(f => hashable(f.dataType))
-      .map(f => col(f.name)).toIndexedSeq
+    val cols = graft.functions.Fns.hashableCols(df).map(col).toIndexedSeq
     pmod(hash((spark_partition_id() +: cols): _*), lit(saltFactor)).cast("int")
   }
 

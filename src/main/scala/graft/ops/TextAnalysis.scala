@@ -302,13 +302,17 @@ object TextAnalysis {
     * the (token_a, token_b) aggregation with map-side combine. */
   def collocationLift(docs: DataFrame, idCol: String, textCol: String,
                       topTokens: Int, minPairDocs: Long, topN: Int): DataFrame = {
-    val nDocs = docs.count()
+    val nDocs = docs.count() // parquet metadata count — not a data scan
+    // persisted: the corpus-wide explode feeds the vocab aggregation AND
+    // both legs of the within-doc self-join — uncached it would re-run
+    // tokenize+explode per consumer (same shape tfidfTopTerms caches)
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .persist()
     val top = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("token")).limit(topTokens)
     val t = tok.join(broadcast(top), "token")
-    t.select(col("doc_id"), col("token").as("token_a"), col("df").as("df_a"))
+    val out = t.select(col("doc_id"), col("token").as("token_a"), col("df").as("df_a"))
       .join(t.select(col("doc_id"), col("token").as("token_b"), col("df").as("df_b")),
         "doc_id")
       .filter(col("token_a") < col("token_b"))
@@ -319,6 +323,9 @@ object TextAnalysis {
       .select(col("token_a"), col("token_b"), col("n_ab"), col("lift"))
       .orderBy(desc("lift"), col("token_a"), col("token_b"))
       .limit(topN)
+      .localCheckpoint(true) // materialize, then release the cache below
+    tok.unpersist()
+    out
   }
 
   /** Document fingerprint: sha256 of the content, the min shingle hash

@@ -23,7 +23,8 @@ object Sessions {
   /** Rolling summaries + pending buffer per session. (No shortSummary
     * field: the short summary is last-batch-only by definition, recomputed
     * from "" each batch — persisting it would be dead bytes in the state
-    * store.) */
+    * store. NOTE: changing this schema invalidates existing streaming
+    * checkpoints — restart streams from fresh checkpoints after upgrading.) */
   case class SessionState(
       pending: Seq[Message],
       mediumSummary: String,
@@ -92,8 +93,10 @@ object Sessions {
     val leftover = all.drop(fullBatches.size * BatchSize)
     var cur = st.copy(pending = Nil)
     val out = fullBatches.zipWithIndex.map { case (b, i) =>
+      // ceil-based: a prior partial FLUSH advances processedCount past a
+      // multiple of BatchSize; plain division would re-issue its index
       val (analysis, next) = analyze(b, cur, sessionId, summarizer, classifier,
-        batchIndex = cur.processedCount / BatchSize)
+        batchIndex = (cur.processedCount + BatchSize - 1) / BatchSize)
       cur = next
       analysis
     }
@@ -102,27 +105,33 @@ object Sessions {
   }
 
   /** Timeout branch: a session idle past the flush window emits its
-    * sub-batchSize leftover as a final (short) batch and releases its
-    * state — without this, trailing messages were never analyzed and every
-    * session's state lived in the store forever. */
+    * sub-batchSize leftover as a final (short) batch — without this,
+    * trailing messages were never analyzed. The state is kept as a SMALL
+    * tombstone (empty pending, summaries + processedCount retained) rather
+    * than removed: a session that resumes later continues its batch
+    * numbering and summary chain instead of restarting at batch 0 and
+    * overwriting earlier analyses in keyed sinks. Per-session state is
+    * bounded (truncated summaries + counters), so retention cost is
+    * O(sessions), not O(messages). */
   def flushExpired(sessionId: String, state: GroupState[SessionState],
                    summarizer: Summarizer,
                    classifier: WorthinessClassifier): Iterator[BatchAnalysis] = {
     val st = state.getOption.getOrElse(SessionState.empty)
-    state.remove()
     if (st.pending.isEmpty) Iterator.empty
     else {
-      val (analysis, _) = analyze(st.pending, st.copy(pending = Nil), sessionId,
-        summarizer, classifier, batchIndex = st.processedCount / BatchSize)
+      val (analysis, next) = analyze(st.pending, st.copy(pending = Nil), sessionId,
+        summarizer, classifier,
+        batchIndex = (st.processedCount + BatchSize - 1) / BatchSize)
+      state.update(next)
       Iterator(analysis)
     }
   }
 
   /** Streaming entry: messages stream → per-session batch analyses.
     * `flushAfter` (e.g. "30 minutes") arms a processing-time timeout that
-    * flushes trailing sub-batchSize messages and evicts the session state;
-    * None preserves the reference's pure count-trigger behavior (its
-    * `/sessions/{id}/process` endpoint is the manual analog of the flush). */
+    * flushes trailing sub-batchSize messages, leaving a bounded per-session
+    * tombstone; None preserves the reference's pure count-trigger behavior
+    * (its `/sessions/{id}/process` endpoint is the manual flush analog). */
   def sessionStream(spark: SparkSession, messages: Dataset[Message],
                     summarizer: Summarizer = new ConcatSummarizer(400),
                     classifier: WorthinessClassifier = new LengthClassifier(5),

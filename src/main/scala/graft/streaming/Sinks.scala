@@ -41,8 +41,11 @@ object Sinks {
         // content-hash tiebreaker: two rows sharing (key, version) would
         // otherwise be ordered by partition layout, and a post-failure
         // replay could pick the OTHER row — same data must always yield
-        // the same snapshot for the exactly-once argument to hold
-        val contentHash = xxhash64(batch.columns.map(col): _*)
+        // the same snapshot for the exactly-once argument to hold.
+        // Hash only hashable columns (xxhash64 rejects MapType — the
+        // metadata-map crash Skew.rowSalt guards against identically).
+        val contentHash = xxhash64(
+          graft.functions.Fns.hashableCols(batch).map(col): _*)
         val w = Window.partitionBy(col(key)).orderBy(desc(v), contentHash)
         batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

@@ -77,18 +77,25 @@ class ReviewFixesSpec extends SparkSpec {
     val out = Sessions.flushExpired("s1", st,
       new Sessions.ConcatSummarizer(400), new Sessions.LengthClassifier(5)).toSeq
     assert(out.length === 1)
-    assert(out.head.batch_index === 2)              // 30 processed / 15
+    assert(out.head.batch_index === 2)              // ceil(30 / 15)
     assert(out.head.memory_candidates.length === 4) // all long user turns
-    assert(st.isRemoved, "session state must be evicted after the flush")
+    // state survives as a tombstone so a RESUMED session continues its
+    // numbering (a removed state would restart at batch 0 and overwrite
+    // earlier analyses in keyed sinks)
+    assert(!st.isRemoved)
+    assert(st.get.pending.isEmpty)
+    assert(st.get.processedCount === 34)
+    // a resumed full batch after the flush gets a HIGHER index: ceil(34/15)=3
+    assert((st.get.processedCount + Sessions.BatchSize - 1) / Sessions.BatchSize === 3)
 
-    // no pending → nothing emitted, state still released
+    // no pending → nothing emitted, tombstone untouched
     val empty = TestGroupState.create[Sessions.SessionState](
       org.apache.spark.api.java.Optional.of(Sessions.SessionState(Nil, "m", "l", 15)),
       GroupStateTimeout.ProcessingTimeTimeout, 1000L,
       org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
     assert(Sessions.flushExpired("s1", empty,
       new Sessions.ConcatSummarizer(400), new Sessions.LengthClassifier(5)).isEmpty)
-    assert(empty.isRemoved)
+    assert(!empty.isRemoved)
   }
 
   test("edge constraints: dangling edges pass through instead of vanishing") {
@@ -123,6 +130,25 @@ class ReviewFixesSpec extends SparkSpec {
     assert(out("c1") === "create", "empty name must not merge into an arbitrary entity")
     assert(out("c2") === "create", "1-char name must not merge into an arbitrary entity")
     assert(out("c3") === "fuzzy")
+  }
+
+  test("bloomSemiJoin: int fact key vs long dim key with overflow values stays exact") {
+    import graft.ops.Pruning
+    // 2^32+1 wraps to 1 under a narrowing int cast — must NOT match fact k=1
+    val fact = Seq(1, 2, 3).toDF("k").select(col("k").cast("int").as("k"))
+    val dim = Seq(4294967297L, 2L).toDF("k")
+    val out = Pruning.bloomSemiJoin(fact, "k", dim, "k", expectedItems = 100L)
+      .select("k").as[Int].collect().toSet
+    assert(out === Set(2), s"narrowing cast manufactured matches: $out")
+  }
+
+  test("keyedUpsert tolerates MapType columns (hash tiebreaker skips them)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-map").toString + "/t"
+    val batch = Seq(("k1", 2L, Map("a" -> "1")), ("k1", 1L, Map("b" -> "2")))
+      .toDF("k", "v", "meta")
+    graft.streaming.Sinks.keyedUpsert(dir, "k", Some("v"))(batch, 0L)
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length === 1 && rows.head.getLong(1) === 2L)
   }
 
   test("rhp seeds produce independent hyperplanes (multi-table LSH)") {
