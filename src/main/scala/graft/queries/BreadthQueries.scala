@@ -490,6 +490,62 @@ object BreadthQueries {
              |FROM starts
              |ORDER BY doc_id, seq""".stripMargin)),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other — the semantics metadata/SCD pipelines need when "absent"
+    // is a legitimate join value (a plain = silently drops those rows).
+    Entry("q101_null_safe_join",
+      (s, d) => {
+        val a = Tables.customer(s, d).select(
+          when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_nationkey"))
+            .as("nk"),
+          col("c_custkey"))
+        val b = Tables.nation(s, d).select(
+          when(col("n_nationkey") === 0, lit(null)).otherwise(col("n_nationkey"))
+            .as("nk2"),
+          col("n_name"))
+        a.join(b, col("nk") <=> col("nk2"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("n_cust"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n, count(DISTINCT c_custkey) AS n_cust
+             |FROM (SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+             |               ELSE c_nationkey END AS nk, c_custkey
+             |      FROM customer) a
+             |JOIN (SELECT CASE WHEN n_nationkey = 0 THEN NULL
+             |               ELSE n_nationkey END AS nk2, n_name
+             |      FROM nation) b
+             |ON a.nk IS NOT DISTINCT FROM b.nk2
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // GROUPING() disambiguation: subtotal rows vs genuine NULL group keys —
+    // without the flag a ROLLUP over nullable keys is unreadable.
+    Entry("q102_grouping_fn",
+      (s, d) => {
+        Tables.orders(s, d)
+          .select(when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_orderstatus")).as("status"),
+            col("o_orderpriority").as("prio"), col("o_totalprice"))
+          .createOrReplaceTempView("ord_gf")
+        s.sql("""SELECT status, prio,
+                |  CAST(grouping(status) AS INT) AS g_status,
+                |  CAST(grouping(prio) AS INT) AS g_prio,
+                |  count(*) AS n
+                |FROM ord_gf
+                |GROUP BY ROLLUP (status, prio)
+                |ORDER BY g_status, g_prio, status ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT status, prio,
+             |  CAST(grouping(status) AS INT) AS g_status,
+             |  CAST(grouping(prio) AS INT) AS g_prio,
+             |  count(*) AS n
+             |FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |               ELSE o_orderstatus END AS status,
+             |        o_orderpriority AS prio, o_totalprice
+             |      FROM orders)
+             |GROUP BY ROLLUP (status, prio)
+             |ORDER BY g_status, g_prio, status ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
