@@ -124,6 +124,16 @@ object QueryCompiler {
     * the 1-hop and chained-2-hop matches (Cypher `*1..2` semantics); the
     * intermediate node is unconstrained, per the reference's template
     * (`chat_gpt_completion.py:5820`). */
+  /** ACL-scoped compile — SURVEY §7.4.5: the ACL check applies to BOTH
+    * pattern endpoints (the reference explicitly fixed the forgotten n-side,
+    * `chat_gpt_completion.py:2404-2406`): every node the match touches as m
+    * or n must individually pass the principal's read predicate. Columns the
+    * principal doesn't exercise (empty role/org/namespace lists) are never
+    * referenced, so the node schema only needs the grants actually used. */
+  def compile(q: GraphQuery, nodes: DataFrame, edges: DataFrame,
+              principal: graft.ops.Retrieval.Principal): DataFrame =
+    compile(q, nodes.filter(graft.ops.Retrieval.aclPredicate(principal)), edges)
+
   def compile(q: GraphQuery, nodes: DataFrame, edges: DataFrame): DataFrame = {
     validate(q)
 

@@ -202,6 +202,31 @@ class ReviewFixesSpec extends SparkSpec {
     }
   }
 
+  test("AST compile with principal enforces ACL on BOTH endpoints") {
+    import graft.ast._
+    // m-side visible to u1; n-side owned by u2 with NO grant to u1 — the
+    // match must fail on the n side even though m passes (the exact bug the
+    // reference fixed: forgotten n-side ACL)
+    val nodes = Seq(
+      ("a", "Person", "a", Map.empty[String, String], "u1", Seq.empty[String], Seq.empty[String]),
+      ("b", "Person", "b", Map.empty[String, String], "u2", Seq.empty[String], Seq.empty[String]),
+      ("c", "Person", "c", Map.empty[String, String], "u2", Seq("u1"), Seq.empty[String]))
+      .toDF("node_id", "label", "name", "properties",
+        "user_id", "user_read_access", "workspace_read_access")
+    val edges = Seq(("a", "b", "KNOWS", Map.empty[String, String]),
+      ("a", "c", "KNOWS", Map.empty[String, String]))
+      .toDF("src", "dst", "rel_type", "properties")
+    val q = GraphQuery(Pattern("Person"), Nil,
+      Return(props = Seq(("m", "id"), ("n", "id"))))
+    val out = QueryCompiler.compile(q, nodes, edges, Principal("u1"))
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("a", "c")), s"n-side ACL leaked: $out")
+    // u2 sees its own pair only (a is invisible to u2 → no matches at all)
+    val out2 = QueryCompiler.compile(q, nodes, edges, Principal("u2"))
+      .as[(String, String)].collect().toSet
+    assert(out2 === Set.empty)
+  }
+
   test("keyedUpsert version ties resolve identically across replays (input order independent)") {
     val dir = java.nio.file.Files.createTempDirectory("sink-tie").toString
     val rows = Seq(("k1", 5L, "payload-a"), ("k1", 5L, "payload-b"), ("k2", 1L, "z"))
