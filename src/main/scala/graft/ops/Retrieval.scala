@@ -48,6 +48,31 @@ object Retrieval {
     clauses.reduce(_ || _)
   }
 
+  /** Reciprocal-rank fusion (the modern standard for W3's multi-source
+    * merge, complementing the reference's score-max/last-wins scheme):
+    * rrf(doc) = Σ_spaces 1/(kConst + rank_space(doc)). Rank-based, so
+    * incomparable score scales (cosine vs dot vs BM25) fuse without
+    * calibration. Each input holds (idCol, score); rank = (score desc, id).
+    * The per-space terms sum in FIXED space order via conditional
+    * aggregation — bit-reproducible regardless of row arrival order. */
+  def rrfFuse(spaces: Seq[DataFrame], idCol: String, kConst: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spaces.nonEmpty, "rrfFuse needs at least one ranked input")
+    val tagged = spaces.zipWithIndex.map { case (df, i) =>
+      val w = Window.orderBy(desc("score"), col(idCol))
+      df.select(col(idCol), row_number().over(w).as("rank"), lit(i).as("space"))
+    }
+    val perSpace = spaces.indices.map(i =>
+      min(when(col("space") === i, col("rank"))).as(s"r$i"))
+    val total = spaces.indices.map(i =>
+      coalesce(lit(1.0) / (lit(kConst) + col(s"r$i")), lit(0.0))).reduce(_ + _)
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(perSpace.head, perSpace.tail: _*)
+      .withColumn("rrf", total)
+      .select(col(idCol), col("rrf"))
+  }
+
   /** F4 — the reference's typed customMetadata filter semantics
     * (`memory_graph.py:5966-6046`): per key, a list means ANY-overlap, a bool
     * means equality, a *bare number means a `>=` lower bound*, a range object

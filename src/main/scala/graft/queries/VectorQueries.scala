@@ -148,6 +148,44 @@ object VectorQueries {
               |CROSS JOIN q
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    // Reciprocal-rank fusion of two genuinely different rankings (cosine
+    // vs unnormalized dot): rank-based fusion needs no score calibration
+    // across spaces — the modern replacement for score-max merging.
+    Entry("q103_rrf_fusion",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val byCos = Similarity.knnCosine(corpus, q, "vec_id", "embedding", 30, -1.0)
+        val byDot = Similarity.knnDot(corpus, q, "vec_id", "embedding", 30)
+        graft.ops.Retrieval.rrfFuse(Seq(byCos, byDot), "vec_id", kConst = 60)
+          .orderBy(desc("rrf"), col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |sa AS (
+              |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+              |  FROM (
+              |    SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 4) AS score
+              |    FROM embeddings, q WHERE vec_id <> 0
+              |    ORDER BY score DESC, vec_id LIMIT 30)),
+              |sb AS (
+              |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+              |  FROM (
+              |    SELECT vec_id,
+              |      round(list_sum(list_transform(generate_series(1, len(embedding)),
+              |        i -> embedding[i]::DOUBLE * qvec[i]::DOUBLE)), 4) AS score
+              |    FROM embeddings, q WHERE vec_id <> 0
+              |    ORDER BY score DESC, vec_id LIMIT 30)),
+              |u AS (
+              |  SELECT vec_id, r, 0 AS space FROM sa
+              |  UNION ALL SELECT vec_id, r, 1 FROM sb)
+              |SELECT vec_id,
+              |  coalesce(1.0 / (60 + min(CASE WHEN space = 0 THEN r END)), 0)
+              |  + coalesce(1.0 / (60 + min(CASE WHEN space = 1 THEN r END)), 0) AS rrf
+              |FROM u GROUP BY vec_id
+              |ORDER BY rrf DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Random-hyperplane LSH near-dup — the production-scale twin of q17's
     // all-pairs cosine (candidates = band collisions only; output ⊆ exact).
     // The hyperplane components are a pure function of (seed, bit, dim), so
