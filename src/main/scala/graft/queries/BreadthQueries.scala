@@ -546,6 +546,61 @@ object BreadthQueries {
              |GROUP BY ROLLUP (status, prio)
              |ORDER BY g_status, g_prio, status ASC NULLS FIRST, prio ASC NULLS FIRST""".stripMargin)),
 
+    // Higher-order array functions end-to-end: per-order quantity vectors
+    // (sorted for determinism) → transform → filter → aggregate, entirely
+    // inside codegen'd HOFs — the §2.9 functional surface on collections.
+    Entry("q104_hof_pipeline",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qtys"))
+        .select(
+          col("l_orderkey"),
+          size(col("qtys")).as("n_items"),
+          expr("transform(qtys, x -> x * 2)").as("doubled"),
+          size(expr("filter(qtys, x -> x > 25)")).as("n_large"),
+          expr("aggregate(qtys, 0, (acc, x) -> acc + x)").as("total_qty"))
+        .select(col("l_orderkey"), col("n_items"),
+          element_at(col("doubled"), 1).as("first_doubled"),
+          col("n_large"), col("total_qty"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, n_items, doubled[1] AS first_doubled, n_large, total_qty
+             |FROM (
+             |  SELECT l_orderkey,
+             |    CAST(len(qtys) AS INT) AS n_items,
+             |    list_transform(qtys, x -> x * 2) AS doubled,
+             |    CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_large,
+             |    list_sum(qtys)::INT AS total_qty
+             |  FROM (
+             |    SELECT l_orderkey,
+             |      list_sort(list(CAST(l_quantity AS INT))) AS qtys
+             |    FROM lineitem WHERE l_orderkey % 100 = 0
+             |    GROUP BY l_orderkey))
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // Datetime scalar surface: truncation, month boundaries, day-of-week
+    // (numbering aligned across engines), epoch round trips.
+    Entry("q105_datetime_funcs",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .select(
+          col("event_id"),
+          date_trunc("month", col("ts")).cast("date").as("month_start"),
+          last_day(col("ts")).as("month_end"),
+          // Spark: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6 → +1
+          dayofweek(col("ts")).as("dow"),
+          dayofyear(col("ts")).as("doy"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month_start,
+             |  CAST(last_day(CAST(ts AS TIMESTAMP)) AS DATE) AS month_end,
+             |  CAST(date_part('dow', CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+             |  CAST(date_part('doy', CAST(ts AS TIMESTAMP)) AS INT) AS doy,
+             |  CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
+             |FROM events WHERE event_id % 97 = 0
+             |ORDER BY event_id""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).

@@ -6,6 +6,21 @@ import graft.ops.Retrieval
 import graft.ops.Retrieval._
 
 class RetrievalSpec extends SparkSpec {
+
+  test("rrfFuse: rank-based fusion, absent-in-one-space handled, deterministic") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    // space A ranks: x(1), y(2), z(3); space B ranks: y(1), x(2) — z absent
+    val a = Seq(("x", 0.9), ("y", 0.8), ("z", 0.7)).toDF("id", "score")
+    val b = Seq(("y", 5.0), ("x", 4.0)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", kConst = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("x") - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    assert(math.abs(out("y") - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(out("z") - 1.0 / 63) < 1e-15) // missing space contributes 0
+    // x and y tie exactly (same rank multiset) — bit-identical sums
+    assert(out("x") === out("y"))
+  }
   import spark.implicits._
 
   test("aclPredicate: OR across access arrays, reference F1 semantics") {
