@@ -119,21 +119,32 @@ object QueryCompiler {
     }
   }
 
+  /** ACL-scoped compile — SURVEY §7.4.5: BOTH endpoints of EVERY edge the
+    * path traverses must pass the principal's read predicate (the
+    * reference's Cypher applies ACL to both ends of each relationship,
+    * `chat_gpt_completion.py:5836-5856`, after explicitly fixing the
+    * forgotten n-side at `:2404-2406`). Filtering the NODE relation alone
+    * would still let a 2-hop match traverse — and, via `r.id`, NAME — an
+    * invisible intermediate node, so the edge relation is semi-joined down
+    * to visible-to-visible edges as well. Columns the principal doesn't
+    * exercise (empty role/org/namespace lists) are never referenced, so the
+    * node schema only needs the grants actually used. */
+  def compile(q: GraphQuery, nodes: DataFrame, edges: DataFrame,
+              principal: graft.ops.Retrieval.Principal): DataFrame = {
+    val visible = nodes.filter(graft.ops.Retrieval.aclPredicate(principal))
+    val vIds = visible.select(col("node_id"))
+    val vEdges = edges
+      .join(vIds.withColumnRenamed("node_id", "src"), Seq("src"), "left_semi")
+      .join(vIds.withColumnRenamed("node_id", "dst"), Seq("dst"), "left_semi")
+    compile(q, visible, vEdges)
+  }
+
   /** Compile to a DataFrame plan over nodes(node_id,label,name,properties)
     * and edges(src,dst,rel_type,properties). 2-hop patterns are the union of
     * the 1-hop and chained-2-hop matches (Cypher `*1..2` semantics); the
     * intermediate node is unconstrained, per the reference's template
-    * (`chat_gpt_completion.py:5820`). */
-  /** ACL-scoped compile — SURVEY §7.4.5: the ACL check applies to BOTH
-    * pattern endpoints (the reference explicitly fixed the forgotten n-side,
-    * `chat_gpt_completion.py:2404-2406`): every node the match touches as m
-    * or n must individually pass the principal's read predicate. Columns the
-    * principal doesn't exercise (empty role/org/namespace lists) are never
-    * referenced, so the node schema only needs the grants actually used. */
-  def compile(q: GraphQuery, nodes: DataFrame, edges: DataFrame,
-              principal: graft.ops.Retrieval.Principal): DataFrame =
-    compile(q, nodes.filter(graft.ops.Retrieval.aclPredicate(principal)), edges)
-
+    * (`chat_gpt_completion.py:5820`) — use the principal overload above for
+    * ACL-scoped traversal. */
   def compile(q: GraphQuery, nodes: DataFrame, edges: DataFrame): DataFrame = {
     validate(q)
 

@@ -54,9 +54,13 @@ object Retrieval {
     * incomparable score scales (cosine vs dot vs BM25) fuse without
     * calibration. Each input holds (idCol, score); rank = (score desc, id).
     * The per-space terms sum in FIXED space order via conditional
-    * aggregation — bit-reproducible regardless of row arrival order. */
+    * aggregation — bit-reproducible regardless of row arrival order.
+    *
+    * PRECONDITION: inputs are per-space top-k CANDIDATE lists (k rows, the
+    * output of a KNN/BM25 limit), not full corpora — the global rank
+    * window deliberately runs on one task, which is exactly right for
+    * k-sized lists and exactly wrong for anything corpus-sized. */
   def rrfFuse(spaces: Seq[DataFrame], idCol: String, kConst: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(spaces.nonEmpty, "rrfFuse needs at least one ranked input")
     val tagged = spaces.zipWithIndex.map { case (df, i) =>
       val w = Window.orderBy(desc("score"), col(idCol))

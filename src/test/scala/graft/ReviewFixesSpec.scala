@@ -225,6 +225,26 @@ class ReviewFixesSpec extends SparkSpec {
     val out2 = QueryCompiler.compile(q, nodes, edges, Principal("u2"))
       .as[(String, String)].collect().toSet
     assert(out2 === Set.empty)
+
+    // 2-hop through a HIDDEN intermediate must not match (and must not
+    // name the hidden node via r.id): a-[...]->secret-[...]->c with secret
+    // unreadable by u1
+    val nodes2 = Seq(
+      ("a", "Person", "a", Map.empty[String, String], "u1", Seq.empty[String], Seq.empty[String]),
+      ("secret", "Person", "s", Map.empty[String, String], "u2", Seq.empty[String], Seq.empty[String]),
+      ("c", "Person", "c", Map.empty[String, String], "u1", Seq.empty[String], Seq.empty[String]))
+      .toDF("node_id", "label", "name", "properties",
+        "user_id", "user_read_access", "workspace_read_access")
+    val edges2 = Seq(("a", "secret", "KNOWS", Map.empty[String, String]),
+      ("secret", "c", "KNOWS", Map.empty[String, String]),
+      ("a", "c", "DIRECT", Map.empty[String, String]))
+      .toDF("src", "dst", "rel_type", "properties")
+    val q2 = GraphQuery(Pattern("Person", maxHops = 2), Nil,
+      Return(props = Seq(("m", "id"), ("r", "id"), ("n", "id"))))
+    val rows = QueryCompiler.compile(q2, nodes2, edges2, Principal("u1"))
+      .as[(String, String, String)].collect().toSet
+    assert(rows === Set(("a", "a->c", "c")),
+      s"hidden intermediate traversed or named: $rows")
   }
 
   test("keyedUpsert version ties resolve identically across replays (input order independent)") {
