@@ -159,6 +159,25 @@ object ScaleSmoke {
     println(f"[scale-smoke] bloomSemiJoin matches=$bloomMatches bloomSeconds=$bloomSecs%.1f")
     assert(bloomMatches == 10000, s"expected 10000 semi-join matches, got $bloomMatches")
 
+    // ---- bounded top-k aggregator at 10M rows × 10 groups: the partial
+    // aggregation must reduce each map partition to ≤ k rows per group and
+    // the result must be the exact per-group maxima (score == id makes the
+    // expected winners analytic).
+    val t6 = System.nanoTime()
+    val topkRows = spark.range(0, 10000000).select(
+      (col("id") % 10).as("g"), col("id").cast("double").as("score"), col("id"))
+    val top3 = graft.ops.TopK.topK(3)
+    val got = topkRows.groupBy(col("g"))
+      .agg(top3(col("score"), col("id")).as("top"))
+      .select(col("g"), explode(col("top")).as("s"))
+      .select(col("g"), col("s.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 10L).flatMap(g =>
+      Seq(9999990L + g, 9999980L + g, 9999970L + g).map(g -> _)).toSet
+    val topkSecs = (System.nanoTime() - t6) / 1e9
+    println(f"[scale-smoke] topK groups=10 rows=10000000 topkSeconds=$topkSecs%.1f")
+    assert(got == want, s"topK lost maxima: ${got.diff(want)} / ${want.diff(got)}")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

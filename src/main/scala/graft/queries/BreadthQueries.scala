@@ -601,6 +601,55 @@ object BreadthQueries {
              |FROM events WHERE event_id % 97 = 0
              |ORDER BY event_id""".stripMargin)),
 
+    // String scalar surface beyond q13: padding, translation, repetition,
+    // reversal, part extraction — the cleanup toolkit of text ingest.
+    Entry("q106_string_funcs",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") <= 300)
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          expr("repeat(p_type, 2)").as("doubled"),
+          reverse(col("p_brand")).as("reversed"),
+          substring_index(col("p_name"), " ", 2).as("first_two_words"),
+          length(trim(col("p_name"))).cast("int").as("trimmed_len"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  lpad(p_brand, 12, '*') AS padded,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+             |  repeat(p_type, 2) AS doubled,
+             |  reverse(p_brand) AS reversed,
+             |  array_to_string((string_split(p_name, ' '))[1:2], ' ') AS first_two_words,
+             |  CAST(length(trim(p_name)) AS INT) AS trimmed_len
+             |FROM part WHERE p_partkey <= 300
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Conditional-expression surface: nullif/ifnull/nvl2-style three-valued
+    // branches plus null-tolerant least/greatest (both engines skip nulls).
+    Entry("q107_conditionals",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("LOWEST"))
+            .as("prio_mapped"),
+          when(col("o_orderdate").isNotNull, lit("has_date"))
+            .otherwise(lit("none")).as("nvl2_date"),
+          least(col("o_totalprice"), lit(100000.0)).as("capped"),
+          greatest(col("o_custkey").cast("long"), lit(100L)).as("cust_floor"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  nullif(o_orderstatus, 'O') AS status_or_null,
+             |  coalesce(nullif(o_orderpriority, '5-LOW'), 'LOWEST') AS prio_mapped,
+             |  CASE WHEN o_orderdate IS NOT NULL THEN 'has_date'
+             |       ELSE 'none' END AS nvl2_date,
+             |  least(o_totalprice, 100000.0) AS capped,
+             |  greatest(CAST(o_custkey AS BIGINT), 100) AS cust_floor
+             |FROM orders WHERE o_orderkey % 50 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
