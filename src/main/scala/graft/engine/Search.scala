@@ -96,6 +96,38 @@ object Search {
     search(spark, pruned, memories, req, embedder, reranker)
   }
 
+  /** V2 modernized — multi-space search with reciprocal-rank fusion: run
+    * the full filtered KNN independently per embedding space (the
+    * reference fans out to Pinecone/BigBird/Qdrant concurrently,
+    * `memory_graph.py:6085-6127`; Spark schedules the per-space stages in
+    * parallel from one plan), rank per space, fuse by RRF (rank-based, so
+    * heterogeneous score scales need no calibration — replacing the
+    * reference's last-wins score merge), then hydrate the fused top-k.
+    * `spaces` maps space name → (chunks relation, its embedding column). */
+  def searchMultiSpace(spark: SparkSession, spaces: Seq[(DataFrame, String)],
+                       memories: DataFrame, req: SearchRequest,
+                       embedder: Embedder = new HashEmbedder(64),
+                       rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
+    val perSpace = spaces.map { case (chunks, embCol) =>
+      val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
+      acl.crossJoin(broadcast(qvec))
+        .withColumn("score", cosineSim(col(embCol), col("qvec")))
+        .select(col("memory_id"), col("score"))
+        .groupBy(col("memory_id")).agg(max(col("score")).as("score"))
+        .orderBy(desc("score"), col("memory_id"))
+        .limit(req.topK * OversampleFactor)
+    }
+    Retrieval.rrfFuse(perSpace, "memory_id", rrfK)
+      .join(memories, Seq("memory_id"))
+      .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
+      .select(col("memory_id"), col("rrf"), col("content"), col("title"),
+        col("user_id"), col("created_at"))
+      .orderBy(desc("rrf"), col("memory_id"))
+      .limit(req.topK)
+  }
+
   /** V3 — filter-only fallback when KNN returns nothing
     * (`memory_graph.py:8327-8437`): newest matching rows, no vector. */
   def fallbackScan(chunks: DataFrame, memories: DataFrame, req: SearchRequest): DataFrame =

@@ -26,6 +26,31 @@ class SearchEngineSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("multi-space RRF search: consensus ranking, ACL holds on every space") {
+    val someContent = mems.find(_.user_id == "u0").get.content
+    // two AGREEING spaces: the consensus winner must be the exact-content
+    // memory (rank 1 in both ⇒ maximal rrf)
+    val agree = Search.searchMultiSpace(spark,
+      Seq((chunks, "embedding"), (chunks, "embedding")), memories,
+      Search.SearchRequest(someContent, Principal("u0"), topK = 5)).collect()
+    assert(agree.nonEmpty && agree.length <= 5)
+    assert(agree.head.getAs[String]("content") === someContent)
+
+    // a DISAGREEING second space (reversed embeddings ⇒ unrelated ranking):
+    // RRF may demote the top-1 — that is the point of consensus — but ACL
+    // visibility and score monotonicity always hold
+    val spaceB = chunks.withColumn("embedding", reverse(col("embedding")))
+    val out = Search.searchMultiSpace(spark,
+      Seq((chunks, "embedding"), (spaceB, "embedding")), memories,
+      Search.SearchRequest(someContent, Principal("u0"), topK = 5)).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    val visible = mems.filter(m => m.user_id == "u0" ||
+      m.user_read_access.contains("u0")).map(_.memory_id).toSet
+    assert(out.forall(r => visible.contains(r.getAs[String]("memory_id"))))
+    val scores = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
   test("ACL isolation: a stranger principal gets no one else's memories") {
     val someContent = mems.find(_.user_id == "u0").get.content
     val stranger = Principal("nobody")
