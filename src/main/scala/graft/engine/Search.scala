@@ -111,8 +111,17 @@ object Search {
     import spark.implicits._
     val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
     val perSpace = spaces.map { case (chunks, embCol) =>
+      // same F1/F2/F4 stack as the single-space path — every space is
+      // filtered identically before its ranking exists
       val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
-      acl.crossJoin(broadcast(qvec))
+      val scoped = req.namespaceId.map { ns =>
+        if (acl.columns.contains("namespace_id")) acl.filter(col("namespace_id") === ns)
+        else acl.filter(array_contains(col("namespace_read_access"), ns))
+      }.getOrElse(acl)
+      val filtered =
+        if (req.metaFilters.isEmpty) scoped
+        else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
+      filtered.crossJoin(broadcast(qvec))
         .withColumn("score", cosineSim(col(embCol), col("qvec")))
         .select(col("memory_id"), col("score"))
         .groupBy(col("memory_id")).agg(max(col("score")).as("score"))
