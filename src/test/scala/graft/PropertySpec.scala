@@ -153,6 +153,65 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("rangeJoin == brute-force containment model on random points/intervals") {
+    val caseGen = for {
+      nP <- Gen.choose(5, 60)
+      points <- Gen.listOfN(nP, Gen.zip(Gen.choose(0L, 1000000L),
+        Gen.choose(0, 3), Gen.choose(0L, 500L)))
+      nI <- Gen.choose(3, 25)
+      ivs <- Gen.listOfN(nI, for {
+        id <- Gen.choose(0L, 1000000L)
+        k <- Gen.choose(0, 3)
+        s <- Gen.choose(0L, 500L)
+        len <- Gen.choose(1L, 120L)
+      } yield (id, k, s, s + len))
+      width <- Gen.oneOf(7, 30, 100)
+    } yield (points, ivs, width)
+    check(forAll(caseGen) { case (ps, ivs, width) =>
+      val points = ps.map { case (id, k, s) =>
+        (id, k, new java.sql.Timestamp(s * 1000L)) }.toDF("point_id", "k", "ts")
+      val intervals = ivs.map { case (id, k, s, e) =>
+        (id, k, new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp(e * 1000L))
+      }.toDF("iv_id", "k", "w_start", "w_end")
+      val got = graft.ops.Temporal.rangeJoin(points, "ts", intervals,
+          "w_start", "w_end", binWidthSec = width, keys = Seq("k"))
+        .select(col("point_id"), col("iv_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (for {
+        (pid, pk, pts) <- ps
+        (ivid, ik, s, e) <- ivs
+        if pk == ik && pts >= s && pts < e // half-open [start, end)
+      } yield (pid, ivid)).sorted
+      got == want
+    }, minTests = 20)
+  }
+
+  test("counter fold: ANY batch split and order == one batch (late-event algebra)") {
+    import java.sql.Timestamp
+    import graft.domain.Schemas.AccessEvent
+    import graft.streaming.Counters
+    val evGen = for {
+      n <- Gen.choose(1, 25)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 200), Gen.choose(0.0, 1.0)))
+      cut1 <- Gen.choose(0, n)
+      cut2 <- Gen.choose(0, n)
+    } yield (evs.zipWithIndex.map { case ((day, c), i) =>
+      AccessEvent(s"e$i", "m", "u", "retrieval", 0.5, c,
+        new Timestamp(day.toLong * 86400000L)) }, cut1 min cut2, cut1 max cut2)
+    check(forAll(evGen) { case (evs, a, b) =>
+      // fold() requires non-empty batches — only exercise proper 3-way splits
+      if (a == 0 || b == a || b == evs.length) true
+      else {
+        val whole = Counters.fold(None, evs)
+        val s3 = Counters.fold(Some(Counters.fold(Some(Counters.fold(None,
+          evs.take(a))), evs.slice(a, b))), evs.drop(b))
+        math.abs(s3.ema30d - whole.ema30d) < 1e-9 &&
+          math.abs(s3.confWeighted30d - whole.confWeighted30d) < 1e-9 &&
+          s3.hitTotal == whole.hitTotal && s3.lastTs == whole.lastTs
+      }
+    }, minTests = 40)
+  }
+
   test("TopK aggregator == sort-take model under random data and partitioning") {
     val rowsGen = for {
       n <- Gen.choose(1, 300)
