@@ -25,7 +25,7 @@ object LexicalReranker extends Reranker {
     // keeps a "" token, inflating the denominator and letting unrelated
     // docs intersect on the phantom empty string
     val qTokens = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.sorted
-    val qArr = array(qTokens.map(lit): _*)
+    val qArr = array(qTokens.toIndexedSeq.map(lit): _*)
     candidates.withColumn("rr_score",
       size(array_intersect(array_distinct(tokens(col(textCol))), qArr)) /
         lit(qTokens.length.toDouble))

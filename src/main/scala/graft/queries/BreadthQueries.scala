@@ -58,7 +58,7 @@ object BreadthQueries {
     Entry("q81_bfs_distances",
       (s, d) => {
         val cust = Tables.customer(s, d)
-        val m = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1
+        val m = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
         val c = cust.select(col("c_custkey"))
         val edges = c.select(col("c_custkey").as("src"),
             ((col("c_custkey") * 2) % m).as("dst"))
