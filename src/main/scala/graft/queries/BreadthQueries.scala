@@ -650,6 +650,49 @@ object BreadthQueries {
              |FROM orders WHERE o_orderkey % 50 = 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // UNPIVOT (melt): wide → long reshape, the inverse of q84's pivot —
+    // Spark's unpivot operator vs DuckDB's UNPIVOT clause.
+    Entry("q108_unpivot",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_name").as("name"),
+          col("p_brand").as("brand"), col("p_type").as("type"))
+        .unpivot(
+          ids = Array(col("p_partkey")),
+          values = Array(col("name"), col("brand"), col("type")),
+          variableColumnName = "attr", valueColumnName = "val")
+        .orderBy(col("p_partkey"), col("attr")),
+      Some("""SELECT p_partkey, attr, val FROM (
+             |  SELECT p_partkey, p_name AS name, p_brand AS brand, p_type AS type
+             |  FROM part WHERE p_partkey <= 200)
+             |UNPIVOT (val FOR attr IN (name, brand, type))
+             |ORDER BY p_partkey, attr""".stripMargin)),
+
+    // Islands-and-gaps: detect missing ranges in a key sequence (the data-
+    // quality check for "did the ingest drop a batch") — lead() over the
+    // present keys, emit the holes.
+    Entry("q109_sequence_gaps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val present = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 7 =!= 3) // punch deterministic holes
+          .select(col("o_orderkey").as("k"))
+        val w = Window.orderBy(col("k"))
+        present
+          .withColumn("next_k", lead(col("k"), 1).over(w))
+          .filter(col("next_k") > col("k") + 1)
+          .select((col("k") + 1).as("gap_start"), (col("next_k") - 1).as("gap_end"),
+            (col("next_k") - col("k") - 1).as("gap_len"))
+          .orderBy(col("gap_start"))
+      },
+      Some("""SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
+             |  next_k - k - 1 AS gap_len
+             |FROM (
+             |  SELECT k, lead(k, 1) OVER (ORDER BY k) AS next_k
+             |  FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 3))
+             |WHERE next_k > k + 1
+             |ORDER BY gap_start""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
