@@ -45,4 +45,32 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Islands-and-gaps over an integral key sequence ("did the ingest drop a
+    * batch"), scalable: a naive lead() over ALL keys needs one global sort
+    * on a single task. Here keys bucket by `bucketSize`, the lead() window
+    * partitions by bucket (parallel), and the only global pass is over the
+    * per-bucket (min, max) summary — #buckets rows, driver-scale. Gaps that
+    * straddle bucket boundaries come from that summary; gaps inside a
+    * bucket from the partitioned window. Returns (gap_start, gap_end,
+    * gap_len). */
+  def sequenceGaps(df: DataFrame, keyCol: String,
+                   bucketSize: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize >= 2, s"bucketSize must be >= 2, got $bucketSize")
+    val keys = df.select(col(keyCol).cast("long").as("k")).distinct()
+      .withColumn("b", floor(col("k") / bucketSize))
+    val w = Window.partitionBy(col("b")).orderBy(col("k"))
+    val within = keys.withColumn("next_k", lead(col("k"), 1).over(w))
+      .filter(col("next_k") > col("k") + 1)
+      .select((col("k") + 1).as("gap_start"), (col("next_k") - 1).as("gap_end"))
+    val bounds = keys.groupBy(col("b")).agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val wb = Window.orderBy(col("b")) // one row per bucket — tiny by design
+    val across = bounds.withColumn("next_mn", lead(col("mn"), 1).over(wb))
+      .filter(col("next_mn") > col("mx") + 1)
+      .select((col("mx") + 1).as("gap_start"), (col("next_mn") - 1).as("gap_end"))
+    within.unionByName(across)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+      .orderBy(col("gap_start"))
+  }
 }

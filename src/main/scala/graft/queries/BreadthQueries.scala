@@ -669,22 +669,16 @@ object BreadthQueries {
              |ORDER BY p_partkey, attr""".stripMargin)),
 
     // Islands-and-gaps: detect missing ranges in a key sequence (the data-
-    // quality check for "did the ingest drop a batch") — lead() over the
-    // present keys, emit the holes.
+    // quality check for "did the ingest drop a batch"). Bucketed: the
+    // lead() runs PARTITIONED (parallel); only the per-bucket min/max
+    // summary sorts globally — never a single-task pass over all keys.
+    // Small bucketSize here deliberately exercises the boundary path.
     Entry("q109_sequence_gaps",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val present = Tables.orders(s, d)
+      (s, d) => graft.ops.Profiling.sequenceGaps(
+        Tables.orders(s, d)
           .filter(col("o_orderkey") % 7 =!= 3) // punch deterministic holes
-          .select(col("o_orderkey").as("k"))
-        val w = Window.orderBy(col("k"))
-        present
-          .withColumn("next_k", lead(col("k"), 1).over(w))
-          .filter(col("next_k") > col("k") + 1)
-          .select((col("k") + 1).as("gap_start"), (col("next_k") - 1).as("gap_end"),
-            (col("next_k") - col("k") - 1).as("gap_len"))
-          .orderBy(col("gap_start"))
-      },
+          .select(col("o_orderkey")),
+        "o_orderkey", bucketSize = 500L),
       Some("""SELECT k + 1 AS gap_start, next_k - 1 AS gap_end,
              |  next_k - k - 1 AS gap_len
              |FROM (

@@ -27,4 +27,18 @@ class ProfilingSpec extends SparkSpec {
     assert(out.getLong(1) === 2L && out.getLong(2) === 2L && out.getLong(3) === 0L)
     assert(out.isNullAt(4) && out.isNullAt(5))
   }
+
+  test("sequenceGaps: in-bucket, boundary-straddling, and empty-bucket gaps") {
+    import spark.implicits._
+    import graft.ops.Profiling
+    // bucketSize=10: keys 1-8 (gap 4-5 in bucket 0), 12 (boundary gap 9-11),
+    // then nothing in buckets 2-3, resuming at 41 (gap 13-40 spans whole
+    // empty buckets); duplicate keys must not fabricate gaps
+    val keys = Seq(1L, 2L, 3L, 6L, 7L, 8L, 8L, 12L, 41L, 42L).toDF("k")
+    val out = Profiling.sequenceGaps(keys, "k", bucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((4L, 5L, 2L), (9L, 11L, 3L), (13L, 40L, 28L)))
+    // dense sequence: no gaps at all
+    assert(Profiling.sequenceGaps(spark.range(5, 25).toDF("k"), "k", 7L).count() === 0L)
+  }
 }
