@@ -687,6 +687,50 @@ object BreadthQueries {
              |WHERE next_k > k + 1
              |ORDER BY gap_start""".stripMargin)),
 
+    // Statistical aggregates: correlation / covariance / spread per group —
+    // both engines run the same streaming co-moment recurrences; rounded to
+    // 4dp for cross-engine stability.
+    Entry("q110_stats_aggs",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+             |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |  round(var_samp(l_quantity), 4) AS var_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // FILTER-clause aggregation: per-group conditional aggregates without
+    // CASE scaffolding — one pass, every aggregate sees its own predicate.
+    Entry("q111_filtered_aggs",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("ord_fa")
+        s.sql("""SELECT o_orderstatus,
+                |  count(*) AS n_all,
+                |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+                |    AS urgent_total,
+                |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2)
+                |    AS low_avg
+                |FROM ord_fa GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(*) AS n_all,
+             |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+             |  round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+             |    AS urgent_total,
+             |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW'), 2)
+             |    AS low_avg
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
