@@ -731,6 +731,41 @@ object BreadthQueries {
              |    AS low_avg
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Correlated EXISTS (decorrelates to a semi join — the SQL surface of
+    // q04's DataFrame form).
+    Entry("q112_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("cust_ex")
+        Tables.orders(s, d).createOrReplaceTempView("ord_ex")
+        s.sql("""SELECT c_custkey, c_name FROM cust_ex c
+                |WHERE EXISTS (
+                |  SELECT 1 FROM ord_ex o
+                |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Uncorrelated scalar subquery in the projection (one broadcast scalar
+    // shared by every row — no per-row re-evaluation).
+    Entry("q113_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("ord_ss")
+        s.sql("""SELECT o_orderkey,
+                |  round(o_totalprice / (SELECT avg(o_totalprice) FROM ord_ss), 4)
+                |    AS rel_price
+                |FROM ord_ss WHERE o_orderkey % 40 = 0
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4)
+             |    AS rel_price
+             |FROM orders WHERE o_orderkey % 40 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Dense-core extraction: the 3-core of the co-purchase graph (iterative
     // peeling — not SQL-expressible, so no DuckDB oracle; correctness is
     // spec-proven on analytic graphs and the driver records rows>0).
