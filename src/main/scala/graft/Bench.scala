@@ -42,10 +42,27 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the TAIL of stdout, so the final JSON line
+    // must stay small or its front gets truncated (round-1 failure mode:
+    // 113 per-query entries -> ~4 KB line -> "parsed": null). Emit summary
+    // stats over ALL queries plus per-query times for a headline subset
+    // only — the production-path flagships (IVF/LSH, search, dedup), not
+    // the exact ground-truth twins.
+    val headline = Seq(
+      "q01_pruned_scan", "q03_join_multiway", "q06_topk_orders",
+      "q15_knn_cosine", "q20_minhash_lsh", "q47_domain_search",
+      "q61_ann_rule", "q62_bm25", "q64_near_dup_lsh", "q66_skew_join",
+      "q81_bfs_distances", "q93_maxsim", "q98_ivf_multiprobe")
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val byName = results.toMap
+    val qs = headline.flatMap(q => byName.get(q).map(v => s"\"$q\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val times = results.map(_._2).sorted
+    val total = r3(times.sum)
+    val median = if (times.isEmpty) 0.0
+      else r3(times(times.length / 2))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${times.length},"median":$median,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -76,7 +76,41 @@ object DomainPipelineQueries {
             length(col("long_summary")).as("summary_len"))
           .orderBy(col("session_id"), col("batch_index"))
       },
-      None),
+      // The stateful fold is deterministic: batches are row_number()/15
+      // windows in (ts, message_id) order = doc_id order; the rolling long
+      // summary (prev + ' | ' + digest, keep last 400 chars) is a recursive
+      // CTE over batch_index; worthiness = even doc_id (user role) with ≥ 5
+      // whitespace tokens.
+      Some("""WITH RECURSIVE msgs AS (
+             |  SELECT source AS session_id, doc_id, text,
+             |    (doc_id % 2 = 0) AS is_user,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |bm AS (
+             |  SELECT session_id, CAST((rn - 1) // 15 AS INT) AS batch_index,
+             |    doc_id, text, is_user,
+             |    count(*) OVER (PARTITION BY session_id, (rn - 1) // 15) AS bsize
+             |  FROM msgs),
+             |dig AS (
+             |  SELECT session_id, batch_index,
+             |    string_agg(
+             |      array_to_string(list_slice(string_split_regex(text, '\s+'), 1, 3), ' '),
+             |      '; ' ORDER BY doc_id) AS digest,
+             |    CAST(sum(CASE WHEN is_user
+             |          AND len(string_split_regex(text, '\s+')) >= 5
+             |        THEN 1 ELSE 0 END) AS INT) AS n_candidates
+             |  FROM bm WHERE bsize = 15 GROUP BY 1, 2),
+             |fold(session_id, batch_index, n_candidates, longsum) AS (
+             |  SELECT session_id, batch_index, n_candidates, right(digest, 400)
+             |  FROM dig WHERE batch_index = 0
+             |  UNION ALL
+             |  SELECT d.session_id, d.batch_index, d.n_candidates,
+             |    right(f.longsum || ' | ' || d.digest, 400)
+             |  FROM fold f JOIN dig d
+             |    ON d.session_id = f.session_id AND d.batch_index = f.batch_index + 1)
+             |SELECT session_id, batch_index, n_candidates,
+             |  CAST(length(longsum) AS INT) AS summary_len
+             |FROM fold ORDER BY session_id, batch_index""".stripMargin)),
 
     // Entity-resolution cascade over distinct part names. The existing graph
     // holds, per name-hash bucket: the identical name (→ exact), the
@@ -129,7 +163,16 @@ object DomainPipelineQueries {
           .select(col("media_id"), col("kind"), col("feature_dim"), col("decode_ok"))
           .orderBy(col("media_id"))
       },
-      None),
+      // The decode stub is deterministic on the byte payload: decode_ok ⇔
+      // non-empty bytes, feature_dim is the decoder's fixed 32 either way —
+      // so the plumbing contract (schema, per-kind routing, failure rows
+      // kept) is oracle-checkable even with the codec stubbed.
+      Some("""SELECT 'media' || CAST(doc_id AS VARCHAR) AS media_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  CAST(32 AS INT) AS feature_dim,
+             |  octet_length(CAST(text AS BLOB)) > 0 AS decode_ok
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // §2.11: the constrained query AST compiled to a DataFrame plan —
     // (m:Customer)-[r:PLACED]->(n:Order) WHERE n.status='O' RETURN ids.
@@ -197,12 +240,20 @@ object DomainPipelineQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
     // A9: sketch-based distinct (HLL++) next to the exact count — the 100 TB
-    // cardinality path. Sketch values are engine-specific → rows-only check.
+    // cardinality path. The raw sketch estimate is engine-specific, so the
+    // oracle-compared output carries the exact count plus a BOOLEAN asserting
+    // the sketch landed within 5× its configured rsd (1%) — the sketch stays
+    // in the measured plan and the check is SQL-expressible (always TRUE).
     Entry("q54_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag")),
-      None))
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS approx_ok
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

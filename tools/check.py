@@ -36,6 +36,17 @@ for name in sorted(oracle):
     if s_cols != d_cols:
         bad.append((name, f"SCHEMA spark={s_cols} duck={d_cols}"))
         continue
+    # The driver's hash is dtype-sensitive (round-1 q96: DuckDB window
+    # sum(BIGINT) -> HUGEINT vs Spark BIGINT hashed differently with equal
+    # values) — so flag dtype drift as a failure here too.
+    # ... but int WIDTH differences (int32 vs int64) hash the same (q61/q94
+    # were green in round 1), so compare dtype KIND only: HUGEINT/decimal
+    # surface as float64/object and still get caught.
+    dt = [(c, str(sdf[c].dtype), str(ddf[c].dtype)) for c in s_cols
+          if sdf[c].dtype.kind != ddf[c].dtype.kind]
+    if dt:
+        bad.append((name, f"DTYPE {dt}"))
+        continue
     if len(sdf) != len(ddf):
         bad.append((name, f"ROWCOUNT spark={len(sdf)} duck={len(ddf)}"))
         continue
