@@ -1,7 +1,7 @@
 package graft.engine
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.domain.Schemas._
 import graft.functions.VectorFunctions._
@@ -102,8 +102,13 @@ object Ingest {
 
   /** Entity-resolution cascade (the reference's hard part, SURVEY §7.4.2):
     * for each candidate node, in priority order —
-    *   1. exact unique-identifier match: same (label, name)
-    *      (`_merge_node_with_unique_identifiers`, memory_graph.py:10542)
+    *   1. exact unique-identifier match: same (label, unique-id tuple)
+    *      (`_merge_node_with_unique_identifiers`, memory_graph.py:10542) —
+    *      `exactKeyCols` selects the identifier columns (default `name`;
+    *      a schema's `unique_identifiers` via [[SchemaRegistry]] otherwise).
+    *      A NULL in any identifier skips the exact stage for that row and
+    *      falls through the cascade, matching the reference's "MERGE skips
+    *      on null unique identifiers" behavior (memory_graph.py:10573).
     *   2. semantic: property-vector cosine ≥ semanticThreshold (0.85)
     *      (`_search_qdrant_for_existing_entity`, memory_graph.py:10816)
     *   3. fuzzy: case-insensitive containment
@@ -115,18 +120,26 @@ object Ingest {
   def resolveEntities(candidates: DataFrame, existing: DataFrame,
                       existingProps: DataFrame,
                       embedder: Embedder,
-                      semanticThreshold: Double = 0.85): DataFrame = {
+                      semanticThreshold: Double = 0.85,
+                      exactKeyCols: Seq[String] = Seq("name")): DataFrame = {
     val embedUdf = udf((s: String) => embedder.embed(s))
+
+    // exact-stage key: all identifier columns non-null, joined with an
+    // unprintable separator (equi-join drops NULL keys = cascade skip)
+    def ekey(df: DataFrame): Column = {
+      val cols = exactKeyCols.map(df(_))
+      when(cols.map(_.isNotNull).reduce(_ && _), concat_ws("\u0001", cols: _*))
+    }
 
     val cand = candidates
       .select(col("node_id").as("cand_id"), col("label").as("cand_label"),
-        col("name").as("cand_name"))
+        col("name").as("cand_name"), ekey(candidates).as("cand_ekey"))
       .distinct()
       .withColumn("cand_vec", embedUdf(col("cand_name")))
 
     val exact = existing
       .select(col("node_id").as("exact_id"), col("label").as("cand_label"),
-        col("name").as("cand_name"))
+        ekey(existing).as("cand_ekey"))
 
     val semantic = existingProps
       .filter(col("property_name") === "name")
@@ -147,10 +160,17 @@ object Ingest {
       .filter(col("sem_rank") === 1)
       .withColumn("sem_id",
         when(col("sem_score") >= semanticThreshold, col("sem_id")).otherwise(lit(null)))
-      .select(col("cand_id"), col("cand_label"), col("cand_name"), col("sem_id"))
+      .select(col("cand_id"), col("cand_label"), col("cand_name"),
+        col("cand_ekey"), col("sem_id"))
+
+    // ≤1 exact row per key (min node_id wins) so a duplicated identifier in
+    // the existing graph can't fan the candidate out
+    val exactDedup = exact.filter(col("cand_ekey").isNotNull)
+      .groupBy(col("cand_label"), col("cand_ekey"))
+      .agg(min(col("exact_id")).as("exact_id"))
 
     val withExact = bestSem
-      .join(broadcast(exact), Seq("cand_label", "cand_name"), "left")
+      .join(broadcast(exactDedup), Seq("cand_label", "cand_ekey"), "left")
 
     // the containment test needs a minimum length on BOTH sides: an empty
     // (or 1-char) name is contained in everything and would merge the

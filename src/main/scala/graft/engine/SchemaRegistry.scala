@@ -1,0 +1,274 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dynamic user schema registry + validation (SURVEY §2.11; reference
+  * `models/user_schemas.py:299-427` `UserGraphSchema`/`UserNodeType`/
+  * `PropertyDefinition`, runtime class generation `models/cipher_ast.py:
+  * 66-135` `create_dynamic_property_class`).
+  *
+  * The reference registers per-tenant ontologies (node types with typed
+  * properties, required lists, unique identifiers; relationship types with
+  * allowed endpoint labels) and generates pydantic validation classes at
+  * runtime. Here the same registry compiles to Spark:
+  *
+  *  - the registry itself is a catalog DataFrame (one row per schema —
+  *    queryable/persistable like any table);
+  *  - `create_dynamic_property_class` becomes a generated `StructType`
+  *    ([[structTypeFor]]) and a typed projection ([[typedNodes]]) whose
+  *    per-property `try_cast`s ARE the validation — parse failures surface
+  *    as NULL typed columns, never executor exceptions;
+  *  - enforcement is [[validate]]: a declarative violations plan (missing
+  *    required / type mismatch / enum / undeclared property / duplicate
+  *    unique identifier), one pass over the nodes table, fully
+  *    SQL-expressible so the whole operator is oracle-checkable;
+  *  - lifecycle draft → active → deprecated → archived
+  *    (`SchemaStatus`, user_schemas.py:286-291): only ACTIVE schemas
+  *    enforce, mirroring the reference's active-filter
+  *    (`schema_service.py:616-621`);
+  *  - `unique_identifiers` feed entity resolution
+  *    ([[Ingest.resolveEntities]]'s `exactKeyCols`) — the Spark analog of
+  *    `_merge_node_with_unique_identifiers` (memory_graph.py:10542).
+  */
+object SchemaRegistry {
+
+  /** `PropertyDefinition` (user_schemas.py:20-26). `ptype` ∈
+    * string|integer|float|boolean|datetime|array|object. */
+  case class PropertyDef(
+      ptype: String = "string",
+      required: Boolean = false,
+      enumValues: Seq[String] = Nil)
+
+  /** `UserNodeType` (user_schemas.py:60-130). */
+  case class NodeTypeDef(
+      properties: Map[String, PropertyDef],
+      requiredProperties: Seq[String] = Nil,
+      uniqueIdentifiers: Seq[String] = Nil)
+
+  /** `UserRelationshipType` (user_schemas.py:196-240). */
+  case class RelTypeDef(
+      allowedSourceTypes: Seq[String],
+      allowedTargetTypes: Seq[String],
+      cardinality: String = "many-to-many")
+
+  object Status {
+    val Draft = "draft"; val Active = "active"
+    val Deprecated = "deprecated"; val Archived = "archived"
+    /** Legal lifecycle moves; archive is the soft delete reachable from
+      * everywhere (schema_service.py:607). */
+    val transitions: Map[String, Set[String]] = Map(
+      Draft      -> Set(Active, Archived),
+      Active     -> Set(Deprecated, Archived),
+      Deprecated -> Set(Archived),
+      Archived   -> Set.empty)
+  }
+
+  /** `UserGraphSchema` (user_schemas.py:299-427). */
+  case class UserSchema(
+      id: String,
+      name: String,
+      version: String = "1.0.0",
+      status: String = Status.Draft,
+      nodeTypes: Map[String, NodeTypeDef],
+      relTypes: Map[String, RelTypeDef] = Map.empty)
+
+  private val PropTypes =
+    Set("string", "integer", "float", "boolean", "array", "datetime", "object")
+
+  /** Registration-time validation — the pydantic `field_validator`s
+    * (user_schemas.py:218-247, 149-175) as hard requires. Returns the
+    * schema so registration composes: `register(UserSchema(...))`. */
+  def register(s: UserSchema): UserSchema = {
+    require(s.name.nonEmpty && s.name.length <= 100, s"schema name length 1..100")
+    require(s.version.matches("""\d+\.\d+\.\d+"""), s"version must be semver: ${s.version}")
+    require(s.nodeTypes.nonEmpty, "Schema must have at least one node type")
+    require(s.nodeTypes.size <= 10, s"Schema cannot have more than 10 node types (found ${s.nodeTypes.size})")
+    require(s.relTypes.size <= 20, s"Schema cannot have more than 20 relationship types (found ${s.relTypes.size})")
+    s.nodeTypes.foreach { case (name, nt) =>
+      require(nt.properties.size <= 10,
+        s"Node type $name cannot have more than 10 properties (found ${nt.properties.size})")
+      nt.properties.values.foreach(p => require(PropTypes(p.ptype), s"unknown property type ${p.ptype}"))
+      nt.requiredProperties.foreach(p => require(nt.properties.contains(p),
+        s"Required property '$p' not found in properties of $name"))
+      nt.uniqueIdentifiers.foreach(p => require(nt.properties.contains(p),
+        s"Unique identifier property '$p' not found in properties of $name"))
+    }
+    s.relTypes.keys.foreach(r => require(r.matches("[A-Z][A-Z0-9_]*"),
+      s"relationship type must be UPPER_CASE: $r"))
+    s
+  }
+
+  /** Lifecycle transition with legality check (draft→active→deprecated→
+    * archived; archive from anywhere but archived). */
+  def transition(s: UserSchema, to: String): UserSchema = {
+    require(Status.transitions.getOrElse(s.status, Set.empty).contains(to),
+      s"illegal schema lifecycle transition ${s.status} -> $to")
+    s.copy(status = to)
+  }
+
+  /** The schemas catalog TABLE (SURVEY §1.1): one row per (schema, node
+    * type, property) — flat, so it scans/filters/joins like any other
+    * catalog relation and round-trips parquet. */
+  def catalog(spark: SparkSession, schemas: Seq[UserSchema]): DataFrame = {
+    import spark.implicits._
+    schemas.flatMap { s =>
+      s.nodeTypes.toSeq.flatMap { case (ntName, nt) =>
+        nt.properties.toSeq.map { case (pName, p) =>
+          (s.id, s.name, s.version, s.status, ntName, pName, p.ptype,
+            nt.requiredProperties.contains(pName),
+            nt.uniqueIdentifiers.contains(pName),
+            p.enumValues)
+        }
+      }
+    }.toDF("schema_id", "schema_name", "version", "status", "node_type",
+      "property", "ptype", "required", "unique_id", "enum_values")
+  }
+
+  private def sparkType(ptype: String): DataType = ptype match {
+    case "integer"  => LongType
+    case "float"    => DoubleType
+    case "boolean"  => BooleanType
+    case "datetime" => TimestampType
+    case "array"    => ArrayType(StringType)
+    case _          => StringType        // string | object (kept opaque)
+  }
+
+  /** The generated validation class (`create_dynamic_property_class`,
+    * cipher_ast.py:66-135) as a StructType: `id` always present + one typed
+    * field per declared property, nullable unless required. */
+  def structTypeFor(nt: NodeTypeDef): StructType =
+    StructType(
+      StructField("id", StringType, nullable = false) +:
+        nt.properties.toSeq.sortBy(_._1).map { case (p, d) =>
+          StructField(p, sparkType(d.ptype), nullable = !nt.requiredProperties.contains(p))
+        })
+
+  /** Typed projection of a string-property node table through the generated
+    * StructType: each declared property becomes a `try_cast` typed column
+    * (parse failure ⇒ NULL, surfaced by [[validate]], never a crash). */
+  def typedNodes(nodes: DataFrame, label: String, nt: NodeTypeDef): DataFrame = {
+    val typedCols = nt.properties.toSeq.sortBy(_._1).map { case (p, d) =>
+      val raw = element_at(col("properties"), p)
+      (d.ptype match {
+        case "boolean" => when(lower(raw).isin("true", "false"), lower(raw) === "true")
+        case "array"   => split(raw, ",")
+        case "object"  => raw
+        case "string"  => raw
+        case t         => raw.try_cast(sparkType(t).sql)   // parse failure ⇒ NULL, not an ANSI exception
+      }).as(p)
+    }
+    nodes.filter(col("label") === label)
+      .select(col("node_id").as("id") +: typedCols: _*)
+  }
+
+  /** Value-level indexability classifier
+    * (`SchemaBasedPropertyClassifier._is_deterministic_value`,
+    * property_indexing_service.py:39-57): UUIDs, pure numbers, leading
+    * ISO dates and boolean words carry no semantic content — embedding them
+    * at corpus scale floods the property-vector space. */
+  def isDeterministicValue(c: Column): Column =
+    lower(c).rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$") ||
+      c.rlike("^[0-9]+$") ||
+      c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}") ||
+      lower(c).isin("true", "false")
+
+  /** `should_index_property` value half (property_indexing_service.py:19-37):
+    * non-empty after trim AND not deterministic. */
+  def shouldIndexValue(c: Column): Column =
+    c.isNotNull && length(trim(c)) > 0 && !isDeterministicValue(c)
+
+  /** Schema half of the classifier (`_build_indexable_properties_map`,
+    * auth_utils.py:3831-3881): ACTIVE schemas only; property must be
+    * required, string-typed, and enum-free. Returns (node_type, property)
+    * pairs eligible for the property-vector space. */
+  def indexableProperties(schemas: Seq[UserSchema]): Set[(String, String)] =
+    (for {
+      s <- schemas if s.status == Status.Active
+      (ntName, nt) <- s.nodeTypes
+      (pName, p) <- nt.properties
+      if nt.requiredProperties.contains(pName) && p.ptype == "string" && p.enumValues.isEmpty
+    } yield (ntName, pName)).toSet
+
+  /** Enforcement: one declarative violations plan over the nodes table for
+    * every ACTIVE schema. Checks per declared node type:
+    *   missing_required  — required property absent/blank
+    *   type_mismatch     — non-null value the generated StructType can't parse
+    *   enum_violation    — value outside the declared enum
+    *   extra_property    — undeclared property (pydantic `extra='forbid'`)
+    *   duplicate_unique  — >1 node sharing the full unique-identifier tuple
+    * Output (node_id, label, violation, property) — SQL-expressible, so the
+    * whole operator sits behind a DuckDB oracle (q114).
+    *
+    * Scale shape: each check is a filter/projection over one scan (the
+    * per-type plans union; Catalyst collapses shared scans); the only
+    * shuffle is duplicate_unique's window over (label, uid tuple). */
+  def validate(nodes: DataFrame, schemas: Seq[UserSchema]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = schemas.filter(_.status == Status.Active)
+    val plans: Seq[DataFrame] = active.flatMap { s =>
+      s.nodeTypes.toSeq.flatMap { case (ntName, nt) =>
+        val typed = nodes.filter(col("label") === ntName)
+        val prop = (p: String) => element_at(col("properties"), p)
+
+        val missing = nt.requiredProperties.map { p =>
+          typed.filter(prop(p).isNull || length(trim(prop(p))) === 0)
+            .select(col("node_id"), col("label"),
+              lit("missing_required").as("violation"), lit(p).as("property"))
+        }
+
+        val mismatch = nt.properties.toSeq.collect {
+          case (p, d) if Set("integer", "float", "boolean", "datetime")(d.ptype) =>
+            val raw = prop(p)
+            // try_cast, not cast: ANSI mode would turn a malformed value
+            // into an executor exception instead of a violation row
+            val parsed = d.ptype match {
+              case "boolean" => when(lower(raw).isin("true", "false"), lit(true))
+              case t         => raw.try_cast(sparkType(t).sql)
+            }
+            typed.filter(raw.isNotNull && length(trim(raw)) > 0 && parsed.isNull)
+              .select(col("node_id"), col("label"),
+                lit("type_mismatch").as("violation"), lit(p).as("property"))
+        }
+
+        val enums = nt.properties.toSeq.collect {
+          case (p, d) if d.enumValues.nonEmpty =>
+            typed.filter(prop(p).isNotNull && !prop(p).isin(d.enumValues: _*))
+              .select(col("node_id"), col("label"),
+                lit("enum_violation").as("violation"), lit(p).as("property"))
+        }
+
+        val declared = nt.properties.keys.toSeq
+        val extras = Seq(
+          typed.select(col("node_id"), col("label"),
+              explode(map_keys(col("properties"))).as("property"))
+            .filter(!col("property").isin(declared: _*))
+            .select(col("node_id"), col("label"),
+              lit("extra_property").as("violation"), col("property")))
+
+        val dups =
+          if (nt.uniqueIdentifiers.isEmpty) Nil
+          else {
+            val uidCols = nt.uniqueIdentifiers.map(prop)
+            val allPresent = uidCols.map(_.isNotNull).reduce(_ && _)
+            val w = Window.partitionBy(col("label") +: uidCols: _*)
+            Seq(typed.filter(allPresent)
+              .withColumn("uid_n", count(lit(1)).over(w))
+              .filter(col("uid_n") > 1)
+              .select(col("node_id"), col("label"),
+                lit("duplicate_unique").as("violation"),
+                lit(nt.uniqueIdentifiers.mkString(",")).as("property")))
+          }
+
+        missing ++ mismatch ++ enums ++ extras ++ dups
+      }
+    }
+    plans.reduceOption(_.unionAll(_)).getOrElse {
+      nodes.sparkSession.emptyDataFrame
+        .withColumn("node_id", lit("")).withColumn("label", lit(""))
+        .withColumn("violation", lit("")).withColumn("property", lit(""))
+        .limit(0)
+    }
+  }
+}

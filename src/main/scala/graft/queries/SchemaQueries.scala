@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.SchemaRegistry
+import graft.engine.SchemaRegistry.{NodeTypeDef, PropertyDef, UserSchema}
+
+/** §2.11 dynamic schema registry enforcement, end to end: a user ontology
+  * (typed properties, required list, enum, unique identifiers) validated
+  * against a node table derived deterministically from `part`, with an
+  * inert DRAFT schema alongside to pin the lifecycle filter — if draft
+  * schemas ever leaked into enforcement, its absurd rules would flood the
+  * violations list and the oracle would catch it.
+  */
+object SchemaQueries {
+
+  /** The active ontology under test. */
+  private val partNodeType = NodeTypeDef(
+    properties = Map(
+      "name"   -> PropertyDef("string", required = true),
+      "size"   -> PropertyDef("integer", required = true),
+      "brand"  -> PropertyDef("string", required = true),
+      "status" -> PropertyDef("string",
+        enumValues = Seq("active", "inactive", "retired"))),
+    requiredProperties = Seq("name", "size", "brand"),
+    uniqueIdentifiers = Seq("name"))
+
+  def entries: Seq[Entry] = Seq(
+
+    Entry("q114_schema_validation",
+      (s, d) => {
+        val emptyMap = map().cast("map<string,string>")
+        // deterministic violation seeding: %7 drops required brand, %11
+        // poisons the integer size, %4==3 leaves the enum, %13 adds an
+        // undeclared property; duplicate part names trip duplicate_unique
+        val nodes = Tables.part(s, d).select(
+          concat(lit("pn"), col("p_partkey")).as("node_id"),
+          lit("Part").as("label"),
+          col("p_name").as("name"),
+          map_concat(
+            map(
+              lit("name"), col("p_name"),
+              lit("size"), when(col("p_partkey") % 11 === 0, lit("not-a-number"))
+                .otherwise(col("p_size").cast("string")),
+              lit("status"), element_at(
+                array(lit("active"), lit("inactive"), lit("retired"), lit("bogus")),
+                (col("p_partkey") % 4 + 1).cast("int"))),
+            when(col("p_partkey") % 7 =!= 0, map(lit("brand"), col("p_brand")))
+              .otherwise(emptyMap),
+            when(col("p_partkey") % 13 === 0, map(lit("color"), lit("red")))
+              .otherwise(emptyMap)).as("properties"))
+
+        val activeSchema = SchemaRegistry.transition(
+          SchemaRegistry.register(UserSchema("s1", "parts-ontology",
+            nodeTypes = Map("Part" -> partNodeType))),
+          SchemaRegistry.Status.Active)
+        // never enforced: requires a property no node has and forbids all
+        // the real ones — any leak through the lifecycle filter explodes
+        // the violation count
+        val draftSchema = SchemaRegistry.register(UserSchema("s2", "draft-strict",
+          nodeTypes = Map("Part" -> NodeTypeDef(
+            properties = Map("nope" -> PropertyDef("string", required = true)),
+            requiredProperties = Seq("nope")))))
+
+        SchemaRegistry.validate(nodes, Seq(activeSchema, draftSchema))
+          .orderBy(col("node_id"), col("violation"), col("property"))
+      },
+      Some("""WITH nodes AS (
+             |  SELECT 'pn' || CAST(p_partkey AS VARCHAR) AS node_id,
+             |    p_partkey, p_name FROM part)
+             |SELECT node_id, 'Part' AS label,
+             |  'missing_required' AS violation, 'brand' AS property
+             |FROM nodes WHERE p_partkey % 7 = 0
+             |UNION ALL
+             |SELECT node_id, 'Part', 'type_mismatch', 'size'
+             |FROM nodes WHERE p_partkey % 11 = 0
+             |UNION ALL
+             |SELECT node_id, 'Part', 'enum_violation', 'status'
+             |FROM nodes WHERE p_partkey % 4 = 3
+             |UNION ALL
+             |SELECT node_id, 'Part', 'extra_property', 'color'
+             |FROM nodes WHERE p_partkey % 13 = 0
+             |UNION ALL
+             |SELECT node_id, 'Part', 'duplicate_unique', 'name'
+             |FROM (SELECT node_id, count(*) OVER (PARTITION BY p_name) AS c
+             |      FROM nodes) WHERE c > 1
+             |ORDER BY node_id, violation, property""".stripMargin)))
+}
