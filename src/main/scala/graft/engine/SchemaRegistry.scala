@@ -186,8 +186,10 @@ object SchemaRegistry {
   def indexableProperties(schemas: Seq[UserSchema]): Set[(String, String)] =
     (for {
       s <- schemas if s.status == Status.Active
-      (ntName, nt) <- s.nodeTypes
-      (pName, p) <- nt.properties
+      // .toSeq: yielding (ntName, pName) pairs from Map generators would
+      // rebuild a Map keyed by node type and silently keep ONE property
+      (ntName, nt) <- s.nodeTypes.toSeq
+      (pName, p) <- nt.properties.toSeq
       if nt.requiredProperties.contains(pName) && p.ptype == "string" && p.enumValues.isEmpty
     } yield (ntName, pName)).toSet
 

@@ -49,7 +49,50 @@ object DomainPipelineQueries {
             topK = 10, rerank = true))
           .select(col("memory_id"), col("score"), col("rr_score"))
       },
-      None),
+      // The whole §3.1 pipeline replayed in SQL: 12-token window chunking
+      // (q100's shape), HashEmbedder(64) bit-exact per chunk
+      // (OracleSql.embedCtes), double cosine vs the inlined query vector,
+      // the 0.15 gate, ×3-oversampled top-30 with (score DESC, chunk_id)
+      // tie-break, max-score rollup per memory, top-10, then the lexical
+      // rerank (|q ∩ doc tokens| / |q|) with its own (rr DESC, memory_id)
+      // cut — every stage deterministic, so the flagship search itself is
+      // hash-checked, not just spec-tested.
+      Some {
+        val query = "spark table join merge sort window"
+        val qvec = OracleSql.vecLit(new HashEmbedder(64).embed(query))
+        val qToks = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        val qArr = qToks.map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(toks) AS tk,
+           |    unnest(generate_series(1, len(toks))) AS pos
+           |  FROM (SELECT doc_id,
+           |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+           |        FROM documents)),
+           |chunks AS (
+           |  SELECT 'm' || doc_id || '_' || CAST((pos - 1) // 12 AS VARCHAR) AS id,
+           |    'm' || doc_id AS memory_id,
+           |    string_agg(tk, ' ' ORDER BY pos) AS txt
+           |  FROM tok GROUP BY doc_id, (pos - 1) // 12),
+           |${OracleSql.embedCtes("chunks", 64, "chemb")},
+           |scored AS (
+           |  SELECT c.memory_id, c.id AS chunk_id,
+           |    ${OracleSql.cosine("e.emb", qvec)} AS score
+           |  FROM chemb e JOIN chunks c ON c.id = e.id),
+           |hits AS (
+           |  SELECT memory_id, chunk_id, score FROM scored
+           |  WHERE score >= 0.15
+           |  ORDER BY score DESC, chunk_id LIMIT 30),
+           |rolled AS (
+           |  SELECT memory_id, max(score) AS score FROM hits GROUP BY memory_id),
+           |topk AS (
+           |  SELECT memory_id, score FROM rolled
+           |  ORDER BY score DESC, memory_id LIMIT 10)
+           |SELECT t.memory_id, t.score,
+           |  len(list_intersect(list_distinct(string_split(lower(d.text), ' ')),
+           |      $qArr)) / ${qToks.length}.0 AS rr_score
+           |FROM topk t JOIN documents d ON 'm' || d.doc_id = t.memory_id
+           |ORDER BY rr_score DESC, t.memory_id LIMIT 10""".stripMargin
+      }),
 
     // T2/T3: per-session batch-of-15 analysis with rolling summaries,
     // batch twin of the streaming query (flatMapGroupsWithState).
@@ -143,7 +186,57 @@ object DomainPipelineQueries {
           .groupBy(col("resolution")).agg(count(lit(1)).as("n"))
           .orderBy(col("resolution"))
       },
-      None),
+      // Full-fidelity cascade replica: the bucketed fixture, HashEmbedder
+      // bit-exact in SQL (OracleSql.embedCtes), the all-pairs best-semantic
+      // pick with the same (score DESC, sem_id) tie-break and 0.85 gate,
+      // min-id exact and fuzzy-containment stages, and the same
+      // exact > semantic > fuzzy > create coalesce — NOT a structural
+      // bucket→label mapping, because near-threshold cosines (dim 32) can
+      // legitimately cross stages and the oracle must follow the data.
+      Some(s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+              |b AS (SELECT name, ${OracleSql.h60("name")} % 4 AS bucket FROM names),
+              |existing AS (
+              |  SELECT 'node_' || name AS node_id,
+              |    CASE WHEN bucket = 0 THEN name
+              |         WHEN bucket = 1 THEN
+              |           array_to_string(list_reverse(string_split(name, ' ')), ' ')
+              |         ELSE name || ' deluxe edition limited run' END AS ex_name
+              |  FROM b WHERE bucket <> 3),
+              |cand_src AS (SELECT name AS id, name AS txt FROM b),
+              |${OracleSql.embedCtes("cand_src", 32, "cemb")},
+              |ex_src AS (SELECT node_id AS id, ex_name AS txt FROM existing),
+              |${OracleSql.embedCtes("ex_src", 32, "eemb")},
+              |sem AS (
+              |  SELECT c.id AS name, e.id AS sem_id,
+              |    ${OracleSql.cosine("c.emb", "e.emb")} AS score
+              |  FROM cemb c CROSS JOIN eemb e),
+              |best_sem AS (
+              |  SELECT name, CASE WHEN score >= 0.85 THEN sem_id END AS sem_id
+              |  FROM (SELECT name, sem_id, score,
+              |          row_number() OVER (PARTITION BY name
+              |            ORDER BY score DESC, sem_id) AS rk
+              |        FROM sem)
+              |  WHERE rk = 1),
+              |exact AS (
+              |  SELECT ex_name, min(node_id) AS exact_id
+              |  FROM existing GROUP BY ex_name),
+              |fz AS (
+              |  SELECT b.name, min(e.node_id) AS fuzzy_id
+              |  FROM b LEFT JOIN existing e
+              |    ON length(e.ex_name) >= 2 AND length(b.name) >= 2
+              |   AND (contains(lower(b.name), lower(e.ex_name))
+              |     OR contains(lower(e.ex_name), lower(b.name)))
+              |  GROUP BY b.name)
+              |SELECT resolution, count(*) AS n FROM (
+              |  SELECT CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+              |              WHEN bs.sem_id IS NOT NULL THEN 'semantic'
+              |              WHEN fz.fuzzy_id IS NOT NULL THEN 'fuzzy'
+              |              ELSE 'create' END AS resolution
+              |  FROM b
+              |  JOIN best_sem bs USING (name)
+              |  LEFT JOIN exact ex ON ex.ex_name = b.name
+              |  JOIN fz ON fz.name = b.name)
+              |GROUP BY resolution ORDER BY resolution""".stripMargin)),
 
     // Multimodal: documents bytes as opaque blobs → partition-wise feature
     // extraction (decode stub, real batch plumbing).
@@ -208,24 +301,78 @@ object DomainPipelineQueries {
              |ORDER BY m_id, n_id""".stripMargin)),
 
     // V4: property-vector search — semantic entity lookup over the secondary
-    // node_properties space (property_indexing_service.py:61-1279): embed
-    // every distinct part name, KNN against an embedded query string.
+    // node_properties space (property_indexing_service.py:61-1279). The
+    // corpus is built THROUGH the indexability classifier: the schema half
+    // admits required enum-free string properties (name/size/retired; the
+    // enum'd category is schema-excluded), the value half then drops
+    // deterministic values (numeric sizes, boolean 'retired') — so only
+    // semantic names get vectors, exactly the reference's guard against
+    // embedding every integer at corpus scale. Embedding runs as a
+    // mapPartitions batch stage (one embedder per partition, the
+    // production batch shape) and the oracle reproduces classifier +
+    // HashEmbedder bit-exactly in SQL.
     Entry("q52_property_search",
       (s, d) => {
+        import graft.engine.SchemaRegistry
+        import graft.engine.SchemaRegistry.{NodeTypeDef, PropertyDef, UserSchema}
         import graft.functions.VectorFunctions._
         import s.implicits._
-        val embedder = new HashEmbedder(32)
-        val embedUdf = udf((t: String) => embedder.embed(t))
-        val props = Tables.part(s, d).select(col("p_name").as("name")).distinct()
-          .withColumn("embedding", embedUdf(col("name")))
-        val qvec = Seq(Tuple1(embedder.embed("small shiny widget"))).toDF("qvec")
-        props.crossJoin(broadcast(qvec))
-          .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
-          .select(col("name"), col("score"))
-          .orderBy(desc("score"), col("name"))
+        val schema = SchemaRegistry.transition(SchemaRegistry.register(
+          UserSchema("s-prop", "prop-index", nodeTypes = Map("Part" -> NodeTypeDef(
+            properties = Map(
+              "name"     -> PropertyDef("string", required = true),
+              "size"     -> PropertyDef("string", required = true),
+              "retired"  -> PropertyDef("string", required = true),
+              "category" -> PropertyDef("string", required = true,
+                enumValues = Seq("SM CASE", "MED BOX"))),
+            requiredProperties = Seq("name", "size", "retired", "category"))))),
+          SchemaRegistry.Status.Active)
+        val ix = SchemaRegistry.indexableProperties(Seq(schema))
+          .map { case (t, p) => t + "\u0001" + p }.toSeq
+
+        val propRows = Tables.part(s, d).select(
+          explode(map(
+            lit("name"), col("p_name"),
+            lit("size"), col("p_size").cast("string"),
+            lit("retired"), lit("false"),
+            lit("category"), col("p_type")))
+            .as(Seq("property_name", "property_value")))
+          .filter(concat_ws("\u0001", lit("Part"), col("property_name")).isin(ix: _*))
+          .filter(SchemaRegistry.shouldIndexValue(col("property_value")))
+          .distinct()
+
+        val embedded = propRows.as[(String, String)].mapPartitions { it =>
+          val e = new HashEmbedder(32)          // one instantiation per partition
+          it.map { case (pn, pv) => (pn, pv, e.embed(pv)) }
+        }.toDF("property_name", "property_value", "embedding")
+
+        val qvec = typedLit(new HashEmbedder(32).embed("small shiny widget"))
+        embedded
+          .withColumn("score", cosineSim(col("embedding"), qvec))
+          .select(col("property_name"), col("property_value"), col("score"))
+          .orderBy(desc("score"), col("property_value"))
           .limit(10)
       },
-      None),
+      Some {
+        val q = OracleSql.vecLit(new HashEmbedder(32).embed("small shiny widget"))
+        s"""WITH pv0 AS (
+           |  SELECT DISTINCT property_name, property_value FROM (
+           |    SELECT 'name' AS property_name, p_name AS property_value FROM part
+           |    UNION ALL SELECT 'size', CAST(p_size AS VARCHAR) FROM part
+           |    UNION ALL SELECT 'retired', 'false' FROM part
+           |    UNION ALL SELECT 'category', p_type FROM part)
+           |  WHERE property_name IN ('name', 'size', 'retired')
+           |    AND ${OracleSql.shouldIndexValue("property_value")}),
+           |pv AS (
+           |  SELECT row_number() OVER (ORDER BY property_name, property_value) AS id,
+           |    property_name, property_value, property_value AS txt
+           |  FROM pv0),
+           |${OracleSql.embedCtes("pv", 32, "pve")}
+           |SELECT property_name, property_value,
+           |  ${OracleSql.cosine("emb", q)} AS score
+           |FROM pve JOIN pv USING (id)
+           |ORDER BY score DESC, property_value LIMIT 10""".stripMargin
+      }),
 
     // A9 (beyond parity, free via Catalyst): ROLLUP aggregation with
     // subtotal rows — grouping-set machinery at scale.

@@ -137,14 +137,15 @@ class SchemaRegistrySpec extends SparkSpec {
     val active = transition(register(UserSchema("s1", "ix", nodeTypes = Map("T" ->
       NodeTypeDef(
         Map("title" -> PropertyDef("string", required = true),
+          "body" -> PropertyDef("string", required = true),            // second survivor: catches Map-collapse bugs
           "opt" -> PropertyDef("string"),                              // not required
           "n" -> PropertyDef("integer", required = true),              // not string
           "kind" -> PropertyDef("string", required = true, enumValues = Seq("a"))),
-        requiredProperties = Seq("title", "n", "kind"))))), Status.Active)
+        requiredProperties = Seq("title", "body", "n", "kind"))))), Status.Active)
     val draft = register(UserSchema("s2", "ghost", nodeTypes = Map("U" ->
       NodeTypeDef(Map("x" -> PropertyDef("string", required = true)),
         requiredProperties = Seq("x")))))
-    assert(indexableProperties(Seq(active, draft)) === Set("T" -> "title"))
+    assert(indexableProperties(Seq(active, draft)) === Set("T" -> "title", "T" -> "body"))
   }
 
   test("value classifier skips deterministic strings (UUID, number, date, bool)") {
