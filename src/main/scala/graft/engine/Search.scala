@@ -1,7 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ast.{GraphQuery, QueryCompiler}
+import graft.functions.Fns.baseId
 import graft.functions.VectorFunctions._
 import graft.ops.{Rerank, Reranker, LexicalReranker, Retrieval}
 import graft.ops.Retrieval.{MetaPred, Principal}
@@ -34,6 +36,42 @@ object Search {
 
   val OversampleFactor = 3          // memory_graph.py:6105-6107
   val ScoreThreshold = 0.15         // memory_graph.py:8158
+  val NeoDefaultScore = 0.7         // memory_graph.py:6600,6679
+  val ChunkFactor = 3               // memory_graph.py:6587 (chunks per memory)
+
+  /** V6 — grouped-memory expansion (memory_graph.py:6200-6222): a hit whose
+    * chunk payload is flagged `isGroupedMemories` pulls its
+    * `relatedMemoryIds` (chunk suffixes stripped) into the candidate set.
+    * Expanded ids carry score 0.0 — the reference's
+    * `all_similarity_scores.get(x, 0.0)` fallback — so direct hits always
+    * outrank them and re-dedup keeps the real score. Chunk relations that
+    * don't carry the grouped payload (e.g. IVF-pruned projections) expand
+    * to nothing. */
+  private def groupedExpansion(chunkHits: DataFrame): DataFrame = {
+    val cols = chunkHits.columns.toSet
+    if (!cols.contains("is_grouped") || !cols.contains("related_memory_ids"))
+      chunkHits.sparkSession.emptyDataFrame
+        .select(lit("").as("memory_id"), lit(0.0).as("score")).limit(0)
+    else chunkHits.filter(col("is_grouped"))
+      .select(explode(col("related_memory_ids")).as("rid"))
+      .select(baseId(col("rid")).as("memory_id")).distinct()
+      .withColumn("score", lit(0.0))
+  }
+
+  /** The F1/F2/F4 filter stack, shared by every search variant. */
+  private def applyFilters(chunks: DataFrame, req: SearchRequest): DataFrame = {
+    val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
+    // F2: tenant AND-scope. Chunks denormalize the namespace GRANT list
+    // (namespace_read_access), not a namespace_id column — scope on
+    // whichever the input schema actually carries (memories have the id;
+    // chunk payloads, like the reference's Qdrant points, have the list).
+    val scoped = req.namespaceId.map { ns =>
+      if (acl.columns.contains("namespace_id")) acl.filter(col("namespace_id") === ns)
+      else acl.filter(array_contains(col("namespace_read_access"), ns))
+    }.getOrElse(acl)
+    if (req.metaFilters.isEmpty) scoped
+    else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
+  }
 
   def search(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
              req: SearchRequest,
@@ -43,31 +81,34 @@ object Search {
 
     val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
 
-    val filtered = {
-      val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
-      // F2: tenant AND-scope. Chunks denormalize the namespace GRANT list
-      // (namespace_read_access), not a namespace_id column — scope on
-      // whichever the input schema actually carries (memories have the id;
-      // chunk payloads, like the reference's Qdrant points, have the list).
-      val scoped = req.namespaceId.map { ns =>
-        if (acl.columns.contains("namespace_id")) acl.filter(col("namespace_id") === ns)
-        else acl.filter(array_contains(col("namespace_read_access"), ns))
-      }.getOrElse(acl)
-      if (req.metaFilters.isEmpty) scoped
-      else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
-    }
+    val filtered = applyFilters(chunks, req)
 
-    val chunkHits = filtered
+    // carry the grouped payload through the hit list when the chunk
+    // relation has it (IVF-pruned projections may not)
+    val groupedCols = Seq("is_grouped", "related_memory_ids")
+      .filter(chunks.columns.contains)
+    val hits = filtered
       .crossJoin(broadcast(qvec))
       .withColumn("score", cosineSim(col("embedding"), col("qvec")))
       .filter(col("score") >= ScoreThreshold)
-      .select(col("chunk_id"), col("memory_id"), col("score"))
+      .select((Seq("chunk_id", "memory_id", "score") ++ groupedCols).map(col): _*)
       .orderBy(desc("score"), col("chunk_id"))
       .limit(req.topK * OversampleFactor)
+    // the hit list feeds BOTH the rollup and the grouped expansion; without
+    // materializing these ≤ 3·topK rows the full KNN corpus scan would run
+    // once per consumer
+    val chunkHits =
+      if (groupedCols.isEmpty) hits else hits.localCheckpoint(true)
 
+    // V6 applied mid-pipeline (memory_graph.py:6200-6222): grouped hits pull
+    // their related memories into the candidate set at score 0.0 before the
+    // rollup re-dedups — direct hits keep their real score via max()
     val rolled = chunkHits
       .groupBy(col("memory_id"))
       .agg(max(col("score")).as("score"), count(lit(1)).as("n_chunks"))
+      .unionByName(groupedExpansion(chunkHits).withColumn("n_chunks", lit(0L)))
+      .groupBy(col("memory_id"))
+      .agg(max(col("score")).as("score"), max(col("n_chunks")).as("n_chunks"))
 
     val hydrated = rolled
       .join(memories, Seq("memory_id"))
@@ -96,6 +137,98 @@ object Search {
     search(spark, pruned, memories, req, embedder, reranker)
   }
 
+  /** The COMPLETE §3.1 read path — vector branch ∪ AST graph branch fused
+    * under stratified quotas (`memory_graph.py:6289-6431`), ONE entry point:
+    *
+    *   1. vector: filtered cosine KNN over chunks (×3 oversample, 0.15
+    *      gate) → grouped-memory expansion (V6) → max-score rollup;
+    *   2. graph: the compiled [[graft.ast.GraphQuery]] over (nodes, edges);
+    *      graph hits carry the reference's default score 0.7
+    *      (`memory_graph.py:6600,6679` — "a fair shot" for scoreless Neo4j
+    *      results);
+    *   3. stratified quotas for source diversity (qwen-route shape,
+    *      `:6663-6676`): base = max(topK/2, 10) memories per source, ×3
+    *      chunk factor for the vector source;
+    *   4. adaptive fill (`:6689-6720`): if the sampled union holds fewer
+    *      than topK distinct ids, top up from the quota leftovers in global
+    *      (score, id) order;
+    *   5. fuse by max score per id (re-dedup — a memory found by both
+    *      branches keeps its best score), hydrate, exclude-id, sort.
+    *
+    * Like the reference, the final result is the whole fused candidate set
+    * (bounded by the quotas, ≈ 4·topK + expansions), sorted best-first —
+    * topK gates the QUOTAS, not a final cut.
+    *
+    * Scale shape: both branches are independent subplans Spark schedules
+    * concurrently; the quota window partitions on the 2-value source tag
+    * of a ≤ 4·topK-row relation; the one driver-side count gating the fill
+    * runs over that same tiny relation (the reference counts the same list
+    * in-process, `:6689`). */
+  def searchFused(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
+                  nodes: DataFrame, edges: DataFrame, graphQuery: GraphQuery,
+                  req: SearchRequest,
+                  embedder: Embedder = new HashEmbedder(64)): DataFrame = {
+    import spark.implicits._
+    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
+
+    val groupedCols = Seq("is_grouped", "related_memory_ids")
+      .filter(chunks.columns.contains)
+    val hits = applyFilters(chunks, req)
+      .crossJoin(broadcast(qvec))
+      .withColumn("score", cosineSim(col("embedding"), col("qvec")))
+      .filter(col("score") >= ScoreThreshold)
+      .select((Seq("chunk_id", "memory_id", "score") ++ groupedCols).map(col): _*)
+      .orderBy(desc("score"), col("chunk_id"))
+      .limit(req.topK * OversampleFactor)
+    // materialize: read by the vector rollup AND the grouped expansion —
+    // without this the corpus-wide KNN scan runs once per consumer
+    val chunkHits =
+      if (groupedCols.isEmpty) hits else hits.localCheckpoint(true)
+
+    val vector = chunkHits.groupBy(col("memory_id"))
+      .agg(max(col("score")).as("score"))
+      .withColumn("source", lit("vector"))
+    val graph = QueryCompiler.compile(graphQuery, nodes, edges)
+      .select(col("m_id").as("memory_id")).distinct()
+      .withColumn("score", lit(NeoDefaultScore))
+      .withColumn("source", lit("graph"))
+    val expanded = groupedExpansion(chunkHits).withColumn("source", lit("grouped"))
+
+    val baseQuota = math.max(req.topK / 2, 10)
+    val quotaCol = when(col("source") === "vector", lit(baseQuota * ChunkFactor))
+      .otherwise(lit(baseQuota))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(desc("score"), col("memory_id"))
+    val ranked = vector.unionByName(graph)
+      .withColumn("rn", row_number().over(w))
+      .persist()   // ≤ oversample+|graph| rows; read by sample, count, and fill
+
+    val sampled = ranked.filter(col("rn") <= quotaCol).drop("rn")
+    val sampledIds = sampled.select(col("memory_id")).distinct()
+    val need = req.topK - sampledIds.count()
+    val fill =
+      if (need <= 0) sampled.limit(0)
+      else ranked.filter(col("rn") > quotaCol).drop("rn")
+        .join(sampledIds, Seq("memory_id"), "left_anti")
+        .orderBy(desc("score"), col("memory_id"))
+        .limit(need.toInt)
+
+    val fused = sampled.unionByName(fill).unionByName(expanded)
+      .groupBy(col("memory_id"))
+      // lexicographic max over (score, source): best score wins; on a tie
+      // 'vector' > 'graph' > 'grouped' — real similarity beats defaults
+      .agg(max(struct(col("score"), col("source"))).as("best"))
+      .select(col("memory_id"), col("best.score").as("score"),
+        col("best.source").as("source"))
+
+    fused
+      .join(memories, Seq("memory_id"))
+      .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
+      .select(col("memory_id"), col("score"), col("source"), col("content"),
+        col("title"), col("user_id"), col("created_at"))
+      .orderBy(desc("score"), col("memory_id"))
+  }
+
   /** V2 modernized — multi-space search with reciprocal-rank fusion: run
     * the full filtered KNN independently per embedding space (the
     * reference fans out to Pinecone/BigBird/Qdrant concurrently,
@@ -113,14 +246,7 @@ object Search {
     val perSpace = spaces.map { case (chunks, embCol) =>
       // same F1/F2/F4 stack as the single-space path — every space is
       // filtered identically before its ranking exists
-      val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
-      val scoped = req.namespaceId.map { ns =>
-        if (acl.columns.contains("namespace_id")) acl.filter(col("namespace_id") === ns)
-        else acl.filter(array_contains(col("namespace_read_access"), ns))
-      }.getOrElse(acl)
-      val filtered =
-        if (req.metaFilters.isEmpty) scoped
-        else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
+      val filtered = applyFilters(chunks, req)
       filtered.crossJoin(broadcast(qvec))
         .withColumn("score", cosineSim(col(embCol), col("qvec")))
         .select(col("memory_id"), col("score"))

@@ -402,5 +402,110 @@ object DomainPipelineQueries {
         .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
              |  TRUE AS approx_ok
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The COMPLETE §3.1 fused read path (Search.searchFused): vector KNN ∪
+    // compiled graph query with neo-default 0.7 scores, grouped-memory
+    // expansion, stratified quotas + adaptive fill, max-score fusion,
+    // hydration. Chunks of every 7th memory are flagged grouped with two
+    // related ids, so expansion and re-dedup are live in the measured plan;
+    // the oracle replays every stage (chunking, bit-exact embeddings,
+    // quotas, fill-count arithmetic, fusion tie-breaks) in SQL.
+    Entry("q115_fused_search",
+      (s, d) => {
+        import graft.ast.{CompOp, GraphQuery, Pattern, Return, Where}
+        val mems = docMemories(s, d)
+        val num = regexp_replace(col("memory_id"), "^m", "").cast("long")
+        val chunks = Ingest.chunk(s, mems, windowTokens = 12).toDF()
+          .withColumn("is_grouped", num % 7 === 0)
+          .withColumn("related_memory_ids",
+            when(num % 7 === 0,
+              array(concat(lit("m"), num + 1), concat(lit("m"), num + 2)))
+              .otherwise(array().cast("array<string>")))
+        val docs = Tables.documents(s, d)
+        val memNodes = docs.select(
+          concat(lit("m"), col("doc_id")).as("node_id"),
+          lit("Memory").as("label"),
+          concat(lit("doc "), col("doc_id")).as("name"),
+          map(lit("lang"), col("lang")).as("properties"))
+        val topicNodes = docs.select(col("lang")).distinct().select(
+          concat(lit("t_"), col("lang")).as("node_id"),
+          lit("Topic").as("label"), col("lang").as("name"),
+          map().cast("map<string,string>").as("properties"))
+        val edges = docs.select(
+          concat(lit("m"), col("doc_id")).as("src"),
+          concat(lit("t_"), col("lang")).as("dst"),
+          lit("MENTIONS").as("rel_type"),
+          map().cast("map<string,string>").as("properties"))
+        val gq = GraphQuery(
+          Pattern("Memory", Some("MENTIONS"), Some("Topic")),
+          Seq(Where("n", "name", CompOp.Eq, Some("zh"))),
+          Return(Seq("m" -> "id"), orderBy = None, limit = None))
+        Search.searchFused(s, chunks, mems.toDF(),
+          memNodes.unionByName(topicNodes), edges, gq,
+          SearchRequest("spark table join merge sort window", Principal("u0"),
+            topK = 20))
+          .select(col("memory_id"), col("score"), col("source"))
+      },
+      Some {
+        val qvec = OracleSql.vecLit(
+          new HashEmbedder(64).embed("spark table join merge sort window"))
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(toks) AS tk,
+           |    unnest(generate_series(1, len(toks))) AS pos
+           |  FROM (SELECT doc_id,
+           |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+           |        FROM documents)),
+           |chunks AS (
+           |  SELECT 'm' || doc_id || '_' || CAST((pos - 1) // 12 AS VARCHAR) AS id,
+           |    'm' || doc_id AS memory_id,
+           |    string_agg(tk, ' ' ORDER BY pos) AS txt
+           |  FROM tok GROUP BY doc_id, (pos - 1) // 12),
+           |${OracleSql.embedCtes("chunks", 64, "chemb")},
+           |hits AS (
+           |  SELECT c.memory_id, c.id AS chunk_id,
+           |    ${OracleSql.cosine("e.emb", qvec)} AS score
+           |  FROM chemb e JOIN chunks c ON c.id = e.id
+           |  WHERE ${OracleSql.cosine("e.emb", qvec)} >= 0.15
+           |  ORDER BY score DESC, chunk_id LIMIT 60),
+           |vec AS (
+           |  SELECT memory_id, max(score) AS score, 'vector' AS source
+           |  FROM hits GROUP BY memory_id),
+           |graph AS (
+           |  SELECT DISTINCT 'm' || doc_id AS memory_id, 0.7 AS score,
+           |    'graph' AS source
+           |  FROM documents WHERE lang = 'zh'),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY source
+           |      ORDER BY score DESC, memory_id) AS rn,
+           |    CASE source WHEN 'vector' THEN 30 ELSE 10 END AS quota
+           |  FROM (SELECT * FROM vec UNION ALL SELECT * FROM graph)),
+           |sampled AS (
+           |  SELECT memory_id, score, source FROM ranked WHERE rn <= quota),
+           |fill AS (
+           |  SELECT memory_id, score, source FROM (
+           |    SELECT memory_id, score, source,
+           |      row_number() OVER (ORDER BY score DESC, memory_id) AS grank
+           |    FROM ranked
+           |    WHERE rn > quota
+           |      AND memory_id NOT IN (SELECT memory_id FROM sampled))
+           |  WHERE grank <= (SELECT greatest(20 - count(DISTINCT memory_id), 0)
+           |                  FROM sampled)),
+           |expanded AS (
+           |  SELECT DISTINCT 'm' || CAST(rid AS VARCHAR) AS memory_id,
+           |    0.0 AS score, 'grouped' AS source
+           |  FROM (SELECT unnest([num + 1, num + 2]) AS rid
+           |        FROM (SELECT DISTINCT CAST(substr(memory_id, 2) AS BIGINT) AS num
+           |              FROM hits WHERE CAST(substr(memory_id, 2) AS BIGINT) % 7 = 0))),
+           |fused AS (
+           |  SELECT memory_id, score, source FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY memory_id
+           |        ORDER BY score DESC, source DESC) AS brk
+           |    FROM (SELECT * FROM sampled UNION ALL SELECT * FROM fill
+           |          UNION ALL SELECT * FROM expanded))
+           |  WHERE brk = 1)
+           |SELECT f.memory_id, f.score, f.source
+           |FROM fused f JOIN documents d ON 'm' || d.doc_id = f.memory_id
+           |ORDER BY f.score DESC, f.memory_id""".stripMargin
+      }))
 }

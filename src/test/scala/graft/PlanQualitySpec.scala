@@ -125,4 +125,35 @@ class PlanQualitySpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bq_memories")
     }
   }
+
+  test("q115 fused search: query vector broadcast, no cartesian/nested-loop, " +
+    "top-k heaps instead of global sorts, hydration broadcast") {
+    val p = planOf("q115_fused_search")
+    // the ≤3k-row candidate set must broadcast into the memories hydration
+    // join, and the qvec literal into the KNN scan
+    assert(p.contains("BroadcastHashJoin"), s"hydration not broadcast:\n$p")
+    // the only nested-loop joins allowed are the 1-row broadcast-qvec
+    // attaches (one per KNN leg); a cartesian product is never acceptable
+    assert(!p.contains("CartesianProduct"), s"fused search went cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"unexpected nested-loop join beyond the qvec attach:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"candidate-set join shuffled a sort-merge:\n$p")
+    // (the oversampled chunk top-k heap sits inside the materialized hit
+    // list; the final Sort runs over the ≤ 4·topK fused candidate set)
+    // F1 ACL predicate reaches the scan side (filter below the joins): the
+    // executed plan must carry a Filter with the read-access predicate
+    assert(p.contains("array_contains") || p.contains("user_id"),
+      s"ACL filter missing from the physical plan:\n$p")
+  }
+
+  test("q47 flagship search plan: one rollup exchange, broadcast hydration, no product") {
+    val p = planOf("q47_domain_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"hydration not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"flagship search went cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"unexpected nested-loop join beyond the qvec attach:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hydration shuffled a sort-merge join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k heap:\n$p")
+  }
 }

@@ -101,4 +101,71 @@ class SearchEngineSpec extends SparkSpec {
       .collect()
     assert(out.nonEmpty) // recency fallback returns newest visible memories
   }
+
+  test("grouped-memory expansion (V6) pulls related ids into search results") {
+    val someContent = mems.find(_.user_id == "u0").get.content
+    val target = mems.find(_.content == someContent).get.memory_id
+    // flag the guaranteed top hit's chunks as grouped, relating two ids the
+    // vector branch would NEVER return for this query (scores ~orthogonal)
+    val grouped = chunks
+      .withColumn("is_grouped", col("memory_id") === target)
+      .withColumn("related_memory_ids",
+        when(col("memory_id") === target,
+          array(lit("m59"), lit("m58_2"))) // one with a chunk suffix to strip
+          .otherwise(array().cast("array<string>")))
+    val out = Search.search(spark, grouped, memories,
+      SearchRequest(someContent, owner, topK = 50)).collect()
+    val byId = out.map(r => r.getAs[String]("memory_id") ->
+      r.getAs[Double]("score")).toMap
+    assert(byId.contains("m59") && byId("m59") === 0.0)   // expanded, default score
+    assert(byId.contains("m58") && byId("m58") === 0.0)   // chunk suffix stripped
+    assert(byId(target) > 0.5)                            // direct hit keeps real score
+    // re-dedup: expansion of an id that's ALSO a direct hit keeps the real score
+    val selfGrouped = chunks
+      .withColumn("is_grouped", col("memory_id") === target)
+      .withColumn("related_memory_ids",
+        when(col("memory_id") === target, array(lit(target)))
+          .otherwise(array().cast("array<string>")))
+    val self = Search.search(spark, selfGrouped, memories,
+      SearchRequest(someContent, owner, topK = 50)).collect()
+      .map(r => r.getAs[String]("memory_id") -> r.getAs[Double]("score")).toMap
+    assert(self(target) === byId(target))   // real score survives self-expansion
+  }
+
+  test("fused search: vector ∪ graph under quotas, graph hits carry 0.7") {
+    import graft.ast.{CompOp, GraphQuery, Pattern, Return, Where}
+    val someContent = mems.find(_.user_id == "u0").get.content
+    val target = mems.find(_.content == someContent).get.memory_id
+    import spark.implicits._
+    // graph: every research-category memory MENTIONS topic 'research'
+    val researchIds = mems.filter(_.category == "research").map(_.memory_id)
+    val memNodes = mems.map(m => (m.memory_id, "Memory", m.title,
+      Map("category" -> m.category)))
+      .toDF("node_id", "label", "name", "properties")
+    val topicNodes = Seq(("t_research", "Topic", "research", Map.empty[String, String]))
+      .toDF("node_id", "label", "name", "properties")
+    val edges = researchIds.map(id => (id, "t_research", "MENTIONS",
+      Map.empty[String, String])).toDF("src", "dst", "rel_type", "properties")
+    val gq = GraphQuery(Pattern("Memory", Some("MENTIONS"), Some("Topic")),
+      Seq(Where("n", "name", CompOp.Eq, Some("research"))),
+      Return(Seq("m" -> "id"), orderBy = None, limit = None))
+    val out = Search.searchFused(spark, chunks, memories, memNodes.unionByName(topicNodes),
+      edges, gq, SearchRequest(someContent, owner, topK = 10)).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    // graph-only hits surface with the neo default score
+    val graphRows = bySource.getOrElse("graph", Array.empty)
+    assert(graphRows.nonEmpty)
+    assert(graphRows.forall(_.getAs[Double]("score") === 0.7))
+    // the exact-content memory wins the vector branch outright (graph's
+    // 0.7 default may outrank weak vector hits globally — by design)
+    val vecRows = bySource.getOrElse("vector", Array.empty)
+    assert(vecRows.maxBy(_.getAs[Double]("score"))
+      .getAs[String]("memory_id") === target)
+    // fusion re-dedups: no memory appears twice
+    val ids = out.map(_.getAs[String]("memory_id"))
+    assert(ids.length === ids.distinct.length)
+    // output is sorted best-first
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
