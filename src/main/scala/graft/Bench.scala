@@ -52,7 +52,8 @@ object Bench {
       "q01_pruned_scan", "q03_join_multiway", "q06_topk_orders",
       "q15_knn_cosine", "q20_minhash_lsh", "q47_domain_search",
       "q61_ann_rule", "q62_bm25", "q64_near_dup_lsh", "q66_skew_join",
-      "q81_bfs_distances", "q93_maxsim", "q98_ivf_multiprobe")
+      "q81_bfs_distances", "q93_maxsim", "q98_ivf_multiprobe",
+      "q115_fused_search")
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val byName = results.toMap
     val qs = headline.flatMap(q => byName.get(q).map(v => s"\"$q\":${r3(v)}"))

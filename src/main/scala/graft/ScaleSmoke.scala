@@ -178,6 +178,89 @@ object ScaleSmoke {
     println(f"[scale-smoke] topK groups=10 rows=10000000 topkSeconds=$topkSecs%.1f")
     assert(got == want, s"topK lost maxima: ${got.diff(want)} / ${want.diff(got)}")
 
+    // ---- flagship ANN path: IVF probe cost must grow SUB-linearly while
+    // the corpus grows 10×. Clustered synthetic corpus (64 true centers,
+    // hash-noise around them, 16 dims); centroid count scales with the
+    // corpus (32 → 192), so the probed slice (nProbe=8 clusters) stays
+    // roughly flat while a full scan grows 10×. Also checks recall: the
+    // probed top-1 must equal the exact full-scan top-1.
+    def vecCorpus(n: Long): org.apache.spark.sql.DataFrame = {
+      val center = col("id") % 64
+      spark.range(0, n).select(col("id"),
+        transform(sequence(lit(0), lit(15)), d =>
+          ((pmod(xxhash64(center, d), lit(2001)) / lit(1000.0) - 1) +
+            (pmod(xxhash64(col("id"), d, lit(7)), lit(2001)) / lit(1000.0) - 1) * 0.05)
+            .cast("float")).as("embedding"))
+    }
+    val queryVec = vecCorpus(64).filter(col("id") === 7)   // center 7, tiny noise
+      .select(col("embedding").as("qvec"))
+    def probeStats(n: Long, nCentroids: Int): (Long, Long, Double, Double) = {
+      val corpus = vecCorpus(n).localCheckpoint(true)      // time the SEARCH, not the generator
+      val idx = graft.engine.IvfIndex.build(corpus, "id", "embedding", nCentroids)
+      idx.assigned.localCheckpoint(true)                   // index build is offline; probe is the serving path
+      val tp = System.nanoTime()
+      val pruned = graft.engine.IvfIndex.prunedCorpus(idx, queryVec, nProbe = 8)
+      val probedRows = pruned.count()
+      val probeTop1 = graft.ops.Similarity.knnCosine(
+        pruned, queryVec, "id", "embedding", k = 1, threshold = -1.0)
+        .collect().head.getLong(0)
+      val probeSecs = (System.nanoTime() - tp) / 1e9
+      val tf = System.nanoTime()
+      val exactTop1 = graft.ops.Similarity.knnCosine(
+        corpus, queryVec, "id", "embedding", k = 1, threshold = -1.0)
+        .collect().head.getLong(0)
+      val fullSecs = (System.nanoTime() - tf) / 1e9
+      assert(probeTop1 == exactTop1,
+        s"IVF probe missed the true nearest neighbor: $probeTop1 vs $exactTop1")
+      (probedRows, n, probeSecs, fullSecs)
+    }
+    val (probedS, nS, probeSecsS, fullSecsS) = probeStats(30000L, 32)
+    val (probedL, nL, probeSecsL, fullSecsL) = probeStats(300000L, 192)
+    println(f"[scale-smoke] ivf small: corpus=$nS probed=$probedS " +
+      f"probeSeconds=$probeSecsS%.1f fullSeconds=$fullSecsS%.1f")
+    println(f"[scale-smoke] ivf large: corpus=$nL probed=$probedL " +
+      f"probeSeconds=$probeSecsL%.1f fullSeconds=$fullSecsL%.1f")
+    // corpus ×10 but the probed slice must stay within ×3 (sub-linear scan)
+    assert(probedL < 3 * probedS,
+      s"IVF probe scan grew linearly: $probedS -> $probedL for 10x corpus")
+    assert(probedL.toDouble / nL < 0.1,
+      s"IVF probe reads ${probedL.toDouble / nL * 100}%% of the corpus")
+
+    // ---- MinHash-LSH dedup: verified pairs must grow ~linearly with the
+    // corpus (an all-pairs path would grow 100× for a 10× corpus). Docs are
+    // 40 hash-generated tokens; every 100th doc gets a near-copy (one token
+    // changed ⇒ shingle jaccard ≈ 0.85), so planted-pair recall is also
+    // measurable.
+    def docCorpus(n: Long): org.apache.spark.sql.DataFrame = {
+      val src = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
+      spark.range(0, n).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)), j =>
+          concat(lit("w"), pmod(xxhash64(
+            when(col("id") % 100 === 1 && j < lit(39), col("id") - 1)
+              .otherwise(col("id")), j), lit(50000)))), " ").as("text"))
+    }
+    def lshStats(n: Long): (Long, Long, Double) = {
+      val docs = docCorpus(n).localCheckpoint(true)
+      val t = System.nanoTime()
+      val pairs = graft.ops.Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5)
+        .localCheckpoint(true)
+      val total = pairs.count()
+      val planted = pairs.filter(col("doc_b") === col("doc_a") + 1 &&
+        col("doc_a") % 100 === 0).count()
+      (total, planted, (System.nanoTime() - t) / 1e9)
+    }
+    val (pairsS, plantedS, lshSecsS) = lshStats(20000L)
+    val (pairsL, plantedL, lshSecsL) = lshStats(200000L)
+    println(f"[scale-smoke] lsh small: docs=20000 pairs=$pairsS planted=$plantedS/200 " +
+      f"lshSeconds=$lshSecsS%.1f")
+    println(f"[scale-smoke] lsh large: docs=200000 pairs=$pairsL planted=$plantedL/2000 " +
+      f"lshSeconds=$lshSecsL%.1f")
+    assert(pairsL < 20 * pairsS,
+      s"LSH pair count grew super-linearly: $pairsS -> $pairsL for 10x docs")
+    assert(plantedS >= 170 && plantedL >= 1700,
+      s"LSH planted-pair recall too low: $plantedS/200, $plantedL/2000")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }
