@@ -109,21 +109,56 @@ object SchemaRegistry {
   }
 
   /** The schemas catalog TABLE (SURVEY §1.1): one row per (schema, node
-    * type, property) — flat, so it scans/filters/joins like any other
-    * catalog relation and round-trips parquet. */
+    * type, property) plus one per relationship type — flat, so it scans/
+    * filters/joins like any other catalog relation and round-trips parquet
+    * (see [[fromCatalog]]). */
   def catalog(spark: SparkSession, schemas: Seq[UserSchema]): DataFrame = {
     import spark.implicits._
     schemas.flatMap { s =>
       s.nodeTypes.toSeq.flatMap { case (ntName, nt) =>
         nt.properties.toSeq.map { case (pName, p) =>
-          (s.id, s.name, s.version, s.status, ntName, pName, p.ptype,
-            nt.requiredProperties.contains(pName),
-            nt.uniqueIdentifiers.contains(pName),
-            p.enumValues)
+          (s.id, s.name, s.version, s.status, "property", ntName, pName,
+            p.ptype, nt.requiredProperties.contains(pName),
+            nt.uniqueIdentifiers.contains(pName), p.enumValues,
+            Seq.empty[String], Seq.empty[String], "")
         }
+      } ++ s.relTypes.toSeq.map { case (rName, rt) =>
+        (s.id, s.name, s.version, s.status, "relationship", rName, "",
+          "", false, false, Seq.empty[String],
+          rt.allowedSourceTypes, rt.allowedTargetTypes, rt.cardinality)
       }
-    }.toDF("schema_id", "schema_name", "version", "status", "node_type",
-      "property", "ptype", "required", "unique_id", "enum_values")
+    }.toDF("schema_id", "schema_name", "version", "status", "kind",
+      "type_name", "property", "ptype", "required", "unique_id",
+      "enum_values", "source_types", "target_types", "cardinality")
+  }
+
+  /** Rebuild the registered schemas from a catalog relation (the parquet
+    * round-trip read side). */
+  def fromCatalog(cat: DataFrame): Seq[UserSchema] = {
+    val rows = cat.collect()
+    rows.groupBy(r => (r.getAs[String]("schema_id"), r.getAs[String]("schema_name"),
+      r.getAs[String]("version"), r.getAs[String]("status")))
+      .toSeq.sortBy(_._1._1)
+      .map { case ((id, name, version, status), rs) =>
+        val nodeTypes = rs.filter(_.getAs[String]("kind") == "property")
+          .groupBy(_.getAs[String]("type_name"))
+          .map { case (nt, ps) =>
+            nt -> NodeTypeDef(
+              properties = ps.map(p => p.getAs[String]("property") ->
+                PropertyDef(p.getAs[String]("ptype"), p.getAs[Boolean]("required"),
+                  p.getAs[scala.collection.Seq[String]]("enum_values").toList)).toMap,
+              requiredProperties = ps.filter(_.getAs[Boolean]("required"))
+                .map(_.getAs[String]("property")).toSeq.sorted,
+              uniqueIdentifiers = ps.filter(_.getAs[Boolean]("unique_id"))
+                .map(_.getAs[String]("property")).toSeq.sorted)
+          }
+        val relTypes = rs.filter(_.getAs[String]("kind") == "relationship")
+          .map(r => r.getAs[String]("type_name") -> RelTypeDef(
+            r.getAs[scala.collection.Seq[String]]("source_types").toList,
+            r.getAs[scala.collection.Seq[String]]("target_types").toList,
+            r.getAs[String]("cardinality"))).toMap
+        UserSchema(id, name, version, status, nodeTypes.toMap, relTypes)
+      }
   }
 
   private def sparkType(ptype: String): DataType = ptype match {
@@ -270,6 +305,46 @@ object SchemaRegistry {
       nodes.sparkSession.emptyDataFrame
         .withColumn("node_id", lit("")).withColumn("label", lit(""))
         .withColumn("violation", lit("")).withColumn("property", lit(""))
+        .limit(0)
+    }
+  }
+
+  /** Relationship-type enforcement (`UserRelationshipType`
+    * `allowed_source_types`/`allowed_target_types`,
+    * user_schemas.py:221-226): for every ACTIVE schema's relationship
+    * type, each edge's endpoints must exist and carry an allowed label.
+    * Violations: dangling_source / dangling_target (endpoint id not in the
+    * node table) and bad_source_type / bad_target_type (label outside the
+    * allowed list; empty list = any). One labels join, then per-type
+    * filters — edges of undeclared rel types pass untouched. */
+  def validateEdges(nodes: DataFrame, edges: DataFrame,
+                    schemas: Seq[UserSchema]): DataFrame = {
+    val lab = nodes.select(col("node_id"), col("label"))
+    val withLabels = edges.select(col("src"), col("dst"), col("rel_type"))
+      .join(lab.withColumnRenamed("node_id", "src")
+        .withColumnRenamed("label", "src_label"), Seq("src"), "left")
+      .join(lab.withColumnRenamed("node_id", "dst")
+        .withColumnRenamed("label", "dst_label"), Seq("dst"), "left")
+    val out = (v: String) => Seq(col("src"), col("dst"), col("rel_type"),
+      lit(v).as("violation"))
+    val plans = schemas.filter(_.status == Status.Active).flatMap { s =>
+      s.relTypes.toSeq.flatMap { case (rName, rt) =>
+        val base = withLabels.filter(col("rel_type") === rName)
+        def endpoint(labelCol: String, name: String, allowed: Seq[String]) = {
+          val l = col(labelCol)
+          Seq(base.filter(l.isNull).select(out(s"dangling_$name"): _*)) ++
+            (if (allowed.isEmpty) Nil
+             else Seq(base.filter(l.isNotNull && !l.isin(allowed: _*))
+               .select(out(s"bad_${name}_type"): _*)))
+        }
+        endpoint("src_label", "source", rt.allowedSourceTypes) ++
+          endpoint("dst_label", "target", rt.allowedTargetTypes)
+      }
+    }
+    plans.reduceOption(_.unionAll(_)).getOrElse {
+      edges.sparkSession.emptyDataFrame
+        .withColumn("src", lit("")).withColumn("dst", lit(""))
+        .withColumn("rel_type", lit("")).withColumn("violation", lit(""))
         .limit(0)
     }
   }

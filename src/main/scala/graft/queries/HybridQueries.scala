@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.HashEmbedder
+import graft.functions.Fns
+import graft.multimodal.Multimodal
+import graft.ops.Retrieval
+
+/** Hybrid retrieval and training-corpus hygiene operators:
+  *
+  *  - q116: hybrid lexical+vector search — BM25 and whole-document cosine
+  *    legs fused by reciprocal rank (the standard two-tower hybrid stack;
+  *    the reference runs lexical rerank features next to its vector
+  *    sources, memory_graph.py:7001-7090 — here both legs are first-class
+  *    and rank-fused so score scales never need calibration);
+  *  - q117: benchmark-contamination detection — eval-split documents
+  *    sharing an 8-token n-gram with any train-split document, via an
+  *    inverted-index join (pairs materialize only on shared n-grams — the
+  *    shape that survives a 100 TB train corpus);
+  *  - q118: multimodal frame sampling — the video-decode batch stage
+  *    (deterministic stub decoder) with frame grid, timestamps, and the
+  *    first feature component oracle-checked in SQL via sha-256.
+  */
+object HybridQueries {
+
+  private val hybridTerms = Seq("query", "merge", "vector")
+
+  def entries: Seq[Entry] = Seq(
+
+    Entry("q116_hybrid_search",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text", hybridTerms, k = 30)
+        val emb = docs.select(col("doc_id"), col("text"))
+          .as[(Long, String)].mapPartitions { it =>
+            val e = new HashEmbedder(64)     // one embedder per partition
+            it.map { case (id, t) => (id, e.embed(t)) }
+          }.toDF("doc_id", "embedding")
+        val qv = typedLit(new HashEmbedder(64).embed(hybridTerms.mkString(" ")))
+        import graft.functions.VectorFunctions._
+        val vec = emb.withColumn("score", cosineSim(col("embedding"), qv))
+          .select(col("doc_id"), col("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(30)
+        Retrieval.rrfFuse(Seq(lex, vec), "doc_id")
+          .orderBy(desc("rrf"), col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val terms = hybridTerms
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf_$i"
+        }.mkString(",\n    ")
+        val dfCols = terms.indices.map(i =>
+          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n    ")
+        val score = terms.indices.map(i =>
+          s"""ln(1 + (n_docs - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))
+             |      * CAST(tf_$i AS DOUBLE) * (1.2 + 1)
+             |      / (CAST(tf_$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin)
+          .mkString("\n    + ")
+        val qvec = OracleSql.vecLit(new HashEmbedder(64).embed(terms.mkString(" ")))
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents),
+           |perdoc AS (
+           |  SELECT doc_id, count(*) AS dl,
+           |    $tfCols
+           |  FROM tok GROUP BY doc_id),
+           |stats AS (
+           |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+           |    $dfCols
+           |  FROM perdoc),
+           |lex AS (
+           |  SELECT doc_id, $score AS score
+           |  FROM perdoc, stats
+           |  WHERE $score > 0
+           |  ORDER BY score DESC, doc_id LIMIT 30),
+           |lexr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM lex),
+           |dsrc AS (SELECT doc_id AS id, text AS txt FROM documents),
+           |${OracleSql.embedCtes("dsrc", 64, "demb")},
+           |vec AS (
+           |  SELECT id AS doc_id, ${OracleSql.cosine("emb", qvec)} AS score
+           |  FROM demb
+           |  ORDER BY score DESC, doc_id LIMIT 30),
+           |vecr AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM vec)
+           |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |  coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + v.r), 0) AS rrf
+           |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // Train/eval n-gram contamination: the classic 8-gram overlap detector
+    // (benchmark leakage hygiene). Inverted-index join on the n-gram —
+    // candidate pairs exist only where an n-gram is shared, never an
+    // eval×train product.
+    Entry("q117_contamination",
+      (s, d) => {
+        val evalSources = Seq("src0", "src1", "src2", "src3", "src4")
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(Fns.shingles(Fns.tokens(col("text")), 8)).as("ng"))
+          .distinct()
+        val evalSh = sh.filter(col("source").isin(evalSources: _*))
+        val trainSh = sh.filter(!col("source").isin(evalSources: _*))
+          .select(col("ng"), col("doc_id").as("train_id"))
+        evalSh.join(trainSh, Seq("ng"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("ng")).as("shared_ngrams"),
+            countDistinct(col("train_id")).as("n_train_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+7], ' ') AS ng
+             |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+             |         greatest(len(tk) - 7, 0))) AS i) g
+             |  WHERE len(tk) >= 8),
+             |ev AS (SELECT * FROM sh
+             |       WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+             |tr AS (SELECT * FROM sh
+             |       WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4'))
+             |SELECT e.doc_id, count(DISTINCT e.ng) AS shared_ngrams,
+             |  count(DISTINCT tr.doc_id) AS n_train_docs
+             |FROM ev e JOIN tr ON e.ng = tr.ng
+             |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)),
+
+    // Video frame sampling: one frame every 700 ms up to the clip duration
+    // (≥1 per clip), fanned out by flatMap without a shuffle; the stub
+    // decoder's first feature component is reproduced in SQL from the same
+    // sha-256, so the batch plumbing AND the deterministic decode contract
+    // are both hash-checked.
+    Entry("q118_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            Multimodal.MediaRow(s"media$id",
+              Seq("image", "audio", "video")((id % 3).toInt),
+              text.getBytes("UTF-8"),
+              Multimodal.MediaMeta("application/octet-stream", 64, 48,
+                1000L * (id % 10 + 1), 0))
+          }
+        Multimodal.sampleFrames(s, media, everyMs = 700L)
+          .toDF()
+          .select(col("media_id"), col("frame_index"), col("ts_ms"),
+            element_at(col("features"), 1).as("f0"))
+          .orderBy(col("media_id"), col("frame_index"))
+      },
+      Some {
+        val hex = "strpos('0123456789abcdef', substr(h, 1, 1)) - 1"
+        val hex2 = "strpos('0123456789abcdef', substr(h, 2, 1)) - 1"
+        s"""WITH v AS (
+           |  SELECT doc_id, text, 1000 * (doc_id % 10 + 1) AS dur
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |f AS (
+           |  SELECT doc_id, text,
+           |    unnest(generate_series(0, CAST(greatest(dur // 700, 1) AS INT) - 1)) AS i
+           |  FROM v),
+           |hashed AS (
+           |  SELECT doc_id, i,
+           |    sha256(text || CAST(i AS VARCHAR) || '0') AS h
+           |  FROM f),
+           |b AS (
+           |  SELECT doc_id, i, ($hex) * 16 + ($hex2) AS byte0
+           |  FROM hashed)
+           |SELECT 'media' || CAST(doc_id AS VARCHAR) AS media_id,
+           |  CAST(i AS INT) AS frame_index,
+           |  CAST(i * 700 AS BIGINT) AS ts_ms,
+           |  CAST((CASE WHEN byte0 >= 128 THEN byte0 - 256 ELSE byte0 END) / 128.0
+           |       AS REAL) AS f0
+           |FROM b ORDER BY media_id, frame_index""".stripMargin
+      }))
+}

@@ -84,5 +84,60 @@ object SchemaQueries {
              |SELECT node_id, 'Part', 'duplicate_unique', 'name'
              |FROM (SELECT node_id, count(*) OVER (PARTITION BY p_name) AS c
              |      FROM nodes) WHERE c > 1
-             |ORDER BY node_id, violation, property""".stripMargin)))
+             |ORDER BY node_id, violation, property""".stripMargin)),
+
+    // Relationship-type enforcement: PLACED edges must run Customer→Order.
+    // Seeded violations: every 13th order's edge is reversed (wrong label
+    // on both ends), every 17th points at a node that doesn't exist
+    // (dangling). Edges of undeclared relationship types pass untouched —
+    // pinned by the unconstrained SHIPS edges contributing nothing.
+    Entry("q119_edge_validation",
+      (s, d) => {
+        val nodes = Tables.customer(s, d)
+          .select(concat(lit("c"), col("c_custkey")).as("node_id"),
+            lit("Customer").as("label"))
+          .unionByName(Tables.orders(s, d)
+            .select(concat(lit("o"), col("o_orderkey")).as("node_id"),
+              lit("Order").as("label")))
+        val o = Tables.orders(s, d)
+        val placed = o.select(
+          when(col("o_orderkey") % 17 === 0, concat(lit("ghost"), col("o_orderkey")))
+            .when(col("o_orderkey") % 13 === 0, concat(lit("o"), col("o_orderkey")))
+            .otherwise(concat(lit("c"), col("o_custkey"))).as("src"),
+          when(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0,
+            concat(lit("c"), col("o_custkey")))
+            .otherwise(concat(lit("o"), col("o_orderkey"))).as("dst"),
+          lit("PLACED").as("rel_type"))
+        val ships = o.limit(50).select(
+          concat(lit("o"), col("o_orderkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"),
+          lit("SHIPS").as("rel_type"))
+        val schema = SchemaRegistry.transition(SchemaRegistry.register(
+          UserSchema("s3", "order-graph",
+            nodeTypes = Map("Customer" -> NodeTypeDef(Map("name" -> PropertyDef())),
+              "Order" -> NodeTypeDef(Map("name" -> PropertyDef()))),
+            relTypes = Map("PLACED" -> SchemaRegistry.RelTypeDef(
+              Seq("Customer"), Seq("Order"))))),
+          SchemaRegistry.Status.Active)
+        SchemaRegistry.validateEdges(nodes, placed.unionByName(ships), Seq(schema))
+          .orderBy(col("src"), col("dst"), col("violation"))
+      },
+      Some("""WITH e AS (
+             |  SELECT o_orderkey AS k,
+             |    CASE WHEN o_orderkey % 17 = 0 THEN 'ghost' || CAST(o_orderkey AS VARCHAR)
+             |         WHEN o_orderkey % 13 = 0 THEN 'o' || CAST(o_orderkey AS VARCHAR)
+             |         ELSE 'c' || CAST(o_custkey AS VARCHAR) END AS src,
+             |    CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+             |         THEN 'c' || CAST(o_custkey AS VARCHAR)
+             |         ELSE 'o' || CAST(o_orderkey AS VARCHAR) END AS dst
+             |  FROM orders)
+             |SELECT src, dst, 'PLACED' AS rel_type, 'dangling_source' AS violation
+             |FROM e WHERE k % 17 = 0
+             |UNION ALL
+             |SELECT src, dst, 'PLACED', 'bad_source_type'
+             |FROM e WHERE k % 13 = 0 AND k % 17 <> 0
+             |UNION ALL
+             |SELECT src, dst, 'PLACED', 'bad_target_type'
+             |FROM e WHERE k % 13 = 0 AND k % 17 <> 0
+             |ORDER BY src, dst, violation""".stripMargin)))
 }

@@ -163,6 +163,42 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(byVal("widget line 7"))   // contains digits but not purely numeric
   }
 
+  test("catalog round-trips: fromCatalog(catalog(s)) == s, including rel types") {
+    val s = transition(register(UserSchema("s1", "rt", nodeTypes = Map(
+      "Person" -> NodeTypeDef(
+        Map("name" -> PropertyDef("string", required = true),
+          "age" -> PropertyDef("integer", enumValues = Seq("1", "2"))),
+        requiredProperties = Seq("name"), uniqueIdentifiers = Seq("name")),
+      "Org" -> NodeTypeDef(Map("title" -> PropertyDef()))),
+      relTypes = Map("WORKS_AT" -> RelTypeDef(Seq("Person"), Seq("Org"), "one-to-many")))),
+      Status.Active)
+    val back = fromCatalog(catalog(spark, Seq(s)))
+    assert(back === Seq(s))
+  }
+
+  test("validateEdges: endpoint labels and existence per relationship type") {
+    val nodes = Seq(("p1", "Person"), ("p2", "Person"), ("o1", "Org"))
+      .toDF("node_id", "label")
+    val edges = Seq(
+      ("p1", "o1", "WORKS_AT"),     // valid
+      ("o1", "p1", "WORKS_AT"),     // both endpoints wrong label
+      ("p2", "ghost", "WORKS_AT"),  // dangling target
+      ("o1", "p1", "UNDECLARED")    // undeclared rel type: ignored
+    ).toDF("src", "dst", "rel_type")
+    val s = transition(register(UserSchema("s1", "rt", nodeTypes = Map(
+      "Person" -> NodeTypeDef(Map("name" -> PropertyDef())),
+      "Org" -> NodeTypeDef(Map("name" -> PropertyDef()))),
+      relTypes = Map("WORKS_AT" -> RelTypeDef(Seq("Person"), Seq("Org"))))),
+      Status.Active)
+    val v = validateEdges(nodes, edges, Seq(s))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[String]("violation"))).toSet
+    assert(v === Set(
+      ("o1", "p1", "bad_source_type"),
+      ("o1", "p1", "bad_target_type"),
+      ("p2", "ghost", "dangling_target")))
+  }
+
   test("unique identifiers drive the exact stage of entity resolution") {
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
     // two-part identifier (name, sku): exact only when BOTH match;
