@@ -248,14 +248,19 @@ object SchemaRegistry {
       s.nodeTypes.toSeq.flatMap { case (ntName, nt) =>
         val typed = nodes.filter(col("label") === ntName)
         val prop = (p: String) => element_at(col("properties"), p)
+        val viol = (v: String, p: Column) =>
+          struct(lit(v).as("violation"), p.as("property"))
 
+        // every per-row check is ONE conditional struct in ONE projection —
+        // at 100 TB this is the difference between one scan of the node
+        // table and one scan per check (a union of filters re-reads the
+        // source once per branch)
         val missing = nt.requiredProperties.map { p =>
-          typed.filter(prop(p).isNull || length(trim(prop(p))) === 0)
-            .select(col("node_id"), col("label"),
-              lit("missing_required").as("violation"), lit(p).as("property"))
+          when(prop(p).isNull || length(trim(prop(p))) === 0,
+            viol("missing_required", lit(p)))
         }
 
-        val mismatch = nt.properties.toSeq.collect {
+        val mismatch = nt.properties.toSeq.sortBy(_._1).collect {
           case (p, d) if Set("integer", "float", "boolean", "datetime")(d.ptype) =>
             val raw = prop(p)
             // try_cast, not cast: ANSI mode would turn a malformed value
@@ -264,25 +269,29 @@ object SchemaRegistry {
               case "boolean" => when(lower(raw).isin("true", "false"), lit(true))
               case t         => raw.try_cast(sparkType(t).sql)
             }
-            typed.filter(raw.isNotNull && length(trim(raw)) > 0 && parsed.isNull)
-              .select(col("node_id"), col("label"),
-                lit("type_mismatch").as("violation"), lit(p).as("property"))
+            when(raw.isNotNull && length(trim(raw)) > 0 && parsed.isNull,
+              viol("type_mismatch", lit(p)))
         }
 
-        val enums = nt.properties.toSeq.collect {
+        val enums = nt.properties.toSeq.sortBy(_._1).collect {
           case (p, d) if d.enumValues.nonEmpty =>
-            typed.filter(prop(p).isNotNull && !prop(p).isin(d.enumValues: _*))
-              .select(col("node_id"), col("label"),
-                lit("enum_violation").as("violation"), lit(p).as("property"))
+            when(prop(p).isNotNull && !prop(p).isin(d.enumValues: _*),
+              viol("enum_violation", lit(p)))
         }
 
-        val declared = nt.properties.keys.toSeq
-        val extras = Seq(
-          typed.select(col("node_id"), col("label"),
-              explode(map_keys(col("properties"))).as("property"))
-            .filter(!col("property").isin(declared: _*))
-            .select(col("node_id"), col("label"),
-              lit("extra_property").as("violation"), col("property")))
+        val declared = array(nt.properties.keys.toSeq.sorted.map(lit): _*)
+        val extras = transform(
+          filter(map_keys(col("properties")), k => !array_contains(declared, k)),
+          k => viol("extra_property", k))
+
+        val rowChecks = missing ++ mismatch ++ enums
+        val allChecks =
+          if (rowChecks.isEmpty) extras
+          else concat(array(rowChecks: _*), extras)
+        val perRow = typed.select(col("node_id"), col("label"),
+            explode(filter(allChecks, c => c.isNotNull)).as("v"))
+          .select(col("node_id"), col("label"),
+            col("v.violation").as("violation"), col("v.property").as("property"))
 
         val dups =
           if (nt.uniqueIdentifiers.isEmpty) Nil
@@ -298,7 +307,7 @@ object SchemaRegistry {
                 lit(nt.uniqueIdentifiers.mkString(",")).as("property")))
           }
 
-        missing ++ mismatch ++ enums ++ extras ++ dups
+        Seq(perRow) ++ dups
       }
     }
     plans.reduceOption(_.unionAll(_)).getOrElse {
@@ -325,20 +334,22 @@ object SchemaRegistry {
         .withColumnRenamed("label", "src_label"), Seq("src"), "left")
       .join(lab.withColumnRenamed("node_id", "dst")
         .withColumnRenamed("label", "dst_label"), Seq("dst"), "left")
-    val out = (v: String) => Seq(col("src"), col("dst"), col("rel_type"),
-      lit(v).as("violation"))
     val plans = schemas.filter(_.status == Status.Active).flatMap { s =>
-      s.relTypes.toSeq.flatMap { case (rName, rt) =>
+      s.relTypes.toSeq.map { case (rName, rt) =>
         val base = withLabels.filter(col("rel_type") === rName)
+        // all endpoint checks in ONE projection (one pass over the edges
+        // of this type, not one union branch per check)
         def endpoint(labelCol: String, name: String, allowed: Seq[String]) = {
           val l = col(labelCol)
-          Seq(base.filter(l.isNull).select(out(s"dangling_$name"): _*)) ++
+          Seq(when(l.isNull, lit(s"dangling_$name"))) ++
             (if (allowed.isEmpty) Nil
-             else Seq(base.filter(l.isNotNull && !l.isin(allowed: _*))
-               .select(out(s"bad_${name}_type"): _*)))
+             else Seq(when(l.isNotNull && !l.isin(allowed: _*),
+               lit(s"bad_${name}_type"))))
         }
-        endpoint("src_label", "source", rt.allowedSourceTypes) ++
+        val checks = endpoint("src_label", "source", rt.allowedSourceTypes) ++
           endpoint("dst_label", "target", rt.allowedTargetTypes)
+        base.select(col("src"), col("dst"), col("rel_type"),
+            explode(filter(array(checks: _*), c => c.isNotNull)).as("violation"))
       }
     }
     plans.reduceOption(_.unionAll(_)).getOrElse {

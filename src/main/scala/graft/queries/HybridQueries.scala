@@ -102,9 +102,13 @@ object HybridQueries {
     Entry("q117_contamination",
       (s, d) => {
         val evalSources = Seq("src0", "src1", "src2", "src3", "src4")
+        // tokens materialized in their OWN projection first: the shingle
+        // higher-order function is interpreted and would re-run
+        // split(lower(text)) once per output element otherwise
         val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("t"))
           .select(col("doc_id"), col("source"),
-            explode(Fns.shingles(Fns.tokens(col("text")), 8)).as("ng"))
+            explode(Fns.shingles(col("t"), 8)).as("ng"))
           .distinct()
         val evalSh = sh.filter(col("source").isin(evalSources: _*))
         val trainSh = sh.filter(!col("source").isin(evalSources: _*))
