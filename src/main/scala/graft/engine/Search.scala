@@ -229,6 +229,22 @@ object Search {
       .orderBy(desc("score"), col("memory_id"))
   }
 
+  /** [[searchFused]] against a prebuilt IVF index: the vector branch scans
+    * only the query's `nProbe` nearest clusters — the serving shape when a
+    * full chunk scan per query is too expensive. With `nProbe` = all
+    * clusters the result equals the full-scan fused search exactly
+    * (spec-pinned); the pruned corpus keeps the chunk payload, so grouped
+    * expansion still fires — but only from hits the probe can see. */
+  def searchFusedIndexed(spark: SparkSession, index: IvfIndex.Index,
+                         memories: DataFrame, nodes: DataFrame, edges: DataFrame,
+                         graphQuery: GraphQuery, req: SearchRequest, nProbe: Int = 2,
+                         embedder: Embedder = new HashEmbedder(64)): DataFrame = {
+    import spark.implicits._
+    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
+    val pruned = IvfIndex.prunedCorpus(index, qvec, nProbe).drop("centroid_id")
+    searchFused(spark, pruned, memories, nodes, edges, graphQuery, req, embedder)
+  }
+
   /** V2 modernized — multi-space search with reciprocal-rank fusion: run
     * the full filtered KNN independently per embedding space (the
     * reference fans out to Pinecone/BigBird/Qdrant concurrently,

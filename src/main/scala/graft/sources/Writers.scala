@@ -119,6 +119,29 @@ object Writers {
     fs.delete(p(path + ".swap.old"), true)
   }
 
+  /** Small-file compaction — the operational pass a 100 TB table needs
+    * after high-cardinality partitioned appends or many small streaming
+    * micro-batches: thousands of KB-sized parquet files turn every scan
+    * into an open/footer-read storm and defeat row-group statistics.
+    * Rewrites `path` into `ceil(totalBytes / targetFileBytes)` files via
+    * the atomic [[swapWrite]] (readers never see a partial rewrite).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(math.ceil(totalBytes.toDouble / targetFileBytes).toInt, 1)
+    val df = spark.read.parquet(path)
+    swapWrite(df.repartition(nOut), path)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   /** Versioned snapshot table — poor-man's time travel on plain parquet:
     * every publish lands a complete new `v=N` directory, then flips the
     * `_LATEST` pointer. Readers resolve the pointer (or pin an explicit

@@ -167,5 +167,14 @@ class SearchEngineSpec extends SparkSpec {
     // output is sorted best-first
     val scores = out.map(_.getAs[Double]("score")).toSeq
     assert(scores === scores.sorted.reverse)
+
+    // IVF-probed fused search with nProbe = ALL clusters must equal the
+    // full-scan fused result exactly (the recall knob at its exact end)
+    val idx = graft.engine.IvfIndex.build(chunks, "chunk_id", "embedding", nCentroids = 4)
+    val probed = Search.searchFusedIndexed(spark, idx, memories,
+      memNodes.unionByName(topicNodes), edges, gq,
+      SearchRequest(someContent, owner, topK = 10), nProbe = 4).collect()
+    assert(probed.map(r => (r.getAs[String]("memory_id"), r.getAs[Double]("score"))).toSeq ===
+      out.map(r => (r.getAs[String]("memory_id"), r.getAs[Double]("score"))).toSeq)
   }
 }

@@ -88,4 +88,19 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter(col("user_id") === "u0").count() === 2)
     assert(new java.io.File(dir, "user_id=u0").exists())
   }
+
+  test("compact: many small files rewrite into few, data byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 64 one-row-ish files — the streaming-micro-batch pathology
+    spark.range(0, 1000).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(64).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = Writers.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(nBefore === 64)
+    assert(nAfter <= 2, s"expected <=2 compacted files, got $nAfter")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet === before)
+    // idempotent: compacting a compacted table is a cheap no-op-shaped pass
+    val (b2, a2) = Writers.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(b2 === nAfter && a2 <= nAfter)
+  }
 }
