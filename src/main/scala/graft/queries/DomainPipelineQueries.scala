@@ -327,27 +327,23 @@ object DomainPipelineQueries {
                 enumValues = Seq("SM CASE", "MED BOX"))),
             requiredProperties = Seq("name", "size", "retired", "category"))))),
           SchemaRegistry.Status.Active)
-        val ix = SchemaRegistry.indexableProperties(Seq(schema))
-          .map { case (t, p) => t + "\u0001" + p }.toSeq
-
-        val propRows = Tables.part(s, d).select(
-          explode(map(
+        // the REAL pipeline operator: nodes -> schema+value classifier ->
+        // mapPartitions-embedded node_properties corpus (one embedder per
+        // partition), then dedup values and score
+        val nodes = Tables.part(s, d).select(
+          concat(lit("pt"), col("p_partkey")).as("node_id"),
+          lit("Part").as("label"),
+          map(
             lit("name"), col("p_name"),
             lit("size"), col("p_size").cast("string"),
             lit("retired"), lit("false"),
-            lit("category"), col("p_type")))
-            .as(Seq("property_name", "property_value")))
-          .filter(concat_ws("\u0001", lit("Part"), col("property_name")).isin(ix: _*))
-          .filter(SchemaRegistry.shouldIndexValue(col("property_value")))
-          .distinct()
-
-        val embedded = propRows.as[(String, String)].mapPartitions { it =>
-          val e = new HashEmbedder(32)          // one instantiation per partition
-          it.map { case (pn, pv) => (pn, pv, e.embed(pv)) }
-        }.toDF("property_name", "property_value", "embedding")
+            lit("category"), col("p_type")).as("properties"))
+        val corpus = graft.engine.PropertyIndexing.buildPropertyCorpus(
+          s, nodes, Seq(schema), new HashEmbedder(32))
 
         val qvec = typedLit(new HashEmbedder(32).embed("small shiny widget"))
-        embedded
+        corpus
+          .dropDuplicates("property_name", "property_value")
           .withColumn("score", cosineSim(col("embedding"), qvec))
           .select(col("property_name"), col("property_value"), col("score"))
           .orderBy(desc("score"), col("property_value"))
