@@ -183,5 +183,73 @@ object HybridQueries {
            |  CAST((CASE WHEN byte0 >= 128 THEN byte0 - 256 ELSE byte0 END) / 128.0
            |       AS REAL) AS f0
            |FROM b ORDER BY media_id, frame_index""".stripMargin
-      }))
+      }),
+
+    // Point-in-time (leakage-safe) feature join: each training example
+    // (click event) picks the SCD2 user-state version valid AT example
+    // time — the label-leakage guard every feature pipeline needs. SCD2
+    // build + bin-bucketed range join, both existing operators; the open
+    // version gets a far-future sentinel so it stays joinable.
+    Entry("q120_point_in_time",
+      (s, d) => {
+        import graft.ops.Temporal
+        val ev = Tables.events(s, d)
+        val dim = Temporal.scd2(ev, keyCol = "user_id", tsCol = "ts",
+            orderCol = "event_id", attrCols = Seq("event_type"))
+          .select(col("user_id"), col("event_type").as("state_at_ts"),
+            col("valid_from"),
+            coalesce(col("valid_to"), lit("2100-01-01").cast("timestamp"))
+              .as("valid_to_c"))
+        val examples = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        Temporal.rangeJoin(examples, "ts", dim, "valid_from", "valid_to_c",
+            binWidthSec = 86400, keys = Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("state_at_ts"),
+            col("valid_from"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |changed AS (
+             |  SELECT user_id, ts, event_id, event_type FROM ordered
+             |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+             |dim AS (
+             |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from,
+             |    CAST(coalesce(
+             |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             |      TIMESTAMP '2100-01-01') AS TIMESTAMP) AS valid_to
+             |  FROM changed)
+             |SELECT p.event_id, p.user_id, d.event_type AS state_at_ts,
+             |  d.valid_from
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |      FROM events WHERE event_type = 'click') p
+             |JOIN dim d ON d.user_id = p.user_id
+             |  AND p.ts >= d.valid_from AND p.ts < d.valid_to
+             |  AND d.valid_to > d.valid_from
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Training-sequence packing: concat-then-chop into 512-token
+    // sequences, per source shard (each shard packs independently — no
+    // global ordering anywhere). A document belongs to the sequence its
+    // first token lands in.
+    Entry("q121_sequence_packing",
+      (s, d) => graft.ops.Packing.sequencePack(
+        Tables.documents(s, d), "doc_id", "text", "source", seqLen = 512)
+        .orderBy(col("source"), col("seq_id")),
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    len(string_split(lower(text), ' ')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, doc_id, n,
+             |    sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM t)
+             |SELECT source, CAST((cum - n) // 512 AS BIGINT) AS seq_id,
+             |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
