@@ -215,10 +215,14 @@ object TextQueries {
     // BM25 lexical top-k — the keyword leg of hybrid retrieval. Term
     // contributions are added in fixed declaration order on both sides, so
     // the double score is bit-identical (never a data-order float sum).
+    // float32 output for the same ln-ulp reason as q75 (selection still
+    // runs on the full doubles; a boundary flip would need a sub-ulp gap
+    // between rank 20 and 21 — not a 1-ulp output disagreement).
     Entry("q62_bm25",
       (s, d) => graft.ops.Retrieval.bm25TopK(
         Tables.documents(s, d), "doc_id", "text",
-        queryTerms = Seq("query", "merge", "vector"), k = 20),
+        queryTerms = Seq("query", "merge", "vector"), k = 20)
+        .withColumn("score", col("score").cast("float")),
       Some {
         val terms = Seq("query", "merge", "vector")
         val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -246,7 +250,7 @@ object TextQueries {
            |  SELECT doc_id,
            |    $score AS score
            |  FROM perdoc, stats)
-           |SELECT doc_id, score FROM scored WHERE score > 0
+           |SELECT doc_id, CAST(score AS REAL) AS score FROM scored WHERE score > 0
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
       }),
 
@@ -396,9 +400,14 @@ object TextQueries {
 
     // TF-IDF top-3 terms per document (smoothed idf, ties by term asc) —
     // per-doc keyword extraction from pure corpus statistics.
+    // Output weight is float32: JVM Math.log and DuckDB's libm ln disagree
+    // by 1 ulp on SOME arguments (surfaced at sf0.1, invisible at sf0.01),
+    // and the float cast absorbs exactly that class of drift. Ranking still
+    // runs on the full doubles with a token tie-break.
     Entry("q75_tfidf_terms",
       (s, d) => TextAnalysis.tfidfTopTerms(
           Tables.documents(s, d), "doc_id", "text", topN = 3)
+        .withColumn("weight", col("weight").cast("float"))
         .orderBy(col("doc_id"), col("rnk")),
       Some("""WITH toks AS (
              |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
@@ -415,7 +424,8 @@ object TextQueries {
              |    CAST(row_number() OVER (PARTITION BY doc_id
              |      ORDER BY weight DESC, token) AS INT) AS rnk
              |  FROM w)
-             |SELECT doc_id, token, rnk, weight FROM ranked
+             |SELECT doc_id, token, rnk, CAST(weight AS REAL) AS weight
+             |FROM ranked
              |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
     // The composed curation gate: dup survivorship + quality floor +
