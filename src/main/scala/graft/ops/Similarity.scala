@@ -75,6 +75,26 @@ object Similarity {
   /** Assign every vector to its nearest centroid (IVF index build).
     * Centroids DF: (centroid_id, cvec); must be small → broadcast.
     * Deterministic argmin: ties break on centroid_id. */
+  /** Batch KNN — MANY queries against one corpus in ONE scan: the query
+    * set broadcasts (serving batches are small next to the corpus), every
+    * corpus row scores against every query in the same pass, and the
+    * per-query cut uses the bounded [[TopK]] aggregator, so each map
+    * partition ships ≤ k rows per query instead of window-sorting the
+    * whole crossed relation. Requires a Long `idCol` (the aggregator's
+    * buffer row). Deterministic: ties break by id ascending. */
+  def knnBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, qIdCol: String, qVecCol: String,
+               k: Int): DataFrame = {
+    val top = TopK.topK(k)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("__score", cosineSim(col(vecCol), col(qVecCol)))
+      .groupBy(col(qIdCol))
+      .agg(top(col("__score"), col(idCol)).as("top"))
+      .select(col(qIdCol), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col(qIdCol), col("s.id").as(idCol), col("s.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

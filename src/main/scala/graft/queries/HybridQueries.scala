@@ -251,5 +251,103 @@ object HybridQueries {
              |  FROM t)
              |SELECT source, CAST((cum - n) // 512 AS BIGINT) AS seq_id,
              |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Batch KNN: 5 query vectors against the corpus in ONE scan, per-query
+    // top-5 via the bounded TopK aggregator (≤ k rows per query leave each
+    // map partition — the batch-serving shape, not one scan per query and
+    // not a window sort of the crossed relation).
+    Entry("q122_batch_knn",
+      (s, d) => {
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        Similarity.knnBatch(emb.filter(col("vec_id") > 5), queries,
+            "vec_id", "embedding", "q_id", "qvec", k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+              |  WHERE vec_id BETWEEN 1 AND 5),
+              |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 5),
+              |scored AS (
+              |  SELECT q.q_id, c.vec_id,
+              |    ${OracleSql.cosine("c.embedding", "q.qvec")} AS score
+              |  FROM c CROSS JOIN q),
+              |ranked AS (
+              |  SELECT q_id, vec_id, score,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY score DESC, vec_id) AS INT) AS rank
+              |  FROM scored)
+              |SELECT q_id, vec_id, score, rank FROM ranked
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Canonical survivor selection: near-dup clusters (exact jaccard pairs
+    // → connected components) each keep their best-quality member — the
+    // curation step that turns dedup PAIRS into a keep/drop decision.
+    Entry("q123_canonical_selection",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.ops.{Dedup, GraphAnalytics, TextAnalysis}
+        val docs = Tables.documents(s, d)
+        val clusters = GraphAnalytics.dedupClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+            .select(col("doc_a"), col("doc_b")))
+        val quality = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy(col("cluster"))
+        clusters.join(quality, "doc_id")
+          .withColumn("rn", row_number().over(
+            w.orderBy(desc("quality"), col("doc_id"))))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("survivor"),
+            col("quality"), col("n_members"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        val stop = graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+           |  FROM toks),
+           |inter AS (
+           |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+           |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter i
+           |  JOIN sizes na ON na.doc_id = i.doc_a
+           |  JOIN sizes nb ON nb.doc_id = i.doc_b
+           |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+           |comp AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |qual AS (
+           |  SELECT doc_id,
+           |    0.4 * least(1.0, CAST(len(t) AS BIGINT) / 64.0)
+           |      + 0.3 * (len(list_distinct(t))::DOUBLE / len(t))
+           |      + 0.3 * (1.0 - len(list_filter(t, x -> list_contains([$stop], x)))::DOUBLE / len(t))
+           |      AS quality
+           |  FROM toks),
+           |ranked AS (
+           |  SELECT c.cluster, c.doc_id, q.quality,
+           |    row_number() OVER (PARTITION BY c.cluster
+           |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY c.cluster) AS n_members
+           |  FROM comp c JOIN qual q USING (doc_id))
+           |SELECT cluster, doc_id AS survivor, quality, n_members
+           |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
+      }))
 }
