@@ -146,6 +146,22 @@ class PlanQualitySpec extends SparkSpec {
       s"ACL filter missing from the physical plan:\n$p")
   }
 
+  test("q121 sequence packing: one window per shard, no extra exchange") {
+    val p = planOf("q121_sequence_packing")
+    // exactly one Window (the cumsum); the groupBy reuses its partitioning
+    assert("Window".r.findAllIn(p).length >= 1, s"no window cumsum in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"packing grew a join:\n$p")
+  }
+
+  test("q122 batch KNN: bounded ObjectHashAggregate pair, no window sort") {
+    val p = planOf("q122_batch_knn")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial/final bounded top-k pair in:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"query set not broadcast:\n$p")
+  }
+
   test("q47 flagship search plan: one rollup exchange, broadcast hydration, no product") {
     val p = planOf("q47_domain_search")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
