@@ -196,8 +196,10 @@ object ScaleSmoke {
       .select(col("embedding").as("qvec"))
     def probeStats(n: Long, nCentroids: Int): (Long, Long, Double, Double) = {
       val corpus = vecCorpus(n).localCheckpoint(true)      // time the SEARCH, not the generator
-      val idx = graft.engine.IvfIndex.build(corpus, "id", "embedding", nCentroids)
-      idx.assigned.localCheckpoint(true)                   // index build is offline; probe is the serving path
+      val built = graft.engine.IvfIndex.build(corpus, "id", "embedding", nCentroids)
+      // materialize the assignment INTO the probed index — index build is
+      // offline; only the probe is the serving path being timed
+      val idx = built.copy(assigned = built.assigned.localCheckpoint(true))
       val tp = System.nanoTime()
       val pruned = graft.engine.IvfIndex.prunedCorpus(idx, queryVec, nProbe = 8)
       val probedRows = pruned.count()
@@ -232,7 +234,6 @@ object ScaleSmoke {
     // changed ⇒ shingle jaccard ≈ 0.85), so planted-pair recall is also
     // measurable.
     def docCorpus(n: Long): org.apache.spark.sql.DataFrame = {
-      val src = when(col("id") % 100 === 1, col("id") - 1).otherwise(col("id"))
       spark.range(0, n).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(39)), j =>
           concat(lit("w"), pmod(xxhash64(

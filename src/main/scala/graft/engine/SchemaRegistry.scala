@@ -116,12 +116,17 @@ object SchemaRegistry {
     import spark.implicits._
     schemas.flatMap { s =>
       s.nodeTypes.toSeq.flatMap { case (ntName, nt) =>
-        nt.properties.toSeq.map { case (pName, p) =>
-          (s.id, s.name, s.version, s.status, "property", ntName, pName,
-            p.ptype, nt.requiredProperties.contains(pName),
-            nt.uniqueIdentifiers.contains(pName), p.enumValues,
-            Seq.empty[String], Seq.empty[String], "")
-        }
+        // marker row per node type so a property-less type survives the
+        // round-trip, then one row per property
+        (s.id, s.name, s.version, s.status, "node_type", ntName, "",
+          "", false, false, Seq.empty[String],
+          Seq.empty[String], Seq.empty[String], "") +:
+          nt.properties.toSeq.map { case (pName, p) =>
+            (s.id, s.name, s.version, s.status, "property", ntName, pName,
+              p.ptype, nt.requiredProperties.contains(pName),
+              nt.uniqueIdentifiers.contains(pName), p.enumValues,
+              Seq.empty[String], Seq.empty[String], "")
+          }
       } ++ s.relTypes.toSeq.map { case (rName, rt) =>
         (s.id, s.name, s.version, s.status, "relationship", rName, "",
           "", false, false, Seq.empty[String],
@@ -140,9 +145,12 @@ object SchemaRegistry {
       r.getAs[String]("version"), r.getAs[String]("status")))
       .toSeq.sortBy(_._1._1)
       .map { case ((id, name, version, status), rs) =>
-        val nodeTypes = rs.filter(_.getAs[String]("kind") == "property")
+        val propRows = rs.filter(_.getAs[String]("kind") == "property")
           .groupBy(_.getAs[String]("type_name"))
-          .map { case (nt, ps) =>
+        val nodeTypes = rs.filter(_.getAs[String]("kind") == "node_type")
+          .map(_.getAs[String]("type_name"))
+          .map { nt =>
+            val ps = propRows.getOrElse(nt, Array.empty)
             nt -> NodeTypeDef(
               properties = ps.map(p => p.getAs[String]("property") ->
                 PropertyDef(p.getAs[String]("ptype"), p.getAs[Boolean]("required"),
@@ -280,9 +288,13 @@ object SchemaRegistry {
         }
 
         val declared = array(nt.properties.keys.toSeq.sorted.map(lit): _*)
-        val extras = transform(
-          filter(map_keys(col("properties")), k => !array_contains(declared, k)),
-          k => viol("extra_property", k))
+        // coalesce: a NULL properties map would otherwise turn the whole
+        // concat NULL and silently swallow every missing_required check
+        val extras = coalesce(
+          transform(
+            filter(map_keys(col("properties")), k => !array_contains(declared, k)),
+            k => viol("extra_property", k)),
+          array().cast("array<struct<violation:string,property:string>>"))
 
         val rowChecks = missing ++ mismatch ++ enums
         val allChecks =

@@ -73,32 +73,33 @@ object Search {
     else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
   }
 
-  def search(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
-             req: SearchRequest,
-             embedder: Embedder = new HashEmbedder(64),
-             reranker: Reranker = LexicalReranker): DataFrame = {
+  /** The shared KNN hit list: F1/F2/F4 filters → broadcast-qvec cosine →
+    * 0.15 gate → ×3-oversampled top cut, carrying the grouped payload when
+    * the chunk relation has it (IVF-pruned projections may not). The hit
+    * list feeds BOTH the rollup and the grouped expansion, so it is
+    * materialized (≤ 3·topK rows) — otherwise the corpus-wide KNN scan
+    * would run once per consumer. */
+  private def chunkHitList(spark: SparkSession, chunks: DataFrame,
+                           req: SearchRequest, embedder: Embedder): DataFrame = {
     import spark.implicits._
-
     val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
-
-    val filtered = applyFilters(chunks, req)
-
-    // carry the grouped payload through the hit list when the chunk
-    // relation has it (IVF-pruned projections may not)
     val groupedCols = Seq("is_grouped", "related_memory_ids")
       .filter(chunks.columns.contains)
-    val hits = filtered
+    val hits = applyFilters(chunks, req)
       .crossJoin(broadcast(qvec))
       .withColumn("score", cosineSim(col("embedding"), col("qvec")))
       .filter(col("score") >= ScoreThreshold)
       .select((Seq("chunk_id", "memory_id", "score") ++ groupedCols).map(col): _*)
       .orderBy(desc("score"), col("chunk_id"))
       .limit(req.topK * OversampleFactor)
-    // the hit list feeds BOTH the rollup and the grouped expansion; without
-    // materializing these ≤ 3·topK rows the full KNN corpus scan would run
-    // once per consumer
-    val chunkHits =
-      if (groupedCols.isEmpty) hits else hits.localCheckpoint(true)
+    if (groupedCols.isEmpty) hits else hits.localCheckpoint(true)
+  }
+
+  def search(spark: SparkSession, chunks: DataFrame, memories: DataFrame,
+             req: SearchRequest,
+             embedder: Embedder = new HashEmbedder(64),
+             reranker: Reranker = LexicalReranker): DataFrame = {
+    val chunkHits = chunkHitList(spark, chunks, req, embedder)
 
     // V6 applied mid-pipeline (memory_graph.py:6200-6222): grouped hits pull
     // their related memories into the candidate set at score 0.0 before the
@@ -168,22 +169,7 @@ object Search {
                   nodes: DataFrame, edges: DataFrame, graphQuery: GraphQuery,
                   req: SearchRequest,
                   embedder: Embedder = new HashEmbedder(64)): DataFrame = {
-    import spark.implicits._
-    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
-
-    val groupedCols = Seq("is_grouped", "related_memory_ids")
-      .filter(chunks.columns.contains)
-    val hits = applyFilters(chunks, req)
-      .crossJoin(broadcast(qvec))
-      .withColumn("score", cosineSim(col("embedding"), col("qvec")))
-      .filter(col("score") >= ScoreThreshold)
-      .select((Seq("chunk_id", "memory_id", "score") ++ groupedCols).map(col): _*)
-      .orderBy(desc("score"), col("chunk_id"))
-      .limit(req.topK * OversampleFactor)
-    // materialize: read by the vector rollup AND the grouped expansion —
-    // without this the corpus-wide KNN scan runs once per consumer
-    val chunkHits =
-      if (groupedCols.isEmpty) hits else hits.localCheckpoint(true)
+    val chunkHits = chunkHitList(spark, chunks, req, embedder)
 
     val vector = chunkHits.groupBy(col("memory_id"))
       .agg(max(col("score")).as("score"))
@@ -199,9 +185,11 @@ object Search {
       .otherwise(lit(baseQuota))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(desc("score"), col("memory_id"))
+    // materialized (NOT persist: a per-query cache pin would leak across a
+    // serving loop) — ≤ oversample+|graph| rows, read by sample, count, fill
     val ranked = vector.unionByName(graph)
       .withColumn("rn", row_number().over(w))
-      .persist()   // ≤ oversample+|graph| rows; read by sample, count, and fill
+      .localCheckpoint(true)
 
     val sampled = ranked.filter(col("rn") <= quotaCol).drop("rn")
     val sampledIds = sampled.select(col("memory_id")).distinct()
@@ -215,8 +203,9 @@ object Search {
 
     val fused = sampled.unionByName(fill).unionByName(expanded)
       .groupBy(col("memory_id"))
-      // lexicographic max over (score, source): best score wins; on a tie
-      // 'vector' > 'graph' > 'grouped' — real similarity beats defaults
+      // lexicographic max over (score, source): best score wins; the source
+      // string only breaks exact-score ties, which the fixed 0.7/0.0
+      // defaults make unreachable across sources in practice
       .agg(max(struct(col("score"), col("source"))).as("best"))
       .select(col("memory_id"), col("best.score").as("score"),
         col("best.source").as("source"))

@@ -165,7 +165,9 @@ object HybridQueries {
         val hex2 = "strpos('0123456789abcdef', substr(h, 2, 1)) - 1"
         s"""WITH v AS (
            |  SELECT doc_id, text, 1000 * (doc_id % 10 + 1) AS dur
-           |  FROM documents WHERE doc_id % 3 = 2),
+           |  FROM documents
+           |  WHERE doc_id % 3 = 2
+           |    AND octet_length(CAST(text AS BLOB)) > 0),
            |f AS (
            |  SELECT doc_id, text,
            |    unnest(generate_series(0, CAST(greatest(dur // 700, 1) AS INT) - 1)) AS i
@@ -194,12 +196,17 @@ object HybridQueries {
       (s, d) => {
         import graft.ops.Temporal
         val ev = Tables.events(s, d)
+        // open-version sentinel = max(ts) + 1 day, NOT a far-future date:
+        // rangeJoin explodes one bin row per day of interval span, so a
+        // 2100 sentinel would fan every open version into ~27k bins (the
+        // exact pathology rangeJoin's fan-out guard warns about)
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)
         val dim = Temporal.scd2(ev, keyCol = "user_id", tsCol = "ts",
             orderCol = "event_id", attrCols = Seq("event_type"))
           .select(col("user_id"), col("event_type").as("state_at_ts"),
             col("valid_from"),
-            coalesce(col("valid_to"), lit("2100-01-01").cast("timestamp"))
-              .as("valid_to_c"))
+            coalesce(col("valid_to"), lit(sentinel)).as("valid_to_c"))
         val examples = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
         Temporal.rangeJoin(examples, "ts", dim, "valid_from", "valid_to_c",
@@ -222,7 +229,8 @@ object HybridQueries {
              |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from,
              |    CAST(coalesce(
              |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-             |      TIMESTAMP '2100-01-01') AS TIMESTAMP) AS valid_to
+             |      (SELECT max(CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY FROM events))
+             |      AS TIMESTAMP) AS valid_to
              |  FROM changed)
              |SELECT p.event_id, p.user_id, d.event_type AS state_at_ts,
              |  d.valid_from

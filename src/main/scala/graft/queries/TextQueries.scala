@@ -249,9 +249,11 @@ object TextQueries {
            |scored AS (
            |  SELECT doc_id,
            |    $score AS score
-           |  FROM perdoc, stats)
-           |SELECT doc_id, CAST(score AS REAL) AS score FROM scored WHERE score > 0
-           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+           |  FROM perdoc, stats),
+           |topd AS (
+           |  SELECT doc_id, score FROM scored WHERE score > 0
+           |  ORDER BY score DESC, doc_id LIMIT 20)
+           |SELECT doc_id, CAST(score AS REAL) AS score FROM topd""".stripMargin
       }),
 
     // Language-stratified corpus sample: per-language quota in deterministic

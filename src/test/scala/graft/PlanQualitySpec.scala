@@ -140,9 +140,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"candidate-set join shuffled a sort-merge:\n$p")
     // (the oversampled chunk top-k heap sits inside the materialized hit
     // list; the final Sort runs over the ≤ 4·topK fused candidate set)
-    // F1 ACL predicate reaches the scan side (filter below the joins): the
-    // executed plan must carry a Filter with the read-access predicate
-    assert(p.contains("array_contains") || p.contains("user_id"),
+    // F1 ACL predicate reaches the scan side: the read-access grant arrays
+    // appear ONLY in the ACL filter (the hydration projection never selects
+    // them), so their presence pins the filter itself
+    assert(p.contains("user_read_access"),
       s"ACL filter missing from the physical plan:\n$p")
   }
 

@@ -61,7 +61,7 @@ class SchemaRegistrySpec extends SparkSpec {
         Map("a" -> PropertyDef("integer", required = true), "b" -> PropertyDef()),
         requiredProperties = Seq("a"), uniqueIdentifiers = Seq("a"))))), Status.Active)
     val cat = catalog(spark, Seq(s)).collect()
-    assert(cat.length === 2)
+    assert(cat.length === 3)   // node_type marker + 2 property rows
     val a = cat.find(_.getAs[String]("property") == "a").get
     assert(a.getAs[String]("ptype") === "integer")
     assert(a.getAs[Boolean]("required"))
@@ -119,7 +119,8 @@ class SchemaRegistrySpec extends SparkSpec {
       ("n5", "T", Map("name" -> "e", "size" -> "5", "ghost" -> "x")),    // extra
       ("n6", "T", Map("name" -> "dup", "size" -> "6")),                  // dup pair
       ("n7", "T", Map("name" -> "dup", "size" -> "7")),
-      ("n8", "Other", Map[String, String]())                             // undeclared label: ignored
+      ("n8", "Other", Map[String, String]()),                            // undeclared label: ignored
+      ("n9", "T", null.asInstanceOf[Map[String, String]])                // NULL map: all required missing
     ).toDF("node_id", "label", "properties")
     val v = validate(nodes, Seq(schema, draft))
       .collect().map(r => (r.getAs[String]("node_id"), r.getAs[String]("violation"),
@@ -130,7 +131,9 @@ class SchemaRegistrySpec extends SparkSpec {
       ("n4", "enum_violation", "state"),
       ("n5", "extra_property", "ghost"),
       ("n6", "duplicate_unique", "name"),
-      ("n7", "duplicate_unique", "name")))
+      ("n7", "duplicate_unique", "name"),
+      ("n9", "missing_required", "name"),   // NULL map must not swallow checks
+      ("n9", "missing_required", "size")))
   }
 
   test("indexable properties: active + required + string + enum-free only") {
@@ -174,6 +177,10 @@ class SchemaRegistrySpec extends SparkSpec {
       Status.Active)
     val back = fromCatalog(catalog(spark, Seq(s)))
     assert(back === Seq(s))
+    // a property-less node type must survive the round-trip too
+    val bare = transition(register(UserSchema("s2", "bare",
+      nodeTypes = Map("Tag" -> NodeTypeDef(Map.empty)))), Status.Active)
+    assert(fromCatalog(catalog(spark, Seq(bare))) === Seq(bare))
   }
 
   test("validateEdges: endpoint labels and existence per relationship type") {
