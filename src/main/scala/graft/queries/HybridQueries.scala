@@ -357,5 +357,103 @@ object HybridQueries {
            |  FROM comp c JOIN qual q USING (doc_id))
            |SELECT cluster, doc_id AS survivor, quality, n_members
            |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin
-      }))
+      }),
+
+    // ACL-scoped graph traversal (SURVEY §7.4.5): BOTH endpoints of every
+    // traversed edge must be visible to the principal — owner matches OR
+    // the read-grant array contains them. Deterministic visibility seeding
+    // (ownership by key mod, grants on every 3rd/4th key) lets the oracle
+    // recompute the visible subgraph relationally.
+    Entry("q124_acl_graph",
+      (s, d) => {
+        import graft.ast.{GraphQuery, Pattern, Return}
+        import graft.ops.Retrieval.Principal
+        val emptyGrants = array().cast("array<string>")
+        val cNodes = Tables.customer(s, d).select(
+          concat(lit("c"), col("c_custkey")).as("node_id"),
+          lit("Customer").as("label"), col("c_name").as("name"),
+          map().cast("map<string,string>").as("properties"),
+          concat(lit("u"), col("c_custkey") % 5).as("user_id"),
+          when(col("c_custkey") % 3 === 0, array(lit("u0"), lit("u1")))
+            .otherwise(emptyGrants).as("user_read_access"))
+        val oNodes = Tables.orders(s, d).select(
+          concat(lit("o"), col("o_orderkey")).as("node_id"),
+          lit("Order").as("label"),
+          concat(lit("order "), col("o_orderkey")).as("name"),
+          map().cast("map<string,string>").as("properties"),
+          concat(lit("u"), col("o_custkey") % 5).as("user_id"),
+          when(col("o_orderkey") % 4 === 0, array(lit("u0"), lit("u1")))
+            .otherwise(emptyGrants).as("user_read_access"))
+        val edges = Tables.orders(s, d).select(
+          concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("o"), col("o_orderkey")).as("dst"),
+          lit("PLACED").as("rel_type"),
+          map().cast("map<string,string>").as("properties"))
+        val gq = GraphQuery(
+          Pattern("Customer", Some("PLACED"), Some("Order")),
+          Nil, Return(Seq("m" -> "id", "n" -> "id"), orderBy = None, limit = None))
+        graft.ast.QueryCompiler.compile(gq, cNodes.unionByName(oNodes), edges,
+            Principal("u1"))
+          .orderBy(col("m_id"), col("n_id"))
+      },
+      Some("""WITH vis_c AS (
+             |  SELECT c_custkey AS k FROM customer
+             |  WHERE 'u' || CAST(c_custkey % 5 AS VARCHAR) = 'u1'
+             |     OR c_custkey % 3 = 0),
+             |vis_o AS (
+             |  SELECT o_orderkey, o_custkey FROM orders
+             |  WHERE 'u' || CAST(o_custkey % 5 AS VARCHAR) = 'u1'
+             |     OR o_orderkey % 4 = 0)
+             |SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS m_id,
+             |  'o' || CAST(o.o_orderkey AS VARCHAR) AS n_id
+             |FROM vis_o o JOIN vis_c c ON c.k = o.o_custkey
+             |ORDER BY m_id, n_id""".stripMargin)),
+
+    // Materialized-view maintenance: two disjoint batches fold through the
+    // mergeable (cnt,sum,min,max) state and must equal the one-pass
+    // aggregate — the refresh path that never rescans history at 100 TB.
+    Entry("q125_incremental_rollup",
+      (s, d) => {
+        import graft.ops.IncrementalAgg
+        val ev = Tables.events(s, d)
+        val b1 = ev.filter(dayofmonth(col("ts")) <= 15)
+        val b2 = ev.filter(dayofmonth(col("ts")) > 15)
+        val state = IncrementalAgg.merge(
+          IncrementalAgg.partial(b1, Seq("event_type"), "value"),
+          IncrementalAgg.partial(b2, Seq("event_type"), "value"),
+          Seq("event_type"))
+        IncrementalAgg.finalized(state)
+          .select(col("event_type"), col("cnt"),
+            round(col("sm"), 2).as("sum_value"),
+            col("mn"), col("mx"),
+            round(col("avg"), 4).as("avg_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  round(sum(value), 2) AS sum_value,
+             |  min(value) AS mn, max(value) AS mx,
+             |  round(sum(value) / count(*), 4) AS avg_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL rollup: daily distinct-user sketches union to per-type sketches
+    // (raw data never re-read) whose estimates must land within 5% of the
+    // exact distinct — the q54 boolean trick keeps the sketch in the
+    // measured plan while staying SQL-expressible.
+    Entry("q126_hll_rollup",
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = Tables.events(s, d).withColumn("day", dayofmonth(col("ts")))
+        val daily = Sketches.distinctSketch(ev, Seq("event_type", "day"), "user_id")
+        val merged = Sketches.mergeSketches(daily.drop("day"), Seq("event_type"))
+        val exact = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        Sketches.estimate(merged).join(exact, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_distinct") - col("exact_users")) <=
+              col("exact_users") * 0.05).as("approx_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
