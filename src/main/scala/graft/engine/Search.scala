@@ -58,6 +58,15 @@ object Search {
       .withColumn("score", lit(0.0))
   }
 
+  /** F1 re-checked at hydration: every search variant joins candidates to
+    * the PRINCIPAL-VISIBLE slice of the memories table, never the raw
+    * table. Candidate ids can enter the pipeline from sources other than
+    * the ACL-filtered chunk scan (grouped expansion, the graph branch), so
+    * visibility must hold at the hydration boundary independently of how
+    * the id was found. */
+  private def visibleMemories(memories: DataFrame, req: SearchRequest): DataFrame =
+    memories.filter(Retrieval.aclPredicate(req.principal))
+
   /** The F1/F2/F4 filter stack, shared by every search variant. */
   private def applyFilters(chunks: DataFrame, req: SearchRequest): DataFrame = {
     val acl = chunks.filter(Retrieval.aclPredicate(req.principal))
@@ -111,8 +120,14 @@ object Search {
       .groupBy(col("memory_id"))
       .agg(max(col("score")).as("score"), max(col("n_chunks")).as("n_chunks"))
 
+    // Hydration is ACL-guarded on the MEMORIES side as well: the vector
+    // branch's ids derive from ACL-filtered chunks, but grouped expansion
+    // (V6) injects arbitrary related ids — without this filter a grouped
+    // payload could surface a memory the principal cannot read (the
+    // reference hydrates through user-scoped fetches, so visibility is
+    // re-checked at hydration there too).
     val hydrated = rolled
-      .join(memories, Seq("memory_id"))
+      .join(visibleMemories(memories, req), Seq("memory_id"))
       .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
       .select(col("memory_id"), col("score"), col("n_chunks"), col("content"),
         col("title"), col("user_id"), col("topics"), col("created_at"))
@@ -174,7 +189,12 @@ object Search {
     val vector = chunkHits.groupBy(col("memory_id"))
       .agg(max(col("score")).as("score"))
       .withColumn("source", lit("vector"))
-    val graph = QueryCompiler.compile(graphQuery, nodes, edges)
+    // The graph branch is PRINCIPAL-SCOPED (the ACL compile overload):
+    // both endpoints of every traversed edge must pass the principal's
+    // read predicate, exactly like the vector branch's chunk filter — the
+    // reference's Neo4j branch is user-scoped Cypher. The non-principal
+    // overload here would let graph-sourced memories bypass ACL entirely.
+    val graph = QueryCompiler.compile(graphQuery, nodes, edges, req.principal)
       .select(col("m_id").as("memory_id")).distinct()
       .withColumn("score", lit(NeoDefaultScore))
       .withColumn("source", lit("graph"))
@@ -210,8 +230,11 @@ object Search {
       .select(col("memory_id"), col("best.score").as("score"),
         col("best.source").as("source"))
 
+    // visibility re-checked at hydration (see visibleMemories): the graph
+    // branch is already principal-scoped, but grouped expansion injects
+    // raw related ids that must not hydrate into invisible memories
     fused
-      .join(memories, Seq("memory_id"))
+      .join(visibleMemories(memories, req), Seq("memory_id"))
       .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
       .select(col("memory_id"), col("score"), col("source"), col("content"),
         col("title"), col("user_id"), col("created_at"))
@@ -260,7 +283,7 @@ object Search {
         .limit(req.topK * OversampleFactor)
     }
     Retrieval.rrfFuse(perSpace, "memory_id", rrfK)
-      .join(memories, Seq("memory_id"))
+      .join(visibleMemories(memories, req), Seq("memory_id"))
       .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))
       .select(col("memory_id"), col("rrf"), col("content"), col("title"),
         col("user_id"), col("created_at"))
@@ -273,7 +296,7 @@ object Search {
   def fallbackScan(chunks: DataFrame, memories: DataFrame, req: SearchRequest): DataFrame =
     chunks.filter(Retrieval.aclPredicate(req.principal))
       .select(col("memory_id")).distinct()
-      .join(memories, Seq("memory_id"))
+      .join(visibleMemories(memories, req), Seq("memory_id"))
       // F6 applies on EVERY path — the fallback must not return the very
       // memory the caller asked to exclude (primary path filters at hydrate)
       .filter(req.excludeMemoryId.map(col("memory_id") =!= _).getOrElse(lit(true)))

@@ -419,15 +419,22 @@ object DomainPipelineQueries {
               array(concat(lit("m"), num + 1), concat(lit("m"), num + 2)))
               .otherwise(array().cast("array<string>")))
         val docs = Tables.documents(s, d)
+        // graph nodes carry ACL: every 5th memory NODE belongs to another
+        // principal (u9), so the ACL-scoped graph branch must traverse only
+        // the u0-visible subgraph — the oracle models the same exclusion
         val memNodes = docs.select(
           concat(lit("m"), col("doc_id")).as("node_id"),
           lit("Memory").as("label"),
           concat(lit("doc "), col("doc_id")).as("name"),
-          map(lit("lang"), col("lang")).as("properties"))
+          map(lit("lang"), col("lang")).as("properties"),
+          when(col("doc_id") % 5 === 0, lit("u9")).otherwise(lit("u0")).as("user_id"),
+          array().cast("array<string>").as("user_read_access"))
         val topicNodes = docs.select(col("lang")).distinct().select(
           concat(lit("t_"), col("lang")).as("node_id"),
           lit("Topic").as("label"), col("lang").as("name"),
-          map().cast("map<string,string>").as("properties"))
+          map().cast("map<string,string>").as("properties"),
+          lit("u0").as("user_id"),
+          array().cast("array<string>").as("user_read_access"))
         val edges = docs.select(
           concat(lit("m"), col("doc_id")).as("src"),
           concat(lit("t_"), col("lang")).as("dst"),
@@ -468,9 +475,11 @@ object DomainPipelineQueries {
            |  SELECT memory_id, max(score) AS score, 'vector' AS source
            |  FROM hits GROUP BY memory_id),
            |graph AS (
+           |  -- ACL-scoped graph branch: every 5th memory NODE belongs to
+           |  -- u9, so the u0 principal's traversal never reaches it
            |  SELECT DISTINCT 'm' || doc_id AS memory_id, 0.7 AS score,
            |    'graph' AS source
-           |  FROM documents WHERE lang = 'zh'),
+           |  FROM documents WHERE lang = 'zh' AND doc_id % 5 <> 0),
            |ranked AS (
            |  SELECT *, row_number() OVER (PARTITION BY source
            |      ORDER BY score DESC, memory_id) AS rn,

@@ -103,22 +103,31 @@ class SearchEngineSpec extends SparkSpec {
   }
 
   test("grouped-memory expansion (V6) pulls related ids into search results") {
-    val someContent = mems.find(_.user_id == "u0").get.content
-    val target = mems.find(_.content == someContent).get.memory_id
-    // flag the guaranteed top hit's chunks as grouped, relating two ids the
-    // vector branch would NEVER return for this query (scores ~orthogonal)
+    // target must survive the priority>=5 metadata filter below
+    val targetMem = mems.find(m => m.user_id == "u0" &&
+      m.custom_metadata("priority").toInt >= 5).get
+    val someContent = targetMem.content
+    val target = targetMem.memory_id
+    // flag the guaranteed top hit's chunks as grouped, relating ids the
+    // vector branch can't return under the priority>=5 metadata filter:
+    // two u0-visible ids with priority 0 (m50; m40_2 with a chunk suffix
+    // to strip) plus one INVISIBLE id (m59, owner u4 with no u0 grant) —
+    // expansion must surface the visible ones at the 0.0 default score and
+    // drop the invisible one at the ACL-guarded hydration
     val grouped = chunks
       .withColumn("is_grouped", col("memory_id") === target)
       .withColumn("related_memory_ids",
         when(col("memory_id") === target,
-          array(lit("m59"), lit("m58_2"))) // one with a chunk suffix to strip
+          array(lit("m50"), lit("m40_2"), lit("m59")))
           .otherwise(array().cast("array<string>")))
-    val out = Search.search(spark, grouped, memories,
-      SearchRequest(someContent, owner, topK = 50)).collect()
+    val req = SearchRequest(someContent, owner, topK = 50,
+      metaFilters = Map("priority" -> MetaAtLeast(5)))
+    val out = Search.search(spark, grouped, memories, req).collect()
     val byId = out.map(r => r.getAs[String]("memory_id") ->
       r.getAs[Double]("score")).toMap
-    assert(byId.contains("m59") && byId("m59") === 0.0)   // expanded, default score
-    assert(byId.contains("m58") && byId("m58") === 0.0)   // chunk suffix stripped
+    assert(byId.contains("m50") && byId("m50") === 0.0)   // expanded, default score
+    assert(byId.contains("m40") && byId("m40") === 0.0)   // chunk suffix stripped
+    assert(!byId.contains("m59"))  // ACL holds: invisible related id dropped
     assert(byId(target) > 0.5)                            // direct hit keeps real score
     // re-dedup: expansion of an id that's ALSO a direct hit keeps the real score
     val selfGrouped = chunks
@@ -139,11 +148,15 @@ class SearchEngineSpec extends SparkSpec {
     import spark.implicits._
     // graph: every research-category memory MENTIONS topic 'research'
     val researchIds = mems.filter(_.category == "research").map(_.memory_id)
+    // nodes carry ACL (mirroring each memory's own grants); the topic node
+    // is granted to every user so the edge semi-join hinges on the MEMORY
+    // endpoint's visibility alone
     val memNodes = mems.map(m => (m.memory_id, "Memory", m.title,
-      Map("category" -> m.category)))
-      .toDF("node_id", "label", "name", "properties")
-    val topicNodes = Seq(("t_research", "Topic", "research", Map.empty[String, String]))
-      .toDF("node_id", "label", "name", "properties")
+      Map("category" -> m.category), m.user_id, m.user_read_access))
+      .toDF("node_id", "label", "name", "properties", "user_id", "user_read_access")
+    val topicNodes = Seq(("t_research", "Topic", "research", Map.empty[String, String],
+      "u0", Seq("u0", "u1", "u2", "u3", "u4")))
+      .toDF("node_id", "label", "name", "properties", "user_id", "user_read_access")
     val edges = researchIds.map(id => (id, "t_research", "MENTIONS",
       Map.empty[String, String])).toDF("src", "dst", "rel_type", "properties")
     val gq = GraphQuery(Pattern("Memory", Some("MENTIONS"), Some("Topic")),
@@ -156,6 +169,12 @@ class SearchEngineSpec extends SparkSpec {
     val graphRows = bySource.getOrElse("graph", Array.empty)
     assert(graphRows.nonEmpty)
     assert(graphRows.forall(_.getAs[Double]("score") === 0.7))
+    // ACL holds on the graph branch too: every fused hit (graph-sourced
+    // included) is visible to the principal — the graph compile is
+    // principal-scoped and hydration re-checks visibility
+    val visibleToU0 = mems.filter(m => m.user_id == "u0" ||
+      m.user_read_access.contains("u0")).map(_.memory_id).toSet
+    assert(out.forall(r => visibleToU0.contains(r.getAs[String]("memory_id"))))
     // the exact-content memory wins the vector branch outright (graph's
     // 0.7 default may outrank weak vector hits globally — by design)
     val vecRows = bySource.getOrElse("vector", Array.empty)
