@@ -262,6 +262,110 @@ object ScaleSmoke {
     assert(plantedS >= 170 && plantedL >= 1700,
       s"LSH planted-pair recall too low: $plantedS/200, $plantedL/2000")
 
+    // ---- entity-resolution semantic stage (the round-3 scale fix): the
+    // IVF-probed candidate×corpus pair stream must grow SUB-linearly with
+    // the property corpus (the broadcast-corpus path it replaces scores
+    // every same-label row per candidate — linear per candidate AND
+    // broadcasts the big side). Centroid count scales with the corpus, so
+    // the probed slice stays roughly flat across a 10× corpus.
+    val candER = vecCorpus(100).select(
+      concat(lit("c"), col("id")).as("cand_id"),
+      lit("Person").as("cand_label"), col("embedding").as("cand_vec"))
+    def erStats(n: Long, nCentroids: Int): (Long, Long, Double) = {
+      val sem = vecCorpus(n).select(
+        concat(lit("n"), col("id")).as("sem_id"),
+        lit("Person").as("cand_label"), col("embedding").as("ex_vec"))
+        .localCheckpoint(true)
+      val t = System.nanoTime()
+      val pairs = graft.engine.Ingest
+        .semanticProbePairs(candER, sem, nCentroids, nProbe = 8)
+        .localCheckpoint(true)
+      val probed = pairs.count()
+      // recall: every candidate sits near a true center, so its probed
+      // clusters must contain a near-exact (≥0.95) match
+      val matched = pairs.groupBy(col("cand_id"))
+        .agg(max(col("sem_score")).as("m")).filter(col("m") >= 0.95).count()
+      (probed, matched, (System.nanoTime() - t) / 1e9)
+    }
+    val (erProbedS, erMatchS, erSecS) = erStats(30000L, 32)
+    val (erProbedL, erMatchL, erSecL) = erStats(300000L, 192)
+    println(f"[scale-smoke] er-semantic small: corpus=30000 probedPairs=$erProbedS " +
+      f"matched=$erMatchS/100 erSeconds=$erSecS%.1f")
+    println(f"[scale-smoke] er-semantic large: corpus=300000 probedPairs=$erProbedL " +
+      f"matched=$erMatchL/100 erSeconds=$erSecL%.1f")
+    assert(erProbedL < 3 * erProbedS,
+      s"semantic probe pairs grew linearly: $erProbedS -> $erProbedL for 10x corpus")
+    assert(erProbedL.toDouble / (300000.0 * 100) < 0.1,
+      "semantic probe reads >10% of the candidate×corpus product")
+    assert(erMatchS == 100 && erMatchL == 100,
+      s"probed clusters missed a near-exact match: $erMatchS/$erMatchL of 100")
+
+    // ---- contamination detector (q117 shape): the inverted-index join
+    // must grow ~linearly — an eval×train product would grow ~100× for a
+    // 10× corpus. Every doc ≡1 (mod 100) is a near-copy of its train
+    // predecessor (≥30 shared 8-grams); hash-token vocabulary keeps
+    // accidental shingle collisions negligible.
+    import graft.functions.Fns
+    def contamStats(n: Long): (Long, Long, Double) = {
+      val docs = docCorpus(n).withColumn("source",
+        when(col("doc_id") % 100 === 1, lit("eval")).otherwise(lit("train")))
+        .localCheckpoint(true)
+      val t = System.nanoTime()
+      val sh = docs
+        .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          explode(Fns.shingles(col("tk"), 8)).as("ng"))
+        .distinct()
+      val ev = sh.filter(col("source") === "eval")
+      val tr = sh.filter(col("source") === "train")
+        .select(col("ng"), col("doc_id").as("train_id"))
+      val res = ev.join(tr, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("ng")).as("shared"))
+        .localCheckpoint(true)
+      val flagged = res.count()
+      val strong = res.filter(col("shared") >= 20).count()
+      (flagged, strong, (System.nanoTime() - t) / 1e9)
+    }
+    val (cFlagS, cStrongS, cSecS) = contamStats(20000L)
+    val (cFlagL, cStrongL, cSecL) = contamStats(200000L)
+    println(f"[scale-smoke] contamination small: docs=20000 flagged=$cFlagS " +
+      f"strong=$cStrongS/200 cSeconds=$cSecS%.1f")
+    println(f"[scale-smoke] contamination large: docs=200000 flagged=$cFlagL " +
+      f"strong=$cStrongL/2000 cSeconds=$cSecL%.1f")
+    assert(cStrongS >= 195 && cStrongL >= 1950,
+      s"planted contamination missed: $cStrongS/200, $cStrongL/2000")
+    assert(cFlagL < 20 * cFlagS,
+      s"contamination join grew super-linearly: $cFlagS -> $cFlagL for 10x docs")
+
+    // ---- batch KNN (q122 shape): one corpus scan for a 64-query batch;
+    // the bounded TopK aggregator must emit EXACTLY k rows per query at
+    // every scale (a window-sort fallback would also pass rows but blow
+    // wall time — printed for the bench notes), and each query planted at
+    // a corpus point must find itself at rank 1.
+    def bknnStats(n: Long): (Long, Long, Double) = {
+      val corpus = vecCorpus(n).localCheckpoint(true)
+      val queries = vecCorpus(64)
+        .select(col("id").as("q_id"), col("embedding").as("qvec"))
+      val t = System.nanoTime()
+      val res = graft.ops.Similarity.knnBatch(
+        corpus, queries, "id", "embedding", "q_id", "qvec", k = 5)
+        .localCheckpoint(true)
+      val rows = res.count()
+      val selfHits = res.filter(col("rank") === 1 && col("id") === col("q_id")).count()
+      (rows, selfHits, (System.nanoTime() - t) / 1e9)
+    }
+    val (bRowsS, bSelfS, bSecS) = bknnStats(30000L)
+    val (bRowsL, bSelfL, bSecL) = bknnStats(300000L)
+    println(f"[scale-smoke] batchKnn small: corpus=30000 rows=$bRowsS " +
+      f"selfHits=$bSelfS/64 bSeconds=$bSecS%.1f")
+    println(f"[scale-smoke] batchKnn large: corpus=300000 rows=$bRowsL " +
+      f"selfHits=$bSelfL/64 bSeconds=$bSecL%.1f")
+    assert(bRowsS == 64 * 5 && bRowsL == 64 * 5,
+      s"batch KNN row bound broken: $bRowsS / $bRowsL, want ${64 * 5}")
+    assert(bSelfS == 64 && bSelfL == 64,
+      s"a planted query missed itself at rank 1: $bSelfS / $bSelfL of 64")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

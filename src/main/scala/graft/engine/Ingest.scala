@@ -121,7 +121,10 @@ object Ingest {
                       existingProps: DataFrame,
                       embedder: Embedder,
                       semanticThreshold: Double = 0.85,
-                      exactKeyCols: Seq[String] = Seq("name")): DataFrame = {
+                      exactKeyCols: Seq[String] = Seq("name"),
+                      semanticFullScanThreshold: Long = 100000L,
+                      semanticNCentroids: Int = 64,
+                      semanticNProbe: Int = 8): DataFrame = {
     val embedUdf = udf((s: String) => embedder.embed(s))
 
     // exact-stage key: all identifier columns non-null, joined with an
@@ -151,17 +154,50 @@ object Ingest {
         lower(col("name")).as("ex_name_lower"))
 
     import org.apache.spark.sql.expressions.Window
-    val bestSem = cand
-      .join(broadcast(semantic), Seq("cand_label"), "left")
-      .withColumn("sem_score", cosineSim(col("cand_vec"), col("ex_vec")))
-      .withColumn("sem_rank", row_number().over(
-        Window.partitionBy(col("cand_id"))
-          .orderBy(desc_nulls_last("sem_score"), col("sem_id"))))
-      .filter(col("sem_rank") === 1)
-      .withColumn("sem_id",
-        when(col("sem_score") >= semanticThreshold, col("sem_id")).otherwise(lit(null)))
-      .select(col("cand_id"), col("cand_label"), col("cand_name"),
-        col("cand_ekey"), col("sem_id"))
+    // Semantic-stage plan choice — the Qdrant `full_scan_threshold` switch
+    // (memory_graph.py:1052) applied to the PROPERTY corpus: below the
+    // threshold the existing property vectors broadcast and every candidate
+    // scores all same-label rows (exact, one pass); above it the corpus is
+    // the BIG side, so broadcasting it is a scale-killer — instead an IVF
+    // index is built over the property vectors and only each candidate's
+    // `semanticNProbe` nearest clusters are scored (the probes, candidate-
+    // batch-sized, are what broadcasts; the corpus streams). Both paths
+    // keep the identical (sem_score DESC, sem_id) tie-break, so at
+    // nProbe = nCentroids the probed result EQUALS the broadcast result
+    // (spec-pinned); below that it is ANN with the usual recall knob —
+    // matching the reference, whose semantic stage probes an HNSW
+    // collection, not a full scan (memory_graph.py:10816-11035).
+    val useIvf = semantic.count() > semanticFullScanThreshold
+    val bestSem =
+      if (!useIvf)
+        cand
+          .join(broadcast(semantic), Seq("cand_label"), "left")
+          .withColumn("sem_score", cosineSim(col("cand_vec"), col("ex_vec")))
+          .withColumn("sem_rank", row_number().over(
+            Window.partitionBy(col("cand_id"))
+              .orderBy(desc_nulls_last("sem_score"), col("sem_id"))))
+          .filter(col("sem_rank") === 1)
+          .withColumn("sem_id",
+            when(col("sem_score") >= semanticThreshold, col("sem_id")).otherwise(lit(null)))
+          .select(col("cand_id"), col("cand_label"), col("cand_name"),
+            col("cand_ekey"), col("sem_id"))
+      else {
+        val pairs = semanticProbePairs(cand, semantic,
+            semanticNCentroids, semanticNProbe)
+          .withColumn("sem_rank", row_number().over(
+            Window.partitionBy(col("cand_id"))
+              .orderBy(desc_nulls_last("sem_score"), col("sem_id"))))
+          .filter(col("sem_rank") === 1)
+          .select(col("cand_id"), col("sem_id"), col("sem_score"))
+        // ≤1 pair per candidate by the rank — candidate-batch-sized, so
+        // THIS side broadcasts back onto cand (left join keeps candidates
+        // with no probed match falling through the cascade)
+        cand.join(broadcast(pairs), Seq("cand_id"), "left")
+          .withColumn("sem_id",
+            when(col("sem_score") >= semanticThreshold, col("sem_id")).otherwise(lit(null)))
+          .select(col("cand_id"), col("cand_label"), col("cand_name"),
+            col("cand_ekey"), col("sem_id"))
+      }
 
     // ≤1 exact row per key (min node_id wins) so a duplicated identifier in
     // the existing graph can't fan the candidate out
@@ -193,6 +229,36 @@ object Ingest {
         .when(col("sem_id").isNotNull, "semantic")
         .when(col("fuzzy_id").isNotNull, "fuzzy")
         .otherwise("create").as("resolution"))
+  }
+
+  /** The IVF-probed candidate×corpus pair stream backing
+    * [[resolveEntities]]' large-corpus semantic stage (public so the scale
+    * smoke can pin probed-row sub-linearity). `cand` carries
+    * (cand_id, cand_label, cand_vec); `semantic` carries
+    * (sem_id, cand_label, ex_vec). Returns one scored row per
+    * (candidate, same-label corpus row in a probed cluster).
+    *
+    * Scale shape: centroids (≤ nCentroids rows) broadcast into the
+    * candidate batch to pick each candidate's nProbe nearest clusters; the
+    * probe list (|cand|·nProbe rows) then broadcasts into the ASSIGNED
+    * corpus scan — the big side is never broadcast, never re-shuffled, and
+    * reads only probed clusters once the assignment table is partitioned
+    * by centroid_id. */
+  def semanticProbePairs(cand: DataFrame, semantic: DataFrame,
+                         nCentroids: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = IvfIndex.build(semantic, "sem_id", "ex_vec", nCentroids)
+    val probes = cand
+      .crossJoin(broadcast(idx.centroids.withColumnRenamed("centroid_id", "pc_id")))
+      .withColumn("cdist", l2sq(col("cand_vec"), col("cvec")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("cand_id")).orderBy(col("cdist"), col("pc_id"))))
+      .filter(col("prn") <= nProbe)
+      .withColumnRenamed("pc_id", "centroid_id")
+      .drop("cdist", "cvec", "prn")
+    broadcast(probes)
+      .join(idx.assigned, Seq("cand_label", "centroid_id"))
+      .withColumn("sem_score", cosineSim(col("cand_vec"), col("ex_vec")))
   }
 
   /** A3 — find-and-delete duplicates by identical content per user

@@ -95,6 +95,61 @@ class IngestSpec extends SparkSpec {
     assert(out.getAs[String]("resolved_id") === "n1")
   }
 
+  test("semantic scale path: IVF probe over all clusters equals the broadcast " +
+    "path, and the property corpus is never the broadcast side") {
+    val embedder = new HashEmbedder(64)
+    // 40 token-disjoint names + one candidate that permutes n3's tokens
+    // (bag-of-tokens embedding ⇒ cosine 1.0, but neither exact nor fuzzy)
+    val names = (0 until 40).map(i => s"alpha$i beta$i gamma$i delta$i")
+    val existing = names.zipWithIndex.map { case (nm, i) => (s"n$i", "Person", nm) }
+      .toDF("node_id", "label", "name")
+    val existingProps = names.zipWithIndex.map { case (nm, i) =>
+      (s"np$i", s"n$i", "Person", "name", nm, embedder.embed(nm), "u0")
+    }.toDF("point_id", "node_id", "node_label", "property_name",
+      "property_value", "embedding", "user_id")
+    val candidates = Seq(
+      ("c1", "Person", "gamma3 alpha3 delta3 beta3"),  // semantic → n3
+      ("c2", "Person", "zzz completely unrelated")     // create
+    ).toDF("node_id", "label", "name")
+
+    def run(threshold: Long) = Ingest.resolveEntities(
+      candidates, existing, existingProps, embedder,
+      semanticFullScanThreshold = threshold,
+      semanticNCentroids = 8, semanticNProbe = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("cand_id"), r.getAs[String]("resolution"),
+        r.getAs[String]("resolved_id"))).toSet
+
+    val viaBroadcast = rows(run(threshold = 1000000L))
+    val viaIvf = rows(run(threshold = 0L))   // force the IVF path
+    // nProbe = nCentroids probes EVERY cluster: the ANN path at its exact
+    // end must equal the broadcast path bit-for-bit (same tie-break)
+    assert(viaIvf === viaBroadcast)
+    assert(viaIvf.contains(("c1", "semantic", "n3")))
+    assert(viaIvf.contains(("c2", "create", null)))
+
+    // Broadcast-side pin: in the IVF regime the corpus (carrying ex_vec)
+    // must NEVER sit under a BroadcastExchange — only centroids, probes
+    // and the ≤1-row-per-candidate pair results may broadcast. AQE off so
+    // the plan tree is inspectable without query-stage wrappers.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def broadcastCols(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        df.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b.output.map(_.name).toSeq
+        }
+      val ivfB = broadcastCols(run(threshold = 0L))
+      assert(ivfB.nonEmpty)
+      assert(ivfB.forall(cols => !cols.contains("ex_vec")),
+        s"property corpus broadcast in the IVF regime: $ivfB")
+      // sanity that the pin bites: the small regime DOES broadcast the corpus
+      val smallB = broadcastCols(run(threshold = 1000000L))
+      assert(smallB.exists(_.contains("ex_vec")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("dedupeMemories splits survivors and deletions per (user, content)") {
     val df = Seq(
       ("m1", "u0", "same text"), ("m2", "u0", "same text"),
