@@ -77,6 +77,9 @@ object SchemaRegistry {
   private val PropTypes =
     Set("string", "integer", "float", "boolean", "array", "datetime", "object")
 
+  /** `UserRelationshipType.cardinality` literals (user_schemas.py:230). */
+  private val Cardinalities = Set("one-to-one", "one-to-many", "many-to-many")
+
   /** Registration-time validation — the pydantic `field_validator`s
     * (user_schemas.py:218-247, 149-175) as hard requires. Returns the
     * schema so registration composes: `register(UserSchema(...))`. */
@@ -87,16 +90,27 @@ object SchemaRegistry {
     require(s.nodeTypes.size <= 10, s"Schema cannot have more than 10 node types (found ${s.nodeTypes.size})")
     require(s.relTypes.size <= 20, s"Schema cannot have more than 20 relationship types (found ${s.relTypes.size})")
     s.nodeTypes.foreach { case (name, nt) =>
+      // identifier validation (user_schemas.py:94 pattern): names the
+      // reference rejects (spaces, leading digits) must not flow into
+      // generated StructType fields and SQL-visible catalogs
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"node type name must be a valid identifier: '$name'")
       require(nt.properties.size <= 10,
         s"Node type $name cannot have more than 10 properties (found ${nt.properties.size})")
+      nt.properties.keys.foreach(p => require(p.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"property name must be a valid identifier: '$p' (in $name)"))
       nt.properties.values.foreach(p => require(PropTypes(p.ptype), s"unknown property type ${p.ptype}"))
       nt.requiredProperties.foreach(p => require(nt.properties.contains(p),
         s"Required property '$p' not found in properties of $name"))
       nt.uniqueIdentifiers.foreach(p => require(nt.properties.contains(p),
         s"Unique identifier property '$p' not found in properties of $name"))
     }
-    s.relTypes.keys.foreach(r => require(r.matches("[A-Z][A-Z0-9_]*"),
-      s"relationship type must be UPPER_CASE: $r"))
+    s.relTypes.foreach { case (r, rt) =>
+      require(r.matches("[A-Z][A-Z0-9_]*"),
+        s"relationship type must be UPPER_CASE: $r")
+      require(Cardinalities(rt.cardinality),
+        s"unknown cardinality '${rt.cardinality}' on $r (one of $Cardinalities)")
+    }
     s
   }
 
@@ -337,7 +351,16 @@ object SchemaRegistry {
     * Violations: dangling_source / dangling_target (endpoint id not in the
     * node table) and bad_source_type / bad_target_type (label outside the
     * allowed list; empty list = any). One labels join, then per-type
-    * filters — edges of undeclared rel types pass untouched. */
+    * filters — edges of undeclared rel types pass untouched.
+    *
+    * Cardinality enforcement (`UserRelationshipType.cardinality`,
+    * user_schemas.py:230 — declared but never checked by the reference's
+    * runtime; enforced here): for `one-to-many`, a target with more than
+    * one distinct source violates (`cardinality_target` on every edge of
+    * that target); `one-to-one` additionally flags sources with more than
+    * one distinct target (`cardinality_source`). `many-to-many` is
+    * unconstrained. Each check is one map-side-combined groupBy count on
+    * the endpoint plus a semi-join back — no window over the edge table. */
   def validateEdges(nodes: DataFrame, edges: DataFrame,
                     schemas: Seq[UserSchema]): DataFrame = {
     val lab = nodes.select(col("node_id"), col("label"))
@@ -347,7 +370,7 @@ object SchemaRegistry {
       .join(lab.withColumnRenamed("node_id", "dst")
         .withColumnRenamed("label", "dst_label"), Seq("dst"), "left")
     val plans = schemas.filter(_.status == Status.Active).flatMap { s =>
-      s.relTypes.toSeq.map { case (rName, rt) =>
+      s.relTypes.toSeq.flatMap { case (rName, rt) =>
         val base = withLabels.filter(col("rel_type") === rName)
         // all endpoint checks in ONE projection (one pass over the edges
         // of this type, not one union branch per check)
@@ -360,8 +383,26 @@ object SchemaRegistry {
         }
         val checks = endpoint("src_label", "source", rt.allowedSourceTypes) ++
           endpoint("dst_label", "target", rt.allowedTargetTypes)
-        base.select(col("src"), col("dst"), col("rel_type"),
-            explode(filter(array(checks: _*), c => c.isNotNull)).as("violation"))
+        val endpointPlan = base.select(col("src"), col("dst"), col("rel_type"),
+          explode(filter(array(checks: _*), c => c.isNotNull)).as("violation"))
+
+        def fanViolations(keyCol: String, otherCol: String, viol: String) = {
+          val fan = base.groupBy(col(keyCol))
+            .agg(countDistinct(col(otherCol)).as("__n"))
+            .filter(col("__n") > 1).select(col(keyCol))
+          base.join(fan, Seq(keyCol), "left_semi")
+            .select(col("src"), col("dst"), col("rel_type"),
+              lit(viol).as("violation"))
+        }
+        val cardPlans = rt.cardinality match {
+          case "one-to-one" =>
+            Seq(fanViolations("dst", "src", "cardinality_target"),
+              fanViolations("src", "dst", "cardinality_source"))
+          case "one-to-many" =>
+            Seq(fanViolations("dst", "src", "cardinality_target"))
+          case _ => Nil
+        }
+        endpointPlan +: cardPlans
       }
     }
     plans.reduceOption(_.unionAll(_)).getOrElse {

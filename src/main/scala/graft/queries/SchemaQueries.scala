@@ -139,5 +139,47 @@ object SchemaQueries {
              |UNION ALL
              |SELECT src, dst, 'PLACED', 'bad_target_type'
              |FROM e WHERE k % 13 = 0 AND k % 17 <> 0
+             |ORDER BY src, dst, violation""".stripMargin)),
+
+    // Cardinality enforcement: CONTAINS (Order→Part) declared one-to-one,
+    // built from real lineitem pairs — orders holding several parts trip
+    // cardinality_source, parts shared across orders trip
+    // cardinality_target. All endpoints exist with the right labels, so
+    // ONLY the cardinality checks fire (pinning that they are independent
+    // of the endpoint checks).
+    Entry("q127_cardinality",
+      (s, d) => {
+        val nodes = Tables.orders(s, d)
+          .select(concat(lit("o"), col("o_orderkey")).as("node_id"),
+            lit("Order").as("label"))
+          .unionByName(Tables.part(s, d)
+            .select(concat(lit("p"), col("p_partkey")).as("node_id"),
+              lit("Part").as("label")))
+        val contains = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 20 === 0)
+          .select(concat(lit("o"), col("l_orderkey")).as("src"),
+            concat(lit("p"), col("l_partkey")).as("dst"),
+            lit("CONTAINS").as("rel_type"))
+          .distinct()
+        val schema = SchemaRegistry.transition(SchemaRegistry.register(
+          UserSchema("s4", "order-parts",
+            nodeTypes = Map("Order" -> NodeTypeDef(Map("name" -> PropertyDef())),
+              "Part" -> NodeTypeDef(Map("name" -> PropertyDef()))),
+            relTypes = Map("CONTAINS" -> SchemaRegistry.RelTypeDef(
+              Seq("Order"), Seq("Part"), cardinality = "one-to-one")))),
+          SchemaRegistry.Status.Active)
+        SchemaRegistry.validateEdges(nodes, contains, Seq(schema))
+          .orderBy(col("src"), col("dst"), col("violation"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+             |    'p' || CAST(l_partkey AS VARCHAR) AS dst
+             |  FROM lineitem WHERE l_orderkey % 20 = 0)
+             |SELECT src, dst, 'CONTAINS' AS rel_type,
+             |  'cardinality_source' AS violation
+             |FROM e WHERE src IN (SELECT src FROM e GROUP BY src HAVING count(*) > 1)
+             |UNION ALL
+             |SELECT src, dst, 'CONTAINS', 'cardinality_target'
+             |FROM e WHERE dst IN (SELECT dst FROM e GROUP BY dst HAVING count(*) > 1)
              |ORDER BY src, dst, violation""".stripMargin)))
 }

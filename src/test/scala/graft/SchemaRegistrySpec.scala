@@ -206,6 +206,55 @@ class SchemaRegistrySpec extends SparkSpec {
       ("p2", "ghost", "dangling_target")))
   }
 
+  test("register rejects non-identifier node-type/property names and bad cardinality") {
+    intercept[IllegalArgumentException] {   // space in node type name
+      register(UserSchema("s", "id1", nodeTypes = Map("Bad Type" -> nt("a" -> PropertyDef()))))
+    }
+    intercept[IllegalArgumentException] {   // leading digit in property name
+      register(UserSchema("s", "id2", nodeTypes = Map("T" -> nt("1bad" -> PropertyDef()))))
+    }
+    intercept[IllegalArgumentException] {   // unknown cardinality literal
+      register(UserSchema("s", "id3", nodeTypes = Map("T" -> nt("a" -> PropertyDef())),
+        relTypes = Map("R" -> RelTypeDef(Seq("T"), Seq("T"), cardinality = "one-2-many"))))
+    }
+    // underscores and digits after the first char are fine
+    register(UserSchema("s", "id4",
+      nodeTypes = Map("Node_2" -> nt("prop_9" -> PropertyDef()))))
+  }
+
+  test("validateEdges enforces declared cardinality (one-to-one / one-to-many)") {
+    val nodes = Seq(("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B"))
+      .toDF("node_id", "label")
+    // a1 → {b1, b2} is a source fan-out (one-to-one only);
+    // {a1, a2} → b1 is a target fan-in (one-to-one AND one-to-many)
+    val edges = Seq(
+      ("a1", "b1", "ONE"), ("a1", "b2", "ONE"), ("a2", "b1", "ONE"),
+      ("a1", "b1", "MANY"), ("a1", "b2", "MANY"), ("a2", "b1", "MANY"),
+      ("a1", "b1", "ANY"), ("a2", "b1", "ANY")
+    ).toDF("src", "dst", "rel_type")
+    val s = transition(register(UserSchema("s1", "card", nodeTypes = Map(
+      "A" -> NodeTypeDef(Map("name" -> PropertyDef())),
+      "B" -> NodeTypeDef(Map("name" -> PropertyDef()))),
+      relTypes = Map(
+        "ONE" -> RelTypeDef(Seq("A"), Seq("B"), cardinality = "one-to-one"),
+        "MANY" -> RelTypeDef(Seq("A"), Seq("B"), cardinality = "one-to-many"),
+        "ANY" -> RelTypeDef(Seq("A"), Seq("B"), cardinality = "many-to-many")))),
+      Status.Active)
+    val v = validateEdges(nodes, edges, Seq(s))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[String]("rel_type"), r.getAs[String]("violation"))).toSet
+    assert(v === Set(
+      // one-to-one: a1 fans out to b1/b2; b1 fans in from a1/a2
+      ("a1", "b1", "ONE", "cardinality_source"),
+      ("a1", "b2", "ONE", "cardinality_source"),
+      ("a1", "b1", "ONE", "cardinality_target"),
+      ("a2", "b1", "ONE", "cardinality_target"),
+      // one-to-many: only the target fan-in is a violation
+      ("a1", "b1", "MANY", "cardinality_target"),
+      ("a2", "b1", "MANY", "cardinality_target")))
+    // many-to-many edges contribute nothing (asserted by the exact set above)
+  }
+
   test("unique identifiers drive the exact stage of entity resolution") {
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
     // two-part identifier (name, sku): exact only when BOTH match;
