@@ -96,12 +96,15 @@ object Writers {
     * dies between retire and promote, the last complete snapshot still
     * exists at `path.swap.old` (see `readSnapshot`). A stale `.swap.old`
     * from such a crash is cleaned up on the next swap. */
-  def swapWrite(df: DataFrame, path: String): Unit = {
+  def swapWrite(df: DataFrame, path: String,
+                partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    df.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path + ".tmp")
     // Hadoop FileSystem.rename reports failure by returning FALSE, not by
     // throwing — every rename must be checked, and the function must abort
     // BEFORE the final delete of .swap.old: an unchecked failed promote
@@ -125,21 +128,50 @@ object Writers {
     * into an open/footer-read storm and defeat row-group statistics.
     * Rewrites `path` into `ceil(totalBytes / targetFileBytes)` files via
     * the atomic [[swapWrite]] (readers never see a partial rewrite).
+    *
+    * Hive-partitioned layouts are handled, not destroyed: data files are
+    * sized by a RECURSIVE listing (a top-level-only listing sees 0 bytes
+    * under `k=v/` dirs and would collapse the table to one unpartitioned
+    * file in one task), the partition columns are inferred from the
+    * directory chain, and the rewrite repartitions ON those columns and
+    * re-writes `partitionBy` them — layout preserved, write parallel.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val totalBytes = parts.map(_.getLen).sum
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toList
+    }
+    // partition columns = the `k=v` directory chain (walk one branch; a
+    // valid Hive layout repeats the same chain under every branch)
+    def partitionChain(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val sub = fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (sub.isEmpty) Nil
+      else sub.head.getPath.getName.split("=", 2)(0) +: partitionChain(sub.head.getPath)
+    }
+
+    val before = dataFiles()
+    val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(math.ceil(totalBytes.toDouble / targetFileBytes).toInt, 1)
+    val partCols = partitionChain(root)
     val df = spark.read.parquet(path)
-    swapWrite(df.repartition(nOut), path)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    (parts.length, after)
+    val rewritten =
+      if (partCols.isEmpty) df.repartition(nOut)
+      // hash-repartition on the partition columns so each task writes
+      // whole partition dirs (≈1 file per partition per holding task)
+      else df.repartition(nOut, partCols.map(col): _*)
+    swapWrite(rewritten, path, partitionBy = partCols)
+    (before.length, dataFiles().length)
   }
 
   /** Versioned snapshot table — poor-man's time travel on plain parquet:

@@ -103,4 +103,30 @@ class WritersSpec extends SparkSpec {
     val (b2, a2) = Writers.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
     assert(b2 === nAfter && a2 <= nAfter)
   }
+
+  test("compact preserves a Hive-partitioned layout and sizes it recursively") {
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    // 3 partitions × 8 appends of small files — the partitioned-append
+    // pathology; a top-level-only listing sees 0 bytes here
+    (0 until 8).foreach { i =>
+      Writers.append(
+        spark.range(i * 30, i * 30 + 30)
+          .select((col("id") % 3).cast("string").as("tenant"), col("id").as("v"))
+          .repartition(4),
+        dir, partitionBy = Seq("tenant"))
+    }
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("v"))).toSet
+    val (nBefore, nAfter) = Writers.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(nBefore > 20, s"fixture should start fragmented, got $nBefore files")
+    assert(nAfter < nBefore, s"no compaction: $nBefore -> $nAfter")
+    // partition directories survive the rewrite
+    (0 until 3).foreach(t =>
+      assert(new java.io.File(dir, s"tenant=$t").isDirectory,
+        s"partition dir tenant=$t destroyed by compact"))
+    // and the data round-trips with the partition column intact
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("v"))).toSet
+    assert(after === before)
+  }
 }
