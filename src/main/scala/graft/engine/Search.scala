@@ -82,26 +82,33 @@ object Search {
     else scoped.filter(Retrieval.metaFilter(col("custom_metadata"), req.metaFilters))
   }
 
-  /** The shared KNN hit list: F1/F2/F4 filters → broadcast-qvec cosine →
+  /** The shared KNN hit list: F1/F2/F4 filters → literal-qvec cosine →
     * 0.15 gate → ×3-oversampled top cut, carrying the grouped payload when
     * the chunk relation has it (IVF-pruned projections may not). The hit
     * list feeds BOTH the rollup and the grouped expansion, so it is
     * materialized (≤ 3·topK rows) — otherwise the corpus-wide KNN scan
-    * would run once per consumer. */
+    * would run once per consumer.
+    *
+    * The query vector is attached as a LITERAL (it is driver-known — the
+    * embedder runs on the request text), which is exactly the
+    * `Sort(cosine(emb, literal)) + Limit` shape [[graft.plans.AnnRewrite]]
+    * fires on: against a registered IVF-assigned chunks table the
+    * OPTIMIZER, not the caller, swaps this scan for a cluster-pruned one
+    * (`searchIndexed` remains the explicit-pruning variant). `centroid_id`
+    * is carried through the projection when the relation has it so column
+    * pruning can never evict the rule's prune key. */
   private def chunkHitList(spark: SparkSession, chunks: DataFrame,
                            req: SearchRequest, embedder: Embedder): DataFrame = {
-    import spark.implicits._
-    val qvec = Seq(Tuple1(embedder.embed(req.queryText))).toDF("qvec")
-    val groupedCols = Seq("is_grouped", "related_memory_ids")
+    val qvec = lit(embedder.embed(req.queryText))
+    val extraCols = Seq("is_grouped", "related_memory_ids", "centroid_id")
       .filter(chunks.columns.contains)
     val hits = applyFilters(chunks, req)
-      .crossJoin(broadcast(qvec))
-      .withColumn("score", cosineSim(col("embedding"), col("qvec")))
+      .withColumn("score", cosineSim(col("embedding"), qvec))
       .filter(col("score") >= ScoreThreshold)
-      .select((Seq("chunk_id", "memory_id", "score") ++ groupedCols).map(col): _*)
+      .select((Seq("chunk_id", "memory_id", "score") ++ extraCols).map(col): _*)
       .orderBy(desc("score"), col("chunk_id"))
       .limit(req.topK * OversampleFactor)
-    if (groupedCols.isEmpty) hits else hits.localCheckpoint(true)
+    if (extraCols.isEmpty) hits else hits.localCheckpoint(true)
   }
 
   def search(spark: SparkSession, chunks: DataFrame, memories: DataFrame,

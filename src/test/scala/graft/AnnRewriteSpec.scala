@@ -148,6 +148,82 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("searchFused's vector branch routes through the rule: the pruned scan " +
+    "skips a mis-clustered decoy; nProbe=all equals the full scan") {
+    import graft.ast.{GraphQuery, Pattern, Return}
+    import graft.engine.Search
+    import graft.engine.Search.SearchRequest
+    import graft.ops.Retrieval.Principal
+
+    // hand-built index: one unit centroid per axis (ids 1..4), every chunk
+    // assigned to its own axis — deterministic, so the query (axis 2)
+    // probes EXACTLY cluster 3 at nProbe=1. The decoy's embedding is
+    // IDENTICAL to the query (top-1 of any full scan) but it is assigned
+    // to cluster 1: a probed scan can never see it. One leaf relation — a
+    // real chunks table is a single parquet scan (a union would hit
+    // PushProjectionThroughUnion, a shape the rule deliberately ignores).
+    def axisVec(a: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(a) = 1.0f; v
+    }
+    val centroids = (0 until 4).map(a => (a + 1, axisVec(a)))
+      .toDF("centroid_id", "cvec")
+    val chunkRows = (0 until 400).map { i =>
+      val emb = { val b = Array.fill(8)(0.01f); b(i % 4) = 1.0f + (i / 4) * 0.001f; b }
+      (s"m${i}_0", s"m$i", emb, "u0", Seq.empty[String], i % 4 + 1)
+    } :+ (("m9999_0", "m9999", query, "u0", Seq.empty[String], 1))
+    val local = chunkRows.toDF("chunk_id", "memory_id", "embedding",
+      "user_id", "user_read_access", "centroid_id")
+    // RDD-backed leaf, NOT a LocalRelation: ConvertToLocalRelation would
+    // constant-fold the whole scoring pipeline before extraOptimizations
+    // run, leaving nothing for the rule to match — a shape that cannot
+    // occur over a real (file-backed) chunks table
+    val chunks = spark.createDataFrame(
+      spark.sparkContext.parallelize(local.collect().toSeq, 4), local.schema)
+    val idx = IvfIndex.Index(centroids, chunks)
+    val memories = chunks.select(col("memory_id")).distinct().select(
+      col("memory_id"), lit("some content").as("content"),
+      lit("t").as("title"), lit("u0").as("user_id"),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("created_at"),
+      array().cast("array<string>").as("user_read_access"))
+    val nodes = Seq.empty[(String, String, String, Map[String, String], String, Seq[String])]
+      .toDF("node_id", "label", "name", "properties", "user_id", "user_read_access")
+    val edges = Seq.empty[(String, String, String, Map[String, String])]
+      .toDF("src", "dst", "rel_type", "properties")
+    val gq = GraphQuery(Pattern("Memory", Some("MENTIONS"), Some("Topic")),
+      Nil, Return(Seq("m" -> "id")))
+    val embedQ = new graft.engine.Embedder {
+      val dim = 8; def embed(text: String): Array[Float] = query
+    }
+    def fused(): Set[String] = Search.searchFused(spark, chunks, memories,
+        nodes, edges, gq, SearchRequest("axis two", Principal("u0"), topK = 10),
+        embedQ)
+      .collect().map(_.getAs[String]("memory_id")).toSet
+
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      val full = fused()   // rule not registered yet: full scan sees the decoy
+      assert(full.contains("m9999"), s"full scan missed the planted top-1: $full")
+
+      AnnRewrite.register(spark, idx, "embedding", rows = 401)
+      val pruned = fused() // optimizer injects the cluster IN-filter mid-pipeline
+      assert(!pruned.contains("m9999"),
+        s"decoy outside the probed cluster still surfaced — rule did not fire: $pruned")
+      // everything else the full scan surfaced survives; the decoy's hit
+      // slot backfills with the next in-cluster chunk (same oversample cut)
+      assert((full - "m9999").subsetOf(pruned) && pruned.size === full.size,
+        s"probed search changed more than the out-of-cluster decoy: full=$full pruned=$pruned")
+
+      // nProbe = ALL clusters: the rule declines (no pruning) → exact-equal
+      spark.conf.set("spark.graft.ann.nProbe", "4")
+      assert(fused() === full)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {
