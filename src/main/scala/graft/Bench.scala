@@ -27,6 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietKBoundedWindowWarnings()
 
     // Warm up JIT/codegen/parquet-reader paths so measured queries aren't
     // paying one-time JVM cost (a cluster is long-warm). Cold cost is

@@ -14,6 +14,7 @@ object EntrySmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietKBoundedWindowWarnings()
     val df = SparkEntry.entry(spark)
     val rows = df.collect()
     println(s"[entry-smoke] rows=${rows.length}")

@@ -22,6 +22,7 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietKBoundedWindowWarnings()
 
     // 100 chains of length 1000: vertices [0, 100000), edge i→i+1 within a chain
     val chains = spark.range(0, 100000)

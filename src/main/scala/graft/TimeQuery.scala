@@ -17,6 +17,7 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietKBoundedWindowWarnings()
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Logs.quietKBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Optional local-iteration filter (comma-separated names); the driver
     // never sets it, so the contract run always dumps every query.

@@ -145,6 +145,15 @@ class PlanQualitySpec extends SparkSpec {
     // them), so their presence pins the filter itself
     assert(p.contains("user_read_access"),
       s"ACL filter missing from the physical plan:\n$p")
+    // shuffle budget for the post-materialization segment (the oversampled
+    // hit list and quota window are checkpointed upstream): exactly the
+    // fused max-score groupBy + the final (score, id) sort — 2 shuffling
+    // exchanges, with hydration arriving as a broadcast, never a shuffle.
+    // A third shuffle here means fusion or hydration silently regressed.
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"fused-search segment grew a shuffle ($shuffles):\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 1,
+      s"hydration lost its broadcast exchange:\n$p")
   }
 
   test("q121 sequence packing: one window per shard, no extra exchange") {
