@@ -45,15 +45,22 @@ object IncrementalAgg {
     * call), atomically via the snapshot swap — readers never see a partial
     * refresh. Only the NEW batch is scanned. */
   def refresh(spark: SparkSession, aggPath: String, newEvents: DataFrame,
-              keys: Seq[String], valueCol: String): Unit = {
-    val incoming = partial(newEvents, keys, valueCol)
+              keys: Seq[String], valueCol: String): Unit =
+    refreshPartial(spark, aggPath, partial(newEvents, keys, valueCol), keys)
+
+  /** Fold an ALREADY-PARTIAL state batch in — the streaming twin's entry
+    * point: an append-mode watermarked window aggregation emits each closed
+    * window's (cnt,sm,mn,mx) exactly once, and those rows merge into the
+    * rollup by the same monoid (see [[graft.streaming.Sinks.rollupRefresh]]). */
+  def refreshPartial(spark: SparkSession, aggPath: String, newState: DataFrame,
+                     keys: Seq[String]): Unit = {
     // readSnapshot, not a bare exists-check: after a crash inside a prior
     // swapWrite the only complete rollup can live at `aggPath.swap.old` —
     // ignoring it would silently reset accumulated state to this batch.
     val next = graft.sources.Writers
-      .readSnapshot(spark, aggPath, incoming.schema)
-      .map(existing => merge(existing, incoming, keys))
-      .getOrElse(incoming)
+      .readSnapshot(spark, aggPath, newState.schema)
+      .map(existing => merge(existing, newState, keys))
+      .getOrElse(newState)
     graft.sources.Writers.swapWrite(next, aggPath)
   }
 }

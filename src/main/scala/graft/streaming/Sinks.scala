@@ -58,4 +58,31 @@ object Sinks {
     // BEFORE touching `path`, so read-then-replace is safe.
     Writers.swapWrite(Writers.upsert(existing, incoming, key), path)
   }
+
+  /** foreachBatch body: fold closed streaming windows into the mergeable
+    * rollup at `path` — the MATERIALIZED-VIEW refresh as a stream sink.
+    * Wire it behind an APPEND-mode watermarked window aggregation whose
+    * output rows carry the partial-state columns (cnt, sm, mn, mx):
+    *
+    * {{{
+    *   events.withWatermark("ts", "10 minutes")
+    *     .groupBy(window($"ts", "1 hour"), $"user_id")
+    *     .agg(count(lit(1)).as("cnt"), sum($"v").as("sm"),
+    *          min($"v").as("mn"), max($"v").as("mx"))
+    *     .select($"window.start".as("hour"), $"user_id",
+    *             $"cnt", $"sm", $"mn", $"mx")
+    *     .writeStream.outputMode("append")
+    *     .foreachBatch(Sinks.rollupRefresh(path, Seq("hour", "user_id")) _)
+    * }}}
+    *
+    * Append mode emits each window EXACTLY ONCE after the watermark passes
+    * its end, so folding by the (sum,sum,min,max) monoid never
+    * double-counts — and events later than the watermark are dropped
+    * UPSTREAM by the aggregation, giving the rollup the same late-data
+    * contract as every other watermarked sink (spec-pinned). History is
+    * never rescanned: each refresh reads the batch plus the current rollup
+    * snapshot only, and the swap is atomic (see IncrementalAgg.refresh). */
+  def rollupRefresh(path: String, keys: Seq[String])
+                   (batch: DataFrame, batchId: Long): Unit =
+    graft.ops.IncrementalAgg.refreshPartial(batch.sparkSession, path, batch, keys)
 }

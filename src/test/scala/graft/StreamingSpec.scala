@@ -135,6 +135,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("rollup refresh sink: micro-batch folds equal the one-pass aggregate; " +
+    "late data beyond the watermark never reaches the rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("rollup").toString + "/agg"
+    val input = MemoryStream[AccessEvent]
+    val windows = input.toDS()
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "7 days"), $"user_id")
+      .agg(count(lit(1)).as("cnt"), sum($"similarity").as("sm"),
+        min($"similarity").as("mn"), max($"similarity").as("mx"))
+      .select($"window.start".as("ws"), $"user_id", $"cnt", $"sm", $"mn", $"mx")
+    val query = windows.writeStream.outputMode("append")
+      .foreachBatch(graft.streaming.Sinks.rollupRefresh(path, Seq("ws", "user_id")) _)
+      .start()
+    try {
+      def ev(id: String, u: String, sim: Double, t: String) =
+        AccessEvent(id, "m0", u, "retrieval", sim, 0.5, Timestamp.valueOf(t))
+      // two micro-batches of on-time events across two weekly windows
+      val batch1 = Seq(ev("a", "u0", 0.2, "2024-01-01 00:00:00"),
+        ev("b", "u0", 0.8, "2024-01-02 00:00:00"),
+        ev("c", "u1", 0.5, "2024-01-02 12:00:00"))
+      val batch2 = Seq(ev("d", "u0", 0.4, "2024-01-09 00:00:00"),
+        ev("e", "u1", 0.9, "2024-01-10 00:00:00"))
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      // advance the watermark far past both windows to close them
+      input.addData(ev("close", "u9", 0.1, "2024-06-01 00:00:00"))
+      query.processAllAvailable()
+
+      def snapshot() = graft.ops.IncrementalAgg.finalized(
+        spark.read.parquet(path))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      val streamed = snapshot()
+      // one-pass batch aggregate over the SAME on-time events
+      val expected = graft.ops.IncrementalAgg.finalized(
+        (batch1 ++ batch2).toDF()
+          .select(window($"ts", "7 days").getField("start").as("ws"),
+            $"user_id", $"similarity")
+          .groupBy($"ws", $"user_id")
+          .agg(count(lit(1)).as("cnt"), sum($"similarity").as("sm"),
+            min($"similarity").as("mn"), max($"similarity").as("mx")))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      assert(streamed.view.filterKeys(_._2 != "u9").toMap === expected,
+        s"streamed rollup != one-pass aggregate: $streamed vs $expected")
+
+      // a long-late event behind the watermark is dropped UPSTREAM: the
+      // rollup snapshot must not change
+      input.addData(ev("too-late", "u0", 0.99, "2024-01-02 06:00:00"))
+      query.processAllAvailable()
+      assert(snapshot().view.filterKeys(_._2 != "u9").toMap === expected,
+        "late event re-opened a closed window in the rollup")
+    } finally query.stop()
+  }
+
   test("streaming dedup: replayed event ids are dropped within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AccessEvent]
