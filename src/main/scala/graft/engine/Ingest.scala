@@ -199,9 +199,19 @@ object Ingest {
             col("cand_ekey"), col("sem_id"))
       }
 
+    // Exact and fuzzy stages follow the same broadcast-side discipline as
+    // the semantic stage: the EXISTING graph is the big side at scale, so
+    // each stage streams it against the broadcast candidate batch (inner
+    // join, build side = candidates), reduces to ≤1 row per candidate, and
+    // the per-candidate results — candidate-batch-sized by construction —
+    // broadcast back onto the cascade spine via left joins.
+
     // ≤1 exact row per key (min node_id wins) so a duplicated identifier in
     // the existing graph can't fan the candidate out
+    val candKeys = cand.filter(col("cand_ekey").isNotNull)
+      .select(col("cand_label"), col("cand_ekey")).distinct()
     val exactDedup = exact.filter(col("cand_ekey").isNotNull)
+      .join(broadcast(candKeys), Seq("cand_label", "cand_ekey"))
       .groupBy(col("cand_label"), col("cand_ekey"))
       .agg(min(col("exact_id")).as("exact_id"))
 
@@ -210,16 +220,19 @@ object Ingest {
 
     // the containment test needs a minimum length on BOTH sides: an empty
     // (or 1-char) name is contained in everything and would merge the
-    // candidate into an arbitrary unrelated entity
-    val withFuzzy = withExact
-      .join(broadcast(fuzzy), col("cand_label") === col("fz_label") &&
+    // candidate into an arbitrary unrelated entity. min(fuzzy_id) is the
+    // same deterministic pick as ranking by fuzzy_id ascending.
+    val candNames = cand.select(col("cand_id"), col("cand_label"), col("cand_name"))
+    val fuzzyPick = fuzzy
+      .join(broadcast(candNames), col("cand_label") === col("fz_label") &&
         length(col("ex_name_lower")) >= 2 && length(col("cand_name")) >= 2 &&
         (lower(col("cand_name")).contains(col("ex_name_lower")) ||
-          col("ex_name_lower").contains(lower(col("cand_name")))), "left")
-      .drop("fz_label")
-      .withColumn("fuzzy_rank", row_number().over(
-        Window.partitionBy(col("cand_id")).orderBy(asc_nulls_last("fuzzy_id"))))
-      .filter(col("fuzzy_rank") === 1)
+          col("ex_name_lower").contains(lower(col("cand_name")))))
+      .groupBy(col("cand_id"))
+      .agg(min(col("fuzzy_id")).as("fuzzy_id"))
+
+    val withFuzzy = withExact
+      .join(broadcast(fuzzyPick), Seq("cand_id"), "left")
 
     withFuzzy.select(
       col("cand_id"), col("cand_label"), col("cand_name"),

@@ -144,6 +144,11 @@ class IngestSpec extends SparkSpec {
       assert(ivfB.nonEmpty)
       assert(ivfB.forall(cols => !cols.contains("ex_vec")),
         s"property corpus broadcast in the IVF regime: $ivfB")
+      // exact/fuzzy stages hold the same discipline in EVERY regime: the
+      // existing graph (carrying ex_name_lower / exact_id pre-reduction)
+      // streams; only candidate-derived relations broadcast
+      assert(ivfB.forall(cols => !cols.contains("ex_name_lower")),
+        s"existing-name table broadcast in the fuzzy stage: $ivfB")
       // sanity that the pin bites: the small regime DOES broadcast the corpus
       val smallB = broadcastCols(run(threshold = 1000000L))
       assert(smallB.exists(_.contains("ex_vec")))
