@@ -54,18 +54,6 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
-    for (_ <- 1 to reps; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop this query's persisted intermediates before the next one runs:
-      // accumulated caches would otherwise make late queries pay the GC
-      // bill for the early ones.
-      spark.sharedState.cacheManager.clearCache()
-      samples(name) = dt :: samples(name)
-    }
-    val results = names.map(n => n -> median(samples(n)))
 
     def r3(x: Double) = math.rint(x * 1000) / 1000
     // Keep the stdout JSON line SMALL (the driver tails stdout): summary
@@ -77,32 +65,51 @@ object Bench {
       "q61_ann_rule", "q62_bm25", "q64_near_dup_lsh", "q66_skew_join",
       "q81_bfs_distances", "q93_maxsim", "q98_ivf_multiprobe",
       "q115_fused_search")
-    val byName = results.toMap
-    val qs = headline.flatMap(q => byName.get(q).map(v => s"\"$q\":${r3(v)}"))
-      .mkString("{", ",", "}")
-    val medians = results.map(_._2)
-    val total = r3(medians.sum)
-    val med = r3(median(medians))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":${medians.length},"reps":$reps,"median":$med,"queries":$qs,"sf":"$sfDir"}"""
-
-    // The durable artifact: write the SAME line to BENCH.json in the repo
-    // root (plus a full per-query breakdown in BENCH_FULL.json) so the
-    // driver never depends on stdout-tail parsing — rounds 1 and 2 both
-    // lost their bench signal to sbt's trailing "[success]" lines.
     val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
     def writeFile(name: String, content: String): Unit = {
       val p = java.nio.file.Paths.get(outDir, name)
       java.nio.file.Files.write(p, content.getBytes("UTF-8"))
     }
-    try {
-      writeFile("BENCH.json", line + "\n")
-      val full = results.map { case (n, v) => s"""  "$n": ${r3(v)}""" }
-        .mkString("{\n", ",\n", "\n}\n")
-      writeFile("BENCH_FULL.json", full)
-    } catch {
-      case e: Throwable => System.err.println(s"[bench] file write failed: $e")
+    def summaryLine(repsDone: Int): String = {
+      val results = names.map(n => n -> median(samples(n)))
+      val byName = results.toMap
+      val qs = headline.flatMap(q => byName.get(q).map(v => s"\"$q\":${r3(v)}"))
+        .mkString("{", ",", "}")
+      val medians = results.map(_._2)
+      s"""{"metric":"total","value":${r3(medians.sum)},"unit":"sec","n":${medians.length},"reps":$repsDone,"median":${r3(median(medians))},"queries":$qs,"sf":"$sfDir"}"""
     }
-    println(line)
+    // The durable artifact: the SAME line goes to BENCH.json in the repo
+    // root (plus a full per-query breakdown in BENCH_FULL.json) so the
+    // driver never depends on stdout-tail parsing — rounds 1 and 2 both
+    // lost their bench signal to sbt's trailing "[success]" lines. Written
+    // AFTER EVERY COMPLETED PASS, not once at the end: a run killed by a
+    // wall-clock cap still leaves a real artifact from its finished passes.
+    def writeArtifacts(repsDone: Int): Unit =
+      try {
+        writeFile("BENCH.json", summaryLine(repsDone) + "\n")
+        val full = names.map(n => s"""  "$n": ${r3(median(samples(n)))}""")
+          .mkString("{\n", ",\n", "\n}\n")
+        writeFile("BENCH_FULL.json", full)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] file write failed: $e")
+      }
+
+    for (rep <- 1 to reps) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop this query's persisted intermediates before the next one
+        // runs: accumulated caches would otherwise make late queries pay
+        // the GC bill for the early ones.
+        spark.sharedState.cacheManager.clearCache()
+        samples(name) = dt :: samples(name)
+      }
+      writeArtifacts(rep)
+    }
+
+    println(summaryLine(reps))
     System.out.flush()
     spark.stop()
   }
