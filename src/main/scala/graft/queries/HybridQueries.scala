@@ -455,5 +455,32 @@ object HybridQueries {
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
              |  TRUE AS approx_ok
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // KLL quantile-sketch rollup — the percentile member of the rollup
+    // family: daily per-type sketches merge into per-type sketches WITHOUT
+    // re-reading raw data, and the merged sketch must place the exact
+    // median (computed independently, emitted float32 for cross-engine
+    // hash parity) at normalized rank 0.5 within the KLL error bound.
+    Entry("q128_quantile_rollup",
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"), dayofmonth(col("ts")).as("day"))
+        val daily = Sketches.quantileSketch(ev, Seq("event_type", "day"), "value")
+        val merged = Sketches.mergeQuantileSketches(daily.drop("day"), Seq("event_type"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+            count(lit(1)).as("n"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"), col("n"),
+            col("exact_p50").cast("float").as("p50"),
+            (abs(Sketches.rankOf(col("qsk"), col("exact_p50")) - 0.5) <= 0.05)
+              .as("rank_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+             |  TRUE AS rank_ok
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

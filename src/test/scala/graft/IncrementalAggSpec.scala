@@ -101,4 +101,44 @@ class IncrementalAggSpec extends SparkSpec {
       assert(err < 0.05, s"$k: est=$est exact=${exact(k)} err=$err")
     }
   }
+
+  test("KLL quantile sketches: daily partials merge losslessly, exact median " +
+    "lands at rank 0.5 within the bound, any-quantile estimates hold") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), dayofmonth(col("ts")).as("day"))
+    val daily = Sketches.quantileSketch(ev, Seq("event_type", "day"), "value")
+    val merged = Sketches.mergeQuantileSketches(daily.drop("day"), Seq("event_type"))
+
+    // exact per-type percentiles, driver-side comparables
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+    val got = merged
+      .select(col("event_type"),
+        Sketches.quantileOf(col("qsk"), 0.5).as("q50"),
+        Sketches.quantileOf(col("qsk"), 0.9).as("q90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet === exact.keySet)
+
+    // the sketch's rank of the true median must sit at 0.5 ± the KLL bound
+    val ranks = merged
+      .join(ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50")), "event_type")
+      .select(col("event_type"), Sketches.rankOf(col("qsk"), col("p50")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ranks.foreach { case (k, r) =>
+      assert(math.abs(r - 0.5) <= 0.05, s"$k: rank(exact median)=$r")
+    }
+    // and the estimated quantile VALUES must bracket the exact ones within
+    // the value spread (rank error translates to value error via density;
+    // generated values are well-spread, so 10% of the p90 scale is lax)
+    got.foreach { case (k, (q50, q90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(q50 - e50) <= math.abs(e90) * 0.1 + 1e-6,
+        s"$k: q50=$q50 exact=$e50")
+      assert(q90 >= q50, s"$k: quantiles not monotone")
+    }
+  }
 }
