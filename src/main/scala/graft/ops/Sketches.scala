@@ -124,4 +124,125 @@ object Sketches {
     })
     f(skCol, value)
   }
+
+  // ---- Mergeable SET-ALGEBRA sketches (DataSketches Theta) — the member
+  // HLL cannot be: an HLL register array answers |A| only, but stored
+  // per-segment Theta sketches additionally support INTERSECTION and
+  // A-NOT-B over the retained hash samples. That is the segment-overlap /
+  // retention / cross-cohort shape at 100 TB: distinct users per (day,
+  // cohort) fold up exactly like the HLL rollups above (daily partials
+  // union associatively, raw ids never re-shuffled), and then any pair of
+  // stored ~KB sketches answers |A∩B| / |A∪B| / |A\B| driver-free. Below
+  // 2^lgK uniques a theta sketch retains every hash → estimates are EXACT;
+  // above, relative error ≈ 1/sqrt(2^lgK) for unions (intersections
+  // degrade with disjointness — always bound-check, as [[thetaOk]] does).
+
+  import org.apache.datasketches.theta.{SetOperation, Sketches => DsT}
+  import org.apache.datasketches.memory.Memory
+
+  private def newUnion(lgK: Int) =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  /** Serialization shim, same pattern as [[KllHolder]]: the live buffer is
+    * a heap theta Union (per-row update = one hash + table insert); only
+    * shuffle/spill boundaries pay the compact-byte-image round-trip. */
+  final class ThetaHolder(@transient var u: org.apache.datasketches.theta.Union,
+                          lgK: Int) extends java.io.Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val bytes = u.getResult.toByteArray
+      out.writeInt(lgK); out.writeInt(bytes.length); out.write(bytes)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val k = in.readInt()
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      u = newUnion(k)
+      u.union(Memory.wrap(b))
+    }
+  }
+
+  /** Build aggregator: string keys → compact theta sketch bytes. */
+  class ThetaAgg(lgK: Int) extends Aggregator[String, ThetaHolder, Array[Byte]] {
+    override def zero: ThetaHolder = new ThetaHolder(newUnion(lgK), lgK)
+    override def reduce(h: ThetaHolder, v: String): ThetaHolder = { h.u.update(v); h }
+    override def merge(a: ThetaHolder, b: ThetaHolder): ThetaHolder = {
+      a.u.union(b.u.getResult); a
+    }
+    override def finish(h: ThetaHolder): Array[Byte] = h.u.getResult.toByteArray
+    override def bufferEncoder = Encoders.javaSerialization[ThetaHolder]
+    override def outputEncoder = Encoders.BINARY
+  }
+
+  /** Merge aggregator: stored sketch bytes → one unioned sketch. */
+  class ThetaMergeAgg(lgK: Int) extends Aggregator[Array[Byte], ThetaHolder, Array[Byte]] {
+    override def zero: ThetaHolder = new ThetaHolder(newUnion(lgK), lgK)
+    override def reduce(h: ThetaHolder, bytes: Array[Byte]): ThetaHolder = {
+      h.u.union(Memory.wrap(bytes)); h
+    }
+    override def merge(a: ThetaHolder, b: ThetaHolder): ThetaHolder = {
+      a.u.union(b.u.getResult); a
+    }
+    override def finish(h: ThetaHolder): Array[Byte] = h.u.getResult.toByteArray
+    override def bufferEncoder = Encoders.javaSerialization[ThetaHolder]
+    override def outputEncoder = Encoders.BINARY
+  }
+
+  /** Per-group theta sketch of `valueCol` (binary column `tsk`). */
+  def thetaSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame = {
+    val agg = udaf(new ThetaAgg(lgK), Encoders.STRING)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(agg(col(valueCol).cast("string")).as("tsk"))
+  }
+
+  /** Union theta-sketch tables (e.g. daily partials) per group. */
+  def mergeThetaSketches(parts: DataFrame, keys: Seq[String],
+                         lgK: Int = 12): DataFrame = {
+    val agg = udaf(new ThetaMergeAgg(lgK), Encoders.BINARY)
+    parts.groupBy(keys.map(col): _*).agg(agg(col("tsk")).as("tsk"))
+  }
+
+  /** Distinct-count estimate from stored theta sketch bytes. */
+  def thetaEstimate(sk: Column): Column = {
+    val f = udf((b: Array[Byte]) => DsT.heapifySketch(Memory.wrap(b)).getEstimate)
+    f(sk)
+  }
+
+  /** |A ∩ B| sketch from two stored sketches (bytes → bytes). */
+  def thetaIntersect(a: Column, b: Column): Column = {
+    val f = udf((x: Array[Byte], y: Array[Byte]) => {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(DsT.heapifySketch(Memory.wrap(x)))
+      inter.intersect(DsT.heapifySketch(Memory.wrap(y)))
+      inter.getResult.toByteArray
+    })
+    f(a, b)
+  }
+
+  /** |A ∪ B| sketch from two stored sketches (bytes → bytes). */
+  def thetaUnion(a: Column, b: Column, lgK: Int = 12): Column = {
+    val f = udf((x: Array[Byte], y: Array[Byte]) => {
+      val u = newUnion(lgK)
+      u.union(Memory.wrap(x)); u.union(Memory.wrap(y))
+      u.getResult.toByteArray
+    })
+    f(a, b)
+  }
+
+  /** |A \ B| sketch from two stored sketches (bytes → bytes). */
+  def thetaANotB(a: Column, b: Column): Column = {
+    val f = udf((x: Array[Byte], y: Array[Byte]) => {
+      val op = SetOperation.builder().buildANotB()
+      op.setA(DsT.heapifySketch(Memory.wrap(x)))
+      op.notB(DsT.heapifySketch(Memory.wrap(y)))
+      op.getResult(true).toByteArray
+    })
+    f(a, b)
+  }
+
+  /** Error-bound gate: |estimate − exact| ≤ tol·exact + 1 (the +1 absorbs
+    * exact-mode rounding; below 2^lgK uniques estimates are exactly
+    * integral so this is equality in practice). */
+  def thetaOk(est: Column, exact: Column, tol: Double = 0.02): Column =
+    abs(est - exact) <= lit(tol) * exact + lit(1.0)
 }

@@ -482,5 +482,62 @@ object HybridQueries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
              |  TRUE AS rank_ok
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Theta-sketch set algebra — the segment-overlap member of the sketch
+    // family HLL cannot express: per-day distinct-user sketches fold up
+    // from (day, cohort) partials exactly like the HLL rollups, and then
+    // any PAIR of stored ~KB sketches answers |A∩B| / |A∪B| / |A\B|
+    // without re-shuffling raw ids (day-over-day retention at 100 TB).
+    // Exact comparables are computed in-engine and by the oracle; the
+    // sketch estimates must land within the theta error bound (exact-mode
+    // at these cardinalities → equality in practice).
+    Entry("q129_theta_overlap",
+      (s, d) => {
+        import graft.ops.Sketches
+        val du = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 7)
+          .select(dayofmonth(col("ts")).as("d"), col("user_id"), col("event_type"))
+        // two-level fold: (day, cohort) partials → per-day sketches
+        val partials = Sketches.thetaSketch(du, Seq("d", "event_type"), "user_id")
+        val daily = Sketches.mergeThetaSketches(partials.drop("event_type"), Seq("d"))
+        val dist = du.select("d", "user_id").distinct()
+        val cnt = dist.groupBy("d").agg(count(lit(1)).as("c"))
+        val ov = dist.as("a").join(dist.as("b"),
+            col("a.user_id") === col("b.user_id") && col("a.d") < col("b.d"))
+          .groupBy(col("a.d").as("day_a"), col("b.d").as("day_b"))
+          .agg(count(lit(1)).as("overlap_users"))
+        ov
+          .join(cnt.select(col("d").as("day_a"), col("c").as("ca")), "day_a")
+          .join(cnt.select(col("d").as("day_b"), col("c").as("cb")), "day_b")
+          .join(daily.select(col("d").as("day_a"), col("tsk").as("ska")), "day_a")
+          .join(daily.select(col("d").as("day_b"), col("tsk").as("skb")), "day_b")
+          .select(
+            col("day_a"), col("day_b"), col("overlap_users"),
+            (col("ca") + col("cb") - col("overlap_users")).as("union_users"),
+            (col("ca") - col("overlap_users")).as("only_a_users"),
+            (Sketches.thetaOk(
+                Sketches.thetaEstimate(Sketches.thetaIntersect(col("ska"), col("skb"))),
+                col("overlap_users")) &&
+             Sketches.thetaOk(
+                Sketches.thetaEstimate(Sketches.thetaUnion(col("ska"), col("skb"))),
+                col("ca") + col("cb") - col("overlap_users")) &&
+             Sketches.thetaOk(
+                Sketches.thetaEstimate(Sketches.thetaANotB(col("ska"), col("skb"))),
+                col("ca") - col("overlap_users"))).as("theta_ok"))
+          .orderBy(col("day_a"), col("day_b"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT dayofmonth(ts) AS d, user_id
+             |  FROM events WHERE dayofmonth(ts) <= 7),
+             |cnt AS (SELECT d, count(*) AS c FROM du GROUP BY 1),
+             |ov AS (SELECT a.d AS day_a, b.d AS day_b, count(*) AS overlap_users
+             |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.d < b.d
+             |  GROUP BY 1, 2)
+             |SELECT ov.day_a, ov.day_b, ov.overlap_users,
+             |  ca.c + cb.c - ov.overlap_users AS union_users,
+             |  ca.c - ov.overlap_users AS only_a_users,
+             |  TRUE AS theta_ok
+             |FROM ov JOIN cnt ca ON ca.d = ov.day_a
+             |  JOIN cnt cb ON cb.d = ov.day_b
+             |ORDER BY 1, 2""".stripMargin)))
 }

@@ -141,4 +141,55 @@ class IncrementalAggSpec extends SparkSpec {
       assert(q90 >= q50, s"$k: quantiles not monotone")
     }
   }
+
+  test("theta sketches: partials union losslessly; intersection/union/diff " +
+    "estimates match exact set algebra at exact-mode cardinalities") {
+    val du = Tables.events(spark, sfDir)
+      .filter(dayofmonth(col("ts")) <= 4)
+      .select(dayofmonth(col("ts")).as("d"), col("user_id"), col("event_type"))
+
+    // two-level fold equals a direct one-level sketch
+    val partials = Sketches.thetaSketch(du, Seq("d", "event_type"), "user_id")
+    val daily = Sketches.mergeThetaSketches(partials.drop("event_type"), Seq("d"))
+    val direct = Sketches.thetaSketch(du, Seq("d"), "user_id")
+    val folded = daily.select(col("d"), Sketches.thetaEstimate(col("tsk")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val one = direct.select(col("d"), Sketches.thetaEstimate(col("tsk")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(folded === one, "two-level fold drifted from direct sketch")
+
+    // estimates == exact distinct counts (exact mode below 2^lgK)
+    val exactCnt = du.select("d", "user_id").distinct()
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    folded.foreach { case (d, e) =>
+      assert(math.rint(e).toLong == exactCnt(d), s"day $d: est=$e exact=${exactCnt(d)}")
+    }
+
+    // pairwise set algebra vs exact joins
+    val dist = du.select("d", "user_id").distinct()
+    val exactOv = dist.as("a").join(dist.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("da"), col("b.d").as("db"))
+      .agg(count(lit(1)).as("ov"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sk = daily.collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("tsk")).toMap
+    val pairsDf = daily.select(col("d").as("da"), col("tsk").as("ska"))
+      .crossJoin(daily.select(col("d").as("db"), col("tsk").as("skb")))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        Sketches.thetaEstimate(Sketches.thetaIntersect(col("ska"), col("skb"))).as("i"),
+        Sketches.thetaEstimate(Sketches.thetaUnion(col("ska"), col("skb"))).as("u"),
+        Sketches.thetaEstimate(Sketches.thetaANotB(col("ska"), col("skb"))).as("x"))
+      .collect()
+    assert(sk.size >= 3 && pairsDf.nonEmpty)
+    pairsDf.foreach { r =>
+      val (da, db) = (r.getInt(0), r.getInt(1))
+      val ov = exactOv((da, db))
+      val (ca, cb) = (exactCnt(da), exactCnt(db))
+      assert(math.rint(r.getDouble(2)).toLong == ov, s"($da,$db) intersect")
+      assert(math.rint(r.getDouble(3)).toLong == ca + cb - ov, s"($da,$db) union")
+      assert(math.rint(r.getDouble(4)).toLong == ca - ov, s"($da,$db) aNotB")
+    }
+  }
 }
