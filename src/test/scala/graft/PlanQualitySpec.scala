@@ -172,6 +172,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"query set not broadcast:\n$p")
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the 100 TB fact⋈dim posture: the fact table is laid out partitioned
+    // (Writers.clusteredWrite's date/tenant layout); a filter that lives on
+    // the DIM side must still prune fact PARTITIONS — statically invisible,
+    // so Spark must inject a runtime (dynamicpruning) subquery into the
+    // fact scan. If this plan feature is lost, every dim-filtered join
+    // degrades to a full fact scan.
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    val fact = (0 until 10000).map(i => (i.toLong, i % 20, i * 1.0)).toDF("id", "day", "v")
+    graft.sources.Writers.clusteredWrite(fact, dir, Seq("day"), Seq("id"))
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    (0 until 20).map(i => (i, if (i < 2) "keep" else "drop")).toDF("d_day", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"),
+        col("day") === col("d_day"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no runtime partition-pruning subquery on the fact scan:\n$p")
+    assert(joined.count() === 1000L)
+  }
+
   test("q47 flagship search plan: one rollup exchange, broadcast hydration, no product") {
     val p = planOf("q47_domain_search")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
