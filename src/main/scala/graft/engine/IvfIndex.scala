@@ -55,4 +55,18 @@ object IvfIndex {
   /** Pruned corpus for a query: only rows in the probed clusters. */
   def prunedCorpus(index: Index, query: DataFrame, nProbe: Int): DataFrame =
     index.assigned.join(broadcast(probeClusters(index, query, nProbe)), Seq("centroid_id"))
+
+  /** Incremental maintenance — the streaming write path of the reference's
+    * ingest (vectors upserted into a live collection, never a rebuild:
+    * `memory_graph.py:1015-1065` adds points to the standing HNSW). New
+    * rows are assigned to the EXISTING centroids (one broadcast of the
+    * centroid table per micro-batch, map-side only — no shuffle of the
+    * standing assignment), so `appendBatch ∘ appendBatch == build` over the
+    * union given the same centroids, and probes see new rows immediately.
+    * Centroid drift under sustained ingest is handled the same way the
+    * reference handles index degradation: a periodic offline `build`
+    * (swapWrite'd), not per-batch rebalancing. */
+  def appendBatch(index: Index, batch: DataFrame, idCol: String, vecCol: String): Index =
+    index.copy(assigned = index.assigned.unionByName(
+      Similarity.ivfAssign(batch, index.centroids, idCol, vecCol)))
 }

@@ -432,5 +432,52 @@ object VectorQueries {
            |  FROM sims GROUP BY doc)
            |SELECT doc, $total AS maxsim FROM agg
            |ORDER BY maxsim DESC, doc LIMIT 5""".stripMargin
+      }),
+
+    // W5 variant: MMR diversification over the top of the retrieval cone —
+    // greedy λ-tradeoff between relevance and max-cosine-to-picked, so two
+    // near-duplicate hits can't crowd out a distinct third. The oracle
+    // replays the SAME greedy unrolled into chained argmax CTEs (cosines
+    // rounded to 6 on both sides so every pick decision is bit-identical).
+    Entry("q130_mmr_diversify",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("rel", round(cosineSim(col("embedding"), col("qvec")), 6))
+          .orderBy(desc("rel"), col("vec_id"))
+          .limit(12)
+          .select(col("vec_id"), col("embedding"), col("rel"))
+        graft.ops.Rerank.mmr(cand, "embedding", "vec_id", "rel",
+            k = 5, lambda = 0.7, simRound = 6)
+          .select(col("mmr_rank"), col("vec_id"), col("rel").cast("float").as("rel"))
+          .orderBy(col("mmr_rank"))
+      },
+      Some {
+        // unrolled greedy: pN = Nth pick, sN = remaining candidates with
+        // their max-sim-to-picked folded in (greatest of the previous state
+        // and the sim to the new pick)
+        val steps = (2 to 5).map { n =>
+          val src = if (n == 2) "cand0" else s"s${n - 2}"
+          s"""s${n - 1} AS (SELECT s.vec_id, s.embedding, s.rel,
+             |  greatest(s.msim, round(${cosineSql("s.embedding", "p.embedding")}, 6)) AS msim
+             |  FROM $src s, p${n - 1} p WHERE s.vec_id <> p.vec_id),
+             |p$n AS (SELECT vec_id, embedding, rel FROM s${n - 1}
+             |  ORDER BY 0.7*rel - 0.3*msim DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(n =>
+          s"SELECT $n AS mmr_rank, vec_id, CAST(rel AS REAL) AS rel FROM p$n")
+          .mkString("\nUNION ALL ")
+        s"""WITH
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT vec_id, embedding, round(${cosineSql("embedding", "qvec")}, 6) AS rel
+           |  FROM embeddings, q WHERE vec_id <> 0
+           |  ORDER BY rel DESC, vec_id LIMIT 12),
+           |cand0 AS (SELECT vec_id, embedding, rel, 0.0 AS msim FROM cand),
+           |p1 AS (SELECT vec_id, embedding, rel FROM cand0 ORDER BY rel DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT * FROM ($out) ORDER BY mmr_rank""".stripMargin
       }))
 }

@@ -85,4 +85,21 @@ object Sinks {
   def rollupRefresh(path: String, keys: Seq[String])
                    (batch: DataFrame, batchId: Long): Unit =
     graft.ops.IncrementalAgg.refreshPartial(batch.sparkSession, path, batch, keys)
+
+  /** foreachBatch body: fold newly-ingested embedding rows into the
+    * standing IVF assignment snapshot at `path` — ANN index MAINTENANCE as
+    * a stream sink (the reference's ingest adds points to its live vector
+    * collection, `memory_graph.py:1015-1065`; rebuilds are periodic and
+    * offline). Assignment is against the FIXED centroid table, so each
+    * micro-batch costs one centroid broadcast + a map-side argmin — the
+    * standing assignment is never shuffled. Replay-safe: the same id always
+    * lands on the same centroid (deterministic distance/tie-break), and the
+    * keyed merge makes re-running a batch a no-op.
+    *
+    * `IvfIndex.Index(centroids, readSnapshot(path))` is then the live,
+    * probe-ready index between refreshes. */
+  def indexAppend(path: String, centroids: DataFrame, idCol: String, vecCol: String)
+                 (batch: DataFrame, batchId: Long): Unit =
+    keyedUpsert(path, idCol)(
+      graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
 }

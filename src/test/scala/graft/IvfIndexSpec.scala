@@ -31,6 +31,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(pruned.count() < chunks.count())
   }
 
+  test("appendBatch: incremental folds equal a one-shot build over the union; " +
+    "probes see appended rows immediately") {
+    val all = chunks.orderBy("chunk_id")
+    val n = all.count()
+    val Array(first, second, third) = Array(
+      all.limit((n / 3).toInt),
+      all.orderBy("chunk_id").offset((n / 3).toInt).limit((n / 3).toInt),
+      all.orderBy("chunk_id").offset(2 * (n / 3).toInt))
+    val base = IvfIndex.build(first, "chunk_id", "embedding", nCentroids = 8)
+    val grown = IvfIndex.appendBatch(
+      IvfIndex.appendBatch(base, second, "chunk_id", "embedding"),
+      third, "chunk_id", "embedding")
+    // same centroids, one-shot assignment over everything
+    val oneShot = base.copy(
+      assigned = graft.ops.Similarity.ivfAssign(all, base.centroids, "chunk_id", "embedding"))
+    val a = grown.assigned.select("chunk_id", "centroid_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b = oneShot.assigned.select("chunk_id", "centroid_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(a === b, "incremental assignment drifted from one-shot build")
+    // a probe over the grown index reaches rows from the appended batches
+    val late = memsSeq.last
+    val q = Seq(Tuple1(late.content)).toDF("t")
+      .select(udf((t: String) => new graft.engine.HashEmbedder(64).embed(t)).apply($"t").as("qvec"))
+    val pruned = IvfIndex.prunedCorpus(grown, q, nProbe = 8)
+    assert(pruned.count() === n, "nProbe=all over grown index must cover every row")
+  }
+
   test("searchIndexed finds the query's own memory (self-retrieval recall)") {
     val idx = IvfIndex.build(chunks, "chunk_id", "embedding", nCentroids = 8)
     val target = memsSeq.find(_.user_id == "u0").get

@@ -333,6 +333,50 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("index-append sink: streamed ingest folds into a probe-ready IVF " +
+    "assignment; replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.domain.Schemas.Chunk
+    val memsSeq = Fixtures.memories(spark).collect().toSeq
+    val allChunks = Fixtures.chunks(spark, memsSeq).collect().toSeq
+    val centroids = graft.engine.IvfIndex
+      .build(allChunks.toDF(), "chunk_id", "embedding", nCentroids = 8).centroids
+      .cache()
+    val dir = java.nio.file.Files.createTempDirectory("idxappend").toFile
+    val path = new java.io.File(dir, "assigned").getPath
+    val input = MemoryStream[Chunk]
+    val query = input.toDS().toDF()
+      .writeStream
+      .foreachBatch(
+        graft.streaming.Sinks.indexAppend(path, centroids, "chunk_id", "embedding") _)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, rest) = allChunks.splitAt(allChunks.size / 2)
+      input.addData(first)
+      query.processAllAvailable()
+      input.addData(rest)
+      query.processAllAvailable()
+      def snap() = spark.read.parquet(path)
+        .select("chunk_id", "centroid_id").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val streamed = snap()
+      // the streamed snapshot IS the one-shot batch assignment
+      val oneShot = graft.ops.Similarity
+        .ivfAssign(allChunks.toDF(), centroids, "chunk_id", "embedding")
+        .select("chunk_id", "centroid_id").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(streamed === oneShot, "streamed index drifted from batch build")
+      // at-least-once redelivery of the last micro-batch converges
+      graft.streaming.Sinks.indexAppend(path, centroids, "chunk_id", "embedding")(
+        rest.toDF(), 1L)
+      assert(snap() === streamed)
+    } finally {
+      query.stop()
+      centroids.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("counter fold is incremental: two folds equal one") {
     val events = Fixtures.accessEvents(spark, n = 40, memCount = 1).collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
