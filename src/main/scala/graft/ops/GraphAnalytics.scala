@@ -338,6 +338,51 @@ object GraphAnalytics {
     g.select(col("src").as("id")).union(g.select(col("dst").as("id"))).distinct()
   }
 
+  /** Synchronous label propagation (community detection, Raghavan et al.
+    * 2007): every vertex starts labeled with its own id; each round ALL
+    * vertices simultaneously adopt the most frequent label among their
+    * neighbors, ties broken toward the smallest label. The synchronous
+    * schedule plus the total tie order makes the output a pure function of
+    * (graph, rounds) — async LPA is visit-order-dependent and so neither
+    * reproducible across retries nor oracle-able. A FIXED round count is the
+    * contract (synchronous LPA can 2-cycle on bipartite structures, so
+    * "converged" is not guaranteed to exist); callers pick the horizon.
+    *
+    * Each round is two hash aggregations shuffling on the vertex id — vote
+    * counting, then a `min_by` pick over (-votes, label) — no window, no
+    * sort, map-side partial aggregation on both; localCheckpoint per round
+    * keeps lineage flat (the same pattern as `pageRank`). Per-round cost is
+    * O(edges) shuffled bytes regardless of community structure, so the
+    * 100 TB posture is the round count, not the data: rounds are
+    * driver-coordinated but all data stays distributed.
+    *
+    * Returns (id, lbl) for every vertex appearing in `edges`. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count()
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    e.unpersist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // min over (-votes, label): largest vote count, then smallest label.
+      // Ties in the ordering struct pin the same label, so min_by is
+      // deterministic here by construction.
+      labels = votes.groupBy(col("id"))
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Multi-source unweighted BFS: shortest-path length from any source to
     * every reachable vertex within `maxDepth` hops. One equi-join + one
     * anti-join per round, all shuffling on the vertex id; each round is

@@ -810,5 +810,52 @@ object BreadthQueries {
            |SELECT DISTINCT id FROM (
            |  SELECT src AS id FROM g$rounds UNION ALL SELECT dst FROM g$rounds)
            |ORDER BY id""".stripMargin
+      }),
+
+    // Community detection by synchronous label propagation over the same
+    // co-purchase graph — 4 fixed rounds, (most-votes, min-label)
+    // tie-break, so the result is a pure function of the graph and the
+    // oracle can unroll the rounds as chained CTEs (one vote-count + one
+    // windowed pick per round; the Spark side replaces the window with a
+    // min_by aggregation — identical pick by construction).
+    Entry("q131_label_prop",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+        GraphAnalytics.labelPropagation(edges, rounds = 4).orderBy(col("id"))
+      },
+      Some {
+        val rounds = 4
+        val steps = (1 to rounds).map { i =>
+          val prev = s"l${i - 1}"
+          s"""v$i AS MATERIALIZED (
+             |  SELECT s.dst AS id, l.lbl, count(*) AS c
+             |  FROM sym s JOIN $prev l ON l.id = s.src
+             |  GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl,
+             |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+             |    FROM v$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n_co
+           |    FROM lineitem a
+           |    JOIN lineitem b
+           |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |    GROUP BY 1, 2) WHERE n_co >= 2),
+           |sym AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id, src AS lbl FROM sym),
+           |$steps
+           |SELECT id, lbl FROM l$rounds ORDER BY id""".stripMargin
       }))
 }

@@ -158,6 +158,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.kCore(path, k = 2, maxIter = 30).count() === 0L)
   }
 
+  test("labelPropagation: two bridged cliques keep separate communities") {
+    // two 4-cliques {1..4} and {5..8} joined by bridge 4–5: within-clique
+    // majorities dominate the single bridge vote, so after 4 synchronous
+    // rounds each clique carries its own min-id label
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) ++ Seq((4L, 5L)))
+      .toDF("src", "dst")
+    val out = GraphAnalytics.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(out).toSet === Set(1L))
+    assert((5L to 8L).map(out).toSet === Set(5L))
+  }
+
+  test("labelPropagation is schedule-free: matches a single-threaded sync model") {
+    // reference model: same synchronous update computed serially on the
+    // driver — the distributed rounds must agree exactly, any rounds count
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    val verts = sym.flatMap(p => Seq(p._1, p._2)).distinct
+    var model = verts.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      model = verts.map { v =>
+        val votes = sym.filter(_._2 == v).map(e => model(e._1))
+          .groupBy(identity).map { case (l, vs) => (l, vs.size) }
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val out = GraphAnalytics.labelPropagation(pairs.toDF("src", "dst"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === model)
+  }
+
   test("bfsDistances: multi-source takes the nearer source") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 3L)).toDF("src", "dst")
     val sources = Seq(0L, 10L).toDF("id")
