@@ -220,8 +220,19 @@ object GraphAnalytics {
   }
 
   /** Damped PageRank, fixed iterations (deterministic). Dangling nodes keep
-    * the base rank. Returns (id, rank). */
-  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    * the base rank. Returns (id, rank).
+    *
+    * `exactFold = false` (default, the scale path): the per-vertex in-rank
+    * is a plain `sum` — map-side partial aggregation, the right plan for
+    * any graph size, but the double addition ORDER follows partitioning, so
+    * low-order bits can differ run to run. `exactFold = true` folds each
+    * vertex's contributions in ascending source-id order
+    * (`aggregate(array_sort(collect_list(...)))`) — bit-reproducible across
+    * runs/cluster layouts (and hash-comparable against an oracle folding in
+    * the same order), at the cost of buffering one in-neighborhood per
+    * vertex; use it when reproducibility outranks celebrity-vertex skew. */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+               exactFold: Boolean = false): DataFrame = {
     val out = edges.select(col("src"), col("dst")).distinct().persist()
     val vertices = out.select(col("src").as("id"))
       .union(out.select(col("dst").as("id"))).distinct().persist()
@@ -232,9 +243,17 @@ object GraphAnalytics {
       val contribs = ranks
         .join(degrees, ranks("id") === degrees("src"))
         .join(out, Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+        .select(col("dst").as("id"), col("src"), (col("rank") / col("deg")).as("contrib"))
+      val inRank =
+        if (exactFold)
+          contribs.groupBy("id").agg(expr(
+            """aggregate(array_sort(collect_list(struct(src, contrib))),
+              |cast(0.0 as double), (acc, x) -> acc + x.contrib)""".stripMargin)
+            .as("in_rank"))
+        else
+          contribs.groupBy("id").agg(sum("contrib").as("in_rank"))
       ranks = vertices
-        .join(contribs.groupBy("id").agg(sum("contrib").as("in_rank")), Seq("id"), "left")
+        .join(inRank, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
         .localCheckpoint(true) // materialize per round; keeps the plan flat

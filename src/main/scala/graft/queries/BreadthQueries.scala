@@ -857,5 +857,64 @@ object BreadthQueries {
            |  SELECT DISTINCT src AS id, src AS lbl FROM sym),
            |$steps
            |SELECT id, lbl FROM l$rounds ORDER BY id""".stripMargin
+      }),
+
+    // Damped PageRank (8 fixed iterations) over the directed functional
+    // graph on customer keys (same edge rule as q81). Doubles hash-compare
+    // bit-exactly because BOTH sides fold each vertex's contributions in
+    // ascending source-id order (Spark: aggregate∘array_sort∘collect_list;
+    // DuckDB: list_reduce over list(... ORDER BY src)) and every scalar op
+    // sequence is identical — all literals forced ::DOUBLE in the oracle so
+    // DuckDB's DECIMAL literal parsing can't change (1 - 0.85).
+    Entry("q132_pagerank",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val m = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
+        val c = cust.select(col("c_custkey"))
+        val edges = c.select(col("c_custkey").as("src"),
+            ((col("c_custkey") * 2) % m).as("dst"))
+          .union(c.select(col("c_custkey").as("src"),
+            ((col("c_custkey") + 7) % m).as("dst")))
+        GraphAnalytics.pageRank(edges, iterations = 8, damping = 0.85,
+            exactFold = true)
+          .orderBy(col("id"))
+      },
+      Some {
+        val iters = 8
+        val steps = (1 to iters).map { i =>
+          val prev = s"r${i - 1}"
+          s"""c$i AS MATERIALIZED (
+             |  SELECT e.dst AS id,
+             |    list_reduce(list(r.rank / dg.deg ORDER BY e.src),
+             |                (a, b) -> a + b) AS in_rank
+             |  FROM edges e
+             |  JOIN $prev r ON r.id = e.src
+             |  JOIN deg dg ON dg.id = e.src
+             |  GROUP BY e.dst),
+             |r$i AS MATERIALIZED (
+             |  SELECT v.id,
+             |    (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
+             |      + 0.85::DOUBLE * coalesce(c.in_rank, 0.0::DOUBLE) AS rank
+             |  FROM verts v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT c_custkey AS src,
+           |      (c_custkey * 2) % (SELECT max(c_custkey) + 1 FROM customer) AS dst
+           |    FROM customer
+           |    UNION ALL
+           |    SELECT c_custkey,
+           |      (c_custkey + 7) % (SELECT max(c_custkey) + 1 FROM customer)
+           |    FROM customer)),
+           |verts AS MATERIALIZED (
+           |  SELECT DISTINCT id FROM (
+           |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+           |nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+           |deg AS MATERIALIZED (
+           |  SELECT src AS id, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+           |r0 AS MATERIALIZED (
+           |  SELECT id, 1.0::DOUBLE / (SELECT n FROM nv) AS rank FROM verts),
+           |$steps
+           |SELECT id, rank FROM r$iters ORDER BY id""".stripMargin
       }))
 }

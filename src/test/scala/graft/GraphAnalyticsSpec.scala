@@ -158,6 +158,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.kCore(path, k = 2, maxIter = 30).count() === 0L)
   }
 
+  test("pageRank exactFold: agrees with plain sum, conserves ≤1 mass, ranks hubs") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val folded = GraphAnalytics.pageRank(edges, iterations = 6, exactFold = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val summed = GraphAnalytics.pageRank(edges, iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(folded.keySet === summed.keySet)
+    // same math, different addition order — equal to ~ulp accumulation
+    folded.foreach { case (id, r) => assert(math.abs(r - summed(id)) < 1e-12) }
+    // total mass ≤ 1 (dangling leakage only) and every rank ≥ base
+    val total = folded.values.sum
+    assert(total > 0.5 && total <= 1.0 + 1e-9)
+    assert(folded.values.forall(_ >= (1 - 0.85) / folded.size - 1e-12))
+  }
+
   test("labelPropagation: two bridged cliques keep separate communities") {
     // two 4-cliques {1..4} and {5..8} joined by bridge 4–5: within-clique
     // majorities dominate the single bridge vote, so after 4 synchronous
