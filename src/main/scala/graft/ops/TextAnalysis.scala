@@ -91,6 +91,50 @@ object TextAnalysis {
       .orderBy(col("pred_lang"), col("sample_rank"))
   }
 
+  /** Temperature-scaled mixture sampling — the exponential-smoothing domain
+    * mix of multilingual pretraining (mBERT / XLM-R style): per-domain
+    * quotas ∝ count^alpha renormalized over `budget`, so alpha < 1 upweights
+    * rare domains and alpha = 1 is proportional sampling; every quota gets
+    * at least one doc. Each domain then fills its quota in the hash60
+    * deterministic pseudo-random order (reproducible across retries, unlike
+    * rand()).
+    *
+    * The smoothing arithmetic runs DRIVER-side over the per-domain counts —
+    * a catalog-sized collect (bounded by domain cardinality, same contract
+    * as the schema registry), folded in sorted-domain order so the double
+    * sum is bit-reproducible. At alpha = 0.5 the smoothing is sqrt, which
+    * IEEE 754 rounds identically in every engine — the whole sample is then
+    * hash-exact against a SQL oracle; other alphas go through pow, where
+    * 1-ulp libm drift could flip a floor at a quota boundary.
+    *
+    * The data-side plan is one groupBy(domain) count + one quota-bounded
+    * window per domain — top-`quota` heap semantics, skew-safe at 100 TB
+    * for the same reason as `languageStratifiedSample`. */
+  def mixtureSample(docs: DataFrame, idCol: String, domainCol: String,
+                    budget: Int, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    def smooth(c: Long): Double =
+      if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+    val counts = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + smooth(c) }
+    val quotas = counts.map { case (dom, c) =>
+      (dom, math.max(1L, math.floor(budget * (smooth(c) / total)).toLong))
+    }
+    import spark.implicits._
+    val quotaDf = broadcast(quotas.toSeq.toDF("domain", "q"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(hash60(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(domainCol).as("domain"))
+      .withColumn("sample_rank", row_number().over(w))
+      .join(quotaDf, "domain")
+      .filter(col("sample_rank") <= col("q"))
+      .select(col(idCol), col("domain"), col("sample_rank"))
+      .orderBy(col("domain"), col("sample_rank"))
+  }
+
   /** Token counting: whitespace tokens, characters, a chars/4 budget
     * estimate, and a BPE-ish regex segmentation (letter runs | digit runs |
     * single other-glyphs — the GPT-2-style pre-tokenizer shape, restricted

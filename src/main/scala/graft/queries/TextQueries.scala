@@ -512,5 +512,38 @@ object TextQueries {
              |         / 1152921504606846976.0) / n_chars DESC, doc_id)
              |      AS INT) AS rank
              |  FROM documents WHERE n_chars > 0)
-             |WHERE rank <= 25 ORDER BY lang, rank""".stripMargin)))
+             |WHERE rank <= 25 ORDER BY lang, rank""".stripMargin)),
+
+    // Temperature-scaled domain mixture (α = 0.5, budget 200): per-source
+    // quotas ∝ sqrt(count), renormalized — the exponential-smoothing
+    // pretraining mix that upweights rare domains. sqrt is IEEE-identical
+    // in both engines and the normalizing sum folds in sorted-domain order
+    // on both sides, so quota boundaries are hash-exact; the fill order is
+    // the hash60 deterministic shuffle.
+    Entry("q133_mixture_sample",
+      (s, d) => graft.ops.TextAnalysis.mixtureSample(
+        Tables.documents(s, d), idCol = "doc_id", domainCol = "source",
+        budget = 200, alpha = 0.5),
+      Some(s"""WITH cnt AS MATERIALIZED (
+              |  SELECT source AS domain, count(*) AS c
+              |  FROM documents GROUP BY source),
+              |tot AS (
+              |  SELECT list_reduce(list(sqrt(c::DOUBLE) ORDER BY domain),
+              |                     (a, b) -> a + b) AS s
+              |  FROM cnt),
+              |quota AS MATERIALIZED (
+              |  SELECT domain,
+              |    greatest(1, CAST(floor(
+              |      200 * (sqrt(c::DOUBLE) / (SELECT s FROM tot))) AS BIGINT)) AS q
+              |  FROM cnt),
+              |ranked AS (
+              |  SELECT doc_id, source AS domain,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT)
+              |      AS sample_rank
+              |  FROM documents)
+              |SELECT r.doc_id, r.domain, r.sample_rank
+              |FROM ranked r JOIN quota q ON q.domain = r.domain
+              |WHERE r.sample_rank <= q.q
+              |ORDER BY r.domain, r.sample_rank""".stripMargin)))
 }

@@ -149,6 +149,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L)._2)
   }
 
+  test("mixtureSample: sqrt smoothing upweights rare domains, quotas respected") {
+    // 900 "web" docs vs 100 "code" docs. Proportional (α=1) would give code
+    // 10% of the budget; sqrt smoothing gives it 30/(30+10)=25%.
+    val corpus = ((1L to 900L).map(i => (i, "web")) ++
+      (901L to 1000L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val out = TextAnalysis.mixtureSample(corpus, "doc_id", "source", budget = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("code") === 25) // floor(100 * 10/40)
+    assert(bySrc("web") === 75)  // floor(100 * 30/40)
+    // ranks are dense 1..quota within each domain
+    assert(out.filter(_._2 == "code").map(_._3).sorted === (1 to 25))
+    // deterministic: second run draws the identical sample
+    val again = TextAnalysis.mixtureSample(corpus, "doc_id", "source", budget = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.toSet === out.toSet)
+  }
+
+  test("mixtureSample: every domain gets at least one doc") {
+    val corpus = ((1L to 995L).map(i => (i, "big")) ++
+      Seq((996L, "tiny"))).toDF("doc_id", "source")
+    val out = TextAnalysis.mixtureSample(corpus, "doc_id", "source", budget = 10)
+      .collect().map(r => r.getString(1))
+    assert(out.count(_ == "tiny") === 1)
+  }
+
   test("repetitionStats plan is shuffle-free (pure map-side fold)") {
     val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
     val p = out.queryExecution.executedPlan.toString
