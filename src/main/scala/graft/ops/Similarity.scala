@@ -95,6 +95,30 @@ object Similarity {
         (col("rank0") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SBERT
+    * curriculum step): for each anchor, the `k` MOST similar corpus vectors
+    * carrying a DIFFERENT label, optionally capped at `maxSim` to skip the
+    * near-identical band that is usually an unlabeled true positive
+    * (FaceNet's "semi-hard" region). Same plan as [[knnBatch]] — anchors
+    * broadcast, one corpus scan for the whole batch, and both filters run
+    * BEFORE the bounded TopK aggregation so ≤ k rows per anchor leave each
+    * map partition. Deterministic: ties break by id ascending. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, qIdCol: String,
+                    qVecCol: String, qLabelCol: String, k: Int,
+                    maxSim: Double = 1.0): DataFrame = {
+    val top = TopK.topK(k)
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col(labelCol) =!= col(qLabelCol))
+      .withColumn("__score", cosineSim(col(vecCol), col(qVecCol)))
+      .filter(col("__score") <= maxSim)
+      .groupBy(col(qIdCol))
+      .agg(top(col("__score"), col(idCol)).as("top"))
+      .select(col(qIdCol), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col(qIdCol), col("s.id").as(idCol), col("s.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -539,5 +539,74 @@ object HybridQueries {
              |  TRUE AS theta_ok
              |FROM ov JOIN cnt ca ON ca.d = ov.day_a
              |  JOIN cnt cb ON cb.d = ov.day_b
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Hard-negative mining: per anchor, the 5 most-similar corpus vectors
+    // with a DIFFERENT label, capped at 0.99 similarity (the semi-hard
+    // band) — the contrastive-training curation step. Same one-scan
+    // bounded-TopK plan as q122.
+    Entry("q134_hard_negatives",
+      (s, d) => {
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+        val anchors = emb.filter(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+            col("label").as("q_label"))
+        Similarity.hardNegatives(emb.filter(col("vec_id") > 5), anchors,
+            "vec_id", "embedding", "label", "q_id", "qvec", "q_label",
+            k = 5, maxSim = 0.99)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding AS qvec, label AS q_label
+              |  FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+              |c AS (SELECT vec_id, embedding, label FROM embeddings
+              |      WHERE vec_id > 5),
+              |scored AS (
+              |  SELECT q.q_id, c.vec_id,
+              |    ${OracleSql.cosine("c.embedding", "q.qvec")} AS score
+              |  FROM c CROSS JOIN q
+              |  WHERE c.label <> q.q_label),
+              |ranked AS (
+              |  SELECT q_id, vec_id, score,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY score DESC, vec_id) AS INT) AS rank
+              |  FROM scored WHERE score <= 0.99)
+              |SELECT q_id, vec_id, score, rank FROM ranked
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Matryoshka prefix prune → exact rescore: rank the corpus by cosine
+    // over the FIRST 16 dims only (4× fewer bytes per scan row — the MRL
+    // serving trick), keep 20 candidates, rescore those at full dimension
+    // and return the top 5. Same prune-then-rescore shape as the PQ path
+    // (q79), with dimension truncation as the cheap stage.
+    Entry("q135_matryoshka_rescore",
+      (s, d) => {
+        import graft.functions.VectorFunctions._
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 1)
+          .select(col("embedding").as("qvec"))
+        emb.filter(col("vec_id") > 1)
+          .crossJoin(broadcast(q))
+          .withColumn("pre_score",
+            cosineSim(slice(col("embedding"), 1, 16), slice(col("qvec"), 1, 16)))
+          .orderBy(desc("pre_score"), col("vec_id"))
+          .limit(20)
+          .withColumn("score", cosineSim(col("embedding"), col("qvec")))
+          .select(col("vec_id"), col("pre_score"), col("score"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+              |pruned AS (
+              |  SELECT vec_id, embedding, qvec,
+              |    ${OracleSql.cosine("embedding[1:16]", "qvec[1:16]")} AS pre_score
+              |  FROM embeddings CROSS JOIN q
+              |  WHERE vec_id > 1
+              |  ORDER BY pre_score DESC, vec_id LIMIT 20)
+              |SELECT vec_id, pre_score,
+              |  ${OracleSql.cosine("embedding", "qvec")} AS score
+              |FROM pruned
+              |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)))
 }

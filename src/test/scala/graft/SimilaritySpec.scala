@@ -92,6 +92,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._2 == 10L))
   }
 
+  test("hardNegatives: excludes anchor's label, caps the semi-hard band") {
+    val labeled = Seq(
+      (10L, Array(1.0f, 0.0f), 0),   // same label as anchor → excluded
+      (11L, Array(0.999f, 0.04f), 1), // different label but ≈ identical → capped
+      (12L, Array(0.8f, 0.6f), 1),
+      (13L, Array(0.0f, 1.0f), 2),
+      (14L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = Seq((1L, Array(1.0f, 0.0f), 0))
+      .toDF("q_id", "qvec", "q_label")
+    val out = Similarity.hardNegatives(labeled, anchors, "vec_id", "embedding",
+        "label", "q_id", "qvec", "q_label", k = 2, maxSim = 0.99)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // 10 excluded (label), 11 excluded (cap) → hardest remaining are 12, 13
+    assert(out.toSeq === Seq((12L, 1), (13L, 2)))
+  }
+
   test("ivf assignment covers every corpus vector exactly once") {
     val cents = Seq((10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
       .toDF("centroid_id", "cvec")
