@@ -137,6 +137,46 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(
+      media_id: String,
+      window_index: Int,
+      start_ms: Long,
+      end_ms: Long,
+      n_samples: Int,
+      rms: Double,
+      peak: Float)
+
+  /** Audio windowing: segment each audio clip into fixed `windowMs` windows
+    * and compute per-window waveform stats — RMS energy and absolute peak,
+    * the VAD / silence-trim front stage of an audio training pipeline.
+    * flatMap fan-out, no shuffle; one decoder per partition via the same
+    * seam as frames. The stub "PCM" for window i derives from sha-256 of
+    * (content ++ "w"+i), so every stat is deterministic AND exactly
+    * representable: each sample is byte/128 (a dyadic rational), sample²
+    * sums are exact in double at any addition order, and sqrt is IEEE
+    * correctly-rounded — the whole row hash-matches a SQL oracle bit for
+    * bit. */
+  def audioWindows(spark: SparkSession, media: Dataset[MediaRow], windowMs: Long,
+                   decoder: Decoder = new StubDecoder(32)): Dataset[AudioWindow] = {
+    import spark.implicits._
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    media.filter(_.kind == "audio").flatMap { r =>
+      val n = math.max((r.meta.duration_ms / windowMs).toInt, 1)
+      (0 until n).flatMap { i =>
+        val pseudo = r.copy(content =
+          if (r.content == null || r.content.isEmpty) r.content
+          else r.content ++ s"w$i".getBytes(StandardCharsets.UTF_8))
+        decoder.decode(pseudo).map { samples =>
+          val ss = samples.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+          val peak = samples.foldLeft(0.0f)((m, x) => math.max(m, math.abs(x)))
+          AudioWindow(r.media_id, i, i * windowMs,
+            math.min((i + 1) * windowMs, r.meta.duration_ms),
+            samples.length, math.sqrt(ss / samples.length), peak)
+        }
+      }
+    }
+  }
+
   /** Deterministic fixture media table. */
   def fixture(spark: SparkSession, n: Int = 12): Dataset[MediaRow] = {
     import spark.implicits._

@@ -541,6 +541,66 @@ object HybridQueries {
              |  JOIN cnt cb ON cb.d = ov.day_b
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Audio windowing: 900 ms windows per clip with per-window RMS/peak
+    // over the stub pseudo-PCM — the third modality next to q50 (image
+    // features) and q118 (video frames). All arithmetic is exactly
+    // representable (samples are byte/128 dyadic rationals), so rms/peak
+    // hash-match the sha-256 SQL oracle bit for bit.
+    Entry("q136_audio_windows",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            Multimodal.MediaRow(s"media$id",
+              Seq("image", "audio", "video")((id % 3).toInt),
+              text.getBytes("UTF-8"),
+              Multimodal.MediaMeta("application/octet-stream", 0, 0,
+                1000L * (id % 10 + 1), 16000))
+          }
+        Multimodal.audioWindows(s, media, windowMs = 900L)
+          .toDF()
+          .select(col("media_id"), col("window_index"), col("start_ms"),
+            col("end_ms"), col("rms"), col("peak"))
+          .orderBy(col("media_id"), col("window_index"))
+      },
+      Some {
+        val byteJ =
+          """(strpos('0123456789abcdef', substr(h, 2*j - 1, 1)) - 1) * 16
+            | + strpos('0123456789abcdef', substr(h, 2*j, 1)) - 1""".stripMargin
+        s"""WITH a AS (
+           |  SELECT doc_id, text, 1000 * (doc_id % 10 + 1) AS dur
+           |  FROM documents
+           |  WHERE doc_id % 3 = 1
+           |    AND octet_length(CAST(text AS BLOB)) > 0),
+           |w AS (
+           |  SELECT doc_id, text, dur,
+           |    unnest(generate_series(0, CAST(greatest(dur // 900, 1) AS INT) - 1)) AS i
+           |  FROM a),
+           |hashed AS (
+           |  SELECT doc_id, dur, i,
+           |    sha256(text || 'w' || CAST(i AS VARCHAR) || '0') AS h
+           |  FROM w),
+           |samples AS (
+           |  SELECT doc_id, dur, i,
+           |    list_transform(generate_series(1, 32), j ->
+           |      ($byteJ)) AS bytes
+           |  FROM hashed),
+           |xs AS (
+           |  SELECT doc_id, dur, i,
+           |    list_transform(bytes, b ->
+           |      (CASE WHEN b >= 128 THEN b - 256 ELSE b END) / 128.0) AS x
+           |  FROM samples)
+           |SELECT 'media' || CAST(doc_id AS VARCHAR) AS media_id,
+           |  CAST(i AS INT) AS window_index,
+           |  CAST(i * 900 AS BIGINT) AS start_ms,
+           |  CAST(least((i + 1) * 900, dur) AS BIGINT) AS end_ms,
+           |  sqrt(list_sum(list_transform(x, v -> v * v)) / 32.0) AS rms,
+           |  CAST(list_max(list_transform(x, v -> abs(v))) AS REAL) AS peak
+           |FROM xs ORDER BY media_id, window_index""".stripMargin
+      }),
+
     // Hard-negative mining: per anchor, the 5 most-similar corpus vectors
     // with a DIFFERENT label, capped at 0.99 similarity (the semi-hard
     // band) — the contrastive-training curation step. Same one-scan

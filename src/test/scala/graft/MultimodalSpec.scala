@@ -63,6 +63,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioWindows: only audio, window grid, stats in range, corrupt dropped") {
+    val media = Multimodal.fixture(spark, 12)
+    val out = Multimodal.audioWindows(spark, media, windowMs = 900L).collect()
+    // fixture audio ids: 1,4,7,10 (kind = i%3==1); 10 % 7 != 6 so only
+    // media6 (video) is corrupt — all four audio clips decode
+    assert(out.map(_.media_id).distinct.sorted ===
+      Array("media1", "media10", "media4", "media7"))
+    out.groupBy(_.media_id).foreach { case (_, ws) =>
+      val sorted = ws.sortBy(_.window_index)
+      assert(sorted.map(_.window_index).toSeq === sorted.indices)
+      sorted.foreach { w =>
+        assert(w.start_ms === w.window_index * 900L)
+        assert(w.end_ms > w.start_ms)
+        assert(w.n_samples === 32)
+        assert(w.rms > 0.0 && w.rms <= 2.0)
+        assert(w.peak >= w.rms.toFloat) // max |x| ≥ quadratic mean
+      }
+    }
+    // duration 1000*(i+1): media1 → 2000 ms → floor(2000/900) = 2 windows,
+    // ragged tail dropped (frame-sampling semantics)
+    val m1 = out.filter(_.media_id === "media1").sortBy(_.window_index)
+    assert(m1.length === 2)
+    assert(m1.last.end_ms === 1800L)
+    // sub-window clip: one window, end capped at the clip duration
+    import spark.implicits._
+    val short = Seq(Multimodal.MediaRow("tiny", "audio", "x".getBytes,
+      Multimodal.MediaMeta("audio/wav", 0, 0, 500L, 16000))).toDS()
+    val sw = Multimodal.audioWindows(spark, short, windowMs = 900L).collect()
+    assert(sw.length === 1 && sw.head.end_ms === 500L)
+  }
+
   test("schema: binary content + typed metadata survive a parquet round-trip") {
     val path = java.nio.file.Files.createTempDirectory("media").toString
     media.write.mode("overwrite").parquet(path)
