@@ -545,5 +545,38 @@ object TextQueries {
               |SELECT r.doc_id, r.domain, r.sample_rank
               |FROM ranked r JOIN quota q ON q.domain = r.domain
               |WHERE r.sample_rank <= q.q
-              |ORDER BY r.domain, r.sample_rank""".stripMargin)))
+              |ORDER BY r.domain, r.sample_rank""".stripMargin)),
+
+    // The first BPE merge round of tokenizer training: adjacent character
+    // pairs within words, weighted by corpus word frequency — top 20 merge
+    // candidates. Pair generation runs over DISTINCT words (the vocab,
+    // orders of magnitude smaller than the corpus), then weights by the
+    // word-count aggregate: two shuffles total, both on small keys.
+    Entry("q137_bpe_pairs",
+      (s, d) => {
+        import graft.functions.Fns
+        val words = Tables.documents(s, d)
+          .select(explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        words
+          .select(col("c"), explode(expr(
+            """transform(sequence(1, length(w) - 1),
+              |  i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"""
+              .stripMargin)).as("pair"))
+          .groupBy("pair").agg(sum(col("c")).as("n"))
+          .orderBy(desc("n"), col("pair"))
+          .limit(20)
+      },
+      Some("""WITH words AS (
+             |  SELECT w, count(*) AS c FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) >= 2 GROUP BY w),
+             |pairs AS (
+             |  SELECT c, unnest(list_transform(generate_series(1, length(w) - 1),
+             |    i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
+             |  FROM words)
+             |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM pairs
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)))
 }
