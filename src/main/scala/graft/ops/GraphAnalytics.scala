@@ -357,6 +357,46 @@ object GraphAnalytics {
     g.select(col("src").as("id")).union(g.select(col("dst").as("id"))).distinct()
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent vertex pair
+    * (a, b) sharing at least one neighbor, the common-neighbor count and
+    * Jaccard coefficient |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    * "suggest related entities" scorer over the memory graph. Returns the
+    * `topN` pairs by (common desc, jaccard desc, a, b).
+    *
+    * Plan: one wedge self-join on the shared neighbor + one aggregation +
+    * an anti-join against the existing edge set; all arithmetic is exact
+    * (integer counts, one double division), so results are reproducible and
+    * oracle-able. The wedge join is Σ deg² like any common-neighbor
+    * computation — at celebrity-vertex scale, cap or sample the hub
+    * neighborhoods first (the same mitigation as triangle counting; hubs
+    * add ~no link-prediction signal). */
+  def linkPrediction(edges: DataFrame, topN: Int): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist()
+    val sym = canon
+      .union(canon.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("z"), col("b").as("n"))
+    val deg = sym.groupBy(col("z").as("id")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("z"), col("n").as("a"))
+      .join(sym.select(col("z"), col("n").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(canon, Seq("a", "b"), "left_anti")
+    val scored = cn
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
+      .orderBy(desc("common"), desc("jaccard"), col("a"), col("b"))
+      .limit(topN)
+      .localCheckpoint(true) // materialize before dropping the cached input
+    canon.unpersist()
+    scored
+  }
+
   /** Synchronous label propagation (community detection, Raghavan et al.
     * 2007): every vertex starts labeled with its own id; each round ALL
     * vertices simultaneously adopt the most frequent label among their

@@ -916,5 +916,81 @@ object BreadthQueries {
            |  SELECT id, 1.0::DOUBLE / (SELECT n FROM nv) AS rank FROM verts),
            |$steps
            |SELECT id, rank FROM r$iters ORDER BY id""".stripMargin
-      }))
+      }),
+
+    // Markov transition matrix over user event streams: per user, events in
+    // (ts, event_id) order; count (from → to) adjacent pairs and the
+    // per-from-state transition probability. One window + two aggregations,
+    // all partitioned by small keys — behavioral analytics for the A6/A7
+    // query-pattern family.
+    Entry("q138_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n") /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |cnt AS (
+             |  SELECT event_type AS from_type, next_type AS to_type,
+             |    count(*) AS n
+             |  FROM seq WHERE next_type IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  n / (sum(n) OVER (PARTITION BY from_type)) AS p
+             |FROM cnt ORDER BY from_type, to_type""".stripMargin)),
+
+    // Common-neighbor link prediction over the co-purchase graph: top 25
+    // non-adjacent pairs by shared-neighbor count with the Jaccard
+    // coefficient — "suggest related entities". Exact integer/rational
+    // arithmetic end to end.
+    Entry("q139_link_prediction",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+        GraphAnalytics.linkPrediction(edges, topN = 25)
+      },
+      Some("""WITH canon AS MATERIALIZED (
+             |  SELECT src AS a, dst AS b FROM (
+             |    SELECT x.l_partkey AS src, y.l_partkey AS dst, count(*) AS n_co
+             |    FROM lineitem x
+             |    JOIN lineitem y
+             |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |    GROUP BY 1, 2) WHERE n_co >= 2),
+             |sym AS MATERIALIZED (
+             |  SELECT a AS z, b AS n FROM canon
+             |  UNION ALL SELECT b, a FROM canon),
+             |deg AS (SELECT z AS id, count(*) AS deg FROM sym GROUP BY z),
+             |cn AS (
+             |  SELECT sa.n AS a, sb.n AS b, count(*) AS common
+             |  FROM sym sa JOIN sym sb ON sa.z = sb.z AND sa.n < sb.n
+             |  GROUP BY 1, 2),
+             |nonedge AS (
+             |  SELECT cn.* FROM cn
+             |  LEFT JOIN canon e ON e.a = cn.a AND e.b = cn.b
+             |  WHERE e.a IS NULL)
+             |SELECT ne.a, ne.b, ne.common,
+             |  ne.common / (da.deg + db.deg - ne.common) AS jaccard
+             |FROM nonedge ne
+             |JOIN deg da ON da.id = ne.a
+             |JOIN deg db ON db.id = ne.b
+             |ORDER BY common DESC, jaccard DESC, a, b LIMIT 25""".stripMargin)))
 }

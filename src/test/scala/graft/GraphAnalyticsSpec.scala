@@ -158,6 +158,15 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.kCore(path, k = 2, maxIter = 30).count() === 0L)
   }
 
+  test("linkPrediction: only non-adjacent pairs, correct CN count and jaccard") {
+    // 1–2, 2–3, 1–4: candidates are (1,3) via 2 and (2,4) via 1, both
+    // jaccard 1/(2+1-1) = 0.5; adjacent pairs must not appear
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = GraphAnalytics.linkPrediction(edges, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
+  }
+
   test("pageRank exactFold: agrees with plain sum, conserves ≤1 mass, ranks hubs") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
