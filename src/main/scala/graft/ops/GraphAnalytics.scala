@@ -442,6 +442,43 @@ object GraphAnalytics {
     labels
   }
 
+  /** Deterministic hash random walks — the node2vec/DeepWalk corpus
+    * generation step with the rand() replaced by a pseudo-random hash pick:
+    * from node u at step t, walk w moves to the neighbor v minimizing
+    * hash60(w:t:v). The walk distribution is uniform-ish over neighbors,
+    * reproducible across retries/partitionings (a failed-stage rerun
+    * cannot change the corpus — same property as the A-ES sampler), and
+    * oracle-able by unrolling steps. Each step is one frontier⋈edges join
+    * plus one min_by pick, both shuffling on the node id; walks advance in
+    * lock-step so the whole batch costs `steps` rounds regardless of walk
+    * count. Returns (walk_id, step, node) including step 0. */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    import graft.functions.Fns.hash60
+    val e = edges.select(col("src"), col("dst")).persist()
+    e.count()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    e.unpersist()
+    var frontier = starts.select(col("id").as("walk_id"))
+      .withColumn("node", col("walk_id"))
+      .withColumn("step", lit(0))
+      .localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(frontier)
+    for (t <- 1 to steps) {
+      frontier = frontier
+        .join(sym, frontier("node") === sym("src"))
+        .groupBy(col("walk_id"))
+        .agg(min_by(col("dst"), struct(
+          hash60(concat_ws(":", col("walk_id"), lit(t), col("dst"))).as("h"),
+          col("dst").as("d"))).as("node"))
+        .withColumn("step", lit(t))
+        .select(col("walk_id"), col("node"), col("step"))
+        .localCheckpoint(true)
+      layers += frontier
+    }
+    layers.reduce(_ union _).select(col("walk_id"), col("step"), col("node"))
+  }
+
   /** Multi-source unweighted BFS: shortest-path length from any source to
     * every reachable vertex within `maxDepth` hops. One equi-join + one
     * anti-join per round, all shuffling on the vertex id; each round is

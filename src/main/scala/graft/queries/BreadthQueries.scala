@@ -992,5 +992,58 @@ object BreadthQueries {
              |FROM nonedge ne
              |JOIN deg da ON da.id = ne.a
              |JOIN deg db ON db.id = ne.b
-             |ORDER BY common DESC, jaccard DESC, a, b LIMIT 25""".stripMargin)))
+             |ORDER BY common DESC, jaccard DESC, a, b LIMIT 25""".stripMargin)),
+
+    // Deterministic hash random walks (node2vec corpus generation): 3 steps
+    // from the 8 smallest co-purchase vertices; step rule = neighbor
+    // minimizing hash60(walk:step:neighbor) — pseudo-random but
+    // reproducible and unrollable in SQL.
+    Entry("q140_random_walks",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+        val starts = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .distinct().orderBy(col("id")).limit(8)
+        GraphAnalytics.randomWalks(edges, starts, steps = 3)
+          .orderBy(col("walk_id"), col("step"))
+      },
+      Some {
+        def h60(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+        val stepCtes = (1 to 3).map { t =>
+          val prev = s"w${t - 1}"
+          val key = s"CAST(w.walk_id AS VARCHAR) || ':$t:' || CAST(s.dst AS VARCHAR)"
+          s"""w$t AS MATERIALIZED (
+             |  SELECT walk_id, node FROM (
+             |    SELECT w.walk_id, s.dst AS node,
+             |      row_number() OVER (PARTITION BY w.walk_id
+             |        ORDER BY ${h60(key)}, s.dst) AS rn
+             |    FROM $prev w JOIN sym s ON s.src = w.node) WHERE rn = 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT x.l_partkey AS src, y.l_partkey AS dst, count(*) AS n_co
+           |    FROM lineitem x
+           |    JOIN lineitem y
+           |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+           |    GROUP BY 1, 2) WHERE n_co >= 2),
+           |sym AS MATERIALIZED (
+           |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |starts AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id FROM sym ORDER BY id LIMIT 8),
+           |w0 AS (SELECT id AS walk_id, id AS node FROM starts),
+           |$stepCtes
+           |SELECT walk_id, step, node FROM (
+           |  SELECT walk_id, CAST(0 AS INT) AS step, node FROM w0
+           |  UNION ALL SELECT walk_id, 1, node FROM w1
+           |  UNION ALL SELECT walk_id, 2, node FROM w2
+           |  UNION ALL SELECT walk_id, 3, node FROM w3)
+           |ORDER BY walk_id, step""".stripMargin
+      }))
 }

@@ -167,6 +167,32 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 3L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
   }
 
+  test("randomWalks: edge-respecting, lock-step, reproducible") {
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 150).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = pairs.toDF("src", "dst")
+    val starts = Seq(0L, 1L, 2L).toDF("id")
+    def run() = GraphAnalytics.randomWalks(edges, starts, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val out = run()
+    val sym = (pairs ++ pairs.map(_.swap)).toSet
+    // every walk starts at its start node and has contiguous steps
+    out.groupBy(_._1).foreach { case (w, rows) =>
+      val byStep = rows.sortBy(_._2)
+      assert(byStep.head === ((w, 0, w)))
+      assert(byStep.map(_._2).toSeq === byStep.indices)
+      // each hop follows an existing (symmetrized) edge
+      byStep.sliding(2).foreach {
+        case Array(a, b) => assert(sym.contains((a._3, b._3)),
+          s"walk $w hopped ${a._3}->${b._3} without an edge")
+        case _ =>
+      }
+    }
+    // reproducible: identical corpus on a second run
+    assert(run().toSeq === out.toSeq)
+  }
+
   test("pageRank exactFold: agrees with plain sum, conserves ≤1 mass, ranks hubs") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
