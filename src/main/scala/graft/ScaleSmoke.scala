@@ -367,6 +367,50 @@ object ScaleSmoke {
     assert(bSelfS == 64 && bSelfL == 64,
       s"a planted query missed itself at rank 1: $bSelfS / $bSelfL of 64")
 
+    // ---- link prediction (q139 shape): candidate pairs materialize only
+    // at shared neighbors (Σ deg² wedges) — on a degree-bounded ring+skip
+    // graph they must grow LINEARLY in vertices, never toward the n² pair
+    // product.
+    def lpStats(n: Long): (Long, Double) = {
+      val edges = spark.range(n).select(
+          col("id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"))
+        .select(col("src"), ((col("src") + col("k")) % n).as("dst"))
+      val t = System.nanoTime()
+      val cand = graft.ops.GraphAnalytics.linkPredictionCandidates(edges)
+        .localCheckpoint(true)
+      (cand.count(), (System.nanoTime() - t) / 1e9)
+    }
+    val (lpCandS, lpSecS) = lpStats(20000L)
+    val (lpCandL, lpSecL) = lpStats(200000L)
+    println(f"[scale-smoke] linkPred small: verts=20000 candidates=$lpCandS lpSeconds=$lpSecS%.1f")
+    println(f"[scale-smoke] linkPred large: verts=200000 candidates=$lpCandL lpSeconds=$lpSecL%.1f")
+    assert(lpCandL < 20 * lpCandS,
+      s"link-prediction candidates grew super-linearly: $lpCandS -> $lpCandL for 10x vertices")
+    assert(lpCandS < 30 * 20000L && lpCandL < 30 * 200000L,
+      s"candidate count exceeds the Σ deg² wedge bound: $lpCandS / $lpCandL")
+
+    // ---- random walks (q140 shape): lock-step batch — output is EXACTLY
+    // starts × (steps+1) rows at every corpus scale (walks never fan out);
+    // wall time printed for the bench notes.
+    def rwStats(n: Long): (Long, Double) = {
+      val edges = spark.range(n).select(
+          col("id").as("src"),
+          explode(sequence(lit(1), lit(4))).as("k"))
+        .select(col("src"), ((col("src") + col("k")) % n).as("dst"))
+      val starts = spark.range(64).select(col("id"))
+      val t = System.nanoTime()
+      val rows = graft.ops.GraphAnalytics.randomWalks(edges, starts, steps = 5)
+        .localCheckpoint(true).count()
+      (rows, (System.nanoTime() - t) / 1e9)
+    }
+    val (rwRowsS, rwSecS) = rwStats(20000L)
+    val (rwRowsL, rwSecL) = rwStats(200000L)
+    println(f"[scale-smoke] walks small: verts=20000 rows=$rwRowsS rwSeconds=$rwSecS%.1f")
+    println(f"[scale-smoke] walks large: verts=200000 rows=$rwRowsL rwSeconds=$rwSecL%.1f")
+    assert(rwRowsS == 64L * 6 && rwRowsL == 64L * 6,
+      s"random-walk output not lock-step bounded: $rwRowsS / $rwRowsL, want ${64 * 6}")
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

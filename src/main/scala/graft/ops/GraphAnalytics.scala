@@ -370,12 +370,21 @@ object GraphAnalytics {
     * computation — at celebrity-vertex scale, cap or sample the hub
     * neighborhoods first (the same mitigation as triangle counting; hubs
     * add ~no link-prediction signal). */
-  def linkPrediction(edges: DataFrame, topN: Int): DataFrame = {
+  def linkPrediction(edges: DataFrame, topN: Int): DataFrame =
+    linkPredictionCandidates(edges)
+      .orderBy(desc("common"), desc("jaccard"), col("a"), col("b"))
+      .limit(topN)
+
+  /** All scored link-prediction candidates (every non-adjacent pair with
+    * ≥1 shared neighbor), unranked — the relation whose SIZE is the scale
+    * invariant: Σ deg² wedges, never the n² pair product (ScaleSmoke pins
+    * linear growth on degree-bounded graphs). */
+  def linkPredictionCandidates(edges: DataFrame): DataFrame = {
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .persist()
+      .localCheckpoint(true) // referenced by three plan branches below
     val sym = canon
       .union(canon.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("z"), col("b").as("n"))
@@ -385,16 +394,11 @@ object GraphAnalytics {
       .filter(col("a") < col("b"))
     val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
       .join(canon, Seq("a", "b"), "left_anti")
-    val scored = cn
+    cn
       .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
       .select(col("a"), col("b"), col("common"),
         (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
-      .orderBy(desc("common"), desc("jaccard"), col("a"), col("b"))
-      .limit(topN)
-      .localCheckpoint(true) // materialize before dropping the cached input
-    canon.unpersist()
-    scored
   }
 
   /** Synchronous label propagation (community detection, Raghavan et al.
