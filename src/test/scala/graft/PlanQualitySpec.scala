@@ -196,6 +196,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(joined.count() === 1000L)
   }
 
+  test("q134 hard negatives: filters precede the bounded top-k pair, scan is pruned") {
+    val p = planOf("q134_hard_negatives")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial/final bounded top-k pair in:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
+    // anchors broadcast; label/cap filters must run before aggregation so
+    // ≤ k rows per anchor leave each partition
+    assert(p.contains("BroadcastExchange"), s"anchor batch not broadcast:\n$p")
+    assert(p.contains("GreaterThan(vec_id,5"), s"corpus filter not pushed:\n$p")
+  }
+
+  test("q133 mixture sample: one domain window, quota joined by broadcast") {
+    val p = planOf("q133_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), s"quota table not broadcast:\n$p")
+    assert("Window".r.findAllIn(p).length >= 1, s"no rank window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"quota join shuffled:\n$p")
+    // only (doc_id, source) may be read — never the text payload
+    assert(!p.contains("text"), s"read schema not pruned to id+domain:\n$p")
+  }
+
+  test("q135 matryoshka rescore: prefix prune is a top-k heap, never a global sort") {
+    val p = planOf("q135_matryoshka_rescore")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k heap:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"query row join shuffled:\n$p")
+  }
+
   test("q47 flagship search plan: one rollup exchange, broadcast hydration, no product") {
     val p = planOf("q47_domain_search")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
