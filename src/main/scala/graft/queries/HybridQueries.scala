@@ -601,6 +601,80 @@ object HybridQueries {
            |FROM xs ORDER BY media_id, window_index""".stripMargin
       }),
 
+    // Retrieval-quality evaluation: recall@10 and reciprocal rank of the
+    // 16-dim Matryoshka prefix ranking against exact full-dim gold, per
+    // query — the eval harness a serving stack runs after every index
+    // build. Both rankings are one batched corpus scan (bounded TopK);
+    // metrics are rational arithmetic (|∩|/k, 1/rank) so rows hash-match
+    // the oracle exactly.
+    Entry("q141_ann_recall",
+      (s, d) => {
+        import graft.ops.Similarity
+        import graft.functions.VectorFunctions._
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id").between(1, 10))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        def run(c: org.apache.spark.sql.DataFrame,
+                q: org.apache.spark.sql.DataFrame) = Similarity.knnBatch(
+          c, q, "vec_id", "embedding", "q_id", "qvec", k = 10)
+        val corpus = emb.filter(col("vec_id") > 10)
+        val gold = run(corpus, queries)
+        val sys = run(
+          corpus.withColumn("embedding", slice(col("embedding"), 1, 16)),
+          queries.withColumn("qvec", slice(col("qvec"), 1, 16)))
+        val goldTop1 = gold.filter(col("rank") === 1)
+          .select(col("q_id"), col("vec_id").as("top1"))
+        val hits = gold.select(col("q_id"), col("vec_id"))
+          .join(sys.select(col("q_id"), col("vec_id"), col("rank")), Seq("q_id", "vec_id"))
+        // every query keeps a row — a zero-overlap query reports recall 0,
+        // it must not silently vanish from the eval report
+        val recall = queries.select(col("q_id"))
+          .join(hits.groupBy(col("q_id"))
+            .agg((count(lit(1)) / 10.0).as("r")), Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("r"), lit(0.0)).as("recall_at_10"))
+        val sysR = sys.select(col("q_id").as("s_qid"),
+          col("vec_id").as("s_vid"), col("rank"))
+        val rr = sysR.join(goldTop1,
+            col("s_qid") === col("q_id") && col("s_vid") === col("top1"))
+          .select(col("q_id"), (lit(1.0) / col("rank")).as("rr"))
+        recall.join(rr, Seq("q_id"), "left")
+          .select(col("q_id"), col("recall_at_10"),
+            coalesce(col("rr"), lit(0.0)).as("rr"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        def ranked(scoreExpr: String) =
+          s"""SELECT q_id, vec_id, rank FROM (
+             |  SELECT q_id, vec_id,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY s DESC, vec_id) AS INT) AS rank
+             |  FROM (SELECT q.q_id, c.vec_id, $scoreExpr AS s
+             |        FROM c CROSS JOIN q)) WHERE rank <= 10"""
+            .stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+           |  WHERE vec_id BETWEEN 1 AND 10),
+           |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 10),
+           |gold AS MATERIALIZED (
+           |${ranked(OracleSql.cosine("c.embedding", "q.qvec"))}),
+           |sys AS MATERIALIZED (
+           |${ranked(OracleSql.cosine("c.embedding[1:16]", "q.qvec[1:16]"))}),
+           |hits AS (
+           |  SELECT g.q_id, count(*) / 10.0::DOUBLE AS r
+           |  FROM gold g JOIN sys s ON s.q_id = g.q_id AND s.vec_id = g.vec_id
+           |  GROUP BY g.q_id),
+           |recall AS (
+           |  SELECT q.q_id, coalesce(h.r, 0.0::DOUBLE) AS recall_at_10
+           |  FROM q LEFT JOIN hits h ON h.q_id = q.q_id),
+           |rr AS (
+           |  SELECT g.q_id, 1.0::DOUBLE / s.rank AS rr
+           |  FROM gold g JOIN sys s ON s.q_id = g.q_id AND s.vec_id = g.vec_id
+           |  WHERE g.rank = 1)
+           |SELECT r.q_id, r.recall_at_10, coalesce(rr.rr, 0.0::DOUBLE) AS rr
+           |FROM recall r LEFT JOIN rr ON rr.q_id = r.q_id
+           |ORDER BY r.q_id""".stripMargin
+      }),
+
     // Hard-negative mining: per anchor, the 5 most-similar corpus vectors
     // with a DIFFERENT label, capped at 0.99 similarity (the semi-hard
     // band) — the contrastive-training curation step. Same one-scan
