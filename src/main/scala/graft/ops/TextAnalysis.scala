@@ -135,6 +135,30 @@ object TextAnalysis {
       .orderBy(col("domain"), col("sample_rank"))
   }
 
+  /** Curriculum phase assignment: within each domain, rank documents by
+    * quality (clean → noisy) into `phases` equal ntile buckets, then give
+    * every phase a deterministic hash60 shuffle order — a curriculum
+    * training run streams phase 1 of every domain first, in reproducible
+    * pseudo-random order inside each phase. Both windows are partitioned
+    * (domain, then domain×phase) — there is no corpus-wide sort, so the
+    * plan holds at 100 TB as long as single domains fit their executors
+    * (pre-salt a mega-domain if not). */
+  def curriculum(docs: DataFrame, idCol: String, textCol: String,
+                 domainCol: String, phases: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quality(docs, idCol, textCol).select(col("doc_id"), col("quality"))
+      .join(docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain")),
+        "doc_id")
+    val byQuality = Window.partitionBy(col("domain"))
+      .orderBy(desc("quality"), col("doc_id"))
+    val byHash = Window.partitionBy(col("domain"), col("phase"))
+      .orderBy(hash60(col("doc_id").cast("string")), col("doc_id"))
+    q.withColumn("phase", ntile(phases).over(byQuality))
+      .withColumn("pos", row_number().over(byHash))
+      .select(col("doc_id"), col("domain"), col("phase"), col("pos"))
+      .orderBy(col("domain"), col("phase"), col("pos"))
+  }
+
   /** Token counting: whitespace tokens, characters, a chars/4 budget
     * estimate, and a BPE-ish regex segmentation (letter runs | digit runs |
     * single other-glyphs — the GPT-2-style pre-tokenizer shape, restricted

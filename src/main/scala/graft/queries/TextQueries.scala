@@ -578,5 +578,41 @@ object TextQueries {
              |    i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
              |  FROM words)
              |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM pairs
-             |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)))
+             |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // Curriculum phases: per source domain, quality quartiles (phase 1 =
+    // cleanest) with a deterministic hash60 shuffle inside each phase —
+    // the curriculum-learning data order. Quality formula identical to
+    // q24's (bit-matched there); both windows partitioned, never a
+    // corpus-wide sort.
+    Entry("q142_curriculum",
+      (s, d) => graft.ops.TextAnalysis.curriculum(
+        Tables.documents(s, d), "doc_id", "text", "source", phases = 4),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, source,
+              |    CAST(len(toks) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              |    CAST(len(list_filter(toks, x -> list_contains([${
+                TextAnalysis.langMarkers.values.flatten.toSeq.distinct.sorted
+                  .map(m => s"'$m'").mkString(", ")}], x))) AS BIGINT) AS n_stop
+              |  FROM t),
+              |scored AS (
+              |  SELECT doc_id, source AS domain,
+              |    0.4 * least(1.0, n_tokens / 64.0)
+              |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+              |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+              |  FROM f),
+              |phased AS (
+              |  SELECT doc_id, domain,
+              |    CAST(ntile(4) OVER (PARTITION BY domain
+              |      ORDER BY quality DESC, doc_id) AS INT) AS phase
+              |  FROM scored)
+              |SELECT doc_id, domain, phase,
+              |  CAST(row_number() OVER (PARTITION BY domain, phase
+              |    ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT)
+              |    AS pos
+              |FROM phased ORDER BY domain, phase, pos""".stripMargin)))
 }
