@@ -152,6 +152,60 @@ object Dedup {
     out
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * signature-estimated Jaccard (matching components / numHashes) next to
+    * the TRUE n-gram Jaccard and the signed error — the harness that tunes
+    * (numHashes, bands, threshold) before a corpus-scale dedup run. Same
+    * shuffle budget as [[minhashLsh]]: signatures stream the raw explode,
+    * the quadratic work touches banded candidates only; a banding false
+    * positive with zero true overlap is KEPT (true_jaccard 0) — those rows
+    * are exactly the calibration signal. All arithmetic is exact
+    * (integer match counts, two single divisions), so rows hash-match an
+    * oracle reproducing the same affine min-hashes. */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int, numHashes: Int,
+                         numBands: Int): DataFrame = {
+    val sig = minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK),
+      numHashes).persist()
+    val cand = candidatePairs(bands(sig, numHashes, numBands)).persist()
+    val renameA = (0 until numHashes).foldLeft(
+      sig.withColumnRenamed("doc_id", "doc_a")) {
+      (d, i) => d.withColumnRenamed(s"h$i", s"a_h$i") }
+    val renameB = (0 until numHashes).foldLeft(
+      sig.withColumnRenamed("doc_id", "doc_b")) {
+      (d, i) => d.withColumnRenamed(s"h$i", s"b_h$i") }
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(renameA, "doc_a").join(renameB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches / lit(numHashes.toDouble)).as("est_jaccard"))
+    // true Jaccard over the candidate population only (semi-join + explode)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingleSets(docs.join(broadcast(candDocs),
+        docs(idCol) === candDocs("doc_id"), "left_semi"),
+      idCol, textCol, shingleK).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val out = est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .withColumn("true_jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
+      .withColumn("err", col("est_jaccard") - col("true_jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("true_jaccard"), col("err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sig.unpersist(); cand.unpersist(); sh.unpersist()
+    out
+  }
+
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH
     * pipeline: one inverted-index self-join, intersection counts aggregated
     * directly from the co-occurrence rows (single pass, no pair-set

@@ -614,5 +614,59 @@ object TextQueries {
               |  CAST(row_number() OVER (PARTITION BY domain, phase
               |    ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT)
               |    AS pos
-              |FROM phased ORDER BY domain, phase, pos""".stripMargin)))
+              |FROM phased ORDER BY domain, phase, pos""".stripMargin)),
+
+    // MinHash estimator calibration: for every LSH candidate pair, the
+    // signature-estimated Jaccard next to the true n-gram Jaccard and the
+    // signed error — the harness that tunes (hashes, bands, threshold)
+    // before a corpus dedup run. Banding false positives are KEPT
+    // (true_jaccard 0): they are the calibration signal.
+    Entry("q143_minhash_calibration",
+      (s, d) => graft.ops.Dedup.minhashCalibration(Tables.documents(s, d),
+        "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4),
+      Some {
+        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+        val sigCols = (0 until 16).map(i =>
+          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val matchSum = (0 until 16).map(i =>
+          s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $shingleCtes,
+           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+           |sig AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id),
+           |est AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    ($matchSum) / 16.0::DOUBLE AS est_jaccard
+           |  FROM cand c
+           |  JOIN sig sa ON sa.doc_id = c.doc_a
+           |  JOIN sig sb ON sb.doc_id = c.doc_b),
+           |inter AS (
+           |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ni
+           |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           |  JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+           |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           |  coalesce(i.ni, 0) / (na.n + nb.n - coalesce(i.ni, 0)) AS true_jaccard,
+           |  e.est_jaccard
+           |    - coalesce(i.ni, 0) / (na.n + nb.n - coalesce(i.ni, 0)) AS err
+           |FROM est e
+           |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+           |JOIN sizes na ON na.doc_id = e.doc_a
+           |JOIN sizes nb ON nb.doc_id = e.doc_b
+           |ORDER BY e.doc_a, e.doc_b""".stripMargin
+      }))
 }
