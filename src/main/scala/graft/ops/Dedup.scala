@@ -206,6 +206,35 @@ object Dedup {
     out
   }
 
+  /** Incremental LSH maintenance for streaming ingest dedup — the Dedup
+    * twin of `IvfIndex.appendBatch`: only the NEW batch is shingled and
+    * hashed; its band rows fold into the standing band table, and the
+    * candidate-pair DELTA comes from joining the new bands against the
+    * updated table (new×all, never a corpus rebuild). Because every
+    * signature component is a `min` (a monoid), folding batches yields
+    * bit-identically the full-corpus band table — so incremental deltas
+    * union to exactly the full-run candidate set (spec-pinned).
+    *
+    * Returns (updated band table, delta candidate pairs (doc_a < doc_b)
+    * touching the new batch). Verification (exact Jaccard on the delta)
+    * composes via [[jaccardVerify]], as in [[minhashLsh]]. */
+  def appendLshBands(state: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String, shingleK: Int, numHashes: Int,
+                     numBands: Int): (DataFrame, DataFrame) = {
+    val newBands = bands(
+      minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK), numHashes),
+      numHashes, numBands).localCheckpoint(true)
+    val all = state.union(newBands).localCheckpoint(true)
+    val a = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
+    val b = all.select(col("doc_id").as("y"), col("band_idx"), col("band_key"))
+    val delta = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+              greatest(col("x"), col("y")).as("doc_b"))
+      .distinct()
+    (all, delta)
+  }
+
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH
     * pipeline: one inverted-index self-join, intersection counts aggregated
     * directly from the co-occurrence rows (single pass, no pair-set

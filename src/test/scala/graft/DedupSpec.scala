@@ -72,4 +72,43 @@ class DedupSpec extends SparkSpec {
         s"banded != all-pairs at maxDist=$maxDist")
     }
   }
+
+  test("minhashCalibration: exact dup estimates 1.0 with zero error, bounds hold") {
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (est14, true14, err14) = out((1L, 4L)) // exact duplicates
+    assert(est14 === 1.0 && true14 === 1.0 && err14 === 0.0)
+    out.values.foreach { case (e, t, err) =>
+      assert(e >= 0.0 && e <= 1.0 && t >= 0.0 && t <= 1.0)
+      assert(err === e - t)
+    }
+  }
+
+  test("appendLshBands: batch folds reproduce the full-corpus bands and pairs") {
+    val corpus = docs.filter(col("doc_id") =!= 5) // only shingle-able docs
+    val batch1 = corpus.filter(col("doc_id") <= 2)
+    val batch2 = corpus.filter(col("doc_id") > 2)
+    val empty = spark.emptyDataset[(Long, Int, String)]
+      .toDF("doc_id", "band_idx", "band_key")
+    val (state1, delta1) = Dedup.appendLshBands(empty, batch1,
+      "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4)
+    val (state2, delta2) = Dedup.appendLshBands(state1, batch2,
+      "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4)
+    // folded state == full one-shot band table (min is a monoid)
+    val full = Dedup.bands(Dedup.minhashSignatures(
+      Dedup.shingleRaw(corpus, "doc_id", "text", 3), 16), 16, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows(state2) === rows(full))
+    // union of deltas == full-run candidate pairs
+    val fullPairs = Dedup.candidatePairs(full)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltas = (delta1.collect() ++ delta2.collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deltas === fullPairs)
+    // the known near/exact-dup cluster {1,2,4} is found incrementally
+    assert(deltas.contains((1L, 4L)) && deltas.contains((1L, 2L)))
+  }
 }

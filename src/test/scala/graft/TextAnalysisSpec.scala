@@ -167,6 +167,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("curriculum: balanced phases per domain, dense positions, clean docs first") {
+    val corpus = (1L to 40L).map { i =>
+      val txt = if (i % 4 == 0) "a the of and to in is a the of and to" // stopword soup
+        else s"document number $i carries distinct useful words like item$i value$i"
+      (i, txt, if (i <= 20) "web" else "code")
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.curriculum(corpus, "doc_id", "text", "source", phases = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      // ntile: 20 docs / 4 phases = 5 each
+      assert(rows.groupBy(_._3).view.mapValues(_.length).toMap ===
+        Map(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 5))
+      // positions dense 1..5 within each phase
+      rows.groupBy(_._3).values.foreach { ph =>
+        assert(ph.map(_._4).sorted.toSeq === (1 to 5))
+      }
+      // the low-quality stopword-soup docs are never in phase 1
+      rows.filter(_._1 % 4 == 0).foreach { case (_, _, phase, _) =>
+        assert(phase >= 2, "stopword soup landed in the cleanest phase")
+      }
+    }
+  }
+
   test("mixtureSample: every domain gets at least one doc") {
     val corpus = ((1L to 995L).map(i => (i, "big")) ++
       Seq((996L, "tiny"))).toDF("doc_id", "source")
