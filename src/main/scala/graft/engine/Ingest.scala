@@ -124,7 +124,8 @@ object Ingest {
                       exactKeyCols: Seq[String] = Seq("name"),
                       semanticFullScanThreshold: Long = 100000L,
                       semanticNCentroids: Int = 64,
-                      semanticNProbe: Int = 8): DataFrame = {
+                      semanticNProbe: Int = 8,
+                      semanticCorpusRows: Option[Long] = None): DataFrame = {
     val embedUdf = udf((s: String) => embedder.embed(s))
 
     // exact-stage key: all identifier columns non-null, joined with an
@@ -167,7 +168,12 @@ object Ingest {
     // (spec-pinned); below that it is ANN with the usual recall knob —
     // matching the reference, whose semantic stage probes an HNSW
     // collection, not a full scan (memory_graph.py:10816-11035).
-    val useIvf = semantic.count() > semanticFullScanThreshold
+    // Plan choice needs the property-corpus size; counting it is one extra
+    // job per ingest batch, so a caller that already knows the size (a
+    // catalog row count, the previous batch's figure — it only has to be
+    // right relative to the threshold) can pass `semanticCorpusRows` and
+    // keep this fully lazy.
+    val useIvf = semanticCorpusRows.getOrElse(semantic.count()) > semanticFullScanThreshold
     val bestSem =
       if (!useIvf)
         cand

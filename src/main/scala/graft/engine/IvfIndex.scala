@@ -63,10 +63,19 @@ object IvfIndex {
     * centroid table per micro-batch, map-side only — no shuffle of the
     * standing assignment), so `appendBatch ∘ appendBatch == build` over the
     * union given the same centroids, and probes see new rows immediately.
-    * Centroid drift under sustained ingest is handled the same way the
-    * reference handles index degradation: a periodic offline `build`
-    * (swapWrite'd), not per-batch rebalancing. */
-  def appendBatch(index: Index, batch: DataFrame, idCol: String, vecCol: String): Index =
-    index.copy(assigned = index.assigned.unionByName(
-      Similarity.ivfAssign(batch, index.centroids, idCol, vecCol)))
+    * A true UPSERT: rows whose id is in the batch are replaced, so
+    * re-delivering a batch (at-least-once streaming) or re-ingesting a
+    * changed vector never leaves duplicate or stale assignment rows. Each
+    * append localCheckpoints the merged assignment — lineage stays one
+    * node deep under sustained micro-batch ingest instead of growing one
+    * union per batch. Centroid drift under sustained ingest is handled the
+    * same way the reference handles index degradation: a periodic offline
+    * `build` (swapWrite'd), not per-batch rebalancing. */
+  def appendBatch(index: Index, batch: DataFrame, idCol: String, vecCol: String): Index = {
+    val assignedNew = Similarity.ivfAssign(batch, index.centroids, idCol, vecCol)
+    index.copy(assigned = index.assigned
+      .join(assignedNew.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .unionByName(assignedNew)
+      .localCheckpoint(true))
+  }
 }

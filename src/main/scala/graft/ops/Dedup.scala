@@ -217,14 +217,21 @@ object Dedup {
     *
     * Returns (updated band table, delta candidate pairs (doc_a < doc_b)
     * touching the new batch). Verification (exact Jaccard on the delta)
-    * composes via [[jaccardVerify]], as in [[minhashLsh]]. */
+    * composes via [[jaccardVerify]], as in [[minhashLsh]]. The state fold
+    * is a doc-keyed UPSERT (existing rows for the batch's doc ids are
+    * dropped first), so re-delivering a batch is a no-op on the state and
+    * re-ingesting a doc with changed text replaces its stale bands instead
+    * of accumulating both generations. */
   def appendLshBands(state: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, shingleK: Int, numHashes: Int,
                      numBands: Int): (DataFrame, DataFrame) = {
     val newBands = bands(
       minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK), numHashes),
       numHashes, numBands).localCheckpoint(true)
-    val all = state.union(newBands).localCheckpoint(true)
+    val all = state
+      .join(newBands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .union(newBands)
+      .localCheckpoint(true)
     val a = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
     val b = all.select(col("doc_id").as("y"), col("band_idx"), col("band_key"))
     val delta = a.join(b, Seq("band_idx", "band_key"))

@@ -455,7 +455,11 @@ object GraphAnalytics {
     * oracle-able by unrolling steps. Each step is one frontier⋈edges join
     * plus one min_by pick, both shuffling on the node id; walks advance in
     * lock-step so the whole batch costs `steps` rounds regardless of walk
-    * count. Returns (walk_id, step, node) including step 0. */
+    * count. Returns (walk_id, step, node) including step 0. A start with
+    * no edge (or a dead end, impossible on a symmetrized graph once
+    * entered) simply ends its walk early — it keeps its step-0 row, so
+    * output rows are ≤ starts × (steps + 1), with equality when every
+    * start is in the graph. */
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
     import graft.functions.Fns.hash60
     val e = edges.select(col("src"), col("dst")).persist()

@@ -78,7 +78,16 @@ object Rerank {
         val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
         if (simRound >= 0) math.rint(c * pow10) / pow10 else c
       }
-      val rel = rows.map(r => r.get(rIdx).toString.toDouble)
+      // null/NaN relevance ranks LAST (−∞), never crashes the batch — one
+      // bad score in a bounded candidate set must not kill the query
+      val rel = rows.map { r =>
+        val v = r.get(rIdx)
+        if (v == null) Double.NegativeInfinity
+        else {
+          val d = v.toString.toDouble
+          if (d.isNaN) Double.NegativeInfinity else d
+        }
+      }
       val ids = rows.map(r => r.get(iIdx))
       // ties break by the id column under ITS OWN ordering (numeric ids
       // numerically — an independent SQL replay orders vec_id that way,
@@ -99,7 +108,11 @@ object Rerank {
         while (i < rows.length) {
           if (!taken(i)) {
             val s = lambda * rel(i) - (1 - lambda) * (if (picked.isEmpty) 0.0 else maxSim(i))
-            if (s > bestScore || (s == bestScore && best >= 0 && idLt(ids(i), ids(best)))) {
+            // best == -1 seeds from the first untaken row, so an all-(-∞)
+            // remainder still picks deterministically (smallest id wins via
+            // the tie branch) instead of indexing taken(-1)
+            if (best == -1 || s > bestScore ||
+                (s == bestScore && idLt(ids(i), ids(best)))) {
               best = i; bestScore = s
             }
           }

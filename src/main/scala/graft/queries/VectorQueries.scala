@@ -464,7 +464,8 @@ object VectorQueries {
              |  greatest(s.msim, round(${cosineSql("s.embedding", "p.embedding")}, 6)) AS msim
              |  FROM $src s, p${n - 1} p WHERE s.vec_id <> p.vec_id),
              |p$n AS (SELECT vec_id, embedding, rel FROM s${n - 1}
-             |  ORDER BY 0.7*rel - 0.3*msim DESC, vec_id LIMIT 1)""".stripMargin
+             |  ORDER BY 0.7::DOUBLE * rel - (1.0::DOUBLE - 0.7::DOUBLE) * msim
+             |    DESC, vec_id LIMIT 1)""".stripMargin
         }.mkString(",\n")
         val out = (1 to 5).map(n =>
           s"SELECT $n AS mmr_rank, vec_id, CAST(rel AS REAL) AS rel FROM p$n")

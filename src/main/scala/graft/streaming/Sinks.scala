@@ -76,15 +76,30 @@ object Sinks {
     * }}}
     *
     * Append mode emits each window EXACTLY ONCE after the watermark passes
-    * its end, so folding by the (sum,sum,min,max) monoid never
-    * double-counts — and events later than the watermark are dropped
-    * UPSTREAM by the aggregation, giving the rollup the same late-data
-    * contract as every other watermarked sink (spec-pinned). History is
-    * never rescanned: each refresh reads the batch plus the current rollup
+    * its end — and events later than the watermark are dropped UPSTREAM by
+    * the aggregation, giving the rollup the same late-data contract as
+    * every other watermarked sink (spec-pinned). foreachBatch delivery is
+    * only AT-least-once, though: a crash between the snapshot swap and the
+    * streaming checkpoint commit re-delivers the batch, and the
+    * (sum,sum,min,max) monoid is not idempotent. So the sink anti-joins
+    * the batch against the standing snapshot on the key columns first:
+    * since append mode emits each (window, keys) row exactly once across
+    * the stream's lifetime, any key already present in the snapshot IS a
+    * replay — dropping it makes the fold idempotent at window granularity
+    * (spec-pinned by folding the same batch twice). History is never
+    * rescanned: each refresh reads the batch plus the current rollup
     * snapshot only, and the swap is atomic (see IncrementalAgg.refresh). */
   def rollupRefresh(path: String, keys: Seq[String])
-                   (batch: DataFrame, batchId: Long): Unit =
-    graft.ops.IncrementalAgg.refreshPartial(batch.sparkSession, path, batch, keys)
+                   (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fresh = graft.sources.Writers
+      .readSnapshot(spark, path, batch.schema)
+      .map(snap => batch.join(
+        snap.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti"))
+      .getOrElse(batch)
+    graft.ops.IncrementalAgg.refreshPartial(spark, path, fresh, keys)
+  }
 
   /** foreachBatch body: fold newly-ingested embedding rows into the
     * standing IVF assignment snapshot at `path` — ANN index MAINTENANCE as

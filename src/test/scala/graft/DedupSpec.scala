@@ -110,5 +110,10 @@ class DedupSpec extends SparkSpec {
     assert(deltas === fullPairs)
     // the known near/exact-dup cluster {1,2,4} is found incrementally
     assert(deltas.contains((1L, 4L)) && deltas.contains((1L, 2L)))
+    // at-least-once redelivery: re-folding batch2 leaves the state unchanged
+    val (stateReplay, _) = Dedup.appendLshBands(state2, batch2,
+      "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4)
+    assert(rows(stateReplay) === rows(full),
+      "replayed batch duplicated band rows in the standing state")
   }
 }

@@ -57,6 +57,12 @@ class IvfIndexSpec extends SparkSpec {
       .select(udf((t: String) => new graft.engine.HashEmbedder(64).embed(t)).apply($"t").as("qvec"))
     val pruned = IvfIndex.prunedCorpus(grown, q, nProbe = 8)
     assert(pruned.count() === n, "nProbe=all over grown index must cover every row")
+    // upsert semantics: re-appending an already-indexed batch (at-least-once
+    // redelivery) must not duplicate assignment rows
+    val replayed = IvfIndex.appendBatch(grown, second, "chunk_id", "embedding")
+    assert(replayed.assigned.count() === n,
+      "re-delivered batch duplicated assignment rows")
+    assert(replayed.assigned.select("chunk_id").distinct().count() === n)
   }
 
   test("searchIndexed finds the query's own memory (self-retrieval recall)") {

@@ -47,4 +47,24 @@ class RerankSpec extends SparkSpec {
     assert(runs.distinct.size === 1)
     assert(runs.head === Seq("x", "y"))
   }
+
+  test("null/NaN relevance ranks last and never crashes the batch") {
+    val dirty = Seq(
+      ("a", Array(1.0f, 0.0f, 0.0f), java.lang.Double.valueOf(0.9)),
+      ("b", Array(0.0f, 1.0f, 0.0f), java.lang.Double.valueOf(Double.NaN)),
+      ("c", Array(0.0f, 0.0f, 1.0f), null.asInstanceOf[java.lang.Double])
+    ).toDF("id", "emb", "rel")
+    val out = Rerank.mmr(dirty, "emb", "id", "rel", k = 3, lambda = 0.7)
+      .orderBy("mmr_rank").select("id").as[String].collect().toSeq
+    // the one real score leads; the −∞ rows follow in id order
+    assert(out === Seq("a", "b", "c"))
+    // all-bad candidate set: still deterministic, still no crash
+    val allBad = Seq(
+      ("x", Array(1.0f, 0.0f, 0.0f), null.asInstanceOf[java.lang.Double]),
+      ("y", Array(0.0f, 1.0f, 0.0f), null.asInstanceOf[java.lang.Double])
+    ).toDF("id", "emb", "rel")
+    val out2 = Rerank.mmr(allBad, "emb", "id", "rel", k = 2, lambda = 0.7)
+      .orderBy("mmr_rank").select("id").as[String].collect().toSeq
+    assert(out2 === Seq("x", "y"))
+  }
 }

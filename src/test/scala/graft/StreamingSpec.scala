@@ -190,6 +190,19 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       assert(snapshot().view.filterKeys(_._2 != "u9").toMap === expected,
         "late event re-opened a closed window in the rollup")
+
+      // foreachBatch is at-least-once: re-delivering an already-folded
+      // batch of closed windows must be a no-op (the sink anti-joins on
+      // the key columns), not a monoid double-count
+      val replay = (batch1 ++ batch2).toDF()
+        .select(window($"ts", "7 days").getField("start").as("ws"),
+          $"user_id", $"similarity")
+        .groupBy($"ws", $"user_id")
+        .agg(count(lit(1)).as("cnt"), sum($"similarity").as("sm"),
+          min($"similarity").as("mn"), max($"similarity").as("mx"))
+      graft.streaming.Sinks.rollupRefresh(path, Seq("ws", "user_id"))(replay, 999L)
+      assert(snapshot().view.filterKeys(_._2 != "u9").toMap === expected,
+        "replayed batch double-counted into the rollup")
     } finally query.stop()
   }
 
