@@ -1001,12 +1001,16 @@ object BreadthQueries {
     Entry("q140_random_walks",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        // materialize the co-purchase build ONCE — both the starts pick and
+        // the walk rounds read it (cache lookup is exact-plan, so without
+        // this the lineitem self-join would run twice)
         val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
           .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
           .filter(col("src") < col("dst"))
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
           .filter(col("n_co") >= 2)
           .select(col("src"), col("dst"))
+          .localCheckpoint(true)
         val starts = edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id")))
           .distinct().orderBy(col("id")).limit(8)
