@@ -446,6 +446,45 @@ object GraphAnalytics {
     labels
   }
 
+  /** Per-community Newman modularity contributions for a given partition:
+    * for community c, Q_c = m_c/m − (D_c/2m)², where m = |undirected
+    * edges|, m_c = intra-community edges, D_c = Σ degrees of members; the
+    * partition's modularity is Σ Q_c. The community-quality eval for
+    * [[labelPropagation]] (or any (id, lbl) assignment) — same harness
+    * family as the ANN-recall and MinHash-calibration queries. All
+    * arithmetic is exact counts plus three IEEE-identical scalar ops per
+    * row, so rows are oracle-able. Plan: two aggregations and two
+    * broadcast-sized joins — the heavy relations (edges, labels) shuffle
+    * once each on the vertex id. Returns (lbl, n_members, intra_edges,
+    * degree_sum, q_c) ordered by community label. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = canon.count().toDouble
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val intra = canon.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("intra_edges"))
+    val deg = canon.select(col("a").as("id"))
+      .union(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val commStats = labels.join(deg, "id")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
+    commStats.join(intra, Seq("lbl"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .withColumn("q_c",
+        col("intra_edges") / lit(m) -
+          (col("degree_sum") / lit(2.0 * m)) * (col("degree_sum") / lit(2.0 * m)))
+      .select(col("lbl"), col("n_members"), col("intra_edges"),
+        col("degree_sum"), col("q_c"))
+      .orderBy(col("lbl"))
+  }
+
   /** Deterministic hash random walks — the node2vec/DeepWalk corpus
     * generation step with the rand() replaced by a pseudo-random hash pick:
     * from node u at step t, walk w moves to the neighbor v minimizing

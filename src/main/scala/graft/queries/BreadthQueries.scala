@@ -1049,5 +1049,75 @@ object BreadthQueries {
            |  UNION ALL SELECT walk_id, 2, node FROM w2
            |  UNION ALL SELECT walk_id, 3, node FROM w3)
            |ORDER BY walk_id, step""".stripMargin
+      }),
+
+    // Community-quality eval: per-community Newman modularity contribution
+    // Q_c = m_c/m − (D_c/2m)² for the q131 LPA partition — the harness
+    // that decides whether a community structure is real before acting on
+    // it (same eval family as q141 recall and q143 calibration). Exact
+    // counts + three IEEE-identical scalar ops per row.
+    Entry("q144_modularity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // read by both the LPA rounds and the scorer
+        val labels = GraphAnalytics.labelPropagation(edges, rounds = 4)
+        GraphAnalytics.modularity(edges, labels)
+      },
+      Some {
+        val rounds = 4
+        val steps = (1 to rounds).map { i =>
+          val prev = s"l${i - 1}"
+          s"""v$i AS MATERIALIZED (
+             |  SELECT s.dst AS id, l.lbl, count(*) AS c
+             |  FROM sym s JOIN $prev l ON l.id = s.src
+             |  GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl,
+             |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+             |    FROM v$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val twoM = s"(2.0::DOUBLE * (SELECT m FROM mm))"
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS n_co
+           |    FROM lineitem a
+           |    JOIN lineitem b
+           |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |    GROUP BY 1, 2) WHERE n_co >= 2),
+           |sym AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id, src AS lbl FROM sym),
+           |$steps,
+           |mm AS (SELECT count(*)::DOUBLE AS m FROM e),
+           |deg AS (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+           |  GROUP BY id),
+           |comm AS (
+           |  SELECT l.lbl, count(*) AS n_members,
+           |    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+           |  FROM l$rounds l JOIN deg d ON d.id = l.id GROUP BY l.lbl),
+           |intra AS (
+           |  SELECT la.lbl, count(*) AS intra_edges
+           |  FROM e JOIN l$rounds la ON la.id = e.src
+           |         JOIN l$rounds lb ON lb.id = e.dst
+           |  WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+           |SELECT c.lbl, c.n_members,
+           |  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           |  c.degree_sum,
+           |  coalesce(i.intra_edges, 0) / (SELECT m FROM mm)
+           |    - (c.degree_sum::DOUBLE / $twoM) * (c.degree_sum::DOUBLE / $twoM)
+           |    AS q_c
+           |FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl
+           |ORDER BY c.lbl""".stripMargin
       }))
 }

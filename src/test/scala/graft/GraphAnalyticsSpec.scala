@@ -224,6 +224,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert((5L to 8L).map(out).toSet === Set(5L))
   }
 
+  test("modularity: bridged cliques score strongly positive; sums close") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) ++ Seq((4L, 5L)))
+      .toDF("src", "dst")
+    val labels = GraphAnalytics.labelPropagation(edges, rounds = 4)
+    val out = GraphAnalytics.modularity(edges, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val m = 13.0 // 2 × C(4,2) + bridge
+    // invariants: members cover the graph, Σ intra ≤ m (bridge is inter),
+    // Σ degree_sum = 2m
+    assert(out.map(_._2).sum === 8L)
+    assert(out.map(_._3).sum === 12L) // all but the bridge edge
+    assert(out.map(_._4).sum === 26L)
+    // hand-computed Q_c for the {1..4} community: 6/13 − (13/26)² = 0.2115…
+    val q1 = out.find(_._1 == 1L).get._5
+    assert(math.abs(q1 - (6.0 / m - 0.25)) < 1e-12)
+    // the 2-clique partition is strongly modular overall
+    assert(out.map(_._5).sum > 0.4)
+  }
+
   test("labelPropagation is schedule-free: matches a single-threaded sync model") {
     // reference model: same synchronous update computed serially on the
     // driver — the distributed rounds must agree exactly, any rounds count
