@@ -117,4 +117,41 @@ object Sinks {
                  (batch: DataFrame, batchId: Long): Unit =
     keyedUpsert(path, idCol)(
       graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
+
+  /** foreachBatch body: maintain the standing MinHash-LSH band table at
+    * `path` — streaming-ingest DEDUP maintenance, the near-dup twin of
+    * [[indexAppend]]'s ANN path. Each micro-batch shingles and hashes only
+    * its own docs ([[graft.ops.Dedup.appendLshBands]]); the fold is a
+    * doc-keyed upsert of band ROW GROUPS (a doc owns numBands rows), so
+    * at-least-once redelivery is a no-op on the state and re-ingested
+    * changed text replaces its stale bands. When `pairsPath` is given, the
+    * batch's candidate-pair DELTA (new×all, doc_a < doc_b) upserts there
+    * under a synthetic pair key — also replay-idempotent — giving
+    * downstream verification (exact Jaccard, clustering, survivor
+    * selection) a standing pair feed that only ever grew by candidate
+    * work, never a corpus rescan. */
+  def lshIndexAppend(path: String, idCol: String, textCol: String,
+                     shingleK: Int, numHashes: Int, numBands: Int,
+                     pairsPath: Option[String] = None)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    // schema probe: same pipeline over zero rows — analysis only, no jobs
+    val probe = Dedup.bands(Dedup.minhashSignatures(
+      Dedup.shingleRaw(batch.limit(0), idCol, textCol, shingleK), numHashes),
+      numHashes, numBands)
+    val state = Writers.readSnapshot(spark, path, probe.schema)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], probe.schema))
+    val (all, delta) = Dedup.appendLshBands(state, batch, idCol, textCol,
+      shingleK, numHashes, numBands)
+    // appendLshBands localCheckpoints `all`, so the swap writes from
+    // materialized data, never re-reading `path` mid-replace
+    Writers.swapWrite(all, path)
+    pairsPath.foreach { pp =>
+      val pairs = delta.withColumn("pair_key",
+        concat_ws("|", col("doc_a"), col("doc_b")))
+      keyedUpsert(pp, "pair_key")(pairs, batchId)
+    }
+  }
 }

@@ -206,6 +206,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("LSH band sink: streamed batches equal the one-shot build; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("lsh").toString
+    val (bandsPath, pairsPath) = (base + "/bands", base + "/pairs")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(graft.streaming.Sinks.lshIndexAppend(bandsPath,
+        "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
+        pairsPath = Some(pairsPath)) _)
+      .start()
+    try {
+      input.addData(corpus.take(2)); query.processAllAvailable()
+      input.addData(corpus.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    import graft.ops.Dedup
+    def bandRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band_idx", "band_key")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val oneShot = Dedup.bands(Dedup.minhashSignatures(
+      Dedup.shingleRaw(corpus.toDF("doc_id", "text"), "doc_id", "text", 3), 16), 16, 4)
+    assert(bandRows(spark.read.parquet(bandsPath)) === bandRows(oneShot))
+    // pair feed covers the dup cluster {1,2,4}, discovered across batches
+    val pairs = spark.read.parquet(pairsPath)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    // at-least-once redelivery of the second batch: both snapshots unchanged
+    graft.streaming.Sinks.lshIndexAppend(bandsPath, "doc_id", "text",
+      3, 16, 4, Some(pairsPath))(corpus.drop(2).toDF("doc_id", "text"), 99L)
+    assert(bandRows(spark.read.parquet(bandsPath)) === bandRows(oneShot))
+    assert(spark.read.parquet(pairsPath).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
+  }
+
   test("streaming dedup: replayed event ids are dropped within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AccessEvent]
