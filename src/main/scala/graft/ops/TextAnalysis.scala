@@ -135,6 +135,33 @@ object TextAnalysis {
       .orderBy(col("domain"), col("sample_rank"))
   }
 
+  /** Unigram LM surprise — the perplexity-proxy quality filter (the CCNet /
+    * Gopher "LM score" step with the LM reduced to the corpus's own unigram
+    * distribution): per document, the mean negative log-likelihood
+    * −Σ ln(count(w)/total) / n over its tokens. Outlier-high surprise marks
+    * gibberish/rare-token soup; outlier-low marks boilerplate. One explode +
+    * two aggregations; the corpus total is a one-row broadcast.
+    *
+    * `avg_surprise` is emitted as float32: ln is the one non-correctly-
+    * rounded op in the pipeline (JVM vs libm may differ 1 ulp on some
+    * arguments), and the per-doc sum order is partition-dependent —
+    * float32 absorbs both (≤1e-13 relative drift vs 1e-7 resolution),
+    * the same discipline as the TF-IDF scores (q75). */
+  def unigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = toks.count().toDouble
+    toks.join(counts, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(-log(col("c") / lit(total))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s") / col("n_tokens")).cast("float").as("avg_surprise"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curriculum phase assignment: within each domain, rank documents by
     * quality (clean → noisy) into `phases` equal ntile buckets, then give
     * every phase a deterministic hash60 shuffle order — a curriculum

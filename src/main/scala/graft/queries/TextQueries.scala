@@ -668,5 +668,24 @@ object TextQueries {
            |JOIN sizes na ON na.doc_id = e.doc_a
            |JOIN sizes nb ON nb.doc_id = e.doc_b
            |ORDER BY e.doc_a, e.doc_b""".stripMargin
-      }))
+      }),
+
+    // Unigram LM surprise: mean −ln p(w) per document against the corpus's
+    // own unigram distribution — the perplexity-proxy quality filter.
+    // Emitted float32 (ln drift + sum order absorbed, q75 discipline).
+    Entry("q145_unigram_surprise",
+      (s, d) => graft.ops.TextAnalysis.unigramSurprise(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |tk AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+             |cnt AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+             |tot AS (SELECT count(*)::DOUBLE AS t FROM tk)
+             |SELECT doc_id,
+             |  count(*) AS n_tokens,
+             |  CAST(sum(-ln(c / (SELECT t FROM tot))) / count(*) AS REAL)
+             |    AS avg_surprise
+             |FROM tk JOIN cnt USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }
