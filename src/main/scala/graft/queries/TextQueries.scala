@@ -687,5 +687,57 @@ object TextQueries {
              |  CAST(sum(-ln(c / (SELECT t FROM tot))) / count(*) AS REAL)
              |    AS avg_surprise
              |FROM tk JOIN cnt USING (w)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // χ² keyness: the terms that CHARACTERIZE each source domain — the
+    // one-cell chi-squared (observed − expected)²/expected of each
+    // (domain, term) against independence, top 10 per domain. Corpus
+    // analysis for mixture/curation design. All arithmetic is products
+    // and divisions of exact counts (no transcendentals), so the doubles
+    // hash-match. Restricted to terms with ≥ 5 corpus occurrences (the
+    // textbook χ² validity floor, and it keeps the ranking stable).
+    Entry("q146_domain_keyness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.Fns
+        val tk = Tables.documents(s, d)
+          .select(col("source"), explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .localCheckpoint(true) // read by three aggregations below
+        val bySw = tk.groupBy(col("source"), col("w")).agg(count(lit(1)).as("n_sw"))
+        val byS = tk.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val byW = tk.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+          .filter(col("n_w") >= 5)
+        val total = tk.count().toDouble
+        val e = (col("n_s").cast("double") * col("n_w")) / lit(total)
+        val ranked = bySw.join(byW, "w").join(broadcast(byS), "source")
+          .withColumn("chi2", (col("n_sw") - e) * (col("n_sw") - e) / e)
+          .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(desc("chi2"), col("w"))))
+          .filter(col("rk") <= 10)
+        ranked.select(col("source"), col("w"), col("n_sw"),
+            col("chi2"), col("rk").cast("int").as("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT source, w FROM (
+             |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents) WHERE length(w) > 0),
+             |by_sw AS (SELECT source, w, count(*) AS n_sw FROM tk GROUP BY 1, 2),
+             |by_s AS (SELECT source, count(*) AS n_s FROM tk GROUP BY 1),
+             |by_w AS (SELECT w, count(*) AS n_w FROM tk GROUP BY 1
+             |         HAVING count(*) >= 5),
+             |tot AS (SELECT count(*)::DOUBLE AS t FROM tk),
+             |scored AS (
+             |  SELECT sw.source, sw.w, sw.n_sw,
+             |    (sw.n_sw - (s.n_s::DOUBLE * w.n_w) / (SELECT t FROM tot))
+             |      * (sw.n_sw - (s.n_s::DOUBLE * w.n_w) / (SELECT t FROM tot))
+             |      / ((s.n_s::DOUBLE * w.n_w) / (SELECT t FROM tot)) AS chi2
+             |  FROM by_sw sw JOIN by_w w USING (w) JOIN by_s s USING (source))
+             |SELECT source, w, n_sw, chi2, rk FROM (
+             |  SELECT source, w, n_sw, chi2,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY chi2 DESC, w) AS INT) AS rk
+             |  FROM scored) WHERE rk <= 10
+             |ORDER BY source, rk""".stripMargin)))
 }
