@@ -472,9 +472,12 @@ object GraphAnalytics {
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val commStats = labels.join(deg, "id")
+    // left join: a labeled vertex with no edge (isolated) still counts as
+    // a member with degree 0 — the "any (id, lbl) assignment" contract
+    val commStats = labels.join(deg, Seq("id"), "left")
       .groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
     commStats.join(intra, Seq("lbl"), "left")
       .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
       .withColumn("q_c",

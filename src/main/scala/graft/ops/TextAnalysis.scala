@@ -151,6 +151,7 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
+      .localCheckpoint(true) // read by the vocab agg, the total, and the join
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val total = toks.count().toDouble
     toks.join(counts, "w")

@@ -149,8 +149,11 @@ object Sinks {
     // materialized data, never re-reading `path` mid-replace
     Writers.swapWrite(all, path)
     pairsPath.foreach { pp =>
+      // collision-free pair key: JSON quoting keeps ("a|b","c") and
+      // ("a","b|c") distinct for ANY id content — a delimiter concat would
+      // silently merge them and dropDuplicates would discard a real pair
       val pairs = delta.withColumn("pair_key",
-        concat_ws("|", col("doc_a"), col("doc_b")))
+        to_json(struct(col("doc_a"), col("doc_b"))))
       keyedUpsert(pp, "pair_key")(pairs, batchId)
     }
   }
