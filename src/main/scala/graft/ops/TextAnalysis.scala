@@ -163,6 +163,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge training — `rounds` sequential merge rounds of byte-pair
+    * encoding over the corpus vocabulary (Sennrich et al.): words become
+    * space-joined symbol sequences; each round counts adjacent symbol
+    * pairs weighted by word frequency, merges the most frequent pair
+    * (ties toward the lexicographically smallest), and rewrites the vocab
+    * by a literal space-bounded `replace` — greedy left-to-right
+    * non-overlapping, identical in any SQL engine, which makes the whole
+    * trainer oracle-able. (The boundary-space trick consumes the
+    * separator, so a back-to-back run like `l l l l` merges every other
+    * occurrence in one round — deterministic; the missed occurrences
+    * merge in a later round, as in any BPE trainer variant.) Returns the
+    * merge table (round, pair, merged, cnt).
+    *
+    * Scale posture: everything operates on the DISTINCT-word vocabulary
+    * (orders of magnitude smaller than the corpus — the corpus is touched
+    * once for word counts); each round is one explode + one aggregation +
+    * one TakeOrdered(1) + one map-side rewrite. The merge decision is
+    * inherently sequential, so rounds are driver-coordinated like every
+    * iterative op here; the per-round collect is ONE row. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr(
+        """concat_ws(' ', transform(sequence(1, length(w)),
+          |  i -> substring(w, i, 1)))""".stripMargin).as("sym"), col("c"))
+      .localCheckpoint(true)
+    var vocab = words
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = vocab
+        .select(col("c"), explode(expr(
+          """transform(sequence(1, size(split(sym, ' ')) - 1),
+            |  i -> concat(element_at(split(sym, ' '), i), ' ',
+            |              element_at(split(sym, ' '), i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .limit(1).head()
+      val (pair, n) = (top.getString(0), top.getLong(1))
+      val merged = pair.replace(" ", "")
+      merges += ((r, pair, merged, n))
+      // lit() columns, never SQL-literal interpolation — corpus-derived
+      // symbols may contain quotes/backslashes the SQL parser would eat
+      vocab = vocab.select(
+        trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+          lit(s" $pair "), lit(s" $merged "))).as("sym"), col("c"))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "merged", "cnt")
+      .orderBy(col("round"))
+  }
+
   /** Curriculum phase assignment: within each domain, rank documents by
     * quality (clean → noisy) into `phases` equal ntile buckets, then give
     * every phase a deterministic hash60 shuffle order — a curriculum

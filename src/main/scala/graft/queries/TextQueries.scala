@@ -739,5 +739,53 @@ object TextQueries {
              |    CAST(row_number() OVER (PARTITION BY source
              |      ORDER BY chi2 DESC, w) AS INT) AS rk
              |  FROM scored) WHERE rk <= 10
-             |ORDER BY source, rk""".stripMargin)))
+             |ORDER BY source, rk""".stripMargin)),
+
+    // BPE merge training, 3 rounds: the actual tokenizer-training loop —
+    // count adjacent symbol pairs over the frequency-weighted vocab, merge
+    // the winner, rewrite, repeat. The oracle re-derives every merge
+    // decision itself (unrolled rounds), so the hash check covers the
+    // full sequential trainer, not just one count.
+    Entry("q147_bpe_merges",
+      (s, d) => graft.ops.TextAnalysis.bpeMerges(
+        Tables.documents(s, d), "doc_id", "text", rounds = 3),
+      Some {
+        def pairsOf(w: String) =
+          s"""SELECT c, unnest(list_transform(
+             |    generate_series(1, len(string_split(sym, ' ')) - 1),
+             |    i -> string_split(sym, ' ')[i] || ' ' ||
+             |         string_split(sym, ' ')[i + 1])) AS pair
+             |  FROM $w""".stripMargin
+        val steps = (1 to 3).map { r =>
+          val prev = s"w${r - 1}"
+          s"""p$r AS MATERIALIZED (
+             |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
+             |${pairsOf(prev)})
+             |  GROUP BY pair),
+             |t$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+             |m$r AS (SELECT $r AS round, pair,
+             |        replace(pair, ' ', '') AS merged, n AS cnt FROM t$r),
+             |w$r AS MATERIALIZED (
+             |  SELECT trim(replace(' ' || sym || ' ',
+             |    ' ' || (SELECT pair FROM t$r) || ' ',
+             |    ' ' || (SELECT replace(pair, ' ', '') FROM t$r) || ' '))
+             |    AS sym, c
+             |  FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH words AS (
+           |  SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents)
+           |  WHERE length(w) >= 2 GROUP BY w),
+           |w0 AS MATERIALIZED (
+           |  SELECT array_to_string(list_transform(
+           |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+           |    AS sym, c
+           |  FROM words),
+           |$steps
+           |SELECT round, pair, merged, cnt FROM (
+           |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
+           |  UNION ALL SELECT * FROM m3)
+           |ORDER BY round""".stripMargin
+      }))
 }

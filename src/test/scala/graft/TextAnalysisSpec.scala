@@ -167,6 +167,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSet === out.toSet)
   }
 
+  test("bpeMerges: hand-checked merge sequence with frequency weighting and tie order") {
+    // vocab: hello×2, bell×1 → r1 pairs: (e l)=3 ties (l l)=3, lexicographic
+    // smallest wins; r2 merges (el l); r3: (ell o)=2 ties (h ell)=2, 'e'<'h'
+    val corpus = Seq((1L, "hello hello bell")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(corpus, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, "e l", "el", 3L),
+      (2, "el l", "ell", 3L),
+      (3, "ell o", "ello", 2L)))
+  }
+
   test("curriculum: balanced phases per domain, dense positions, clean docs first") {
     val corpus = (1L to 40L).map { i =>
       val txt = if (i % 4 == 0) "a the of and to in is a the of and to" // stopword soup
