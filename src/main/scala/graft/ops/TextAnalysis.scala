@@ -480,6 +480,94 @@ object TextAnalysis {
     out
   }
 
+  /** Asymmetric shingle CONTAINMENT (Broder): for candidate pairs sharing
+    * at least one informative k-shingle, C(A,B) = |S(A)∩S(B)| / |S(A)|.
+    * Unlike Jaccard (symmetric — misses a short doc quoted inside a long
+    * one), containment finds subset-duplicates: a doc mostly contained in
+    * another is a quote/excerpt/expansion the dedup stage should collapse.
+    * Reference dedups on whole-content equality (memory_graph.py:10325);
+    * containment is its subset-aware corpus-scale generalization.
+    *
+    * Scale shape: inverted-index self-join on the shingle key — pairs exist
+    * only where shingles are SHARED, and shingles occurring in more than
+    * `maxShingleDf` documents are dropped first (stop-shingles carry no
+    * identity signal and are exactly the keys that would quadratically blow
+    * up the self-join at 100 TB). Containment is computed over that
+    * informative-shingle space, denominator included, so dropping frequent
+    * shingles never inflates the score. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, maxShingleDf: Long,
+                       minContainment: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), k))).as("shingle"))
+    val informative = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("shingle"))
+    val kept = sh.join(informative, Seq("shingle"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment_a",
+        round(col("n_inter").cast("double") / col("n_a"), 4))
+      .withColumn("containment_b",
+        round(col("n_inter").cast("double") / col("n_b"), 4))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("containment_a"), col("containment_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-document mean negative log-likelihood under an add-one-smoothed
+    * BIGRAM language model trained on the corpus itself:
+    * p(w2|w1) = (C(w1,w2)+1) / (C(w1)+V), score = −Σ ln p / n_bigrams.
+    * The context-sensitive upgrade of `unigramSurprise`: word salad with
+    * plausible unigrams but implausible transitions (shuffled text, keyword
+    * stuffing) scores high; fluent prose scores low — the perplexity-filter
+    * stage of a training-data pipeline (CCNet-style), with the LM itself
+    * computed distributively instead of shipped in.
+    *
+    * Scale shape: one ordered-bigram explode consumed by two aggregations
+    * (both map-side combinable, shuffled on high-cardinality token keys),
+    * vocabulary size reduced to one broadcast scalar row; scoring re-joins
+    * the doc bigrams against the count tables. No corpus-sized cache, no
+    * windows. */
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    // Spark sequence(1, 0) is DESCENDING, not empty — guard short docs.
+    val bi = toks
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 2,
+          expr("""transform(sequence(1, size(t) - 1),
+                 |  i -> struct(element_at(t, i) AS w1,
+                 |              element_at(t, i + 1) AS w2))""".stripMargin))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w")).agg(
+      count_distinct(col("w")).as("v"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log((col("c2").cast("double") + 1.0) /
+          (col("c1").cast("double") + col("v").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: sha256 of the content, the min shingle hash
     * (a 1-hash minhash — stable under small edits), and shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
