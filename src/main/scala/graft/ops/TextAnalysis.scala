@@ -502,11 +502,13 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), k))).as("shingle"))
+      .localCheckpoint(true) // read by the df agg AND the informative join
     val informative = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("shingle"))
     val kept = sh.join(informative, Seq("shingle"))
+      .localCheckpoint(true) // read by sizes + both sides of the self-join
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a")
       .join(kept.as("b"),
@@ -518,9 +520,14 @@ object TextAnalysis {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("containment_a",
-        round(col("n_inter").cast("double") / col("n_a"), 4))
+        col("n_inter").cast("double") / col("n_a"))
       .withColumn("containment_b",
-        round(col("n_inter").cast("double") / col("n_b"), 4))
+        col("n_inter").cast("double") / col("n_b"))
+      // threshold AND emit the UNROUNDED ratio: 0.79996 must not round up
+      // past a 0.8 cut, and round() itself disagrees between Spark
+      // (HALF_UP) and DuckDB at .xxxx5 boundaries a small-int ratio like
+      // 1/32 lands on exactly. Identical divide sequences are
+      // bit-identical across engines — no rounding needed.
       .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         col("containment_a"), col("containment_b"))
@@ -542,8 +549,14 @@ object TextAnalysis {
     * the doc bigrams against the count tables. No corpus-sized cache, no
     * windows. */
   def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-    // Spark sequence(1, 0) is DESCENDING, not empty — guard short docs.
+    // tokens() splits on single spaces, so irregular whitespace yields ""
+    // tokens — drop them BEFORE building bigrams and the vocab, exactly as
+    // unigramSurprise does, or "" skews both the LM counts and V.
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(col(textCol)), w => length(w) > 0).as("t"))
+    // Spark sequence(1, 0) is DESCENDING, not empty — guard short docs
+    // (docs with <2 non-empty tokens have no bigrams and are absent from
+    // the output by design; score them upstream with unigramSurprise).
     val bi = toks
       .select(col("doc_id"),
         explode(when(size(col("t")) >= 2,
@@ -552,6 +565,7 @@ object TextAnalysis {
                  |              element_at(t, i + 1) AS w2))""".stripMargin))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true) // read by c2, c1, and the scoring join
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = toks.select(explode(col("t")).as("w")).agg(
@@ -563,8 +577,11 @@ object TextAnalysis {
         -log((col("c2").cast("double") + 1.0) /
           (col("c1").cast("double") + col("v").cast("double"))))
       .groupBy(col("doc_id"))
+      // float32, not round(,4): ln drift + partition-dependent sum order
+      // make the low double bits nondeterministic (same discipline as
+      // unigramSurprise / q75 TF-IDF).
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("nll")), 4).as("avg_nll"))
+        avg(col("nll")).cast("float").as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 

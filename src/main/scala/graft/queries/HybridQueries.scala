@@ -199,14 +199,18 @@ object HybridQueries {
         // open-version sentinel = max(ts) + 1 day, NOT a far-future date:
         // rangeJoin explodes one bin row per day of interval span, so a
         // 2100 sentinel would fan every open version into ~27k bins (the
-        // exact pathology rangeJoin's fan-out guard warns about)
-        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-        val sentinel = new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)
+        // exact pathology rangeJoin's fan-out guard warns about). Computed
+        // IN-PLAN (1-row aggregate cross-joined in) — a driver-side
+        // head() here is both an action at plan-build time and fragile
+        // across Spark's java.time/java.sql external-type settings.
+        val sentinel = ev.agg(
+          (max(col("ts")) + expr("INTERVAL 1 DAY")).as("__sentinel"))
         val dim = Temporal.scd2(ev, keyCol = "user_id", tsCol = "ts",
             orderCol = "event_id", attrCols = Seq("event_type"))
+          .crossJoin(broadcast(sentinel))
           .select(col("user_id"), col("event_type").as("state_at_ts"),
             col("valid_from"),
-            coalesce(col("valid_to"), lit(sentinel)).as("valid_to_c"))
+            coalesce(col("valid_to"), col("__sentinel")).as("valid_to_c"))
         val examples = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
         Temporal.rangeJoin(examples, "ts", dim, "valid_from", "valid_to_c",

@@ -787,5 +787,63 @@ object TextQueries {
            |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
            |  UNION ALL SELECT * FROM m3)
            |ORDER BY round""".stripMargin
-      }))
+      }),
+
+    // Asymmetric shingle containment (Broder): subset-duplicates that
+    // symmetric Jaccard misses (a short doc quoted inside a long one).
+    // Inverted-index self-join restricted to informative shingles
+    // (df <= cap) — the df cap is what bounds the self-join at 100 TB.
+    Entry("q148_containment",
+      (s, d) => TextAnalysis.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", k = 3, maxShingleDf = 50L, minContainment = 0.5),
+      Some(
+        s"""WITH $shingleCtes,
+           |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+           |kept AS (
+           |  SELECT sh.doc_id, sh.shingle FROM sh
+           |  JOIN df USING (shingle) WHERE df <= 50),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+           |  FROM kept a JOIN kept b
+           |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_inter,
+           |  n_inter::DOUBLE / na.n_sh AS containment_a,
+           |  n_inter::DOUBLE / nb.n_sh AS containment_b
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = doc_a
+           |JOIN sizes nb ON nb.doc_id = doc_b
+           |WHERE greatest(n_inter::DOUBLE / na.n_sh,
+           |               n_inter::DOUBLE / nb.n_sh) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Bigram-LM surprise: mean −ln p(w2|w1) under an add-one-smoothed
+    // bigram model trained on the corpus itself — the context-sensitive
+    // upgrade of q145 (word salad with plausible unigrams scores high).
+    // float32 output (ln drift discipline); docs with <2 non-empty
+    // tokens have no bigrams and are absent by design.
+    Entry("q149_bigram_surprise",
+      (s, d) => TextAnalysis.bigramSurprise(Tables.documents(s, d),
+        "doc_id", "text"),
+      Some("""WITH ft AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '),
+             |                w -> length(w) > 0) AS t
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(t) - 1),
+             |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+             |  FROM ft WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM bi),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+             |v AS (SELECT count(DISTINCT w)::DOUBLE AS v
+             |      FROM (SELECT unnest(t) AS w FROM ft))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(avg(-ln((c2 + 1.0) / (c1 + (SELECT v FROM v)))) AS REAL)
+             |    AS avg_nll
+             |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

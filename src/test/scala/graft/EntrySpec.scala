@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 /** Smoke coverage of the driver contract: entry() returns rows; every
   * declared query runs at sf0.001; every oracleSql key has a query. */
 class EntrySpec extends SparkSpec {
@@ -59,12 +61,28 @@ class EntrySpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
-      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        current.set(name)
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      // Drive the REAL Verify dump path (not a bare count) so the spec also
+      // pins the round-3 failure mode: a query that throws must surface as
+      // a failures entry AND the dumped-dir count must equal the declared
+      // query count — absence can never masquerade as omission again.
+      val outDir = Files.createTempDirectory("graft-verify-gate").toString
+      val failures =
+        try Verify.run(spark, sfDir, outDir, onEach = current.set)
+        finally ()
+      assert(failures.isEmpty,
+        failures.map { case (n, e) => s"$n: ${e.take(160)}" }.mkString("\n"))
+      val dumped = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("q")).map(_.getName).toSet
+      assert(dumped == SparkEntry.queries.keySet,
+        s"dump/declare mismatch — missing: ${SparkEntry.queries.keySet.diff(dumped)}, " +
+          s"extra: ${dumped.diff(SparkEntry.queries.keySet)}")
+      assert(Files.readString(Paths.get(s"$outDir/failures.json")) == "{}")
+      // clean up the dumped parquet (sf0.001 — small, but keep /tmp tidy)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
       }
-      assert(failures.isEmpty, failures.mkString("\n"))
+      rm(new java.io.File(outDir))
       // the execution-listener bus is asynchronous: wait until the event
       // count stops moving before reading the collected windows
       var last = -1; var stable = 0

@@ -216,4 +216,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"repetitionStats must not shuffle — per-doc work only:\n$p")
   }
+
+  test("containmentPairs: subset doc is fully contained, asymmetry preserved") {
+    // doc 2 is a strict prefix-quote of doc 1: every 3-shingle of doc 2
+    // appears in doc 1, so containment_b = 1.0 while containment_a < 1.0.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.containmentPairs(d, "doc_id", "text",
+      k = 3, maxShingleDf = 10L, minContainment = 0.5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(4) === 1.0)          // doc 2 fully contained in doc 1
+    assert(r.getDouble(3) === 2.0 / 6.0)    // 2 of doc 1's 6 shingles shared
+  }
+
+  test("containmentPairs: stop-shingle df cap keeps ubiquitous shingles out " +
+    "of the self-join") {
+    // 8 docs share one ubiquitous shingle; with the cap below 8 that key
+    // contributes NO candidate pairs (it is exactly the key that would
+    // explode the self-join quadratically at corpus scale).
+    val d = (1L to 8L).map(i => (i, s"common stop shingle unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.containmentPairs(d, "doc_id", "text",
+      k = 3, maxShingleDf = 7L, minContainment = 0.01)
+    assert(out.count() === 0)
+    // with the cap raised the pairs appear — the filter, not the data,
+    // was what suppressed them
+    val loose = TextAnalysis.containmentPairs(d, "doc_id", "text",
+      k = 3, maxShingleDf = 8L, minContainment = 0.01)
+    assert(loose.count() === 8L * 7L / 2L)
+  }
+
+  test("bigramSurprise: empty tokens filtered; short docs absent; repeated " +
+    "bigrams score lower than novel ones") {
+    val d = Seq(
+      (1L, "a b  a b a b"),     // double space → "" token must be dropped
+      (2L, "x y"),              // one bigram
+      (3L, "solo")              // <2 tokens → no bigrams, absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprise(d, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getFloat(2)))).toMap
+    // doc 1: tokens a b a b a b after filtering "" → 5 bigrams (ab×3, ba×2)
+    assert(byId(1L)._1 === 5L)
+    assert(byId(2L)._1 === 1L)
+    // frequent (a,b) transitions are less surprising than the once-seen (x,y)
+    assert(byId(1L)._2 < byId(2L)._2)
+  }
 }
