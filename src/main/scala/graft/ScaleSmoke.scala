@@ -411,6 +411,77 @@ object ScaleSmoke {
     assert(rwRowsS == 64L * 6 && rwRowsL == 64L * 6,
       s"random-walk output not lock-step bounded: $rwRowsS / $rwRowsL, want ${64 * 6}")
 
+    // ---- PageRank exactFold hub tier (q132 shape at scale): one celebrity
+    // vertex with 10⁶ in-edges. The two-level fold must survive it — level-1
+    // aggregation buffers hold ≤ in-deg/1024 entries (~1k structs here), not
+    // the whole 10⁶ in-neighborhood — and must agree with the plain-sum
+    // production path to fp tolerance (same arithmetic, different fold order).
+    {
+      val n = 1000000L
+      val hubEdges = spark.range(1, n).select(col("id").as("src"), lit(0L).as("dst"))
+        .union(spark.range(0, n).select(col("id").as("src"),
+          ((col("id") + 1) % n).as("dst")))
+      val t = System.nanoTime()
+      val exact = GraphAnalytics.pageRank(hubEdges, iterations = 2,
+        exactFold = true).withColumnRenamed("rank", "r_exact")
+      val plain = GraphAnalytics.pageRank(hubEdges, iterations = 2,
+        exactFold = false).withColumnRenamed("rank", "r_plain")
+      val joined = exact.join(plain, "id")
+        .select(max(abs(col("r_exact") - col("r_plain"))).as("md"),
+          sum(col("r_exact")).as("total"), count(lit(1)).as("nv"))
+        .head()
+      val prSecs = (System.nanoTime() - t) / 1e9
+      val (maxDiff, total, nv) = (joined.getDouble(0), joined.getDouble(1), joined.getLong(2))
+      println(f"[scale-smoke] pagerank-hub verts=$nv inDeg=${n - 1} " +
+        f"maxDiffVsSum=$maxDiff%.2e prSeconds=$prSecs%.1f")
+      assert(nv == n, s"pagerank lost vertices: $nv of $n")
+      // reorder drift over a 10⁶-term double sum is O(n·eps·Σ) ≈ 5e-11;
+      // 1e-9 catches algorithmic divergence without flaking on fp order
+      assert(maxDiff < 1e-9,
+        s"exactFold diverged from production sum path beyond fp tolerance: $maxDiff")
+      assert(total > 0.1 && total <= 1.000001, s"rank mass off: $total")
+    }
+
+    // ---- MinHash calibration (q143 shape): same shuffle budget as the LSH
+    // tier — signatures from ONE map-side-combined agg; banding FPs are the
+    // POINT here (kept for tuning), so only wall time + band-candidate
+    // sub-linearity are asserted.
+    {
+      def calStats(n: Long): (Long, Double) = {
+        val docs = docCorpus(n)
+        val t = System.nanoTime()
+        val rows = graft.ops.Dedup.minhashCalibration(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 16, numBands = 4)
+          .localCheckpoint(true).count()
+        (rows, (System.nanoTime() - t) / 1e9)
+      }
+      val (calS, calSecS) = calStats(20000L)
+      val (calL, calSecL) = calStats(200000L)
+      println(f"[scale-smoke] calibration small: docs=20000 pairs=$calS calSeconds=$calSecS%.1f")
+      println(f"[scale-smoke] calibration large: docs=200000 pairs=$calL calSeconds=$calSecL%.1f")
+      assert(calL < 20 * math.max(calS, 50L),
+        s"calibration candidate pairs grew super-linearly: $calS -> $calL for 10x docs")
+    }
+
+    // ---- Collocation lift (q90 shape): the top-vocab bound caps pair keys,
+    // so candidate pair rows must stay ~flat as the corpus grows (vocab cap
+    // is corpus-independent); wall time printed for the bench notes.
+    {
+      def colStats(n: Long): (Long, Double) = {
+        val docs = docCorpus(n)
+        val t = System.nanoTime()
+        val rows = graft.ops.TextAnalysis.collocationLift(docs, "doc_id", "text",
+          topTokens = 200, minPairDocs = 3, topN = 30)
+          .localCheckpoint(true).count()
+        (rows, (System.nanoTime() - t) / 1e9)
+      }
+      val (colS, colSecS) = colStats(20000L)
+      val (colL, colSecL) = colStats(200000L)
+      println(f"[scale-smoke] collocations small: docs=20000 rows=$colS colSeconds=$colSecS%.1f")
+      println(f"[scale-smoke] collocations large: docs=200000 rows=$colL colSeconds=$colSecL%.1f")
+      assert(colS <= 30 && colL <= 30, s"topN bound violated: $colS / $colL")
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

@@ -226,13 +226,17 @@ object GraphAnalytics {
     * is a plain `sum` — map-side partial aggregation, the right plan for
     * any graph size, but the double addition ORDER follows partitioning, so
     * low-order bits can differ run to run. `exactFold = true` folds each
-    * vertex's contributions in ascending source-id order
-    * (`aggregate(array_sort(collect_list(...)))`) — bit-reproducible across
-    * runs/cluster layouts (and hash-comparable against an oracle folding in
-    * the same order), at the cost of buffering one in-neighborhood per
-    * vertex; use it when reproducibility outranks celebrity-vertex skew. */
+    * vertex's contributions in a FIXED two-level order — sub-bucket by
+    * `src % exactFoldBuckets`, fold each bucket's contributions in
+    * ascending source-id order, then fold the bucket sums in ascending
+    * bucket order — bit-reproducible across runs/cluster layouts (and
+    * hash-comparable against an oracle folding in the same order). The
+    * two levels are what make it scale-safe: a celebrity vertex's 10⁸
+    * in-neighborhood never materializes as ONE aggregation-buffer array;
+    * each buffer holds ≤ in-deg/buckets entries at level 1 and ≤ buckets
+    * entries at level 2. */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
-               exactFold: Boolean = false): DataFrame = {
+               exactFold: Boolean = false, exactFoldBuckets: Int = 1024): DataFrame = {
     val out = edges.select(col("src"), col("dst")).distinct().persist()
     val vertices = out.select(col("src").as("id"))
       .union(out.select(col("dst").as("id"))).distinct().persist()
@@ -246,10 +250,16 @@ object GraphAnalytics {
         .select(col("dst").as("id"), col("src"), (col("rank") / col("deg")).as("contrib"))
       val inRank =
         if (exactFold)
-          contribs.groupBy("id").agg(expr(
-            """aggregate(array_sort(collect_list(struct(src, contrib))),
-              |cast(0.0 as double), (acc, x) -> acc + x.contrib)""".stripMargin)
-            .as("in_rank"))
+          contribs
+            .withColumn("bkt", pmod(col("src"), lit(exactFoldBuckets)))
+            .groupBy("id", "bkt").agg(expr(
+              """aggregate(array_sort(collect_list(struct(src, contrib))),
+                |cast(0.0 as double), (acc, x) -> acc + x.contrib)""".stripMargin)
+              .as("bsum"))
+            .groupBy("id").agg(expr(
+              """aggregate(array_sort(collect_list(struct(bkt, bsum))),
+                |cast(0.0 as double), (acc, x) -> acc + x.bsum)""".stripMargin)
+              .as("in_rank"))
         else
           contribs.groupBy("id").agg(sum("contrib").as("in_rank"))
       ranks = vertices

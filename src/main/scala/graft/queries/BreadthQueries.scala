@@ -862,10 +862,14 @@ object BreadthQueries {
     // Damped PageRank (8 fixed iterations) over the directed functional
     // graph on customer keys (same edge rule as q81). Doubles hash-compare
     // bit-exactly because BOTH sides fold each vertex's contributions in
-    // ascending source-id order (Spark: aggregate∘array_sort∘collect_list;
-    // DuckDB: list_reduce over list(... ORDER BY src)) and every scalar op
-    // sequence is identical — all literals forced ::DOUBLE in the oracle so
-    // DuckDB's DECIMAL literal parsing can't change (1 - 0.85).
+    // the same FIXED two-level order — sub-bucket by src % 1024, ascending
+    // src within a bucket, ascending bucket across (Spark: two
+    // aggregate∘array_sort∘collect_list levels; DuckDB: two list_reduce
+    // levels with matching ORDER BY) — and every scalar op sequence is
+    // identical; all literals forced ::DOUBLE in the oracle so DuckDB's
+    // DECIMAL literal parsing can't change (1 - 0.85). Two levels, not
+    // one, so a hub vertex's in-neighborhood never materializes as one
+    // aggregation buffer (the 100 TB OOM hazard of naive exact folds).
     Entry("q132_pagerank",
       (s, d) => {
         val cust = Tables.customer(s, d)
@@ -883,14 +887,19 @@ object BreadthQueries {
         val iters = 8
         val steps = (1 to iters).map { i =>
           val prev = s"r${i - 1}"
-          s"""c$i AS MATERIALIZED (
-             |  SELECT e.dst AS id,
+          s"""b$i AS (
+             |  SELECT e.dst AS id, e.src % 1024 AS bkt,
              |    list_reduce(list(r.rank / dg.deg ORDER BY e.src),
-             |                (a, b) -> a + b) AS in_rank
+             |                (a, b) -> a + b) AS bsum
              |  FROM edges e
              |  JOIN $prev r ON r.id = e.src
              |  JOIN deg dg ON dg.id = e.src
-             |  GROUP BY e.dst),
+             |  GROUP BY e.dst, e.src % 1024),
+             |c$i AS MATERIALIZED (
+             |  SELECT id,
+             |    list_reduce(list(bsum ORDER BY bkt), (a, b) -> a + b)
+             |      AS in_rank
+             |  FROM b$i GROUP BY id),
              |r$i AS MATERIALIZED (
              |  SELECT v.id,
              |    (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nv)
