@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
+  /** Materialize per-round iterative state, coalescing tiny relations
+    * first. Iterative algorithms pay one task launch per partition per
+    * stage per round, so a few-thousand-row state spread across every
+    * shuffle partition costs hundreds of near-empty tasks per run — the
+    * dominant cost at bench scale. Partition count targets ~50k rows
+    * each (from `approxRows`, a cheap order-of-magnitude bound carried
+    * over from the previous round — exactness doesn't matter), capped at
+    * the session's shuffle parallelism so corpus-scale state keeps its
+    * full partitioning: the 100 TB posture is unchanged. */
+  private def checkpointState(df: DataFrame, approxRows: Long): DataFrame = {
+    val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+    val target = math.max(1L, math.min(cap.toLong, approxRows / 50000L + 1L)).toInt
+    (if (target < cap) df.coalesce(target) else df).localCheckpoint(true)
+  }
+
   /** Undirected connected components; returns (id, component) where
     * component = min vertex id reachable. Only vertices present in edges.
     *
@@ -189,7 +204,7 @@ object GraphAnalytics {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(g)).localCheckpoint(true)
+      val next = checkpointState(smallStar(largeStar(g)), fp._1)
       val nfp = fingerprint(next)
       g = next
       converged = nfp == fp
@@ -200,7 +215,7 @@ object GraphAnalytics {
     // k−1) — a fixpoint first reached exactly at round maxIter looks
     // unconverged, so confirm with one extra round before giving up.
     if (!converged) {
-      val confirm = smallStar(largeStar(g)).localCheckpoint(true)
+      val confirm = checkpointState(smallStar(largeStar(g)), fp._1)
       converged = fingerprint(confirm) == fp
       g = confirm // identical content when converged
     }
@@ -262,11 +277,11 @@ object GraphAnalytics {
               .as("in_rank"))
         else
           contribs.groupBy("id").agg(sum("contrib").as("in_rank"))
-      ranks = vertices
+      ranks = checkpointState(vertices
         .join(inRank, Seq("id"), "left")
         .select(col("id"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // materialize per round; keeps the plan flat
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")),
+        n.toLong) // materialize per round; keeps the plan flat
     }
     out.unpersist(); vertices.unpersist()
     ranks
@@ -347,11 +362,11 @@ object GraphAnalytics {
       val deg = g.select(col("src").as("id")).union(g.select(col("dst").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("id"))
-      val next = g
+      val next = checkpointState(g
         .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .select(col("src"), col("dst")),
+        nEdges)
       val nNext = next.count()
       changed = nNext != nEdges
       nEdges = nNext
@@ -432,7 +447,7 @@ object GraphAnalytics {
     * Returns (id, lbl) for every vertex appearing in `edges`. */
   def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
-    e.count()
+    val nVertsBound = 2L * e.count() // each edge introduces <= 2 vertices
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -448,10 +463,10 @@ object GraphAnalytics {
       // min over (-votes, label): largest vote count, then smallest label.
       // Ties in the ordering struct pin the same label, so min_by is
       // deterministic here by construction.
-      labels = votes.groupBy(col("id"))
+      labels = checkpointState(votes.groupBy(col("id"))
         .agg(min_by(col("lbl"),
-          struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl"))
-        .localCheckpoint(true)
+          struct((-col("c")).as("nc"), col("lbl").as("l"))).as("lbl")),
+        nVertsBound)
     }
     labels
   }
@@ -523,17 +538,18 @@ object GraphAnalytics {
       .withColumn("node", col("walk_id"))
       .withColumn("step", lit(0))
       .localCheckpoint(true)
+    val nWalks = frontier.count() // lock-step: every later layer is <= this
     val layers = scala.collection.mutable.ArrayBuffer(frontier)
     for (t <- 1 to steps) {
-      frontier = frontier
+      frontier = checkpointState(frontier
         .join(sym, frontier("node") === sym("src"))
         .groupBy(col("walk_id"))
         .agg(min_by(col("dst"), struct(
           hash60(concat_ws(":", col("walk_id"), lit(t), col("dst"))).as("h"),
           col("dst").as("d"))).as("node"))
         .withColumn("step", lit(t))
-        .select(col("walk_id"), col("node"), col("step"))
-        .localCheckpoint(true)
+        .select(col("walk_id"), col("node"), col("step")),
+        nWalks)
       layers += frontier
     }
     layers.reduce(_ union _).select(col("walk_id"), col("step"), col("node"))
@@ -562,11 +578,14 @@ object GraphAnalytics {
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
       val visitedIds = layers.map(_.select(col("id"))).reduce(_ union _)
-      val next = frontier.join(e, frontier("id") === e("src"))
+      // next-layer size bound: frontier fan-out is unknown before the
+      // count, so estimate 8× the current frontier — only the order of
+      // magnitude matters for the partition target
+      val next = checkpointState(frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(visitedIds, Seq("id"), "left_anti")
-        .withColumn("dist", lit(depth))
-        .localCheckpoint(true)
+        .withColumn("dist", lit(depth)),
+        frontierSize * 8 + 1000)
       layers += next
       frontier = next
       frontierSize = frontier.count()

@@ -39,6 +39,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("T3 golden: batch-of-15 + prior-state summary fold matches the " +
+    "reference contract exactly") {
+    // Golden fixture for the reference's ConversationSummaries contract
+    // (services/message_batch_analysis.py:75-121, 523): short_term covers
+    // ONLY the current 15-message batch; medium/long_term are synthesized
+    // from the PREVIOUS state plus the current short summary; batch
+    // numbering and the summary chain continue across micro-batches.
+    // Expected strings are constructed independently of the Summarizer
+    // implementation (plain string ops over the fixture contents).
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val contents = (0 until 45).map {
+      case 3  => "m3 alpha beta gamma delta"     // ≥5 tokens → memory-worthy
+      case 20 => "m20 epsilon zeta eta theta"
+      case k  => s"m$k"
+    }
+    val msgs = contents.zipWithIndex.map { case (c, k) =>
+      Message(f"m$k%03d", "g", "u", "user", c,
+        new java.sql.Timestamp(base + k * 1000L))
+    }
+    def digest(r: Range): String =
+      r.map(k => contents(k).split(" ").take(3).mkString(" ")).mkString("; ")
+
+    val input = MemoryStream[Message]
+    val query = Sessions.sessionStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("golden_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(msgs.take(38))       // 2 full batches, 8 left pending
+      query.processAllAvailable()
+      input.addData(msgs.drop(38))       // +7 → pending completes batch 2
+      query.processAllAvailable()
+      val out = spark.table("golden_out")
+        .as[Sessions.BatchAnalysis].collect().sortBy(_.batch_index)
+      assert(out.length === 3)
+      assert(out.map(_.batch_index).toSeq === Seq(0, 1, 2))
+      val short0 = digest(0 until 15)
+      val short1 = digest(15 until 30)
+      val short2 = digest(30 until 45)
+      // short_term: current batch ONLY (recomputed from empty each batch)
+      assert(out(0).short_summary === short0)
+      assert(out(1).short_summary === short1)
+      assert(out(2).short_summary === short2)
+      // medium/long: previous state ⊕ current short, threaded across
+      // micro-batch boundaries (batch 2 spans two addData calls)
+      assert(out(0).medium_summary === short0)
+      assert(out(1).medium_summary === short0 + " | " + short1)
+      assert(out(2).medium_summary === short0 + " | " + short1 + " | " + short2)
+      assert(out(0).long_summary === short0)
+      assert(out(1).long_summary === short0 + " | " + short1)
+      assert(out(2).long_summary === short0 + " | " + short1 + " | " + short2)
+      // worthiness (T4): only the ≥5-token user messages become candidates
+      assert(out(0).memory_candidates === Seq("m3 alpha beta gamma delta"))
+      assert(out(1).memory_candidates === Seq("m20 epsilon zeta eta theta"))
+      assert(out(2).memory_candidates.isEmpty)
+    } finally query.stop()
+  }
+
   test("counter stream: decay-at-update equals batch decay-at-read") {
     implicit val sqlCtx = spark.sqlContext
     val events = Fixtures.accessEvents(spark, n = 100, memCount = 8).collect()
