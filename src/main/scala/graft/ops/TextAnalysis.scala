@@ -219,6 +219,43 @@ object TextAnalysis {
       .orderBy(col("round"))
   }
 
+  /** Apply `rounds` trained BPE merges to encode every document: each
+    * word becomes its character-symbol sequence, the merge list is
+    * applied in training order (one exhaustive left-to-right replace per
+    * merge — the same update rule the trainer itself uses on its vocab),
+    * and the result is summarized per document as (n_words, n_chars,
+    * n_bpe_tokens) — the compression-ratio observability a tokenizer
+    * pipeline needs before committing to a merge table. Merges are a
+    * `rounds`-row driver collect (bounded by construction); the encode
+    * pass itself is one map-side expression chain + one per-doc
+    * aggregation — no joins, no windows, scales with the corpus scan. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    val merges = bpeMerges(docs, idCol, textCol, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val base = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .withColumn("nch", length(col("w")).cast("long"))
+      .withColumn("sym", expr(
+        """concat_ws(' ', transform(sequence(1, length(w)),
+          |  i -> substring(w, i, 1)))""".stripMargin))
+    val encoded = merges.foldLeft(base) { case (d, (pair, merged)) =>
+      // lit() columns, never SQL-literal interpolation (same rule as the
+      // trainer): corpus-derived symbols may contain metacharacters
+      d.withColumn("sym",
+        trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+          lit(s" $pair "), lit(s" $merged "))))
+    }
+    encoded
+      .withColumn("n_sym", size(split(col("sym"), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nch")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curriculum phase assignment: within each domain, rank documents by
     * quality (clean → noisy) into `phases` equal ntile buckets, then give
     * every phase a deterministic hash60 shuffle order — a curriculum
@@ -583,6 +620,125 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(col("nll")).cast("float").as("avg_nll"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-document mean NLL under a Jelinek–Mercer INTERPOLATED bigram LM:
+    * p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/total — the smoothing the
+    * CCNet-style perplexity filter actually uses (pure add-one bigram,
+    * `bigramSurprise`, over-penalizes rare-but-fluent transitions; the
+    * unigram back-off floor fixes that). Same distributed shape as its
+    * siblings: token-keyed aggregations, one broadcast scalar row, a
+    * scoring re-join; no corpus-sized cache. Output float32 (ln drift). */
+  def interpolatedSurprise(docs: DataFrame, idCol: String, textCol: String,
+                           lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(col(textCol)), w => length(w) > 0).as("t"))
+    val bi = toks
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 2,
+          expr("""transform(sequence(1, size(t) - 1),
+                 |  i -> struct(element_at(t, i) AS w1,
+                 |              element_at(t, i + 1) AS w2))""".stripMargin))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true) // read by c2, c1, and the scoring join
+    val uni = toks.select(explode(col("t")).as("w"))
+      .localCheckpoint(true) // read by the unigram counts and the total
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uni.count().toDouble
+    bi.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(cu.withColumnRenamed("w", "w2"), Seq("w2"))
+      .withColumn("p",
+        lit(lambda) * (col("c2").cast("double") / col("c1")) +
+          lit(1.0 - lambda) * (col("cu").cast("double") / lit(total)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(col("p"))).cast("float").as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document character-class profile: ratios of letter / digit /
+    * whitespace / punctuation-and-other characters plus the dominant
+    * class — the cheap script/garbage detector every crawl-cleaning
+    * pipeline runs before tokenization (mojibake, base64 blobs, and
+    * markup soup all show up as an anomalous class mix). Pure map-side
+    * per-row expressions: shuffle-free at any corpus size. */
+  def charClassProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col("text_c"))
+    def classLen(re: String) =
+      length(regexp_replace(col("text_c"), re, ""))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text_c"))
+      .withColumn("n_chars", n.cast("long"))
+      // count by deleting the complement class and measuring what's left
+      .withColumn("n_letter", classLen("[^a-zA-Z]").cast("long"))
+      .withColumn("n_digit", classLen("[^0-9]").cast("long"))
+      .withColumn("n_space", classLen("[^ ]").cast("long"))
+      .withColumn("n_other",
+        (col("n_chars") - col("n_letter") - col("n_digit") - col("n_space")))
+      .withColumn("letter_ratio",
+        col("n_letter").cast("double") / col("n_chars"))
+      .withColumn("dominant",
+        when(col("n_letter") >= greatest(col("n_digit"), col("n_space"), col("n_other")), "letter")
+          .when(col("n_digit") >= greatest(col("n_space"), col("n_other")), "digit")
+          .when(col("n_space") >= col("n_other"), "space")
+          .otherwise("other"))
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"), col("n_letter"), col("n_digit"),
+        col("n_space"), col("n_other"), col("letter_ratio"), col("dominant"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sparse TF-IDF cosine similarity join (the AllPairs/PPJoin family):
+    * pairwise cosine over L2-normalized tf-idf vectors, materialized ONLY
+    * for document pairs sharing at least one informative token — an
+    * inverted-index self-join whose keys carry a document-frequency cap
+    * (`df <= maxTokenDf`). A token present in half the corpus contributes
+    * ~N²/4 candidate pairs and near-zero idf weight, so the cap drops
+    * exactly the keys that would quadratically blow up the join while
+    * moving the dot product only by the low-weight tail; norms are
+    * computed over the FULL vector (idf from the whole corpus) so the
+    * capped similarity is a true lower bound of full cosine. The lexical
+    * twin of the embedding near-dup join (`Similarity.nearDupPairs`);
+    * reference analog: Qdrant cosine retrieval (memory_graph.py:1015)
+    * re-expressed for sparse lexical vectors.
+    *
+    * Scale shape: two token-keyed aggregations + one df-capped
+    * inverted-index self-join + one pair-keyed aggregation — every
+    * intermediate is bounded by (docs × informative tokens); no cartesian
+    * anywhere. Output `sim` is float32 (idf's ln + partition-order sums
+    * make double low bits nondeterministic). */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxTokenDf: Long, threshold: Double): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tk.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // read by the doc count, df agg, and weights
+    val n = tf.select(col("doc_id")).distinct().count().toDouble
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dft, "token")
+      .withColumn("weight",
+        col("c").cast("double") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("weight") * col("weight"))).as("nrm"))
+    val unit = w.join(nrm, "doc_id")
+      .filter(col("df") <= maxTokenDf)
+      .select(col("doc_id"), col("token"), (col("weight") / col("nrm")).as("u"))
+      .localCheckpoint(true) // both sides of the self-join
+    unit.as("a")
+      .join(unit.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.u") * col("b.u")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim").cast("float").as("sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Document fingerprint: sha256 of the content, the min shingle hash

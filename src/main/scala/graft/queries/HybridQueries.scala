@@ -746,5 +746,44 @@ object HybridQueries {
               |SELECT vec_id, pre_score,
               |  ${OracleSql.cosine("embedding", "qvec")} AS score
               |FROM pruned
-              |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)))
+              |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // Fellegi–Sunter record-linkage scoring: log-likelihood-ratio weights
+    // over a field-agreement pattern, nation-blocked candidate pairs.
+    // The weights are computed once in Scala and injected as IDENTICAL
+    // literals into both plans, so the score is a fixed left-associated
+    // sum of constants — bit-exact across engines.
+    Entry("q151_fellegi_sunter",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .withColumn("bal_bucket",
+            floor(col("c_acctbal") / 1000.0).cast("long"))
+          .withColumn("name_sfx", substring(col("c_name"), -2, 2))
+        graft.ops.RecordLinkage.fellegiSunter(cust, "c_custkey",
+          "c_nationkey", Seq("bal_bucket", "c_mktsegment", "name_sfx"),
+          fsPriors, cutoff = 0.5)
+      },
+      Some {
+        val Seq((wa1, wd1), (wa2, wd2), (wa3, wd3)) =
+          graft.ops.RecordLinkage.weights(fsPriors)
+        s"""WITH f AS (
+           |  SELECT c_custkey AS id, c_nationkey AS blk,
+           |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS f1,
+           |    c_mktsegment AS f2,
+           |    substr(c_name, length(c_name) - 1, 2) AS f3
+           |  FROM customer),
+           |scored AS (
+           |  SELECT a.id AS id_a, b.id AS id_b,
+           |    ((CASE WHEN a.f1 = b.f1 THEN $wa1::DOUBLE ELSE $wd1::DOUBLE END
+           |      + CASE WHEN a.f2 = b.f2 THEN $wa2::DOUBLE ELSE $wd2::DOUBLE END)
+           |      + CASE WHEN a.f3 = b.f3 THEN $wa3::DOUBLE ELSE $wd3::DOUBLE END) AS score
+           |  FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id)
+           |SELECT id_a, id_b, score FROM scored
+           |WHERE score >= 0.5 ORDER BY id_a, id_b""".stripMargin
+      }))
+
+  // q151's field priors (m_i, u_i): agreement probability among true
+  // matches vs non-matches, per comparison field.
+  private val fsPriors: Seq[(Double, Double)] =
+    Seq((0.9, 0.1), (0.8, 0.2), (0.95, 0.05))
 }

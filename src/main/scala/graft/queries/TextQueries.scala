@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Fns
 import graft.ops.{Dedup, TextAnalysis}
 
 /** Dedup + text-analysis operators (BASELINE.json north-star additions) over
@@ -750,39 +751,7 @@ object TextQueries {
       (s, d) => graft.ops.TextAnalysis.bpeMerges(
         Tables.documents(s, d), "doc_id", "text", rounds = 3),
       Some {
-        def pairsOf(w: String) =
-          s"""SELECT c, unnest(list_transform(
-             |    generate_series(1, len(string_split(sym, ' ')) - 1),
-             |    i -> string_split(sym, ' ')[i] || ' ' ||
-             |         string_split(sym, ' ')[i + 1])) AS pair
-             |  FROM $w""".stripMargin
-        val steps = (1 to 3).map { r =>
-          val prev = s"w${r - 1}"
-          s"""p$r AS MATERIALIZED (
-             |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
-             |${pairsOf(prev)})
-             |  GROUP BY pair),
-             |t$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
-             |m$r AS (SELECT $r AS round, pair,
-             |        replace(pair, ' ', '') AS merged, n AS cnt FROM t$r),
-             |w$r AS MATERIALIZED (
-             |  SELECT trim(replace(' ' || sym || ' ',
-             |    ' ' || (SELECT pair FROM t$r) || ' ',
-             |    ' ' || (SELECT replace(pair, ' ', '') FROM t$r) || ' '))
-             |    AS sym, c
-             |  FROM $prev)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH words AS (
-           |  SELECT w, count(*) AS c FROM (
-           |    SELECT unnest(string_split(lower(text), ' ')) AS w
-           |    FROM documents)
-           |  WHERE length(w) >= 2 GROUP BY w),
-           |w0 AS MATERIALIZED (
-           |  SELECT array_to_string(list_transform(
-           |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
-           |    AS sym, c
-           |  FROM words),
-           |$steps
+        s"""WITH ${bpeTrainCtes(3)}
            |SELECT round, pair, merged, cnt FROM (
            |  SELECT * FROM m1 UNION ALL SELECT * FROM m2
            |  UNION ALL SELECT * FROM m3)
@@ -845,5 +814,291 @@ object TextQueries {
              |  CAST(avg(-ln((c2 + 1.0) / (c1 + (SELECT v FROM v)))) AS REAL)
              |    AS avg_nll
              |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer application: encode every document with q147's trained
+    // merge table (one exhaustive left-to-right replace per merge, the
+    // trainer's own vocab-update rule) and report per-doc compression
+    // (words, chars, post-merge BPE tokens). The oracle re-derives the
+    // merges AND the encoding, so the hash covers train → apply end to
+    // end. Counts are exact integers — no fp anywhere.
+    Entry("q152_bpe_encode",
+      (s, d) => graft.ops.TextAnalysis.bpeEncode(
+        Tables.documents(s, d), "doc_id", "text", rounds = 3),
+      Some {
+        val encSteps = (1 to 3).map { r =>
+          val prev = if (r == 1) "allw" else s"e${r - 1}"
+          s"""e$r AS (
+             |  SELECT doc_id, nch, trim(replace(' ' || sym || ' ',
+             |    ' ' || (SELECT pair FROM t$r) || ' ',
+             |    ' ' || (SELECT replace(pair, ' ', '') FROM t$r) || ' '))
+             |    AS sym
+             |  FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${bpeTrainCtes(3)},
+           |allw AS (
+           |  SELECT doc_id, CAST(length(w) AS BIGINT) AS nch,
+           |    array_to_string(list_transform(
+           |      generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+           |      AS sym
+           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM documents)
+           |  WHERE length(w) >= 1),
+           |$encSteps
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(nch) AS BIGINT) AS n_chars,
+           |  CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_bpe_tokens
+           |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Jelinek–Mercer interpolated bigram LM surprise: λ·MLE-bigram +
+    // (1−λ)·unigram back-off — the CCNet-style perplexity filter. The
+    // 1−λ literal is computed ONCE in Scala and injected into the oracle
+    // (1.0-0.7 is 0.30000000000000004, not 0.3 — a bare 0.3 in SQL would
+    // drift the product).
+    Entry("q154_interpolated_lm",
+      (s, d) => TextAnalysis.interpolatedSurprise(Tables.documents(s, d),
+        "doc_id", "text", lambda = jmLambda),
+      Some(s"""WITH ft AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(lower(text), ' '),
+             |                w -> length(w) > 0) AS t
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, len(t) - 1),
+             |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+             |  FROM ft WHERE len(t) >= 2),
+             |bg AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM bi),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+             |uni AS (SELECT unnest(t) AS w FROM ft),
+             |cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+             |tot AS (SELECT count(*)::DOUBLE AS total FROM uni)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(avg(-ln($jmLambda::DOUBLE * (c2::DOUBLE / c1)
+             |    + ${1.0 - jmLambda}::DOUBLE
+             |      * (cu::DOUBLE / (SELECT total FROM tot)))) AS REAL)
+             |    AS avg_nll
+             |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             |JOIN cu ON cu.w = bg.w2
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain quality percentile normalization: rank-normalize the
+    // q24 quality score within each source domain (percent_rank is the
+    // exact rational (rn−1)/(n−1) on a unique ordering, so it
+    // hash-compares), plus the curriculum decile. Raw quality scores are
+    // not comparable across domains — a median academic doc outscores a
+    // top-decile forum post — so mixture/curriculum stages consume the
+    // within-domain percentile, not the raw score.
+    Entry("q155_quality_percentile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            "doc_id")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(desc("quality"), col("doc_id"))
+        q.withColumn("pctl", percent_rank().over(w))
+          .withColumn("decile", ntile(10).over(w))
+          .select(col("doc_id"), col("source"),
+            col("quality").cast("float").as("quality"),
+            col("pctl"), col("decile"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    0.4 * least(1.0, CAST(len(tk) AS BIGINT) / 64.0)
+           |      + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk))
+           |      + 0.3 * (1.0 - len(list_filter(tk,
+           |          x -> list_contains([$stop], x)))::DOUBLE / len(tk))
+           |      AS quality
+           |  FROM t)
+           |SELECT doc_id, source, CAST(quality AS REAL) AS quality,
+           |  percent_rank() OVER (PARTITION BY source
+           |    ORDER BY quality DESC, doc_id) AS pctl,
+           |  CAST(ntile(10) OVER (PARTITION BY source
+           |    ORDER BY quality DESC, doc_id) AS INT) AS decile
+           |FROM q ORDER BY doc_id""".stripMargin
+      }),
+
+    // Character-class profile: letter/digit/space/other ratios + dominant
+    // class — the shuffle-free mojibake/base64/markup detector that runs
+    // before tokenization. All counts exact; ratio is a small-int divide.
+    Entry("q156_char_classes",
+      (s, d) => TextAnalysis.charClassProfile(Tables.documents(s, d),
+        "doc_id", "text"),
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |      AS BIGINT) AS n_letter,
+             |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |      AS BIGINT) AS n_digit,
+             |    CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+             |      AS BIGINT) AS n_space
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, n_chars, n_letter, n_digit, n_space,
+             |    n_chars - n_letter - n_digit - n_space AS n_other
+             |  FROM c WHERE n_chars > 0)
+             |SELECT doc_id, n_chars, n_letter, n_digit, n_space, n_other,
+             |  n_letter::DOUBLE / n_chars AS letter_ratio,
+             |  CASE
+             |    WHEN n_letter >= greatest(n_digit, n_space, n_other) THEN 'letter'
+             |    WHEN n_digit >= greatest(n_space, n_other) THEN 'digit'
+             |    WHEN n_space >= n_other THEN 'space'
+             |    ELSE 'other' END AS dominant
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Dedup-aware sampling: near-dup clusters (exact-Jaccard pairs → CC)
+    // weight each document by 1/cluster_size, so every UNIQUE content
+    // gets equal expected representation in the sample regardless of how
+    // many near-copies exist (the RedPajama/Pile dedup-weighted mixing
+    // rule). The keep decision is a deterministic integer-arithmetic
+    // Bernoulli — hash60(doc_id) % 1e6 < 500000 div csize — so retries
+    // and engines agree bit-for-bit; singletons keep with p≈0.5, a
+    // 5-copy cluster keeps each copy with p≈0.1.
+    Entry("q153_dedup_weighted_sample",
+      (s, d) => {
+        import graft.ops.{Dedup, GraphAnalytics}
+        val docs = Tables.documents(s, d)
+        val clusters = GraphAnalytics.dedupClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 3,
+            threshold = 0.5).select(col("doc_a"), col("doc_b")))
+        val sized = clusters.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("csize"))
+        docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+          .join(sized, Seq("cluster"), "left")
+          .withColumn("csize", coalesce(col("csize"), lit(1L)))
+          .filter(pmod(Fns.hash60(col("doc_id").cast("string")),
+            lit(1000000L)) < expr("500000 div csize"))
+          .select(col("doc_id"), col("cluster"), col("csize"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |shd AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |  FROM toks),
+             |inter AS (
+             |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+             |  FROM shd sa JOIN shd sb
+             |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             |  GROUP BY 1, 2),
+             |szs AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+             |prs AS (
+             |  SELECT doc_a, doc_b FROM inter i
+             |  JOIN szs na ON na.doc_id = i.doc_a
+             |  JOIN szs nb ON nb.doc_id = i.doc_b
+             |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+             |sym AS (SELECT doc_a AS a, doc_b AS b FROM prs
+             |  UNION SELECT doc_b, doc_a FROM prs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+             |comp AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+             |  FROM reach GROUP BY a),
+             |sized AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1),
+             |alld AS (
+             |  SELECT d.doc_id,
+             |    coalesce(c.cluster, d.doc_id) AS cluster,
+             |    CAST(coalesce(s.csize, 1) AS BIGINT) AS csize
+             |  FROM documents d
+             |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+             |  LEFT JOIN sized s ON s.cluster = coalesce(c.cluster, d.doc_id))
+             |SELECT doc_id, cluster, csize FROM alld
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |        AS BIGINT) % 1000000 < 500000 // csize
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sparse TF-IDF cosine join (AllPairs family): full-vector norms,
+    // df-capped inverted index, pair dot products only on shared
+    // informative tokens. sim emitted float32 (ln + sum-order drift).
+    Entry("q150_sparse_cosine_join",
+      (s, d) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, d),
+        "doc_id", "text", maxTokenDf = 100L, minCosine),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             |  FROM documents),
+             |tk AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+             |tf AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
+             |stats AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+             |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |w AS (
+             |  SELECT doc_id, token, df,
+             |    c::DOUBLE * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS weight
+             |  FROM tf JOIN dft USING (token) CROSS JOIN stats),
+             |nrm AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nrm
+             |        FROM w GROUP BY 1),
+             |u AS (
+             |  SELECT doc_id, token, weight / nrm AS u
+             |  FROM w JOIN nrm USING (doc_id) WHERE df <= 100),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    sum(a.u * b.u) AS sim
+             |  FROM u a JOIN u b
+             |    ON a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(sim AS REAL) AS sim FROM pairs
+             |WHERE sim >= $minCosine ORDER BY doc_a, doc_b""".stripMargin)))
+
+  // q150's threshold, shared between the Spark plan and the oracle SQL so
+  // the two literals can never drift apart.
+  private val minCosine = 0.15
+
+  // q154's interpolation weight (shared with its oracle the same way).
+  private val jmLambda = 0.7
+
+  // BPE trainer unrolled as DuckDB CTEs (shared by q147 training output
+  // and q152 encoding): words → char symbols → per-round (pair counts,
+  // winner t_r, merge row m_r, rewritten vocab w_r).
+  private def bpeTrainCtes(rounds: Int): String = {
+    def pairsOf(w: String) =
+      s"""SELECT c, unnest(list_transform(
+         |    generate_series(1, len(string_split(sym, ' ')) - 1),
+         |    i -> string_split(sym, ' ')[i] || ' ' ||
+         |         string_split(sym, ' ')[i + 1])) AS pair
+         |  FROM $w""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM (
+         |${pairsOf(prev)})
+         |  GROUP BY pair),
+         |t$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |m$r AS (SELECT $r AS round, pair,
+         |        replace(pair, ' ', '') AS merged, n AS cnt FROM t$r),
+         |w$r AS MATERIALIZED (
+         |  SELECT trim(replace(' ' || sym || ' ',
+         |    ' ' || (SELECT pair FROM t$r) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM t$r) || ' '))
+         |    AS sym, c
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(
+       |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ')
+       |    AS sym, c
+       |  FROM words),
+       |$steps""".stripMargin
+  }
 }

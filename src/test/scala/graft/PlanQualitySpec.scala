@@ -232,4 +232,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"hydration shuffled a sort-merge join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"global sort instead of top-k heap:\n$p")
   }
+
+  test("q148 containment / q150 sparse cosine: inverted-index equi-joins, " +
+    "never a cartesian or nested loop") {
+    Seq("q148_containment", "q150_sparse_cosine_join").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loop joined:\n$p")
+    }
+  }
+
+  test("q151 record linkage: block-keyed equi self-join, score is a " +
+    "projection (no aggregation, no window)") {
+    val p = planOf("q151_fellegi_sunter")
+    assert(!p.contains("CartesianProduct"), s"blocking lost — cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocking lost — nested loop:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"score should be a pure projection:\n$p")
+  }
 }

@@ -251,6 +251,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(loose.count() === 8L * 7L / 2L)
   }
 
+  test("tfidfCosinePairs: exact copies reach sim 1.0; df cap drops " +
+    "stop-token-only pairs") {
+    val d = Seq(
+      (1L, "quantum flux capacitor resonance"),
+      (2L, "quantum flux capacitor resonance"),      // exact copy of 1
+      (3L, "the the the common words only"),
+      (4L, "the the the common words only other")    // shares only capped tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfCosinePairs(d, "doc_id", "text",
+      maxTokenDf = 10L, threshold = 0.9).collect()
+    // (1,2) are exact copies; (3,4) are near-copies via their shared
+    // low-df tokens — both legitimately clear 0.9
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (3L, 4L)))
+    val s12 = out.find(r => r.getLong(0) == 1L).get.getFloat(2)
+    assert(math.abs(s12 - 1.0f) < 1e-6f)
+    // with every token df-capped at 1 the inverted index is empty → no pairs
+    val capped = TextAnalysis.tfidfCosinePairs(d, "doc_id", "text",
+      maxTokenDf = 1L, threshold = 0.0)
+    assert(capped.count() === 0)
+  }
+
+  test("bpeEncode: merges compress repeated character pairs; counts exact") {
+    // Replace passes are left-to-right NON-OVERLAPPING (the trailing
+    // space of a match is consumed), so "a b a b" -> "ab a b" in round 1;
+    // round 2's winner is "a b" AGAIN (ties break lexically, ' ' < 'b'),
+    // taking "ab a b" -> "ab ab". Same rule in trainer, encoder, and the
+    // DuckDB oracle — the spec pins the exact behavior.
+    val d = Seq(
+      (1L, "abab abab abab"),
+      (2L, "abab xy"),
+      (3L, "q")                   // 1-char word: untouched by merges
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 3 words, 12 chars, "a b a b" -> "ab a b" -> "ab ab" = 2 syms
+    assert(out(1L) === ((3L, 12L, 6L)))
+    // doc 2: "abab" -> 2 syms, "xy" -> "x y" stays 2 syms
+    assert(out(2L) === ((2L, 6L, 4L)))
+    assert(out(3L) === ((1L, 1L, 1L)))
+  }
+
   test("bigramSurprise: empty tokens filtered; short docs absent; repeated " +
     "bigrams score lower than novel ones") {
     val d = Seq(
