@@ -513,6 +513,55 @@ object GraphAnalytics {
       .orderBy(col("lbl"))
   }
 
+  /** Strongly connected components of a FUNCTIONAL graph (every vertex has
+    * exactly one out-edge `next`) via pointer doubling — the rho-shape
+    * decomposition: every vertex walks a tail into exactly one cycle, the
+    * cycles are precisely the non-singleton SCCs, and every tail vertex is
+    * its own singleton SCC. Functional graphs are the shape of parent
+    * pointers, redirect chains, next-event maps, and hash-chain
+    * successors; "which cycle am I on" is their core analytics question.
+    *
+    * Pointer doubling is the reason this scales: jump(v) starts as
+    * succ(v) and squares each round (jump ∘ jump), so after ⌈log₂ n⌉
+    * rounds it is succ^(2^⌈log₂n⌉≥n)(v) — guaranteed to have walked past
+    * any tail and be ON the cycle. The relation stays EXACTLY n rows every
+    * round (one successor per vertex — no frontier blowup, no closure
+    * materialization); each round is one self-equi-join shuffling on the
+    * vertex id. The cycle-vertex set is the image of that jump; cycle
+    * labels come from [[connectedComponents]] restricted to cycle
+    * vertices (each cycle is one component). O(log n) rounds of O(n)
+    * work — the BSP list-ranking primitive, vs the O(n·m) transitive
+    * closure a naive SCC would pay. Returns (id, scc) with
+    * scc = min member id of the SCC. */
+  def functionalScc(succ: DataFrame): DataFrame = {
+    val s = succ.select(col("id"), col("next")).localCheckpoint(true)
+    val n = s.count()
+    var jump = s.select(col("id"), col("next").as("j"))
+    var span = 1L
+    while (span < n) {
+      jump = checkpointState(
+        jump.as("a").join(jump.as("b"), col("a.j") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.j").as("j")),
+        n)
+      span *= 2
+    }
+    val cycleVerts = jump.select(col("j").as("id")).distinct()
+    // a cycle vertex's successor is also on the cycle, so restricting the
+    // successor edges to cycle vertices keeps whole cycles and nothing else
+    val cycleEdges = s.join(cycleVerts, Seq("id"), "left_semi")
+      .select(col("id").as("src"), col("next").as("dst"))
+    val cycles = connectedComponents(cycleEdges)
+      .select(col("id"), col("comp").as("scc"))
+    // self-loop cycles (v -> v) are dropped by connectedComponents' self-
+    // loop filter but ARE length-1 cycles here — label them themselves
+    val selfLoops = cycleVerts.join(cycles, Seq("id"), "left_anti")
+      .withColumn("scc", col("id"))
+    val tails = s.select(col("id"))
+      .join(cycleVerts, Seq("id"), "left_anti")
+      .withColumn("scc", col("id"))
+    cycles.unionByName(selfLoops).unionByName(tails)
+  }
+
   /** Deterministic hash random walks — the node2vec/DeepWalk corpus
     * generation step with the rand() replaced by a pseudo-random hash pick:
     * from node u at step t, walk w moves to the neighbor v minimizing

@@ -693,6 +693,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance scoring (Xie et al., "Data Selection via
+    * Importance Resampling"): score every document by its mean
+    * log-likelihood RATIO between a target-domain unigram LM and the
+    * whole-corpus base LM (both add-one smoothed over the shared corpus
+    * vocabulary). High scorers look like the target domain; selecting
+    * top-N importance-resamples a general crawl toward a quality/domain
+    * target without training a classifier. Token-keyed aggregations +
+    * two broadcast scalar rows + one scoring join — the q145/q149 cost
+    * family; no corpus-sized state. Score emitted float32 (ln drift). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint(true) // base counts, target counts, vocab, scoring
+    val base = toks.groupBy(col("w")).agg(count(lit(1)).as("cb"))
+    val target = toks.filter(col("is_target"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val scalars = toks.agg(
+      count(lit(1)).cast("double").as("nb"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("nt"),
+      count_distinct(col("w")).cast("double").as("v"))
+    toks.join(base, "w")
+      .join(target, Seq("w"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("lr",
+        log(((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+          (col("nt") + col("v"))) /
+          ((col("cb").cast("double") + 1.0) / (col("nb") + col("v")))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("lr")).cast("float").as("importance"))
+  }
+
   /** Sparse TF-IDF cosine similarity join (the AllPairs/PPJoin family):
     * pairwise cosine over L2-normalized tf-idf vectors, materialized ONLY
     * for document pairs sharing at least one informative token — an

@@ -927,6 +927,42 @@ object BreadthQueries {
            |SELECT id, rank FROM r$iters ORDER BY id""".stripMargin
       }),
 
+    // SCC of the functional graph v -> (3v+7) mod m on customer keys:
+    // pointer doubling finds the cycles (= non-singleton SCCs) in
+    // O(log n) constant-size rounds; tails are singleton SCCs. The
+    // oracle is the GENERAL definition — mutual reachability over the
+    // recursive transitive closure — so the specialized rho-shape
+    // algorithm is checked against first principles, not against itself.
+    Entry("q157_functional_scc",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val m = cust.agg((max(col("c_custkey")) + 1).as("m"))
+        val succ = cust.crossJoin(broadcast(m))
+          .select(col("c_custkey").as("id"),
+            ((col("c_custkey") * 3 + 7) % col("m")).as("next"))
+        GraphAnalytics.functionalScc(succ).orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT c_custkey AS src,
+             |    (c_custkey * 3 + 7) % (SELECT max(c_custkey) + 1 FROM customer)
+             |      AS dst
+             |  FROM customer),
+             |verts AS (SELECT DISTINCT src AS id FROM e
+             |          UNION SELECT dst FROM e),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+             |mutual AS (
+             |  SELECT r1.a AS v, r1.b AS u
+             |  FROM reach r1 JOIN reach r2
+             |    ON r1.b = r2.a AND r2.b = r1.a),
+             |scc AS (
+             |  SELECT v.id, least(v.id, coalesce(min(mu.u), v.id)) AS scc
+             |  FROM verts v LEFT JOIN mutual mu ON mu.v = v.id
+             |  GROUP BY v.id)
+             |SELECT id, scc FROM scc ORDER BY id""".stripMargin)),
+
     // Markov transition matrix over user event streams: per user, events in
     // (ts, event_id) order; count (from → to) adjacent pairs and the
     // per-from-state transition probability. One window + two aggregations,
@@ -961,6 +997,38 @@ object BreadthQueries {
              |SELECT from_type, to_type, n,
              |  n / (sum(n) OVER (PARTITION BY from_type)) AS p
              |FROM cnt ORDER BY from_type, to_type""".stripMargin)),
+
+    // Behavioral trigram motifs: the most frequent 3-step event-type
+    // sequences across all user streams (the sequence-mining upgrade of
+    // q138's first-order transitions). Two leads over one user-partitioned
+    // window — sequences never leave their user's partition, counts are
+    // map-side combinable, top-25 is a heap.
+    Entry("q161_event_motifs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("t1"), col("t2"), col("t3"))
+          .limit(25)
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS t1,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS t2,
+             |    lead(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS t3
+             |  FROM events)
+             |SELECT t1, t2, t3, count(*) AS n
+             |FROM seq WHERE t3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, t1, t2, t3 LIMIT 25""".stripMargin)),
 
     // Common-neighbor link prediction over the co-purchase graph: top 25
     // non-adjacent pairs by shared-neighbor count with the Jaccard

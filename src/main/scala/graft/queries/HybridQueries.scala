@@ -748,6 +748,57 @@ object HybridQueries {
               |FROM pruned
               |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Intra-list similarity (ILS): mean pairwise cosine within each
+    // query's top-10 — the diversity eval that complements q141's
+    // recall/MRR (and the metric q130's MMR diversifier optimizes).
+    // Per-query pair count is k(k−1)/2 = 45, bounded by construction —
+    // the self-join is keyed on q_id over k-row lists, never the corpus.
+    Entry("q160_ils_diversity",
+      (s, d) => {
+        import graft.ops.Similarity
+        import graft.functions.VectorFunctions.cosineSim
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id").between(1, 10))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        val corpus = emb.filter(col("vec_id") > 10)
+        val topk = Similarity.knnBatch(corpus, queries, "vec_id", "embedding",
+            "q_id", "qvec", k = 10)
+          .select(col("q_id"), col("vec_id"))
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .localCheckpoint(true) // both sides of the bounded pair join
+        topk.as("a")
+          .join(topk.as("b"),
+            col("a.q_id") === col("b.q_id") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.q_id").as("q_id"),
+            cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            avg(col("sim")).cast("float").as("ils"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS q_id, embedding AS qvec
+              |  FROM embeddings WHERE vec_id BETWEEN 1 AND 10),
+              |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 10),
+              |scored AS (
+              |  SELECT q_id, vec_id, embedding,
+              |    ${OracleSql.cosine("embedding", "qvec")} AS s
+              |  FROM c CROSS JOIN q),
+              |topk AS (
+              |  SELECT q_id, vec_id, embedding FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY s DESC, vec_id) AS rn
+              |    FROM scored)
+              |  WHERE rn <= 10),
+              |prs AS (
+              |  SELECT a.q_id,
+              |    ${OracleSql.cosine("a.embedding", "b.embedding")} AS sim
+              |  FROM topk a JOIN topk b
+              |    ON a.q_id = b.q_id AND a.vec_id < b.vec_id)
+              |SELECT q_id, count(*) AS n_pairs, CAST(avg(sim) AS REAL) AS ils
+              |FROM prs GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
     // Fellegi–Sunter record-linkage scoring: log-likelihood-ratio weights
     // over a field-agreement pattern, nation-blocked candidate pairs.
     // The weights are computed once in Scala and injected as IDENTICAL

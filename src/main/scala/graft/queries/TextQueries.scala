@@ -958,6 +958,67 @@ object TextQueries {
              |    ELSE 'other' END AS dominant
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance selection: top 100 documents by mean log-likelihood
+    // ratio between the English-target unigram LM and the whole-corpus
+    // base LM — importance-resampling a multilingual crawl toward a
+    // target domain without a classifier. Ranking happens on the FLOAT32
+    // score (not the double), which removes the cross-engine 1-ulp
+    // tie-order risk by construction.
+    Entry("q163_dsir_selection",
+      (s, d) => TextAnalysis.dsirScores(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy(desc("importance"), col("doc_id")).limit(100),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, is_target, w FROM (
+             |    SELECT doc_id, lang = 'en' AS is_target,
+             |      unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0),
+             |base AS (SELECT w, count(*) AS cb FROM tk GROUP BY 1),
+             |tgt AS (SELECT w, count(*) AS ct FROM tk WHERE is_target GROUP BY 1),
+             |sc AS (
+             |  SELECT count(*)::DOUBLE AS nb,
+             |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE AS nt,
+             |    count(DISTINCT w)::DOUBLE AS v
+             |  FROM tk)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(avg(ln(
+             |    ((coalesce(ct, 0) + 1.0) / (nt + v))
+             |    / ((cb + 1.0) / (nb + v)))) AS REAL) AS importance
+             |FROM tk JOIN base USING (w) LEFT JOIN tgt USING (w)
+             |CROSS JOIN sc
+             |GROUP BY doc_id
+             |ORDER BY importance DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // Deterministic train/val/test assignment: split = hash-bucket of the
+    // doc id (train 90% / val 5% / test 5%), with per-domain counts as a
+    // stratification audit. Hash-based splits are THE reproducibility
+    // contract of a training pipeline: re-runs, retries, and incremental
+    // ingests all route a document to the same split forever — no RNG,
+    // no state. The salt is part of the identity: a new salt is a new
+    // experiment, never a silent reshuffle of an old one.
+    Entry("q159_hash_split",
+      (s, d) => {
+        val bucket = pmod(Fns.hash60(
+          concat(col("doc_id").cast("string"), lit("#split-v1"))), lit(1000L))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            when(bucket < 900, "train")
+              .when(bucket < 950, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'),
+             |      1, 15)) AS BIGINT) % 1000 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, source,
+             |  CASE WHEN bucket < 900 THEN 'train'
+             |       WHEN bucket < 950 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     // Dedup-aware sampling: near-dup clusters (exact-Jaccard pairs → CC)
     // weight each document by 1/cluster_size, so every UNIQUE content
     // gets equal expected representation in the sample regardless of how
@@ -1054,11 +1115,120 @@ object TextQueries {
              |    ON a.token = b.token AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
              |SELECT doc_a, doc_b, CAST(sim AS REAL) AS sim FROM pairs
-             |WHERE sim >= $minCosine ORDER BY doc_a, doc_b""".stripMargin)))
+             |WHERE sim >= $minCosine ORDER BY doc_a, doc_b""".stripMargin))
+  ) :+ manifestEntry
 
   // q150's threshold, shared between the Spark plan and the oracle SQL so
   // the two literals can never drift apart.
   private val minCosine = 0.15
+
+  // The end-to-end curation flagship: every stage is an operator that is
+  // ALSO oracle-checked standalone (q24 quality, q156 char classes,
+  // q21/q56/q123 near-dup survivorship, q159 split) — this query pins
+  // their composition: gate on quality + letter ratio, drop non-survivor
+  // near-dups, stamp the deterministic split, emit the manifest a
+  // training run would consume.
+  private val manifestEntry: Entry =
+    Entry("q162_training_manifest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.ops.GraphAnalytics
+        val docs = Tables.documents(s, d)
+        val quality = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val chars = TextAnalysis.charClassProfile(docs, "doc_id", "text")
+          .select(col("doc_id"), col("letter_ratio"))
+        val clusters = GraphAnalytics.dedupClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 3,
+            threshold = 0.5).select(col("doc_a"), col("doc_b")))
+        val surv = clusters.join(quality, "doc_id")
+          .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+            .orderBy(desc("quality"), col("doc_id"))))
+          .filter(col("rn") === 1).select(col("doc_id"))
+        val losers = clusters.select(col("doc_id"))
+          .join(surv, Seq("doc_id"), "left_anti")
+        val bucket = pmod(Fns.hash60(
+          concat(col("doc_id").cast("string"), lit("#split-v1"))), lit(1000L))
+        docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(quality, "doc_id")
+          .join(chars, "doc_id")
+          .join(losers, Seq("doc_id"), "left_anti")
+          .filter(col("quality") >= 0.6 && col("letter_ratio") >= 0.6)
+          .withColumn("split",
+            when(bucket < 900, "train").when(bucket < 950, "val")
+              .otherwise("test"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("quality"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+           |qual AS (
+           |  SELECT doc_id,
+           |    0.4 * least(1.0, CAST(len(t) AS BIGINT) / 64.0)
+           |      + 0.3 * (len(list_distinct(t))::DOUBLE / len(t))
+           |      + 0.3 * (1.0 - len(list_filter(t,
+           |          x -> list_contains([$stop], x)))::DOUBLE / len(t))
+           |      AS quality
+           |  FROM toks),
+           |chr AS (
+           |  SELECT doc_id,
+           |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           |      AS BIGINT)::DOUBLE / length(text) AS letter_ratio
+           |  FROM documents WHERE length(text) > 0),
+           |shd AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+           |  FROM toks),
+           |inter AS (
+           |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+           |  FROM shd sa JOIN shd sb
+           |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+           |  GROUP BY 1, 2),
+           |szs AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+           |prs AS (
+           |  SELECT doc_a, doc_b FROM inter i
+           |  JOIN szs na ON na.doc_id = i.doc_a
+           |  JOIN szs nb ON nb.doc_id = i.doc_b
+           |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM prs
+           |  UNION SELECT doc_b, doc_a FROM prs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+           |comp AS (
+           |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+           |  FROM reach GROUP BY a),
+           |surv AS (
+           |  SELECT doc_id FROM (
+           |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster
+           |      ORDER BY q.quality DESC, c.doc_id) AS rn
+           |    FROM comp c JOIN qual q USING (doc_id))
+           |  WHERE rn = 1),
+           |losers AS (
+           |  SELECT doc_id FROM comp
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM surv))
+           |SELECT d.doc_id, d.lang, d.source, q.quality,
+           |  CASE WHEN b.bucket < 900 THEN 'train'
+           |       WHEN b.bucket < 950 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM documents d
+           |JOIN qual q ON q.doc_id = d.doc_id
+           |JOIN chr c ON c.doc_id = d.doc_id
+           |JOIN (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split-v1'),
+           |      1, 15)) AS BIGINT) % 1000 AS bucket
+           |  FROM documents) b ON b.doc_id = d.doc_id
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+           |  AND q.quality >= 0.6 AND c.letter_ratio >= 0.6
+           |ORDER BY d.doc_id""".stripMargin
+      })
 
   // q154's interpolation weight (shared with its oracle the same way).
   private val jmLambda = 0.7

@@ -480,5 +480,42 @@ object VectorQueries {
            |p1 AS (SELECT vec_id, embedding, rel FROM cand0 ORDER BY rel DESC, vec_id LIMIT 1),
            |$steps
            |SELECT * FROM ($out) ORDER BY mmr_rank""".stripMargin
-      }))
+      }),
+
+    // Embedding-space hygiene: per-DIMENSION mean/variance/range over the
+    // corpus. Dead dimensions (variance ≈ 0) and mean-shifted dimensions
+    // are the classic symptoms of a collapsed or mis-batched encoder, and
+    // they silently degrade every cosine downstream — this is the QA
+    // table an embedding pipeline checks before building an index.
+    // One posexplode + one dim-keyed aggregation (64 groups — map-side
+    // combinable, no corpus-sized buffer anywhere); mean/var emitted
+    // float32 to absorb partition-order sum drift, min/max exact.
+    Entry("q158_embedding_dims",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v")) / count(lit(1))).cast("float").as("mean"),
+          (sum(col("v") * col("v")) / count(lit(1)) -
+            (sum(col("v")) / count(lit(1))) * (sum(col("v")) / count(lit(1))))
+            .cast("float").as("variance"),
+          min(col("v").cast("float")).as("min_v"),
+          max(col("v").cast("float")).as("max_v"))
+        .orderBy(col("dim")),
+      Some("""WITH d AS (
+             |  SELECT vec_id, embedding,
+             |    unnest(generate_series(1, len(embedding))) AS i
+             |  FROM embeddings),
+             |x AS (
+             |  SELECT CAST(i - 1 AS BIGINT) AS dim, embedding[i]::DOUBLE AS v
+             |  FROM d)
+             |SELECT dim, count(*) AS n,
+             |  CAST(sum(v) / count(*) AS REAL) AS mean,
+             |  CAST(sum(v * v) / count(*)
+             |    - (sum(v) / count(*)) * (sum(v) / count(*)) AS REAL)
+             |    AS variance,
+             |  CAST(min(v) AS REAL) AS min_v,
+             |  CAST(max(v) AS REAL) AS max_v
+             |FROM x GROUP BY dim ORDER BY dim""".stripMargin)))
 }

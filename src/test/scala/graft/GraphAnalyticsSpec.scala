@@ -274,4 +274,22 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(0L -> 0, 10L -> 0, 1L -> 1, 3L -> 1, 2L -> 2))
   }
+
+  test("functionalScc: cycles become SCCs, tails and self-loops label " +
+    "themselves") {
+    // rho shapes: 3-cycle 0→1→2→0 with tail 4→3→0; self-loop 5→5 fed by 6;
+    // 2-cycle 7↔8
+    val succ = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L), (4L, 3L),
+      (5L, 5L), (6L, 5L), (7L, 8L), (8L, 7L)
+    ).toDF("id", "next")
+    val out = GraphAnalytics.functionalScc(succ)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L,        // the 3-cycle
+      3L -> 3L, 4L -> 4L,                  // tail singletons
+      5L -> 5L,                            // self-loop cycle
+      6L -> 6L,                            // its tail
+      7L -> 7L, 8L -> 7L))                 // the 2-cycle
+  }
 }
