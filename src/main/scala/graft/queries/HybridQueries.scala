@@ -748,6 +748,74 @@ object HybridQueries {
               |FROM pruned
               |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)),
 
+    // Scene-cut detection: L1 distance between CONSECUTIVE frame feature
+    // vectors per clip, cuts = distance above threshold — the shot-
+    // boundary stage of a video training pipeline, built on q118's frame
+    // sampler. Every feature component is a dyadic rational (byte/128),
+    // so |x−y| sums are EXACT in double at any fold order — the whole
+    // row hash-matches without any float32 absorption. One lag window
+    // per clip (frames never leave their media_id partition).
+    Entry("q164_scene_cuts",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            Multimodal.MediaRow(s"media$id",
+              Seq("image", "audio", "video")((id % 3).toInt),
+              text.getBytes("UTF-8"),
+              Multimodal.MediaMeta("application/octet-stream", 64, 48,
+                1000L * (id % 10 + 1), 0))
+          }
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame_index"))
+        Multimodal.sampleFrames(s, media, everyMs = 700L).toDF()
+          .withColumn("prev", lag(col("features"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("dist", expr(
+            """aggregate(zip_with(features, prev,
+              |  (x, y) -> cast(abs(x - y) as double)),
+              |cast(0.0 as double), (a, v) -> a + v)""".stripMargin))
+          .select(col("media_id"), col("frame_index"), col("ts_ms"),
+            col("dist"), (col("dist") > 22.0).as("is_cut"))
+          .orderBy(col("media_id"), col("frame_index"))
+      },
+      Some {
+        def byteCol(j: Int) = {
+          val p = 2 * j
+          val b = s"((strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1) * 16" +
+            s" + strpos('0123456789abcdef', substr(h, ${p + 2}, 1)) - 1)"
+          s"CAST((CASE WHEN $b >= 128 THEN $b - 256 ELSE $b END) / 128.0 AS REAL) AS b$j"
+        }
+        val cols = (0 until 32).map(byteCol).mkString(",\n    ")
+        val dist = (0 until 32)
+          .map(j => s"abs(a.b$j::DOUBLE - p.b$j::DOUBLE)").mkString(" + ")
+        s"""WITH v AS (
+           |  SELECT doc_id, text, 1000 * (doc_id % 10 + 1) AS dur
+           |  FROM documents
+           |  WHERE doc_id % 3 = 2
+           |    AND octet_length(CAST(text AS BLOB)) > 0),
+           |f AS (
+           |  SELECT doc_id, text,
+           |    unnest(generate_series(0, CAST(greatest(dur // 700, 1) AS INT) - 1)) AS i
+           |  FROM v),
+           |hashed AS (
+           |  SELECT doc_id, i, sha256(text || CAST(i AS VARCHAR) || '0') AS h
+           |  FROM f),
+           |feat AS (
+           |  SELECT 'media' || CAST(doc_id AS VARCHAR) AS media_id,
+           |    CAST(i AS INT) AS frame_index, CAST(i * 700 AS BIGINT) AS ts_ms,
+           |    $cols
+           |  FROM hashed)
+           |SELECT a.media_id, a.frame_index, a.ts_ms,
+           |  ($dist) AS dist,
+           |  ($dist) > 22.0 AS is_cut
+           |FROM feat a JOIN feat p
+           |  ON p.media_id = a.media_id AND p.frame_index = a.frame_index - 1
+           |ORDER BY a.media_id, a.frame_index""".stripMargin
+      }),
+
     // Intra-list similarity (ILS): mean pairwise cosine within each
     // query's top-10 — the diversity eval that complements q141's
     // recall/MRR (and the metric q130's MMR diversifier optimizes).
