@@ -136,6 +136,117 @@ object HybridQueries {
              |FROM ev e JOIN tr ON e.ng = tr.ng
              |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)),
 
+    // Novelty rate: q117's inverse view — for EVERY eval document, the
+    // fraction of its distinct 8-grams NOT present anywhere in train
+    // (q117 reports only contaminated pairs; decontamination reporting
+    // needs every doc scored, zero-overlap included). Left-join on the
+    // same inverted index; the ratio is exact small-int arithmetic.
+    Entry("q165_novelty_rate",
+      (s, d) => {
+        val evalSources = Seq("src0", "src1", "src2", "src3", "src4")
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), Fns.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("source"),
+            explode(Fns.shingles(col("t"), 8)).as("ng"))
+          .distinct()
+          .localCheckpoint(true) // eval side, train side
+        val evalSh = sh.filter(col("source").isin(evalSources: _*))
+          .select(col("doc_id"), col("ng"))
+        val trainNg = sh.filter(!col("source").isin(evalSources: _*))
+          .select(col("ng")).distinct()
+        evalSh
+          .join(trainNg.withColumn("seen", lit(1)), Seq("ng"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+          .withColumn("novelty",
+            (col("n_ngrams") - col("n_shared")).cast("double") / col("n_ngrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, source, array_to_string(tk[i:i+7], ' ') AS ng
+             |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+             |         greatest(len(tk) - 7, 0))) AS i) g
+             |  WHERE len(tk) >= 8),
+             |ev AS (SELECT doc_id, ng FROM sh
+             |       WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+             |tr AS (SELECT DISTINCT ng FROM sh
+             |       WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+             |j AS (
+             |  SELECT e.doc_id, count(*) AS n_ngrams,
+             |    CAST(sum(CASE WHEN tr.ng IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_shared
+             |  FROM ev e LEFT JOIN tr ON e.ng = tr.ng
+             |  GROUP BY e.doc_id)
+             |SELECT doc_id, n_ngrams, n_shared,
+             |  (n_ngrams - n_shared)::DOUBLE / n_ngrams AS novelty
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // Leave-one-out KNN label eval: predict each vector's label by
+    // majority vote of its 10 nearest neighbors (ties → lexically
+    // smallest label), report per-label accuracy — the label-quality /
+    // embedding-quality eval for a labeled corpus. knnBatch keeps the
+    // pair space bounded (<= k rows per query per partition).
+    Entry("q166_knn_label_eval",
+      (s, d) => {
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+        val q = emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("qvec"), col("label").as("true_label"))
+        import org.apache.spark.sql.expressions.Window
+        // k=11 then drop self and re-rank to exactly 10: self always sits
+        // in the top 11 (cosine 1.0), so the surviving 10 equal the
+        // oracle's top-10-excluding-self
+        val nn = Similarity.knnBatch(emb, q.select(col("q_id"), col("qvec")),
+            "vec_id", "embedding", "q_id", "qvec", k = 11)
+          .filter(col("vec_id") =!= col("q_id")) // leave-one-out
+          .withColumn("rnk2", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+          .filter(col("rnk2") <= 10)
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val votes = nn.groupBy(col("q_id"), col("label"))
+          .agg(count(lit(1)).as("v"))
+        val pred = votes.groupBy(col("q_id"))
+          .agg(min_by(col("label"),
+            struct((-col("v")).as("nv"), col("label").as("l"))).as("pred"))
+        pred.join(q.select(col("q_id"), col("true_label")), "q_id")
+          .groupBy(col("true_label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("true_label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("accuracy", col("n_correct").cast("double") / col("n"))
+          .orderBy(col("true_label"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT q.vec_id AS q_id, q.label AS true_label,
+              |    c.vec_id AS n_id, c.label AS n_label,
+              |    ${OracleSql.cosine("c.embedding", "q.embedding")} AS s
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+              |topk AS (
+              |  SELECT q_id, true_label, n_label FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY s DESC, n_id) AS rn
+              |    FROM scored)
+              |  WHERE rn <= 10),
+              |votes AS (
+              |  SELECT q_id, true_label, n_label, count(*) AS v
+              |  FROM topk GROUP BY 1, 2, 3),
+              |pred AS (
+              |  SELECT q_id, true_label, n_label AS pred FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY v DESC, n_label) AS rn
+              |    FROM votes)
+              |  WHERE rn = 1)
+              |SELECT true_label, count(*) AS n,
+              |  CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_correct,
+              |  sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)::DOUBLE
+              |    / count(*) AS accuracy
+              |FROM pred GROUP BY true_label ORDER BY true_label""".stripMargin)),
+
     // Video frame sampling: one frame every 700 ms up to the clip duration
     // (≥1 per clip), fanned out by flatMap without a shuffle; the stub
     // decoder's first feature component is reproduced in SQL from the same
