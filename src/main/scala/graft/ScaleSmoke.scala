@@ -482,6 +482,37 @@ object ScaleSmoke {
       assert(colS <= 30 && colL <= 30, s"topN bound violated: $colS / $colL")
     }
 
+    // ---- functional SCC (q157 shape): pointer doubling over the quadratic
+    // map v -> (v² + 1) mod n — arbitrary rho shapes with ~√n cycles.
+    // ⌈log₂ n⌉ rounds of an exactly-n-row self-join; invariants checked
+    // distributedly: total coverage, cycle labels closed under succ, and
+    // every label labels itself.
+    {
+      val n = 200000L
+      val succ = spark.range(0, n).select(col("id"),
+        ((col("id") * col("id") + 1) % n).as("next"))
+      val t = System.nanoTime()
+      val scc = GraphAnalytics.functionalScc(succ).persist()
+      val total = scc.count()
+      val sccSecs = (System.nanoTime() - t) / 1e9
+      val lbl = scc.select(col("id"), col("scc"))
+      // non-singleton members are cycle vertices: their successor must
+      // carry the same label
+      val viaNext = lbl.filter(col("scc") =!= col("id"))
+        .join(succ, "id")
+        .join(lbl.select(col("id").as("next"), col("scc").as("scc_n")), "next")
+        .filter(col("scc") =!= col("scc_n")).count()
+      // a label must label itself (it is the min member of its cycle)
+      val badRoots = lbl.select(col("scc").as("id")).distinct()
+        .join(lbl, "id").filter(col("scc") =!= col("id")).count()
+      println(f"[scale-smoke] functionalScc verts=$total cycleViolations=$viaNext " +
+        f"rootViolations=$badRoots sccSeconds=$sccSecs%.1f")
+      assert(total == n, s"functionalScc lost vertices: $total of $n")
+      assert(viaNext == 0, "cycle label not closed under successor")
+      assert(badRoots == 0, "an SCC label does not label itself")
+      scc.unpersist()
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

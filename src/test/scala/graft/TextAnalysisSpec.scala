@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -292,6 +293,51 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 2: "abab" -> 2 syms, "xy" -> "x y" stays 2 syms
     assert(out(2L) === ((2L, 6L, 4L)))
     assert(out(3L) === ((1L, 1L, 1L)))
+  }
+
+  test("dsirScores: target-looking docs score above base-looking docs") {
+    // target = docs 1,2 (share vocabulary "alpha beta"); doc 3 uses the
+    // same words as the target, doc 4 uses words the target never has
+    val d = Seq(
+      (1L, true, "alpha beta alpha beta"),
+      (2L, true, "alpha beta gamma"),
+      (3L, false, "alpha beta alpha"),
+      (4L, false, "zeta eta theta iota")
+    ).toDF("doc_id", "is_t", "text")
+    val out = TextAnalysis.dsirScores(d, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    assert(out(3L) > out(4L),
+      s"target-vocabulary doc must out-score off-vocabulary doc: $out")
+  }
+
+  test("interpolatedSurprise: unigram back-off floors unseen-context cost " +
+    "below pure add-one bigram for frequent words") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat sat on the rug")
+    ).toDF("doc_id", "text")
+    val inter = TextAnalysis.interpolatedSurprise(d, "doc_id", "text", 0.7)
+      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    // all three docs share n-gram structure; scores are finite and close
+    assert(inter.values.forall(v => v > 0 && v < 10))
+    // doc 3 recombines transitions seen in docs 1-2 → not the max surprise
+    assert(inter(3L) <= inter.values.max)
+  }
+
+  test("charClassProfile: exact class counts and dominant pick") {
+    val d = Seq(
+      (1L, "abc 12!"),          // 3 letters, 2 digits, 1 space, 1 other
+      (2L, "    "),             // all spaces
+      (3L, "12345")             // all digits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charClassProfile(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(7)))).toMap
+    assert(out(1L) === ((7L, 3L, 2L, 1L, 1L, "letter")))
+    assert(out(2L) === ((4L, 0L, 0L, 4L, 0L, "space")))
+    assert(out(3L) === ((5L, 0L, 5L, 0L, 0L, "digit")))
   }
 
   test("bigramSurprise: empty tokens filtered; short docs absent; repeated " +
