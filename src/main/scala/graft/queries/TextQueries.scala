@@ -958,6 +958,64 @@ object TextQueries {
              |    ELSE 'other' END AS dominant
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Length-bucketed batching: quartile docs by length within each
+    // domain, then deterministically hash-order inside each bucket and
+    // chop into fixed-size batches — the padding-waste minimizer of a
+    // training data loader (batching similar-length sequences together),
+    // with the batch order reproducible across retries. All windows
+    // partitioned by (source[, bucket]) — no global sort.
+    Entry("q167_bucketed_batching",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byLen = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val byHash = Window.partitionBy(col("source"), col("len_bucket"))
+          .orderBy(Fns.hash60(concat(col("doc_id").cast("string"),
+            lit("#batch"))), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("len_bucket", ntile(4).over(byLen))
+          .withColumn("pos", row_number().over(byHash))
+          .withColumn("batch_id", expr("(pos - 1) div 8").cast("long"))
+          .select(col("doc_id"), col("source"), col("len_bucket"),
+            col("batch_id"), col("pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(ntile(4) OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS INT) AS len_bucket
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, source, len_bucket,
+             |    CAST(row_number() OVER (PARTITION BY source, len_bucket
+             |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |        || '#batch'), 1, 15)) AS BIGINT), doc_id) AS INT) AS pos
+             |  FROM b)
+             |SELECT doc_id, source, len_bucket,
+             |  CAST((pos - 1) // 8 AS BIGINT) AS batch_id, pos
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Hourly value percentiles per event type: the ops-analytics tail
+    // report (p50/p95 per tumbling hour). Exact in-group percentile —
+    // group sizes here are hour×type bounded; at true corpus scale the
+    // same report runs on the mergeable KLL path (q128). float32 output:
+    // Spark and DuckDB interpolate the same rank position with
+    // differently-associated fp formulas (1 ulp apart).
+    Entry("q168_latency_percentiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5D)").cast("float").as("p50"),
+          expr("percentile(value, 0.95D)").cast("float").as("p95"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n,
+             |  CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+             |  CAST(quantile_cont(value, 0.95) AS REAL) AS p95
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin)),
+
     // DSIR importance selection: top 100 documents by mean log-likelihood
     // ratio between the English-target unigram LM and the whole-corpus
     // base LM — importance-resampling a multilingual crawl toward a
