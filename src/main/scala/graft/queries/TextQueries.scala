@@ -1016,6 +1016,143 @@ object TextQueries {
              |FROM events GROUP BY 1, 2
              |ORDER BY hour, event_type""".stripMargin)),
 
+    // Per-domain Pareto frontier on (quality ↑, length ↑): a doc is on
+    // the frontier iff no other doc in its domain is at least as good on
+    // both axes and better on one. The 2-D skyline needs ONE pass: sort
+    // by quality desc within the domain, keep rows whose length exceeds
+    // the running max of everything before them — an O(n log n) window,
+    // not the O(n²) dominance self-join. The "best of both worlds"
+    // exemplar picker for curation review queues.
+    Entry("q169_pareto_frontier",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(desc("quality"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        q.withColumn("best_len_before",
+            coalesce(max(col("n_chars")).over(w), lit(Long.MinValue)))
+          .filter(col("n_chars") > col("best_len_before"))
+          .select(col("doc_id"), col("source"),
+            col("quality").cast("float").as("quality"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, n_chars,
+           |    string_split(lower(text), ' ') AS tk
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source, n_chars,
+           |    0.4 * least(1.0, CAST(len(tk) AS BIGINT) / 64.0)
+           |      + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk))
+           |      + 0.3 * (1.0 - len(list_filter(tk,
+           |          x -> list_contains([$stop], x)))::DOUBLE / len(tk))
+           |      AS quality
+           |  FROM t),
+           |r AS (
+           |  SELECT doc_id, source, quality, n_chars,
+           |    max(n_chars) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS best_len_before
+           |  FROM q)
+           |SELECT doc_id, source, CAST(quality AS REAL) AS quality, n_chars
+           |FROM r
+           |WHERE best_len_before IS NULL OR n_chars > best_len_before
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Per-event-type linear trend: OLS slope/intercept of value over
+    // time from the five classic sums (n, Σx, Σy, Σxy, Σx²) — one
+    // map-side-combinable aggregation per type, the distributed
+    // regression shape (never a collect). x is centered epoch seconds so
+    // Σx² stays well inside double precision; outputs float32 (sum-order
+    // drift).
+    Entry("q170_trend_per_type",
+      (s, d) => {
+        val x = (unix_timestamp(col("ts")) - lit(1700000000L)).cast("double")
+        Tables.events(s, d)
+          .select(col("event_type"), x.as("x"), col("value").as("y"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))
+              .cast("float").as("slope"),
+            ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n")).cast("float").as("intercept"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    (floor(epoch(ts)) - 1700000000)::DOUBLE AS x, value AS y
+             |  FROM events),
+             |s AS (
+             |  SELECT event_type, count(*)::DOUBLE AS n,
+             |    sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM e GROUP BY 1)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS REAL)
+             |    AS slope,
+             |  CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             |    / n AS REAL) AS intercept
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // CUSUM change-point flags on the daily event-count series per type:
+    // cumulative sum of (daily_count − series mean), flagged where
+    // |cusum| exceeds k·series-stddev — the classic drift detector for
+    // ingest monitoring. The running sum's order is pinned by the date
+    // window, so the doubles are bit-identical across engines.
+    Entry("q171_cusum_changepoints",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy(col("event_type"))
+          .agg((sum(col("c")) / count(lit(1))).as("mu"),
+            count(lit(1)).cast("double").as("nd"),
+            sum(col("c") * col("c")).as("s2"))
+          .withColumn("sd", sqrt(col("s2") / col("nd") -
+            col("mu") * col("mu")))
+          .select(col("event_type"), col("mu"), col("sd"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        daily.join(broadcast(stats), "event_type")
+          .withColumn("cusum", sum(col("c") - col("mu")).over(w))
+          .select(col("event_type"), col("day"), col("c"),
+            col("cusum").cast("float").as("cusum"),
+            (abs(col("cusum")) > lit(3.0) * col("sd")).as("flagged"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (
+             |  SELECT event_type, sum(c) / count(*) AS mu,
+             |    sqrt(sum(c * c) / count(*)::DOUBLE
+             |      - (sum(c) / count(*)) * (sum(c) / count(*))) AS sd
+             |  FROM daily GROUP BY 1),
+             |cu AS (
+             |  SELECT d.event_type, d.day, d.c,
+             |    sum(d.c - st.mu) OVER (PARTITION BY d.event_type
+             |      ORDER BY d.day) AS cusum,
+             |    st.sd
+             |  FROM daily d JOIN st USING (event_type))
+             |SELECT event_type, day, c, CAST(cusum AS REAL) AS cusum,
+             |  abs(cusum) > 3.0 * sd AS flagged
+             |FROM cu ORDER BY event_type, day""".stripMargin)),
+
     // DSIR importance selection: top 100 documents by mean log-likelihood
     // ratio between the English-target unigram LM and the whole-corpus
     // base LM — importance-resampling a multilingual crawl toward a
