@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch graph analytics over `edges(src, dst)` (SURVEY §7.5's
@@ -251,13 +251,34 @@ object GraphAnalytics {
     * each buffer holds ≤ in-deg/buckets entries at level 1 and ≤ buckets
     * entries at level 2. */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
-               exactFold: Boolean = false, exactFoldBuckets: Int = 1024): DataFrame = {
+               exactFold: Boolean = false, exactFoldBuckets: Int = 1024,
+               restart: Option[DataFrame] = None): DataFrame = {
     val out = edges.select(col("src"), col("dst")).distinct().persist()
-    val vertices = out.select(col("src").as("id"))
-      .union(out.select(col("dst").as("id"))).distinct().persist()
-    val n = vertices.count().toDouble
+    val verts = out.select(col("src").as("id"))
+      .union(out.select(col("dst").as("id"))).distinct()
+    val n = verts.count().toDouble
+    // PERSONALIZED variant: teleport mass lands on the restart vector
+    // (id, r) instead of uniformly — ranking "importance relative to
+    // these seed entities", the graph side of seeded retrieval. The base
+    // rank becomes per-vertex ((1−d)·r_v, 0 off-seed) and iteration
+    // starts AT the restart vector; plain PageRank is restart=None with
+    // r_v = 1/n everywhere.
+    // r is carried as a column ONLY in the personalized case; the plain
+    // path keeps its original single-literal base ((1−d)/n computed once
+    // in Scala) so its fp sequence — and q132's oracle hash — is
+    // unchanged by this generalization.
+    val vertices = (restart match {
+      case Some(r) => verts
+        .join(r.select(col("id"), col("r")), Seq("id"), "left")
+        .withColumn("r", coalesce(col("r"), lit(0.0)))
+      case None => verts.withColumn("r", lit(1.0 / n))
+    }).persist()
+    val base: Column = restart match {
+      case Some(_) => lit(1 - damping) * col("r")
+      case None    => lit((1 - damping) / n)
+    }
     val degrees = out.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    var ranks = vertices.select(col("id"), col("r").as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ranks
         .join(degrees, ranks("id") === degrees("src"))
@@ -280,7 +301,7 @@ object GraphAnalytics {
       ranks = checkpointState(vertices
         .join(inRank, Seq("id"), "left")
         .select(col("id"),
-          (lit((1 - damping) / n) + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")),
+          (base + lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank")),
         n.toLong) // materialize per round; keeps the plan flat
     }
     out.unpersist(); vertices.unpersist()

@@ -51,6 +51,63 @@ object BreadthQueries {
              |  UNION ALL SELECT w FROM tri)
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    // Per-vertex graph feature table: degree, triangle count, and local
+    // clustering coefficient 2T/(deg·(deg−1)) over the co-purchase graph
+    // — the feature-extraction stage a GNN/feature-engineering pipeline
+    // runs before training. Composes the q80 triangle machinery with the
+    // degree aggregate; the coefficient is exact rational arithmetic.
+    Entry("q173_graph_features",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // degree agg + triangle machinery
+        val deg = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        val tri = GraphAnalytics.triangleCounts(edges)
+        deg.join(tri, Seq("id"), "left")
+          .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+          .withColumn("clustering",
+            when(col("degree") >= 2,
+              (lit(2.0) * col("triangles")) /
+                (col("degree") * (col("degree") - 1)))
+              .otherwise(lit(0.0)))
+          .orderBy(col("id"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+             |  WHERE l1.l_partkey < l2.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (
+             |  SELECT id, count(*) AS degree FROM (
+             |    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+             |  GROUP BY id),
+             |tri AS (
+             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |  FROM pairs e1
+             |  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |tcnt AS (
+             |  SELECT id, count(*) AS triangles FROM (
+             |    SELECT u AS id FROM tri
+             |    UNION ALL SELECT v FROM tri
+             |    UNION ALL SELECT w FROM tri)
+             |  GROUP BY id)
+             |SELECT d.id, d.degree,
+             |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+             |  CASE WHEN d.degree >= 2 THEN
+             |    (2.0::DOUBLE * coalesce(t.triangles, 0))
+             |      / (d.degree * (d.degree - 1))
+             |  ELSE 0.0::DOUBLE END AS clustering
+             |FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+             |ORDER BY d.id""".stripMargin)),
+
     // Multi-source BFS shortest paths over a deterministic functional graph
     // on customer keys (k -> 2k mod m, k -> k+7 mod m); the oracle is a
     // recursive CTE taking min(dist) over all enumerated reaches — BFS
@@ -997,6 +1054,74 @@ object BreadthQueries {
              |SELECT from_type, to_type, n,
              |  n / (sum(n) OVER (PARTITION BY from_type)) AS p
              |FROM cnt ORDER BY from_type, to_type""".stripMargin)),
+
+    // Personalized PageRank: teleport mass restricted to 10 seed
+    // vertices — "importance relative to THESE entities", the graph leg
+    // of seeded retrieval (reference: graph expansion from matched
+    // entities feeds ranked results, memory_graph.py hybrid search).
+    // Same two-level exact fold and literal discipline as q132; the
+    // (1−d) literal is interpolated from Scala so 0.15000000000000002
+    // appears identically in both plans.
+    Entry("q172_personalized_pagerank",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val m = cust.agg(max(col("c_custkey")).as("mx"))
+        val c = cust.crossJoin(broadcast(m))
+        val edges = c.select(col("c_custkey").as("src"),
+            ((col("c_custkey") * 2) % (col("mx") + 1)).as("dst"))
+          .union(c.select(col("c_custkey").as("src"),
+            ((col("c_custkey") + 7) % (col("mx") + 1)).as("dst")))
+        val restart = cust.filter(col("c_custkey") < 10)
+          .select(col("c_custkey").as("id"), lit(0.1).as("r"))
+        GraphAnalytics.pageRank(edges, iterations = 6, damping = 0.85,
+            exactFold = true, restart = Some(restart))
+          .filter(col("rank") > 0.0)
+          .orderBy(col("id"))
+      },
+      Some {
+        val iters = 6
+        val oneMinusD = 1 - 0.85
+        val steps = (1 to iters).map { i =>
+          val prev = s"r${i - 1}"
+          s"""b$i AS (
+             |  SELECT e.dst AS id, e.src % 1024 AS bkt,
+             |    list_reduce(list(r.rank / dg.deg ORDER BY e.src),
+             |                (a, b) -> a + b) AS bsum
+             |  FROM edges e
+             |  JOIN $prev r ON r.id = e.src
+             |  JOIN deg dg ON dg.id = e.src
+             |  GROUP BY e.dst, e.src % 1024),
+             |c$i AS MATERIALIZED (
+             |  SELECT id,
+             |    list_reduce(list(bsum ORDER BY bkt), (a, b) -> a + b)
+             |      AS in_rank
+             |  FROM b$i GROUP BY id),
+             |r$i AS MATERIALIZED (
+             |  SELECT v.id,
+             |    $oneMinusD::DOUBLE * v.r
+             |      + 0.85::DOUBLE * coalesce(c.in_rank, 0.0::DOUBLE) AS rank
+             |  FROM verts v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT c_custkey AS src,
+           |      (c_custkey * 2) % (SELECT max(c_custkey) + 1 FROM customer) AS dst
+           |    FROM customer
+           |    UNION ALL
+           |    SELECT c_custkey,
+           |      (c_custkey + 7) % (SELECT max(c_custkey) + 1 FROM customer)
+           |    FROM customer)),
+           |verts AS MATERIALIZED (
+           |  SELECT id, CASE WHEN id < 10 THEN 0.1::DOUBLE
+           |                  ELSE 0.0::DOUBLE END AS r
+           |  FROM (SELECT DISTINCT id FROM (
+           |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))),
+           |deg AS MATERIALIZED (
+           |  SELECT src AS id, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+           |r0 AS MATERIALIZED (SELECT id, r AS rank FROM verts),
+           |$steps
+           |SELECT id, rank FROM r$iters WHERE rank > 0.0 ORDER BY id""".stripMargin
+      }),
 
     // Behavioral trigram motifs: the most frequent 3-step event-type
     // sequences across all user streams (the sequence-mining upgrade of

@@ -275,6 +275,21 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out === Map(0L -> 0, 10L -> 0, 1L -> 1, 3L -> 1, 2L -> 2))
   }
 
+  test("pageRank personalized: rank decays with distance from the seed; " +
+    "plain run stays uniform") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val restart = Seq((0L, 1.0)).toDF("id", "r")
+    val ppr = GraphAnalytics.pageRank(edges, iterations = 20,
+        restart = Some(restart))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr(0L) > ppr(1L) && ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L),
+      s"PPR must decay along the cycle from the seed: $ppr")
+    val plain = GraphAnalytics.pageRank(edges, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.values.map(v => math.abs(v - 0.25)).max < 1e-9,
+      s"plain PageRank on a symmetric cycle must be uniform: $plain")
+  }
+
   test("functionalScc: cycles become SCCs, tails and self-loops label " +
     "themselves") {
     // rho shapes: 3-cycle 0→1→2→0 with tail 4→3→0; self-loop 5→5 fed by 6;
