@@ -119,6 +119,45 @@ object Similarity {
         (col("rank0") + 1).cast("int").as("rank"))
   }
 
+  /** Deterministic Lloyd k-means over `array<float>` vectors: seeds are
+    * the first k rows in hash60(id) order (the IvfIndex.build rule — no
+    * RNG, retry-stable), each iteration reassigns by rounded-L2 argmin
+    * (`ivfAssign`, centroid-id tie-break) and recomputes centroids as
+    * the per-dimension mean CAST TO FLOAT32 — the cast absorbs
+    * partition-order sum drift, so centroids (and therefore every
+    * assignment) are bit-stable across runs, partitionings, and engines.
+    * Fixed iteration count, not convergence — same reproducibility
+    * contract as [[GraphAnalytics.pageRank]]. A cluster that loses all
+    * members drops out (k shrinks) — deterministic on both sides of the
+    * oracle. Each round: one broadcast cross score (k-bounded) + one
+    * (cluster × dim)-keyed mean — map-side combinable, no corpus-sized
+    * state. Returns (id, cluster). */
+  def kMeans(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+             iterations: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Fns
+    val w = Window.orderBy(col("h"), col(idCol))
+    var centroids = vectors.select(col(idCol), col(vecCol))
+      .withColumn("h", Fns.hash60(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol)).limit(k)
+      .withColumn("centroid_id", row_number().over(w))
+      .select(col("centroid_id"), col(vecCol).as("cvec"))
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(vectors, centroids, idCol, vecCol)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, m))), s -> cast(s.m as float))")
+          .as("cvec"))
+        .localCheckpoint(true)
+    }
+    ivfAssign(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id").as("cluster"))
+  }
+
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

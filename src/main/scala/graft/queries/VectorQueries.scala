@@ -517,5 +517,54 @@ object VectorQueries {
              |    AS variance,
              |  CAST(min(v) AS REAL) AS min_v,
              |  CAST(max(v) AS REAL) AS max_v
-             |FROM x GROUP BY dim ORDER BY dim""".stripMargin)))
+             |FROM x GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // Deterministic Lloyd k-means (k=8, 2 iterations): hash-seeded, L2
+    // argmin with rounded distance + centroid-id tie-break, per-dim mean
+    // centroids cast float32 so the whole trajectory is bit-stable. The
+    // oracle unrolls both Lloyd rounds from the same seeds — seeding,
+    // both reassignments, and the mean recomputation all hash-checked.
+    Entry("q174_kmeans",
+      (s, d) => graft.ops.Similarity.kMeans(Tables.embeddings(s, d),
+          "vec_id", "embedding", k = 8, iterations = 2)
+        .orderBy(col("vec_id")),
+      Some {
+        def assign(corpus: String, cents: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, centroid_id, embedding FROM (
+             |    SELECT c.vec_id, ct.centroid_id, c.embedding,
+             |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+             |          i -> (c.embedding[i]::DOUBLE - ct.cvec[i]::DOUBLE)
+             |             * (c.embedding[i]::DOUBLE - ct.cvec[i]::DOUBLE))), 6),
+             |        ct.centroid_id) AS rn
+             |    FROM $corpus c CROSS JOIN $cents ct) WHERE rn = 1)""".stripMargin
+        def recenter(a: String, out: String) =
+          s"""${out}_x AS (
+             |  SELECT centroid_id, embedding,
+             |    unnest(generate_series(1, len(embedding))) AS i
+             |  FROM $a),
+             |${out}_m AS (
+             |  SELECT centroid_id, i, avg(embedding[i]::DOUBLE) AS m
+             |  FROM ${out}_x GROUP BY 1, 2),
+             |$out AS (
+             |  SELECT centroid_id, list(CAST(m AS REAL) ORDER BY i) AS cvec
+             |  FROM ${out}_m GROUP BY 1)""".stripMargin
+        s"""WITH hseed AS (
+           |  SELECT vec_id, embedding,
+           |    ${OracleSql.h60("CAST(vec_id AS VARCHAR)")} AS h
+           |  FROM embeddings),
+           |seeds AS (
+           |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+           |    embedding AS cvec
+           |  FROM (SELECT * FROM hseed ORDER BY h, vec_id LIMIT 8)),
+           |corpus AS (SELECT vec_id, embedding FROM embeddings),
+           |${assign("corpus", "seeds", "a1")},
+           |${recenter("a1", "c1")},
+           |${assign("corpus", "c1", "a2")},
+           |${recenter("a2", "c2")},
+           |${assign("corpus", "c2", "a3")}
+           |SELECT vec_id, centroid_id AS cluster FROM a3
+           |ORDER BY vec_id""".stripMargin
+      }))
 }
