@@ -17,7 +17,8 @@ object Registry {
       RelationalQueries.entries ++ VectorQueries.entries ++
         TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
         DomainPipelineQueries.entries ++ StatsQueries.entries ++
-        BreadthQueries.entries ++ SchemaQueries.entries ++ HybridQueries.entries
+        BreadthQueries.entries ++ SchemaQueries.entries ++ HybridQueries.entries ++
+        CurationQueries.entries
     val dups = entries.groupBy(_.name).filter(_._2.length > 1).keys
     require(dups.isEmpty,
       s"duplicate query names (last-wins maps would silently drop one): ${dups.mkString(", ")}")
