@@ -85,5 +85,102 @@ object StatsQueries {
              |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
              |  count(DISTINCT o_orderpriority), min(o_orderpriority),
              |  max(o_orderpriority) FROM orders
-             |ORDER BY column_name""".stripMargin)))
+             |ORDER BY column_name""".stripMargin)),
+
+    // Robust outliers on the daily event-count series per type: median /
+    // MAD (median absolute deviation) z-score, flagged at |z| > 3 with the
+    // 1.4826 normal-consistency constant — the robust alternative to
+    // q171's CUSUM (one wild day cannot drag the baseline the way a mean/
+    // stddev detector lets it). Medians interpolate identically in Spark
+    // `percentile` and DuckDB `quantile_cont`; counts are integers, so
+    // every derived double is exact and the flag can never flip.
+    Entry("q182_mad_outliers",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val med = daily.groupBy(col("event_type"))
+          .agg(expr("percentile(c, 0.5D)").as("med"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("absdev", abs(col("c") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(absdev, 0.5D)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("z", col("absdev") / (lit(1.4826) * col("mad")))
+          .select(col("event_type"), col("day"), col("c"),
+            col("z").cast("float").as("z"),
+            (col("mad") > 0 && col("z") > 3.0).as("flagged"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |med AS (
+             |  SELECT event_type, quantile_cont(c, 0.5) AS med
+             |  FROM daily GROUP BY 1),
+             |dev AS (
+             |  SELECT d.event_type, d.day, d.c, abs(d.c - m.med) AS absdev
+             |  FROM daily d JOIN med m USING (event_type)),
+             |mad AS (
+             |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT dev.event_type, dev.day, dev.c,
+             |  CAST(absdev / (1.4826 * mad) AS REAL) AS z,
+             |  (mad > 0 AND absdev / (1.4826 * mad) > 3.0) AS flagged
+             |FROM dev JOIN mad USING (event_type)
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // Last-touch conversion attribution: each purchase is credited to the
+    // user's most recent view/click within a 24 h lookback (else 'none') —
+    // the marketing-analytics shape of "carry forward the last qualifying
+    // event", one IGNORE-NULLS running window per user, no self-join.
+    // Gap minutes are an exact integer-second ratio; float32 at emit.
+    Entry("q183_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val chTs = last(when(col("event_type").isin("view", "click"),
+          col("ts")), ignoreNulls = true).over(w)
+        val chTy = last(when(col("event_type").isin("view", "click"),
+          col("event_type")), ignoreNulls = true).over(w)
+        Tables.events(s, d)
+          .withColumn("ch_ts", chTs).withColumn("ch_ty", chTy)
+          .filter(col("event_type") === "purchase")
+          .withColumn("gap_s",
+            unix_timestamp(col("ts")) - unix_timestamp(col("ch_ts")))
+          .withColumn("channel",
+            when(col("ch_ts").isNotNull && col("gap_s") <= 86400L,
+              col("ch_ty")).otherwise(lit("none")))
+          .groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            (sum(when(col("channel") =!= "none", col("gap_s")))
+              .cast("double") /
+              (count(when(col("channel") =!= "none", lit(1))) * 60))
+              .cast("float").as("avg_gap_min"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    last_value(CASE WHEN event_type IN ('view', 'click')
+             |      THEN ts END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS ch_ts,
+             |    last_value(CASE WHEN event_type IN ('view', 'click')
+             |      THEN event_type END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS ch_ty
+             |  FROM events),
+             |p AS (
+             |  SELECT CASE WHEN ch_ts IS NOT NULL
+             |      AND floor(epoch(ts)) - floor(epoch(ch_ts)) <= 86400
+             |    THEN ch_ty ELSE 'none' END AS channel,
+             |    floor(epoch(ts)) - floor(epoch(ch_ts)) AS gap_s
+             |  FROM e WHERE event_type = 'purchase')
+             |SELECT channel, count(*) AS n_purchases,
+             |  CAST(sum(CASE WHEN channel <> 'none' THEN gap_s END)::DOUBLE
+             |    / (count(CASE WHEN channel <> 'none' THEN 1 END) * 60)
+             |    AS REAL) AS avg_gap_min
+             |FROM p GROUP BY channel ORDER BY channel""".stripMargin)))
 }

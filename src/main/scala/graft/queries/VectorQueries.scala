@@ -566,5 +566,34 @@ object VectorQueries {
            |${assign("corpus", "c2", "a3")}
            |SELECT vec_id, centroid_id AS cluster FROM a3
            |ORDER BY vec_id""".stripMargin
-      }))
+      }),
+
+    // Dominant principal direction of the embedding space via distributed
+    // power iteration (2 matvecs on the uncentered Gramian): the
+    // anisotropy / rogue-dimension QA probe. The Gramian is ONE
+    // map-side-combined aggregation over d² = 4096 keys — corpus-size-
+    // independent shuffle — and each matvec joins d² rows against a
+    // broadcast d-row vector. The oracle unrolls the identical rounds.
+    Entry("q184_power_iteration",
+      (s, d) => graft.ops.Spectral.powerIteration(
+          graft.ops.Spectral.gramian(Tables.embeddings(s, d), "embedding"),
+          dim = 64, rounds = 2)
+        .select(col("i").cast("long").as("i"), col("loading"))
+        .orderBy(col("i")),
+      Some("""WITH g AS (
+             |  SELECT i, j,
+             |    sum(embedding[i]::DOUBLE * embedding[j]::DOUBLE) AS g
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS a(i),
+             |    unnest(generate_series(1, len(embedding))) AS b(j)
+             |  GROUP BY 1, 2),
+             |w1 AS (SELECT i, sum(g * 0.125) AS u FROM g GROUP BY i),
+             |n1 AS (SELECT sqrt(sum(u * u)) AS nrm FROM w1),
+             |wn AS (SELECT i AS j, u / nrm AS wj FROM w1, n1),
+             |w2 AS (SELECT g.i, sum(g.g * wn.wj) AS u
+             |  FROM g JOIN wn ON g.j = wn.j GROUP BY 1),
+             |n2 AS (SELECT sqrt(sum(u * u)) AS nrm FROM w2)
+             |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(u / nrm AS REAL) AS loading
+             |FROM w2, n2 ORDER BY i""".stripMargin))
+  )
 }
