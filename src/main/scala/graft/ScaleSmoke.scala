@@ -513,6 +513,86 @@ object ScaleSmoke {
       scc.unpersist()
     }
 
+    // ---- Winnowing fingerprints (q181 shape): the sketch size is a fixed
+    // fraction of the shingle count (~2/(w+1)), and the pair join runs on
+    // the df-capped fingerprint inverted index — planted near-dup pairs
+    // (id%100==1 copies 39/40 words of id-1, sharing long token runs) must
+    // surface while total pair rows stay ~linear in the corpus.
+    {
+      def winStats(n: Long): (Long, Long, Long, Double) = {
+        val docs = docCorpus(n)
+        val t = System.nanoTime()
+        val fps = graft.ops.Curation.winnowingFingerprints(
+          docs, "doc_id", "text", k = 3, w = 4).localCheckpoint(true)
+        val nFps = fps.count()
+        val pairs = graft.ops.Curation.winnowingPairs(
+          fps, minShared = 2, maxFpDf = 20).localCheckpoint(true)
+        val total = pairs.count()
+        val planted = pairs.filter(col("doc_b") === col("doc_a") + 1 &&
+          col("doc_a") % 100 === 0).count()
+        (nFps, total, planted, (System.nanoTime() - t) / 1e9)
+      }
+      val (fpsS, pairsS2, plantedS2, secS) = winStats(20000L)
+      val (fpsL, pairsL2, plantedL2, secL) = winStats(200000L)
+      println(f"[scale-smoke] winnowing small: docs=20000 fps=$fpsS pairs=$pairsS2 " +
+        f"planted=$plantedS2/200 winSeconds=$secS%.1f")
+      println(f"[scale-smoke] winnowing large: docs=200000 fps=$fpsL pairs=$pairsL2 " +
+        f"planted=$plantedL2/2000 winSeconds=$secL%.1f")
+      // sketch stays a fixed fraction of the corpus (38 shingles/doc -> ~35
+      // window minima before distinct); pairs must not go quadratic
+      assert(fpsL < 12 * fpsS, s"fingerprint count super-linear: $fpsS -> $fpsL")
+      assert(pairsL2 < 20 * math.max(pairsS2, 50L),
+        s"winnowing pair count super-linear: $pairsS2 -> $pairsL2 for 10x docs")
+      // a 39/40-word copy shares whole token runs -> winnowing guarantee
+      assert(plantedS2 >= 190 && plantedL2 >= 1900,
+        s"winnowing planted recall too low: $plantedS2/200, $plantedL2/2000")
+    }
+
+    // ---- Segment boilerplate (q177 shape): shuffle keys are segment
+    // strings only (corpus-linear); planted 39/40-word copies share aligned
+    // 3-token segments with their source, so both ends of each planted pair
+    // must report a nonzero dup fraction.
+    {
+      def segStats(n: Long): (Long, Long, Double) = {
+        val docs = docCorpus(n)
+        val t = System.nanoTime()
+        val out = graft.ops.Curation.segmentBoilerplate(
+          docs, "doc_id", "text", segLen = 3).localCheckpoint(true)
+        val rows = out.count()
+        val plantedDup = out.filter(
+          (col("doc_id") % 100 === 0 || col("doc_id") % 100 === 1) &&
+            col("n_dup") > 0).count()
+        (rows, plantedDup, (System.nanoTime() - t) / 1e9)
+      }
+      val (rowsS, dupS, secS) = segStats(20000L)
+      val (rowsL, dupL, secL) = segStats(200000L)
+      println(f"[scale-smoke] boilerplate small: docs=20000 rows=$rowsS " +
+        f"plantedDup=$dupS/400 segSeconds=$secS%.1f")
+      println(f"[scale-smoke] boilerplate large: docs=200000 rows=$rowsL " +
+        f"plantedDup=$dupL/4000 segSeconds=$secL%.1f")
+      assert(rowsS == 20000L && rowsL == 200000L, "per-doc report lost rows")
+      assert(dupS >= 380 && dupL >= 3800,
+        s"planted boilerplate recall too low: $dupS/400, $dupL/4000")
+    }
+
+    // ---- Spectral Gramian (q184 shape): the aggregation output is d²
+    // rows REGARDLESS of corpus size — the property that makes power
+    // iteration corpus-scale-safe (shuffle bounded by dim, not rows).
+    {
+      def gramStats(n: Long): (Long, Double) = {
+        val vecs = vecCorpus(n)
+        val t = System.nanoTime()
+        val rows = graft.ops.Spectral.gramian(vecs, "embedding")
+          .localCheckpoint(true).count()
+        (rows, (System.nanoTime() - t) / 1e9)
+      }
+      val (gS, gSecS) = gramStats(10000L)
+      val (gL, gSecL) = gramStats(100000L)
+      println(f"[scale-smoke] gramian small: vecs=10000 cells=$gS gramSeconds=$gSecS%.1f")
+      println(f"[scale-smoke] gramian large: vecs=100000 cells=$gL gramSeconds=$gSecL%.1f")
+      assert(gS == gL, s"Gramian cell count must be corpus-independent: $gS vs $gL")
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

@@ -182,5 +182,89 @@ object StatsQueries {
              |  CAST(sum(CASE WHEN channel <> 'none' THEN gap_s END)::DOUBLE
              |    / (count(CASE WHEN channel <> 'none' THEN 1 END) * 60)
              |    AS REAL) AS avg_gap_min
-             |FROM p GROUP BY channel ORDER BY channel""".stripMargin)))
+             |FROM p GROUP BY channel ORDER BY channel""".stripMargin)),
+
+    // Burst detection as gaps-and-islands: flag hours whose event count
+    // exceeds 1.2× the type's hourly mean, then group CONSECUTIVE flagged
+    // hours into bursts with the row_number-difference trick (an island's
+    // hour-index minus its flagged-rank is constant). Reports each burst's
+    // span and volume — the run-length upgrade of the pointwise detectors
+    // (q171 CUSUM, q182 MAD). Windows partition by type; integer
+    // arithmetic end to end, so islands are bit-stable.
+    Entry("q185_burst_islands",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val mean = hourly.groupBy(col("event_type"))
+          .agg((sum(col("c")) / count(lit(1))).as("mu"))
+        val flagged = hourly.join(broadcast(mean), "event_type")
+          .filter(col("c") > lit(1.2) * col("mu"))
+          .withColumn("hidx",
+            (unix_timestamp(col("hr")) / 3600).cast("long"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+        flagged
+          .withColumn("grp", col("hidx") - row_number().over(w))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(min(col("hr")).as("burst_start"),
+            max(col("hr")).as("burst_end"),
+            count(lit(1)).as("n_hours"), sum(col("c")).as("events"))
+          .filter(col("n_hours") >= 2) // a lone hot hour is noise, not a burst
+          .select(col("event_type"), col("burst_start"), col("burst_end"),
+            col("n_hours"), col("events"))
+          .orderBy(col("event_type"), col("burst_start"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |mean AS (
+             |  SELECT event_type, sum(c) / count(*) AS mu
+             |  FROM hourly GROUP BY 1),
+             |flagged AS (
+             |  SELECT h.event_type, h.hr, h.c,
+             |    floor(epoch(h.hr)) // 3600 AS hidx
+             |  FROM hourly h JOIN mean m USING (event_type)
+             |  WHERE h.c > 1.2 * m.mu),
+             |isl AS (
+             |  SELECT event_type, hr, c,
+             |    hidx - row_number() OVER (PARTITION BY event_type
+             |      ORDER BY hidx) AS grp
+             |  FROM flagged)
+             |SELECT event_type, min(hr) AS burst_start, max(hr) AS burst_end,
+             |  count(*) AS n_hours, CAST(sum(c) AS BIGINT) AS events
+             |FROM isl GROUP BY event_type, grp
+             |HAVING count(*) >= 2
+             |ORDER BY event_type, burst_start""".stripMargin)),
+
+    // Coverage growth curve: per day, how many (user, event_type) combos
+    // appear for the FIRST time, plus the cumulative count — the
+    // "is the pipeline still discovering new behavior" monitor. The
+    // distributed shape matters: first-seen = one min-aggregation per
+    // combo (never a running distinct), cumulative = a 30-row window over
+    // the DAILY rollup, not the event log.
+    Entry("q186_coverage_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val firstSeen = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        val daily = firstSeen.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_combos"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cumulative", sum(col("new_combos")).over(w))
+          .orderBy(col("day"))
+      },
+      Some("""WITH fs AS (
+             |  SELECT user_id, event_type, min(CAST(ts AS DATE)) AS first_day
+             |  FROM events GROUP BY 1, 2),
+             |daily AS (
+             |  SELECT first_day AS day, count(*) AS new_combos
+             |  FROM fs GROUP BY 1)
+             |SELECT day, new_combos,
+             |  CAST(sum(new_combos) OVER (ORDER BY day
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
+             |FROM daily ORDER BY day""".stripMargin)))
 }
