@@ -359,6 +359,58 @@ object CurationQueries {
               |       THEN 0.5 * qq * ln(2.0 * qq / (pp + qq)) ELSE 0.0 END))
               |    AS REAL) AS js
               |FROM grid GROUP BY 1, 2
-              |ORDER BY source_a, source_b""".stripMargin))
+              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // SIF-weighted retrieval (V5 pooling upgrade): token vectors scaled by
+    // a/(a + p(token)) before the fold (Arora et al. 2017), so frequent
+    // tokens stop drowning informative ones — then exact cosine top-20
+    // against a SIF-embedded query. The frequency map is a vocabulary-
+    // bounded collect (top-10k cap — the IVF-centroid pattern: broadcast
+    // side is capped, never corpus-sized); the oracle recomputes the
+    // corpus frequencies, BOTH embeddings (bit-exact float32 fold via
+    // sifEmbedCtes), and the ranked cut in SQL.
+    Entry("q188_sif_knn",
+      (s, d) => {
+        import s.implicits._
+        val qtext = "fast hash join merge"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val tokCol = filter(split(lower(col("text")), "\\s+"),
+          w => length(w) > 0)
+        val tok = docs.select(explode(tokCol).as("tk"))
+        val total = tok.count()
+        val freq = tok.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("tk")).limit(10000)
+          .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / total)
+          .toMap
+        val embedder = new graft.engine.SifEmbedder(64, 0.01, freq)
+        val emb = docs.as[(Long, String)]
+          .mapPartitions(_.map { case (id, t) => (id, embedder.embed(t)) })
+          .toDF("doc_id", "emb")
+        val query = Seq(Tuple1(embedder.embed(qtext))).toDF("qvec")
+        Similarity.knnCosine(emb, query, "doc_id", "emb",
+          k = 20, threshold = 0.15)
+      },
+      Some {
+        val qtext = "fast hash join merge"
+        s"""WITH tokall AS (
+           |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+           |    x -> x <> '')) AS tk
+           |  FROM documents),
+           |tot AS (SELECT count(*) AS n FROM tokall),
+           |freq AS (
+           |  SELECT tk, count(*)::DOUBLE / (SELECT n FROM tot) AS p
+           |  FROM tokall GROUP BY tk
+           |  ORDER BY count(*) DESC, tk LIMIT 10000),
+           |dsrc AS (SELECT doc_id AS id, text AS txt FROM documents),
+           |qsrc AS (SELECT 0 AS id, '$qtext' AS txt),
+           |${OracleSql.sifEmbedCtes("dsrc", 64, "demb", "0.01", "freq")},
+           |${OracleSql.sifEmbedCtes("qsrc", 64, "qemb", "0.01", "freq")},
+           |scored AS (
+           |  SELECT d.id AS doc_id,
+           |    round(${OracleSql.cosine("d.emb", "q.emb")}, 4) AS score
+           |  FROM demb d CROSS JOIN qemb q)
+           |SELECT doc_id, score FROM scored WHERE score >= 0.15
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      })
   )
 }
