@@ -169,4 +169,62 @@ object Curation {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Character-level Shannon entropy per document — the compressibility /
+    * gibberish gate (low entropy = repeated chars or boilerplate, abnormally
+    * high = random noise or binary spill). H = log2(n) − (Σ c·log2 c)/n over
+    * exact character counts; only the two log terms are floating point, and
+    * the emit is float32 so partition-order sum drift in the Σ c·log2 c
+    * aggregation can never flip an oracle hash.
+    *
+    * Scale: one explode + one (doc, char)-keyed count with map-side combine
+    * (key cardinality ≤ |doc| × alphabet, combiner output ≤ alphabet per doc
+    * per partition), then a doc-keyed agg. Shuffle rows carry 1-char keys —
+    * this is a cheap pass even at corpus scale. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    // ln-based throughout (both engines' natural log agrees in practice —
+    // the q145 precedent); log2 builtins differ in last-ulp between engines.
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * log(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        ((log(col("n_chars")) - col("clog") / col("n_chars")) / lit(math.log(2.0)))
+          .cast("float").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source dedup impact report: how much of each source survives exact
+    * dedup and near-dup clustering — duplicate rates, token loss, and the
+    * kept-fraction a mixture planner needs before weighting sources. A doc
+    * is KEPT iff it is the canonical survivor of its cluster (cluster
+    * representative = min doc_id; singletons survive trivially). All counts
+    * are exact integers; the two rate columns are single divisions —
+    * bit-stable. Inputs: `clusters(doc_id, cluster)` from any pair source
+    * (exact-hash groups, MinHash-LSH, SemDeDup …), so the report composes
+    * with every dedup path in [[Dedup]]. */
+  def dedupImpact(docs: DataFrame, idCol: String, textCol: String,
+                  srcCol: String, clusters: DataFrame): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      size(filter(tokens(col(textCol)), w => length(w) > 0)).cast("long").as("n_tokens"))
+    val withCluster = base.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("kept", col("cluster") === col("doc_id"))
+    withCluster.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept") / col("n_docs")).as("keep_rate"),
+        col("tokens_total"), col("tokens_kept"),
+        ((col("tokens_total") - col("tokens_kept")) / col("tokens_total"))
+          .as("token_loss_rate"))
+      .orderBy(col("source"))
+  }
 }

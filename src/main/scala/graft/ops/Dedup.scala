@@ -348,4 +348,73 @@ object Dedup {
     sig.unpersist()
     res
   }
+
+  /** EXACT Jaccard self-join via prefix filtering (the PPJoin family of
+    * public set-similarity-join algorithms) — same output as [[jaccardPairs]]
+    * but with a candidate step that survives skew. Shingles are globally
+    * ordered by ascending document frequency; a pair with J ≥ t must share
+    * one of the first `n − ceil(t·n) + 1` RAREST shingles of each side
+    * (prefix-filter lemma: the intersection has ≥ ceil(t·max(na,nb)) ≥
+    * ceil(t·n) elements on either side, so it cannot hide entirely in the
+    * `ceil(t·n) − 1`-element suffix), so ONLY those prefix shingles become
+    * join keys. The corpus-stopword shingles — the keys that blow up the q21
+    * inverted-index join quadratically — sort to the END of the global order
+    * and never enter the candidate join. A size-ratio prune
+    * (min(na,nb) ≥ t·max(na,nb), a direct J ≥ t consequence) cuts the rest.
+    * Verification is exact and restricted to candidates via the same
+    * candidate-scoped shingle-set path as [[minhashLsh]].
+    *
+    * Shuffle budget at 100 TB: one groupBy for document frequencies (keys =
+    * distinct shingles), one doc-keyed window for per-doc frequency ranks,
+    * a candidate join keyed on RARE shingles only (bounded fan-out by
+    * construction), and candidate-proportional verification. Unlike LSH this
+    * has NO false negatives — it is the exact-recall scale path.
+    */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Per-doc global-order rank; keep only the prefix. The window shuffles
+    // the (already distinct) shingle relation once by doc — the same order
+    // of work as signature computation, and far below the q21 join.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val pref = sh.join(dfreq, "shingle")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
+      .select(col("doc_id"), col("shingle"), col("n"))
+      .localCheckpoint(true) // tiny (≤ (1−t)·corpus shingles); cuts both legs' lineage
+    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"), col("n").as("na"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"), col("n").as("nb")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b").distinct()
+    val out = jaccardVerify(cand, sh, threshold)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** Leakage-safe train/test split: every near-duplicate CLUSTER lands
+    * wholly in one split, so eval rows can never be near-copies of training
+    * rows (the contamination mode plain hash splits cannot prevent). Docs
+    * outside any pair are their own cluster. The split decision hashes the
+    * cluster representative — deterministic, rerun-stable, and independent
+    * of cluster enumeration order. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct must be in (0,100): $trainPct")
+    val clusters = GraphAnalytics.dedupClusters(pairs)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split",
+        when(hash60(col("cluster").cast("string")) % 100 < trainPct, lit("train"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
 }

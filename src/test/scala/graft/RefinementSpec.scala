@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.{Curation, Dedup, GraphAnalytics}
+import org.apache.spark.sql.functions._
+
+class RefinementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (4L, "completely different content about training data pipelines at scale"),
+    (5L, "another unrelated document discussing spark catalyst optimizer rules"),
+    (6L, "the quick brown fox leaps over the lazy dog near the river bank")
+  ).toDF("doc_id", "text")
+
+  test("prefixFilterJoin: exact recall — identical pairs to the brute-force join") {
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val brute = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixFilterJoin(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === brute, s"threshold $t")
+      assert(brute.nonEmpty || t > 0.9) // fixture sanity: the low bars match pairs
+    }
+  }
+
+  test("prefixFilterJoin: stop-shingle-heavy corpus still exact, candidates pruned") {
+    // Every doc shares the boilerplate prefix (a corpus stopword shingle);
+    // only two docs are genuinely near-dup. The q21 inverted-index join
+    // candidates every pair via the boilerplate; the prefix filter must not.
+    val boiler = "terms of service apply to this site"
+    val docs = (1L to 20L).map { i =>
+      val body = if (i <= 2) "identical payload body here today"
+                 else s"unique body number $i with words w${i}a w${i}b w${i}c"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref === brute)
+    assert(pref === Set((1L, 2L)))
+  }
+
+  test("leakageSafeSplit: clusters land wholly in one split; all docs covered") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val out = Dedup.leakageSafeSplit(corpus, "doc_id", pairs, trainPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(_._1).toSet === (1L to 6L).toSet)
+    // one split per cluster
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byCluster.foreach { case (c, splits) => assert(splits.size === 1, s"cluster $c") }
+    // 1,2,3,6 are near-dups of each other (≥0.5 Jaccard) → same cluster
+    val clusterOf = out.map(r => r._1 -> r._2).toMap
+    assert(Set(1L, 2L, 3L, 6L).map(clusterOf).size === 1)
+  }
+
+  test("dedupImpact: exact keep rates per source on a hand-checked fixture") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta", "web"),   // exact dup of 1
+      (3L, "totally different text in this row here", "web"),
+      (4L, "books corpus document one two three four", "books")
+    ).toDF("doc_id", "text", "source")
+    val clusters = GraphAnalytics.dedupClusters(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("doc_a"), col("doc_b")))
+    val out = Curation.dedupImpact(docs, "doc_id", "text", "source", clusters)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("web") === ((3L, 2L, 2.0 / 3, 19L, 13L)))   // doc 2 dropped (6 tokens)
+    assert(out("books") === ((1L, 1L, 1.0, 7L, 7L)))
+  }
+
+  test("charEntropy: closed-form values") {
+    val docs = Seq(
+      (1L, "aaaa"),      // one symbol → H = 0
+      (2L, "abab"),      // two equiprobable → H = 1
+      (3L, "abcd")       // four equiprobable → H = 2
+    ).toDF("doc_id", "text")
+    val out = Curation.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getFloat(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0f)))
+    assert(out(2L) === ((4L, 2L, 1.0f)))
+    assert(out(3L) === ((4L, 4L, 2.0f)))
+  }
+}
