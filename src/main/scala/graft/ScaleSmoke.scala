@@ -575,6 +575,41 @@ object ScaleSmoke {
         s"planted boilerplate recall too low: $dupS/400, $dupL/4000")
     }
 
+    // ---- Prefix-filtered exact Jaccard (q189 shape): every doc carries a
+    // boilerplate prefix whose shingles have df == corpus size — exactly the
+    // keys that send the naive inverted-index join quadratic. The prefix
+    // filter admits only each doc's n−ceil(t·n)+1 RAREST shingles as join
+    // keys, so boilerplate never generates candidates; and because the
+    // operator is EXACT (no LSH recall loss), every planted pair must
+    // surface and nothing else may.
+    {
+      def bpCorpus(n: Long) = docCorpus(n).select(col("doc_id"),
+        concat(lit("terms of service apply to this site "), col("text")).as("text"))
+      def pfjStats(n: Long): (Long, Long, Double) = {
+        val docs = bpCorpus(n).localCheckpoint(true)
+        val t = System.nanoTime()
+        val pairs = graft.ops.Dedup.prefixFilterJoin(docs, "doc_id", "text",
+          shingleK = 3, threshold = 0.5).localCheckpoint(true)
+        val total = pairs.count()
+        val planted = pairs.filter(col("doc_b") === col("doc_a") + 1 &&
+          col("doc_a") % 100 === 0).count()
+        (total, planted, (System.nanoTime() - t) / 1e9)
+      }
+      val (pfS, pfPlS, pfSecS) = pfjStats(20000L)
+      val (pfL, pfPlL, pfSecL) = pfjStats(200000L)
+      println(f"[scale-smoke] prefixJoin small: docs=20000 pairs=$pfS " +
+        f"planted=$pfPlS/200 pfjSeconds=$pfSecS%.1f")
+      println(f"[scale-smoke] prefixJoin large: docs=200000 pairs=$pfL " +
+        f"planted=$pfPlL/2000 pfjSeconds=$pfSecL%.1f")
+      assert(pfPlS == 200 && pfPlL == 2000,
+        s"prefix join lost planted pairs (must be exact): $pfPlS/200, $pfPlL/2000")
+      assert(pfS == pfPlS && pfL == pfPlL,
+        s"unexpected extra pairs at t=0.5: $pfS vs $pfPlS, $pfL vs $pfPlL")
+      assert(pfSecL < 25 * math.max(pfSecS, 1.0),
+        f"prefix join wall time super-linear under boilerplate: " +
+          f"$pfSecS%.1f -> $pfSecL%.1f for 10x docs")
+    }
+
     // ---- Spectral Gramian (q184 shape): the aggregation output is d²
     // rows REGARDLESS of corpus size — the property that makes power
     // iteration corpus-scale-safe (shuffle bounded by dim, not rows).

@@ -177,6 +177,65 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash (dHash-style) fingerprints: bit j of the `dim`-bit
+    * hash is [f_j > f_{(j+1) mod dim}] over the decoded feature vector —
+    * the classic difference-hash construction (gradient signs survive
+    * resizing/re-encoding under a real decoder, so visually-near images
+    * land Hamming-close). With the stub decoder only byte-identical
+    * content collides — exactly what fixtures plant. Rows that fail to
+    * decode are dropped (no fingerprint exists for them).
+    *
+    * The comparison runs on raw features; the bit-pack is a Horner fold —
+    * both whole-stage-codegen higher-order expressions, no UDF. */
+  def phashSignatures(spark: SparkSession, media: Dataset[MediaRow],
+                      decoder: Decoder = new StubDecoder(32)): DataFrame = {
+    val dim = decoder.dim
+    require(dim <= 63, s"phash packs into one BIGINT: dim $dim > 63")
+    val bits = transform(sequence(lit(0), lit(dim - 1)), j =>
+      when(element_at(col("features"), j + 1) >
+        element_at(col("features"), pmod(j + 1, lit(dim)) + 1), 1L).otherwise(0L))
+    extractFeatures(spark, media, decoder).filter(_.decode_ok).toDF()
+      .select(col("media_id"), bits.as("bits"))
+      // Horner MSB→LSB: phash = Σ bit_j · 2^j
+      .select(col("media_id"),
+        aggregate(sequence(lit(1), lit(dim)), lit(0L),
+          (acc, i) => acc * 2 + element_at(col("bits"), lit(dim + 1) - i))
+          .as("phash"))
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: band the `bits`-bit
+    * fingerprint into `bits/8` byte bands, bucket-join on (band, key), and
+    * keep pairs with Hamming ≤ maxDist. Pigeonhole: maxDist < #bands
+    * guarantees a shared band, so recall is exact for the distance bound —
+    * no LSH miss — while the join only ever touches same-band buckets, not
+    * the media cross product. The 100 TB image-dedup shape: fingerprints
+    * are 8 bytes/row regardless of media size, and the quadratic step is
+    * band-bucket-local. */
+  def phashNearDup(spark: SparkSession, media: Dataset[MediaRow], maxDist: Int,
+                   decoder: Decoder = new StubDecoder(32)): DataFrame = {
+    val bits = decoder.dim
+    val nBands = bits / 8
+    require(bits % 8 == 0 && maxDist < nBands,
+      s"need byte bands and maxDist < bands for exact recall: bits=$bits maxDist=$maxDist")
+    val sig = phashSignatures(spark, media, decoder).localCheckpoint(true)
+    val banded = sig.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_idx"))
+      .withColumn("band_key", expr("(phash >> (band_idx * 8)) & 255"))
+    val a = banded.select(col("media_id").as("media_a"), col("phash").as("ph_a"),
+      col("band_idx"), col("band_key"))
+    val b = banded.select(col("media_id").as("media_b"), col("phash").as("ph_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("ph_a"), col("ph_b"))
+      .distinct() // a pair may share several bands
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Deterministic fixture media table. */
   def fixture(spark: SparkSession, n: Int = 12): Dataset[MediaRow] = {
     import spark.implicits._

@@ -375,25 +375,47 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
     val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Per-doc global-order rank; keep only the prefix. The window shuffles
-    // the (already distinct) shingle relation once by doc — the same order
-    // of work as signature computation, and far below the q21 join.
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val pref = sh.join(dfreq, "shingle")
-      .join(sizes, "doc_id")
+    // Per-doc global-order rank; keep only the prefix. BOTH corpus stats
+    // ride windows instead of aggregate+join round-trips: document
+    // frequency is a count() over shingle partitions, set size n and the
+    // frequency rank share one doc-partitioned exchange — two corpus
+    // shuffles total (by shingle, then by doc), the same budget as
+    // signature computation and far below the q21 join.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val w = wDoc.orderBy(col("df"), col("shingle"))
+    val pref = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
-      .select(col("doc_id"), col("shingle"), col("n"))
+      .select(col("doc_id"), col("shingle"), col("n"), col("rn"))
       .localCheckpoint(true) // tiny (≤ (1−t)·corpus shingles); cuts both legs' lineage
-    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"), col("n").as("na"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"), col("n").as("nb")),
-        Seq("shingle"))
+    // POSITIONAL filter (the PPJoin refinement): a shared prefix shingle at
+    // frequency-ranks (rna, rnb) bounds the overlap by 1 + min(na−rna,
+    // nb−rnb) — every other common shingle sorts after it on both sides.
+    // J ≥ t needs overlap ≥ ceil(t·(na+nb)/(1+t)), and the FIRST common
+    // shingle of a qualifying pair always sits inside both prefixes with a
+    // passing bound, so dropping failing occurrences loses nothing (classic
+    // PPJoin argument) while cutting candidates ~50× on near-miss pairs.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n").as("na"), col("rn").as("rna"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n").as("nb"), col("rn").as("rnb")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      .filter(lit(1) + least(col("na") - col("rna"), col("nb") - col("rnb")) >= alpha)
       .select("doc_a", "doc_b").distinct()
-    val out = jaccardVerify(cand, sh, threshold)
+      // near-dup-population-sized, not corpus-sized: collapse partitions so
+      // the verify stages don't pay 32 task launches per tiny relation
+      .coalesce(math.max(1, docs.sparkSession.sessionState.conf.numShufflePartitions / 8))
+      .localCheckpoint(true)
+    // verification shingle sets only for docs a candidate pair touches —
+    // the same candidate-proportional discipline as minhashLsh
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val out = jaccardVerify(cand, shCand, threshold)
       .localCheckpoint(true)
     sh.unpersist()
     out

@@ -252,8 +252,66 @@ object GraphAnalytics {
     * entries at level 2. */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
                exactFold: Boolean = false, exactFoldBuckets: Int = 1024,
-               restart: Option[DataFrame] = None): DataFrame = {
+               restart: Option[DataFrame] = None,
+               smallGraphEdges: Long = 500000): DataFrame = {
     val out = edges.select(col("src"), col("dst")).distinct().persist()
+    // Small-graph gate (the connectedComponents `full_scan_threshold`
+    // pattern): below `smallGraphEdges` distinct edges, `iterations`
+    // rounds of Spark scheduling cost more than the data — run the SAME
+    // two-level fixed-order fold on the driver. Only the exactFold path is
+    // gated: its arithmetic order is fully specified, so the driver loop
+    // reproduces the distributed output BIT-IDENTICALLY (spec-pinned); the
+    // plain-sum production path stays distributed at every size.
+    if (exactFold &&
+        out.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        out.schema("dst").dataType == org.apache.spark.sql.types.LongType &&
+        out.count() <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+      out.unpersist()
+      val verts: Array[Long] = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val n = verts.length.toDouble
+      val rMap: Map[Long, Double] = restart match {
+        case Some(r) =>
+          val rm = r.select(col("id"), col("r")).collect()
+            .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+          verts.map(v => v -> rm.getOrElse(v, 0.0)).toMap
+        case None => verts.map(v => v -> 1.0 / n).toMap
+      }
+      val oneMinusD = 1 - damping
+      val base: Map[Long, Double] = restart match {
+        case Some(_) => rMap.map { case (v, r) => v -> oneMinusD * r }
+        case None    => val b = oneMinusD / n; verts.map(v => v -> b).toMap
+      }
+      val deg: Map[Long, Double] =
+        es.groupBy(_._1).map { case (s, g) => s -> g.length.toDouble }
+      // per-dst in-neighbour lists, pre-bucketed (src % buckets) with srcs
+      // ascending inside each bucket and buckets ascending — the exact
+      // fold order of the distributed aggregate(array_sort(...)) pair
+      val inLists: Map[Long, Array[Array[Long]]] =
+        es.groupBy(_._2).map { case (d, g) =>
+          d -> g.map(_._1)
+            .groupBy(s => math.floorMod(s, exactFoldBuckets.toLong))
+            .toArray.sortBy(_._1)
+            .map(_._2.sorted)
+        }
+      var ranks: Map[Long, Double] = rMap
+      for (_ <- 1 to iterations) {
+        val contrib: Map[Long, Double] =
+          deg.map { case (s, dg) => s -> ranks(s) / dg }
+        ranks = verts.map { v =>
+          val inRank = inLists.get(v) match {
+            case Some(buckets) =>
+              val bsums = buckets.map(_.foldLeft(0.0)((acc, s) => acc + contrib(s)))
+              bsums.foldLeft(0.0)(_ + _)
+            case None => 0.0
+          }
+          v -> (base(v) + damping * inRank)
+        }.toMap
+      }
+      return verts.map(v => (v, ranks(v))).toSeq.toDF("id", "rank")
+    }
     val verts = out.select(col("src").as("id"))
       .union(out.select(col("dst").as("id"))).distinct()
     val n = verts.count().toDouble
@@ -654,6 +712,39 @@ object GraphAnalytics {
       val next = checkpointState(frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id")).distinct()
         .join(visitedIds, Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth)),
+        frontierSize * 8 + 1000)
+      layers += next
+      frontier = next
+      frontierSize = frontier.count()
+    }
+    e.unpersist()
+    layers.reduce(_ union _)
+  }
+
+  /** Per-seed BFS distances for MANY seeds in lock-step: frontier rows are
+    * (seed, id), visited sets are per-seed, and every round advances ALL
+    * seeds at once — the round count is bounded by maxDepth, not
+    * seeds × maxDepth. The multi-source shape that makes centrality-style
+    * queries (k seed BFS runs) pay the iterative-scheduling floor once.
+    * Output matches k independent [[bfsDistances]] runs exactly.
+    * Input seeds: (seed, id) start vertices. Returns (seed, id, dist). */
+  def bfsDistancesMulti(edges: DataFrame, seeds: DataFrame,
+                        maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val first = seeds.select(col("seed"), col("id")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer(first)
+    var frontier = first
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val visited = layers.map(_.select(col("seed"), col("id"))).reduce(_ union _)
+      val next = checkpointState(frontier.join(e, frontier("id") === e("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(visited, Seq("seed", "id"), "left_anti")
         .withColumn("dist", lit(depth)),
         frontierSize * 8 + 1000)
       layers += next

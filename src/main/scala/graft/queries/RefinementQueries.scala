@@ -70,7 +70,71 @@ object RefinementQueries {
        |  SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster
        |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)""".stripMargin
 
+  // q20-twin oracle for the INCREMENTAL path: same affine min-hash family
+  // and banding in SQL, but candidate pairs must touch the delta batch
+  // (doc_id ≡ 0 mod 10) — the new×all join appendLshBands performs.
+  private def deltaDedupSql: String = {
+    import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+    val sigCols = (0 until 16).map(i =>
+      s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+       |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  JOIN cand ON cand.doc_a = sa.doc_id AND cand.doc_b = sb.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       |SELECT i.doc_a, i.doc_b,
+       |  ninter::DOUBLE / (na.n + nb.n - ninter) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.doc_id = i.doc_a
+       |JOIN sizes nb ON nb.doc_id = i.doc_b
+       |WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
+
+    // Incremental ingest dedup: a NEW batch (doc_id ≡ 0 mod 10) arrives
+    // against a standing corpus whose LSH band table already exists. Only
+    // the batch is shingled/hashed; its bands fold into the state and the
+    // candidate DELTA is new×all — never a corpus rebuild. Verification is
+    // exact Jaccard restricted to candidate docs. The steady-state shape of
+    // a 100 TB ingest pipeline (the batch analog of the streaming
+    // lshIndexAppend sink, spec-pinned to fold bit-identically).
+    Entry("q194_delta_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val state = Dedup.bands(Dedup.minhashSignatures(
+          Dedup.shingleRaw(corpus, "doc_id", "text", 3), 16), 16, 4)
+        val (_, cand) = Dedup.appendLshBands(state, delta, "doc_id", "text",
+          shingleK = 3, numHashes = 16, numBands = 4)
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val candTexts = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        val sh = Dedup.shingleSets(candTexts, "doc_id", "text", 3)
+        Dedup.jaccardVerify(cand, sh, 0.5)
+      },
+      Some(deltaDedupSql)),
 
     // Exact Jaccard self-join via prefix filtering (PPJoin family): same
     // output as q21's inverted-index join, but candidates are generated
@@ -128,6 +192,53 @@ object RefinementQueries {
               |  (sum(n_tokens) - sum(CASE WHEN kept THEN n_tokens ELSE 0 END))::DOUBLE
               |    / sum(n_tokens) AS token_loss_rate
               |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Perceptual-hash (dHash) media near-dup: binary content → stub-decoded
+    // features → 32-bit gradient-sign fingerprint → byte-banded Hamming
+    // join (pigeonhole-exact for maxDist < #bands). The image-dedup path of
+    // the multimodal pipeline; fixture media share content in groups of 5,
+    // so within-group pairs surface at Hamming 0. Plumbing (decode seam,
+    // fingerprint pack, banded join) is the real 100 TB shape.
+    Entry("q193_phash_neardup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val reps = docs.select(col("doc_id").as("rep_id"), col("text").as("rep_text"))
+        val media = docs
+          .select(col("doc_id"), (col("doc_id") - pmod(col("doc_id"), lit(5))).as("rep_id"))
+          .join(reps, "rep_id")
+          .select(col("doc_id"), col("rep_text"))
+          .as[(Long, String)]
+          .map { case (id, t) =>
+            graft.multimodal.Multimodal.MediaRow(f"media$id%05d", "image",
+              t.getBytes("UTF-8"),
+              graft.multimodal.Multimodal.MediaMeta("image/png", 64, 48, 0L, 0))
+          }
+        graft.multimodal.Multimodal.phashNearDup(s, media, maxDist = 3)
+      },
+      Some("""WITH m AS (
+             |  SELECT d.doc_id, r.text AS rep_text
+             |  FROM documents d JOIN documents r ON r.doc_id = d.doc_id - (d.doc_id % 5)
+             |  WHERE octet_length(CAST(r.text AS BLOB)) > 0),
+             |h AS (SELECT doc_id, sha256(rep_text || '0') AS h FROM m),
+             |sb AS (
+             |  SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             |    CASE WHEN CAST(('0x' || substr(h, 2*j+1, 2)) AS INT) >= 128
+             |      THEN CAST(('0x' || substr(h, 2*j+1, 2)) AS INT) - 256
+             |      ELSE CAST(('0x' || substr(h, 2*j+1, 2)) AS INT) END) AS s
+             |  FROM h),
+             |ph AS (
+             |  SELECT doc_id,
+             |    list_sum(list_transform(generate_series(0, 31), j ->
+             |      CASE WHEN s[j+1] > s[((j+1) % 32) + 1]
+             |        THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))::BIGINT AS phash
+             |  FROM sb)
+             |SELECT 'media' || lpad(CAST(a.doc_id AS VARCHAR), 5, '0') AS media_a,
+             |  'media' || lpad(CAST(b.doc_id AS VARCHAR), 5, '0') AS media_b,
+             |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+             |ORDER BY media_a, media_b""".stripMargin)),
 
     // Character-level Shannon entropy — the compressibility/gibberish gate.
     // Exact char counts; ln-based arithmetic; float32 at the emit boundary

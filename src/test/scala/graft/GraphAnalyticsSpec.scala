@@ -210,6 +210,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(folded.values.forall(_ >= (1 - 0.85) / folded.size - 1e-12))
   }
 
+  test("pageRank exactFold gate: driver path == forced-distributed path, bit-exact") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val restart = Seq((3L, 0.5), (7L, 0.5)).toDF("id", "r")
+    for (r <- Seq(None, Some(restart))) {
+      val gated = GraphAnalytics.pageRank(edges, iterations = 5,
+          exactFold = true, restart = r)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val dist = GraphAnalytics.pageRank(edges, iterations = 5,
+          exactFold = true, restart = r, smallGraphEdges = 0)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(gated.keySet === dist.keySet)
+      // the fold order is fully specified on both paths: BIT-equal, no ulp
+      gated.foreach { case (id, rank) => assert(rank === dist(id), s"vertex $id") }
+    }
+  }
+
   test("labelPropagation: two bridged cliques keep separate communities") {
     // two 4-cliques {1..4} and {5..8} joined by bridge 4–5: within-clique
     // majorities dominate the single bridge vote, so after 4 synchronous

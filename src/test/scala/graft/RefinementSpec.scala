@@ -75,6 +75,23 @@ class RefinementSpec extends SparkSpec {
     assert(out("books") === ((1L, 1L, 1.0, 7L, 7L)))
   }
 
+  test("phashNearDup: identical content pairs at Hamming 0, nothing else at tight radius") {
+    import graft.multimodal.Multimodal
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow("m1", "image", "same pixels".getBytes("UTF-8"),
+        Multimodal.MediaMeta("image/png", 64, 48, 0L, 0)),
+      Multimodal.MediaRow("m2", "image", "same pixels".getBytes("UTF-8"),
+        Multimodal.MediaMeta("image/png", 64, 48, 0L, 0)),
+      Multimodal.MediaRow("m3", "image", "different pixels".getBytes("UTF-8"),
+        Multimodal.MediaMeta("image/png", 64, 48, 0L, 0)),
+      Multimodal.MediaRow("m4", "image", Array.empty[Byte],   // decode failure: dropped
+        Multimodal.MediaMeta("image/png", 64, 48, 0L, 0))
+    ))
+    val out = Multimodal.phashNearDup(spark, media, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq === Seq(("m1", "m2", 0)))
+  }
+
   test("charEntropy: closed-form values") {
     val docs = Seq(
       (1L, "aaaa"),      // one symbol → H = 0
