@@ -137,7 +137,8 @@ object ScaleSmoke {
       .union(spark.range(1, 131072).select(col("id").as("src"), (col("id") * 2 + 1).as("dst")))
     val t4 = System.nanoTime()
     val dists = GraphAnalytics.bfsDistances(tree,
-      spark.range(1).select(lit(1L).as("id")), maxDepth = 17).persist()
+      spark.range(1).select(lit(1L).as("id")), maxDepth = 17,
+      smallGraphEdges = 0).persist() // force the DISTRIBUTED path — this tier pins it
     val bfsN = dists.count()
     // floor(log2 v) computed EXACTLY as binary-digit count − 1 (a float
     // log2 can land at 2.9999… on exact powers of two and floor wrong)
@@ -400,7 +401,8 @@ object ScaleSmoke {
         .select(col("src"), ((col("src") + col("k")) % n).as("dst"))
       val starts = spark.range(64).select(col("id"))
       val t = System.nanoTime()
-      val rows = graft.ops.GraphAnalytics.randomWalks(edges, starts, steps = 5)
+      val rows = graft.ops.GraphAnalytics.randomWalks(edges, starts, steps = 5,
+          smallGraphEdges = 0) // force the DISTRIBUTED path — this tier pins it
         .localCheckpoint(true).count()
       (rows, (System.nanoTime() - t) / 1e9)
     }
@@ -492,7 +494,8 @@ object ScaleSmoke {
       val succ = spark.range(0, n).select(col("id"),
         ((col("id") * col("id") + 1) % n).as("next"))
       val t = System.nanoTime()
-      val scc = GraphAnalytics.functionalScc(succ).persist()
+      val scc = GraphAnalytics.functionalScc(succ, smallGraphEdges = 0)
+        .persist() // force the DISTRIBUTED path — this tier pins it
       val total = scc.count()
       val sccSecs = (System.nanoTime() - t) / 1e9
       val lbl = scc.select(col("id"), col("scc"))

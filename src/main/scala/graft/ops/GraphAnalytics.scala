@@ -386,12 +386,47 @@ object GraphAnalytics {
     * Input `edges(src, dst)` may be directed/duplicated; self loops are
     * dropped. Returns (id, triangles) — each triangle contributes 1 to each
     * of its three vertices; vertices on no triangle are absent. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+                     smallGraphEdges: Long = 500000): DataFrame = {
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .persist()
+    // Small-graph gate: same degree-ordered orientation + wedge close on
+    // the driver — exact integer counts, bit-identical output.
+    if (canon.schema("a").dataType == org.apache.spark.sql.types.LongType &&
+        canon.count() <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      canon.unpersist()
+      val edgeSet = es.toSet
+      val degm = (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).map { case (v, g) => v -> g.length }
+      def first(a: Long, b: Long): Boolean =
+        degm(a) < degm(b) || (degm(a) == degm(b) && a < b)
+      val out = es.map { case (a, b) => if (first(a, b)) (a, b) else (b, a) }
+        .groupBy(_._1).map { case (u, g) => u -> g.map(_._2).sorted }
+      val counts = scala.collection.mutable.Map.empty[Long, Long]
+      out.foreach { case (u, nbrs) =>
+        var i = 0
+        while (i < nbrs.length) {
+          var j = i + 1
+          while (j < nbrs.length) {
+            val (x, y) = (nbrs(i), nbrs(j))
+            if (edgeSet((math.min(x, y), math.max(x, y)))) {
+              counts(u) = counts.getOrElse(u, 0L) + 1
+              counts(x) = counts.getOrElse(x, 0L) + 1
+              counts(y) = counts.getOrElse(y, 0L) + 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      return counts.toSeq.sortBy(_._1).toDF("id", "triangles")
+    }
     val deg = canon.select(col("a").as("id"))
       .union(canon.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -427,13 +462,37 @@ object GraphAnalytics {
     * O(peeling depth), each localCheckpoint'ed flat. The classic filter for
     * "dense interaction cores" (spam rings, hot entity clusters) that
     * PageRank and CC both miss. Returns the vertices of the k-core. */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100,
+            smallGraphEdges: Long = 500000): DataFrame = {
     val spark = edges.sparkSession
     var g = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
               greatest(col("src"), col("dst")).as("dst"))
       .distinct()
       .localCheckpoint(true)
+    // Small-graph gate: peeling is exact integer arithmetic; the driver
+    // loop reproduces the distributed fixpoint EXACTLY (spec-pinned),
+    // including the same loud-failure contract at maxIter.
+    if (g.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        g.count() <= smallGraphEdges) {
+      import spark.implicits._
+      var es: Array[(Long, Long)] = g.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      var changedD = true
+      var iterD = 0
+      while (changedD && iterD < maxIter && es.nonEmpty) {
+        val deg = (es.map(_._1) ++ es.map(_._2))
+          .groupBy(identity).map { case (v, g2) => v -> g2.length }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(p => keep(p._1) && keep(p._2))
+        changedD = next.length != es.length
+        es = next
+        iterD += 1
+      }
+      require(!changedD || es.isEmpty,
+        s"k-core peel did not converge in $maxIter rounds — raise maxIter")
+      return (es.map(_._1) ++ es.map(_._2)).distinct.sorted.toSeq.toDF("id")
+    }
     var changed = true
     var iter = 0
     var nEdges = g.count()
@@ -524,7 +583,8 @@ object GraphAnalytics {
     * driver-coordinated but all data stays distributed.
     *
     * Returns (id, lbl) for every vertex appearing in `edges`. */
-  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+                       smallGraphEdges: Long = 500000): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     val nVertsBound = 2L * e.count() // each edge introduces <= 2 vertices
     val sym = e
@@ -532,6 +592,29 @@ object GraphAnalytics {
       .distinct()
       .localCheckpoint(true)
     e.unpersist()
+    // Small-graph gate (the connectedComponents full_scan_threshold
+    // pattern): `rounds` Spark rounds on a sub-threshold graph cost more
+    // than the data. Synchronous LPA is exact integer arithmetic with a
+    // total tie order, so the driver loop reproduces the distributed
+    // output EXACTLY (spec-pinned cross-path).
+    if (sym.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        sym.schema("dst").dataType == org.apache.spark.sql.types.LongType &&
+        sym.count() <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val se = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val inNbrs: Map[Long, Array[Long]] =
+        se.groupBy(_._2).map { case (d, g) => d -> g.map(_._1) }
+      val verts = se.map(_._1).distinct
+      var lbl: Map[Long, Long] = verts.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = verts.map { v =>
+          val votes = inNbrs(v).groupBy(lbl).map { case (l, g) => l -> g.length }
+          v -> votes.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      return verts.sorted.map(v => (v, lbl(v))).toSeq.toDF("id", "lbl")
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
@@ -612,9 +695,53 @@ object GraphAnalytics {
     * work — the BSP list-ranking primitive, vs the O(n·m) transitive
     * closure a naive SCC would pay. Returns (id, scc) with
     * scc = min member id of the SCC. */
-  def functionalScc(succ: DataFrame): DataFrame = {
+  def functionalScc(succ: DataFrame,
+                    smallGraphEdges: Long = 500000): DataFrame = {
     val s = succ.select(col("id"), col("next")).localCheckpoint(true)
     val n = s.count()
+    // Small-graph gate: the rho-decomposition is pure pointer arithmetic —
+    // the driver walk labels cycles/tails identically to pointer doubling.
+    if (s.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        s.schema("next").dataType == org.apache.spark.sql.types.LongType &&
+        n <= smallGraphEdges) {
+      val spark = succ.sparkSession
+      import spark.implicits._
+      val nxt: Map[Long, Long] = s.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // color walk: 0=unseen 1=in-progress(this walk) 2=done
+      val color = scala.collection.mutable.Map.empty[Long, Int]
+      val onCycle = scala.collection.mutable.Set.empty[Long]
+      nxt.keys.foreach { start =>
+        if (color.getOrElse(start, 0) == 0) {
+          val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var v = start
+          while (color.getOrElse(v, 0) == 0 && nxt.contains(v)) {
+            color(v) = 1; path += v; v = nxt(v)
+          }
+          if (color.getOrElse(v, 0) == 1) {
+            // closed a new cycle within this walk: v .. path.last
+            val idx = path.indexOf(v)
+            path.drop(idx).foreach(onCycle += _)
+          }
+          path.foreach(color(_) = 2)
+        }
+      }
+      // cycle labels: min member per cycle (walk each cycle once);
+      // tails label themselves — identical contract to the BSP path
+      val scc = scala.collection.mutable.Map.empty[Long, Long]
+      val labeled = scala.collection.mutable.Set.empty[Long]
+      nxt.keys.foreach { v =>
+        if (onCycle(v) && !labeled(v)) {
+          val members = scala.collection.mutable.ArrayBuffer(v)
+          var w = nxt(v)
+          while (w != v) { members += w; w = nxt(w) }
+          val mn = members.min
+          members.foreach { m => scc(m) = mn; labeled += m }
+        }
+      }
+      nxt.keys.foreach(v => if (!onCycle(v)) scc(v) = v)
+      return scc.toSeq.sortBy(_._1).toDF("id", "scc")
+    }
     var jump = s.select(col("id"), col("next").as("j"))
     var span = 1L
     while (span < n) {
@@ -655,13 +782,46 @@ object GraphAnalytics {
     * entered) simply ends its walk early — it keeps its step-0 row, so
     * output rows are ≤ starts × (steps + 1), with equality when every
     * start is in the graph. */
-  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                  smallGraphEdges: Long = 500000): DataFrame = {
     import graft.functions.Fns.hash60
     val e = edges.select(col("src"), col("dst")).persist()
     e.count()
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     e.unpersist()
+    // Small-graph gate: the hash pick is md5 arithmetic on strings — the
+    // driver loop replays the identical picks (spec-pinned cross-path).
+    if (sym.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        starts.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        sym.count() <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj: Map[Long, Array[Long]] = sym.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(s: String): Long = {
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        // first 15 hex chars = 7.5 bytes, matching conv(substr(md5,1,15))
+        val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val startRows = starts.select(col("id")).collect().map(_.getLong(0))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+      startRows.foreach(w => out += ((w, 0, w)))             // step-0 rows as-is
+      var frontier: Map[Long, Long] = startRows.distinct.map(w => w -> w).toMap
+      for (t <- 1 to steps) {
+        frontier = frontier.flatMap { case (w, node) =>
+          adj.get(node).map { nbrs =>
+            w -> nbrs.minBy(d => (h60(s"$w:$t:$d"), d))
+          }
+        }
+        frontier.foreach { case (w, node) => out += ((w, t, node)) }
+      }
+      return out.toSeq.toDF("walk_id", "step", "node")
+    }
     var frontier = starts.select(col("id").as("walk_id"))
       .withColumn("node", col("walk_id"))
       .withColumn("step", lit(0))
@@ -691,8 +851,38 @@ object GraphAnalytics {
     * driver-coordinated but O(diameter) of the REACHED region only — the
     * frontier shrinks to nothing as soon as the ball around the sources is
     * exhausted. Returns (id, dist) with dist ∈ [0, maxDepth]. */
-  def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+                   smallGraphEdges: Long = 500000): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // Small-graph gate: layered BFS is exact integer arithmetic, so the
+    // driver loop reproduces the distributed rounds EXACTLY while paying
+    // zero per-round scheduling (spec-pinned cross-path).
+    if (e.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        e.schema("dst").dataType == org.apache.spark.sql.types.LongType &&
+        sources.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj: Map[Long, Array[Long]] = e.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      e.unpersist()
+      val srcIds = sources.select(col("id")).distinct()
+        .collect().map(_.getLong(0))
+      val dist = scala.collection.mutable.Map.empty[Long, Int]
+      srcIds.foreach(s => dist(s) = 0)
+      var frontier: Set[Long] = srcIds.toSet
+      var depth = 0
+      while (depth < maxDepth && frontier.nonEmpty) {
+        depth += 1
+        val next = frontier.iterator
+          .flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .filterNot(dist.contains).toSet
+        next.foreach(v => dist(v) = depth)
+        frontier = next
+      }
+      return dist.toSeq.sortBy(_._1).toDF("id", "dist")
+    }
     val first = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint(true)
@@ -730,8 +920,39 @@ object GraphAnalytics {
     * Output matches k independent [[bfsDistances]] runs exactly.
     * Input seeds: (seed, id) start vertices. Returns (seed, id, dist). */
   def bfsDistancesMulti(edges: DataFrame, seeds: DataFrame,
-                        maxDepth: Int): DataFrame = {
+                        maxDepth: Int,
+                        smallGraphEdges: Long = 500000): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
+    // same small-graph gate as bfsDistances, per-seed state
+    if (e.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        e.schema("dst").dataType == org.apache.spark.sql.types.LongType &&
+        seeds.schema("seed").dataType == org.apache.spark.sql.types.LongType &&
+        seeds.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= smallGraphEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val adj: Map[Long, Array[Long]] = e.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+      e.unpersist()
+      val seedPairs = seeds.select(col("seed"), col("id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dist = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      seedPairs.foreach(p => dist(p) = 0)
+      var frontier: Set[(Long, Long)] = seedPairs.toSet
+      var depth = 0
+      while (depth < maxDepth && frontier.nonEmpty) {
+        depth += 1
+        val next = frontier.iterator
+          .flatMap { case (s, v) =>
+            adj.getOrElse(v, Array.empty[Long]).map(d => (s, d)) }
+          .filterNot(dist.contains).toSet
+        next.foreach(p => dist(p) = depth)
+        frontier = next
+      }
+      return dist.toSeq.sortBy(_._1)
+        .map { case ((s, v), d) => (s, v, d) }.toDF("seed", "id", "dist")
+    }
     val first = seeds.select(col("seed"), col("id")).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint(true)

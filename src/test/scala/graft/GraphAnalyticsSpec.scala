@@ -228,6 +228,39 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("small-graph gates: driver paths equal forced-distributed paths exactly") {
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 500).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    assert(rows(GraphAnalytics.labelPropagation(edges, rounds = 4)) ===
+      rows(GraphAnalytics.labelPropagation(edges, rounds = 4, smallGraphEdges = 0)))
+
+    val srcs = Seq(1L, 5L).toDF("id")
+    assert(rows(GraphAnalytics.bfsDistances(edges, srcs, maxDepth = 6)) ===
+      rows(GraphAnalytics.bfsDistances(edges, srcs, maxDepth = 6, smallGraphEdges = 0)))
+
+    val seeds = Seq((0L, 1L), (1L, 5L), (2L, 9L)).toDF("seed", "id")
+    assert(rows(GraphAnalytics.bfsDistancesMulti(edges, seeds, maxDepth = 6)) ===
+      rows(GraphAnalytics.bfsDistancesMulti(edges, seeds, maxDepth = 6, smallGraphEdges = 0)))
+
+    assert(rows(GraphAnalytics.kCore(edges, k = 3)) ===
+      rows(GraphAnalytics.kCore(edges, k = 3, smallGraphEdges = 0)))
+
+    assert(rows(GraphAnalytics.triangleCounts(edges)) ===
+      rows(GraphAnalytics.triangleCounts(edges, smallGraphEdges = 0)))
+
+    val succ = (0L to 120L).map(v => (v, (v * v + 1) % 121)).toDF("id", "next")
+    assert(rows(GraphAnalytics.functionalScc(succ)) ===
+      rows(GraphAnalytics.functionalScc(succ, smallGraphEdges = 0)))
+
+    val starts = Seq(1L, 2L, 3L, 77L).toDF("id")
+    assert(rows(GraphAnalytics.randomWalks(edges, starts, steps = 4)) ===
+      rows(GraphAnalytics.randomWalks(edges, starts, steps = 4, smallGraphEdges = 0)))
+  }
+
   test("labelPropagation: two bridged cliques keep separate communities") {
     // two 4-cliques {1..4} and {5..8} joined by bridge 4–5: within-clique
     // majorities dominate the single bridge vote, so after 4 synchronous
