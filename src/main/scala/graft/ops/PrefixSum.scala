@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sums — the scale-correct form of
+  * `Window.orderBy(...)` running totals, which Catalyst executes as ONE
+  * partition (the classic 100 TB antipattern: every row funnels through a
+  * single task). The two-pass scheme is the BSP prefix-sum primitive:
+  *
+  *   1. range-repartition by the global order;
+  *   2. per-partition partial sums (parallel) → collect (≤ #partitions
+  *      scalars) → exclusive-prefix offsets, broadcast back;
+  *   3. per-partition running sum (parallel, partitionBy(pid) window) +
+  *      the partition's offset.
+  *
+  * The only serial state is one double per partition. Addition order
+  * differs from a sequential scan, so cumulative outputs are float32 at
+  * the emit boundary (the repo-wide transcendental/sum-order discipline).
+  */
+object PrefixSum {
+
+  /** Global running sum of `valueCol` over the total order `orderCols`
+    * (must be a unique key for a deterministic profile). Appends
+    * `running` (float32) to the input rows. */
+  def globalRunningSum(df: DataFrame, orderCols: Seq[Column],
+                       valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // pin the partitioning: offsets must describe THIS layout
+    val partials = ranged.groupBy(col("_pid"))
+      .agg(sum(valueCol).as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    // exclusive prefix: partition p's offset = sum of partials before p
+    val offsets = partials.scanLeft(0 -> 0.0) {
+      case ((_, acc), (pid, psum)) => pid -> (acc + psum)
+    }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("running",
+        (col("_off") + sum(valueCol).over(w)).cast("float"))
+      .drop("_pid", "_off")
+  }
+
+  /** Concurrency (sweep-line) profile over half-open activity intervals
+    * [startCol, endCol): per time bucket, the net change in active
+    * intervals and the number concurrently active. The deltas aggregate
+    * distributedly (one groupBy on the bucket); the cumulative runs over
+    * the DISTINCT-BUCKET domain — bounded by the time range, not the row
+    * count, so the ordered window is a deliberately small relation (for
+    * unbounded domains use [[globalRunningSum]]). All counts are exact
+    * integers. Returns (bucket, net, concurrent) ordered by bucket. */
+  def concurrencyProfile(df: DataFrame, startCol: Column,
+                         endCol: Column): DataFrame = {
+    val deltas = df.select(startCol.as("bucket"), lit(1L).as("d"))
+      .unionAll(df.select(endCol.as("bucket"), lit(-1L).as("d")))
+      .groupBy(col("bucket")).agg(sum(col("d")).as("net"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("concurrent", sum(col("net")).over(w))
+      .orderBy(col("bucket"))
+  }
+}

@@ -240,6 +240,51 @@ object RefinementQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // Sweep-line concurrency profile: per minute bucket, the net change in
+    // active event intervals and the count concurrently active. Deltas
+    // aggregate distributedly; the ordered cumulative runs over the
+    // DISTINCT-BUCKET domain (bounded by the time range, not row count).
+    // Exact integers throughout.
+    Entry("q195_concurrency",
+      (s, d) => {
+        val iv = Tables.events(s, d)
+          .select(date_trunc("minute", col("ts")).as("s"),
+            greatest(lit(1L), ceil(col("value")).cast("long")).as("dur"))
+          .select(col("s"), expr("timestampadd(MINUTE, dur, s)").as("e"))
+        graft.ops.PrefixSum.concurrencyProfile(iv, col("s"), col("e"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT date_trunc('minute', ts) AS s,
+             |    date_trunc('minute', ts)
+             |      + to_minutes(greatest(1, CAST(ceil(value) AS BIGINT))) AS e
+             |  FROM events),
+             |d AS (
+             |  SELECT s AS bucket, 1 AS d FROM iv
+             |  UNION ALL SELECT e, -1 FROM iv),
+             |agg AS (SELECT bucket, sum(d)::BIGINT AS net FROM d GROUP BY bucket)
+             |SELECT bucket, net,
+             |  CAST(sum(net) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS concurrent
+             |FROM agg ORDER BY bucket""".stripMargin)),
+
+    // Distributed global running sum (two-pass BSP prefix sum): the
+    // scale-correct replacement for the single-partition Window.orderBy
+    // cumulative — per-partition partials + broadcast offsets, the only
+    // serial state is one double per partition. float32 emit absorbs the
+    // partial-vs-sequential addition-order drift.
+    Entry("q196_global_cumsum",
+      (s, d) => graft.ops.PrefixSum.globalRunningSum(
+          Tables.events(s, d).select(col("event_id"), col("ts"), col("value")),
+          Seq(col("ts"), col("event_id")), col("value"))
+        .select(col("event_id"), col("value"), col("running"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, value,
+             |  CAST(sum(value) OVER (ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL)
+             |    AS running
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Character-level Shannon entropy — the compressibility/gibberish gate.
     // Exact char counts; ln-based arithmetic; float32 at the emit boundary
     // absorbs partition-order sum drift.

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.PrefixSum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRunningSum equals the sequential cumulative (to float32) " +
+       "and never funnels rows through one partition") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 5000L).map(i => (i, rnd.nextDouble() * 100 - 20))
+      .toDF("k", "v")
+    val out = PrefixSum.globalRunningSum(df, Seq(col("k")), col("v"))
+    // reference: explicit single-partition sequential scan
+    val seqW = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("running", sum(col("v")).over(seqW).cast("float"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expect(k)) <= math.max(1e-4f, math.abs(expect(k)) * 1e-6f),
+        s"row $k: $v vs ${expect(k)}")
+    }
+    // the plan's window runs per-pid, not over one global partition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global cumsum fell back to a single-partition exchange:\n" + plan)
+  }
+
+  test("concurrencyProfile: hand-checked sweep, net sums to zero") {
+    // intervals [1,4), [2,3), [3,5): concurrency 1,2,2,1 at t=1..4
+    val iv = Seq((1L, 4L), (2L, 3L), (3L, 5L)).toDF("s", "e")
+    val out = PrefixSum.concurrencyProfile(iv, col("s"), col("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 0L, 2L),
+      (4L, -1L, 1L), (5L, -1L, 0L)))
+  }
+}
