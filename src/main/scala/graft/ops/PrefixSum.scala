@@ -23,7 +23,16 @@ object PrefixSum {
 
   /** Global running sum of `valueCol` over the total order `orderCols`
     * (must be a unique key for a deterministic profile). Appends
-    * `running` (float32) to the input rows. */
+    * `running` to the input rows.
+    *
+    * The cumulative is carried in DECIMAL: a float/double carry would make
+    * `running` depend on the partial-vs-sequential ADDITION ORDER, and at
+    * cumulative magnitudes the drift exceeds even a float32 ulp (observed
+    * at sf0.1: 263/100k rows one ulp off a sequential oracle). Decimal
+    * addition is exact and order-independent, so the output is
+    * bit-reproducible under ANY partitioning — the property a 1000-executor
+    * run needs anyway. Callers pass a decimal `valueCol`
+    * (e.g. `col("v").cast("decimal(30,10)")`). */
   def globalRunningSum(df: DataFrame, orderCols: Seq[Column],
                        valueCol: Column): DataFrame = {
     val spark = df.sparkSession
@@ -31,23 +40,38 @@ object PrefixSum {
     val nParts = spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valueCol)
       .localCheckpoint(true) // pin the partitioning: offsets must describe THIS layout
+    require(ranged.schema("_v").dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      "globalRunningSum needs a DECIMAL value column (exact, order-independent " +
+        "accumulation) — cast the measure, e.g. col(\"v\").cast(\"decimal(30,10)\")")
     val partials = ranged.groupBy(col("_pid"))
-      .agg(sum(valueCol).as("psum"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .agg(sum(col("_v")).as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1))
       .sortBy(_._1)
     // exclusive prefix: partition p's offset = sum of partials before p
-    val offsets = partials.scanLeft(0 -> 0.0) {
-      case ((_, acc), (pid, psum)) => pid -> (acc + psum)
+    val zero = java.math.BigDecimal.ZERO
+    val offsets = partials.scanLeft(0 -> zero) {
+      case ((_, acc), (pid, psum)) => pid -> acc.add(psum)
     }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
     val offDf = offsets.toSeq.toDF("_pid", "_off")
     val w = Window.partitionBy(col("_pid"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Align both addends to (37, s): Spark's decimal-addition typing would
+    // otherwise need precision 39 and, under allowPrecisionLoss, CLIP THE
+    // SCALE (observed: scale 10 → 9, a 1e-9 rounding) — silent drift, the
+    // exact thing this operator exists to rule out. (37, s) + (37, s) fits
+    // in (38, s) losslessly; the offsets' own values are exact sums of
+    // scale-s inputs, so the cast is value-preserving.
+    val s = ranged.schema("_v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
+    val dt = s"decimal(37,$s)"
     ranged.join(broadcast(offDf), Seq("_pid"))
       .withColumn("running",
-        (col("_off") + sum(valueCol).over(w)).cast("float"))
-      .drop("_pid", "_off")
+        col("_off").cast(dt) + sum(col("_v")).over(w).cast(dt))
+      .drop("_pid", "_off", "_v")
   }
 
   /** Concurrency (sweep-line) profile over half-open activity intervals

@@ -271,17 +271,20 @@ object RefinementQueries {
     // Distributed global running sum (two-pass BSP prefix sum): the
     // scale-correct replacement for the single-partition Window.orderBy
     // cumulative — per-partition partials + broadcast offsets, the only
-    // serial state is one double per partition. float32 emit absorbs the
-    // partial-vs-sequential addition-order drift.
+    // serial state is one decimal per partition. DECIMAL accumulation is
+    // exact and order-independent, so the 100k-row cumulative is
+    // bit-identical to a sequential scan (float32 could NOT absorb the
+    // order drift at cumulative magnitude — caught at sf0.1).
     Entry("q196_global_cumsum",
       (s, d) => graft.ops.PrefixSum.globalRunningSum(
           Tables.events(s, d).select(col("event_id"), col("ts"), col("value")),
-          Seq(col("ts"), col("event_id")), col("value"))
-        .select(col("event_id"), col("value"), col("running"))
+          Seq(col("ts"), col("event_id")), col("value").cast("decimal(30,10)"))
+        .select(col("event_id"), col("value"),
+          col("running").cast("double").as("running"))
         .orderBy(col("event_id")),
       Some("""SELECT event_id, value,
-             |  CAST(sum(value) OVER (ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL)
+             |  CAST(sum(CAST(value AS DECIMAL(30,10))) OVER (ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              |    AS running
              |FROM events ORDER BY event_id""".stripMargin)),
 

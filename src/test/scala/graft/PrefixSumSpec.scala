@@ -7,27 +7,34 @@ import org.apache.spark.sql.functions._
 class PrefixSumSpec extends SparkSpec {
   import spark.implicits._
 
-  test("globalRunningSum equals the sequential cumulative (to float32) " +
+  test("globalRunningSum is BIT-EQUAL to the sequential cumulative " +
        "and never funnels rows through one partition") {
     val rnd = new scala.util.Random(7)
     val df = (1L to 5000L).map(i => (i, rnd.nextDouble() * 100 - 20))
       .toDF("k", "v")
-    val out = PrefixSum.globalRunningSum(df, Seq(col("k")), col("v"))
-    // reference: explicit single-partition sequential scan
+    val dec = col("v").cast("decimal(30,10)")
+    val out = PrefixSum.globalRunningSum(df, Seq(col("k")), dec)
+    // reference: explicit single-partition sequential scan over the SAME
+    // decimal images — decimal accumulation is order-independent, so the
+    // two-pass result must be exactly equal, not merely close
     val seqW = Window.orderBy(col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val expect = df.withColumn("running", sum(col("v")).over(seqW).cast("float"))
-      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
-    val got = out.collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    val expect = df.withColumn("running", sum(dec).over(seqW))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getDecimal(2)).toMap
     assert(got.keySet === expect.keySet)
     got.foreach { case (k, v) =>
-      assert(math.abs(v - expect(k)) <= math.max(1e-4f, math.abs(expect(k)) * 1e-6f),
-        s"row $k: $v vs ${expect(k)}")
+      assert(v.compareTo(expect(k)) == 0, s"row $k: $v vs ${expect(k)}")
     }
     // the plan's window runs per-pid, not over one global partition
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"),
       "global cumsum fell back to a single-partition exchange:\n" + plan)
+
+    // a non-decimal measure is a loud error, not silent drift
+    intercept[IllegalArgumentException] {
+      PrefixSum.globalRunningSum(df, Seq(col("k")), col("v"))
+    }
   }
 
   test("concurrencyProfile: hand-checked sweep, net sums to zero") {
