@@ -110,7 +110,77 @@ object RefinementQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // LSH-vs-exact pair sets for the recall report: the q20 banding SQL and
+  // the q21 brute-force SQL joined per jaccard bucket.
+  private def lshRecallSql: String = {
+    import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+    val sigCols = (0 until 16).map(i =>
+      s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+       |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |exact AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    ninter::DOUBLE / (na.n + nb.n - ninter) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b
+       |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+       |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |tagged AS (
+       |  SELECT e.jaccard,
+       |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS found
+       |  FROM exact e LEFT JOIN cand c
+       |    ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b)
+       |SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+       |  count(*) AS n_pairs,
+       |  sum(found)::BIGINT AS n_found,
+       |  sum(found)::DOUBLE / count(*) AS recall
+       |FROM tagged GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   def entries: Seq[Entry] = Seq(
+
+    // LSH banding recall report: exact Jaccard ≥ 0.5 pairs (ground truth)
+    // vs the pairs the 16-hash/4-band candidate step surfaces, bucketed by
+    // true jaccard (bucket = floor(j·20), i.e. 0.05 steps). THE operator
+    // you run before committing band parameters to a corpus-scale dedup —
+    // the S-curve made empirical. Counts exact, recall a single division.
+    Entry("q197_lsh_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val lshCand = Dedup.candidatePairs(Dedup.bands(
+          Dedup.minhashSignatures(Dedup.shingleRaw(docs, "doc_id", "text", 3), 16),
+          16, 4))
+        exact.join(lshCand.withColumn("found", lit(1)),
+            Seq("doc_a", "doc_b"), "left")
+          .withColumn("found", coalesce(col("found"), lit(0)))
+          .groupBy(floor(col("jaccard") * 20).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("found")).cast("long").as("n_found"))
+          .withColumn("recall", col("n_found") / col("n_pairs"))
+          .orderBy(col("bucket"))
+      },
+      Some(lshRecallSql)),
 
     // Incremental ingest dedup: a NEW batch (doc_id ≡ 0 mod 10) arrives
     // against a standing corpus whose LSH band table already exists. Only
