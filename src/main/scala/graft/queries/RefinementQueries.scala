@@ -310,6 +310,41 @@ object RefinementQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // Interval×interval overlap self-join per user: which activity
+    // intervals overlap, with exact overlap seconds — the temporal-join
+    // classic q70's point-in-interval shape does not cover. Bin-bucketed
+    // (never a per-user cross product), positional pair dedup.
+    Entry("q198_interval_overlap",
+      (s, d) => {
+        val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts").as("s0"),
+          (col("ts") + expr(
+            "make_interval(0, 0, 0, 0, 0, 1 + abs(ceil(value)) % 10, 0)")).as("e0"))
+        val a = iv.select(col("user_id"), col("event_id").as("a_id"),
+          col("s0").as("a_s"), col("e0").as("a_e"))
+        val b = iv.select(col("user_id"), col("event_id").as("b_id"),
+          col("s0").as("b_s"), col("e0").as("b_e"))
+        graft.ops.Temporal.intervalOverlapJoin(a, "a_s", "a_e", b, "b_s", "b_e",
+            binWidthSec = 600, keys = Seq("user_id"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("user_id"), col("a_id"), col("b_id"),
+            (unix_timestamp(least(col("a_e"), col("b_e"))) -
+              unix_timestamp(greatest(col("a_s"), col("b_s"))))
+              .as("overlap_sec"))
+          .orderBy(col("user_id"), col("a_id"), col("b_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, ts AS s,
+             |    ts + to_minutes(1 + (CAST(abs(ceil(value)) AS BIGINT) % 10)) AS e
+             |  FROM events)
+             |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             |  CAST(date_diff('second', greatest(a.s, b.s), least(a.e, b.e))
+             |    AS BIGINT) AS overlap_sec
+             |FROM iv a JOIN iv b ON a.user_id = b.user_id
+             |  AND a.event_id < b.event_id
+             |  AND a.s < b.e AND b.s < a.e
+             |ORDER BY a.user_id, a_id, b_id""".stripMargin)),
+
     // Sweep-line concurrency profile: per minute bucket, the net change in
     // active event intervals and the count concurrently active. Deltas
     // aggregate distributedly; the ordered cumulative runs over the
