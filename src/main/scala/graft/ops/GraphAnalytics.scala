@@ -843,6 +843,40 @@ object GraphAnalytics {
     layers.reduce(_ union _).select(col("walk_id"), col("step"), col("node"))
   }
 
+  /** Skip-gram PMI over a walk corpus — the DeepWalk/node2vec front-end:
+    * co-occurrence counts of node pairs within `window` steps of the same
+    * walk, scored by pointwise mutual information
+    * ln(c_ab·T / (c_a·c_b)). Pairs are canonicalized (least, greatest);
+    * marginals count pair ENDPOINTS so PMI is self-consistent. All counts
+    * exact; the single ln is float32 at the emit boundary. The pair join
+    * is per-walk and window-bounded — walks × steps × window rows, never
+    * a corpus product. Input: (walk_id, step, node) from [[randomWalks]].
+    * Returns (a, b, c_ab, pmi) for pairs seen ≥ `minCount` times. */
+  def walkSkipgramPmi(walks: DataFrame, window: Int,
+                      minCount: Long = 1): DataFrame = {
+    val l = walks.select(col("walk_id"), col("step").as("sa"), col("node").as("na"))
+    val r = walks.select(col("walk_id"), col("step").as("sb"), col("node").as("nb"))
+    val pairs = l.join(r, Seq("walk_id"))
+      .filter(col("sb") > col("sa") && col("sb") <= col("sa") + window)
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .localCheckpoint(true) // counts + marginals + total all read it
+    val cnt = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val marg = pairs.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("m"))
+    val total = pairs.agg(count(lit(1)).as("t_pairs")) // 1 row, joined in-plan
+    cnt
+      .join(marg.select(col("node").as("a"), col("m").as("m_a")), "a")
+      .join(marg.select(col("node").as("b"), col("m").as("m_b")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi",
+        log((col("c_ab") * col("t_pairs")) / (col("m_a") * col("m_b")))
+          .cast("float"))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Multi-source unweighted BFS: shortest-path length from any source to
     * every reachable vertex within `maxDepth` hops. One equi-join + one
     * anti-join per round, all shuffling on the vertex id; each round is

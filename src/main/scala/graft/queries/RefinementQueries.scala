@@ -310,6 +310,77 @@ object RefinementQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // Walk-corpus skip-gram PMI (the DeepWalk/node2vec embedding
+    // front-end): deterministic hash walks over the co-purchase graph →
+    // windowed co-occurrence pairs → PMI. Composes q140's walk engine with
+    // q90's association scoring; counts exact, one ln at the emit boundary.
+    Entry("q199_walk_pmi",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        val starts = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .distinct().orderBy(col("id")).limit(32)
+        GraphAnalytics.walkSkipgramPmi(
+          GraphAnalytics.randomWalks(edges, starts, steps = 4), window = 2)
+      },
+      Some {
+        def hh(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+        val stepCtes = (1 to 4).map { t =>
+          val prev = s"w${t - 1}"
+          val key = s"CAST(w.walk_id AS VARCHAR) || ':$t:' || CAST(s.dst AS VARCHAR)"
+          s"""w$t AS MATERIALIZED (
+             |  SELECT walk_id, node FROM (
+             |    SELECT w.walk_id, s.dst AS node,
+             |      row_number() OVER (PARTITION BY w.walk_id
+             |        ORDER BY ${hh(key)}, s.dst) AS rn
+             |    FROM $prev w JOIN sym s ON s.src = w.node) WHERE rn = 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT x.l_partkey AS src, y.l_partkey AS dst, count(*) AS n_co
+           |    FROM lineitem x
+           |    JOIN lineitem y
+           |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+           |    GROUP BY 1, 2) WHERE n_co >= 2),
+           |sym AS MATERIALIZED (
+           |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |starts AS MATERIALIZED (
+           |  SELECT DISTINCT src AS id FROM sym ORDER BY id LIMIT 32),
+           |w0 AS (SELECT id AS walk_id, id AS node FROM starts),
+           |$stepCtes,
+           |walks AS (
+           |  SELECT walk_id, CAST(0 AS INT) AS step, node FROM w0
+           |  UNION ALL SELECT walk_id, 1, node FROM w1
+           |  UNION ALL SELECT walk_id, 2, node FROM w2
+           |  UNION ALL SELECT walk_id, 3, node FROM w3
+           |  UNION ALL SELECT walk_id, 4, node FROM w4),
+           |pairs AS (
+           |  SELECT least(a.node, b.node) AS a, greatest(a.node, b.node) AS b
+           |  FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+           |   AND b.step > a.step AND b.step <= a.step + 2),
+           |cnt AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+           |marg AS (
+           |  SELECT node, count(*) AS m FROM (
+           |    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+           |  GROUP BY node),
+           |tot AS (SELECT count(*) AS t_pairs FROM pairs)
+           |SELECT cnt.a, cnt.b, c_ab,
+           |  CAST(ln((c_ab * t_pairs)::DOUBLE / (ma.m * mb.m)) AS REAL) AS pmi
+           |FROM cnt
+           |JOIN marg ma ON ma.node = cnt.a
+           |JOIN marg mb ON mb.node = cnt.b
+           |CROSS JOIN tot
+           |ORDER BY cnt.a, cnt.b""".stripMargin
+      }),
+
     // Interval×interval overlap self-join per user: which activity
     // intervals overlap, with exact overlap seconds — the temporal-join
     // classic q70's point-in-interval shape does not cover. Bin-bucketed
