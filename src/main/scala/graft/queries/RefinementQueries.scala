@@ -464,6 +464,56 @@ object RefinementQueries {
              |    AS running
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Session compression (the reference's POST /sessions/{id}/compress
+    // shape, message_routes.py:559, with trim semantics from
+    // memory_graph.py:5175): keep the first/last messages verbatim
+    // (truncated previews), collapse the middle into exact counts — the
+    // deterministic analog of summary-compression. One window shuffle per
+    // session key; exact integers plus one ratio division.
+    Entry("q200_session_compress",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val msgs = Tables.documents(s, d)
+          .select(col("source").as("session_id"), col("doc_id"), col("text"))
+        val w = Window.partitionBy(col("session_id")).orderBy(col("doc_id"))
+        val wDesc = Window.partitionBy(col("session_id")).orderBy(desc("doc_id"))
+        val ranked = msgs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rrn", row_number().over(wDesc))
+        ranked.groupBy(col("session_id"))
+          .agg(count(lit(1)).as("n_msgs"),
+            sum(length(col("text"))).as("orig_chars"),
+            sum(when(col("rn") <= 2 || col("rrn") <= 2, length(col("text")))
+              .otherwise(0L)).as("kept_chars"),
+            max(when(col("rn") === 1, substring(col("text"), 1, 80)))
+              .as("head_preview"),
+            max(when(col("rrn") === 1, substring(col("text"), 1, 80)))
+              .as("tail_preview"))
+          .withColumn("n_kept", least(col("n_msgs"), lit(4L)))
+          .withColumn("compression_ratio",
+            col("kept_chars") / col("orig_chars"))
+          .select(col("session_id"), col("n_msgs"), col("n_kept"),
+            col("orig_chars"), col("kept_chars"), col("compression_ratio"),
+            col("head_preview"), col("tail_preview"))
+          .orderBy(col("session_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT source AS session_id, doc_id, text,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id DESC) AS rrn
+             |  FROM documents)
+             |SELECT session_id,
+             |  count(*) AS n_msgs,
+             |  sum(length(text))::BIGINT AS orig_chars,
+             |  sum(CASE WHEN rn <= 2 OR rrn <= 2 THEN length(text)
+             |    ELSE 0 END)::BIGINT AS kept_chars,
+             |  max(CASE WHEN rn = 1 THEN substr(text, 1, 80) END) AS head_preview,
+             |  max(CASE WHEN rrn = 1 THEN substr(text, 1, 80) END) AS tail_preview,
+             |  least(count(*), 4) AS n_kept,
+             |  sum(CASE WHEN rn <= 2 OR rrn <= 2 THEN length(text)
+             |    ELSE 0 END)::DOUBLE / sum(length(text)) AS compression_ratio
+             |FROM m GROUP BY session_id ORDER BY session_id""".stripMargin)),
+
     // Character-level Shannon entropy — the compressibility/gibberish gate.
     // Exact char counts; ln-based arithmetic; float32 at the emit boundary
     // absorbs partition-order sum drift.
