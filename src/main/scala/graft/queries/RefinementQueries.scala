@@ -310,6 +310,134 @@ object RefinementQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // NDCG@10 of the truncated-dimension ranking against the full-dim gold
+    // (graded relevance = 11 − gold rank): the ranking-quality eval that
+    // recall@k (q141) cannot see — order WITHIN the hit set. Exact integer
+    // gains; the log2 discount is ln-ratio arithmetic in the identical
+    // order on both engines; sums emit float32 (partition-order drift).
+    Entry("q201_ndcg",
+      (s, d) => {
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id").between(1, 10))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        def run(c: org.apache.spark.sql.DataFrame,
+                q: org.apache.spark.sql.DataFrame) = Similarity.knnBatch(
+          c, q, "vec_id", "embedding", "q_id", "qvec", k = 10)
+        val corpus = emb.filter(col("vec_id") > 10)
+        val gold = run(corpus, queries).localCheckpoint(true)
+        val sys = run(
+          corpus.withColumn("embedding", slice(col("embedding"), 1, 16)),
+          queries.withColumn("qvec", slice(col("qvec"), 1, 16)))
+        val ln2 = lit(math.log(2.0))
+        def disc(rankCol: org.apache.spark.sql.Column) =
+          log(rankCol + lit(1)) / ln2
+        val gains = gold.select(col("q_id"), col("vec_id"),
+          (lit(11) - col("rank")).as("rel"))
+        val dcg = sys.select(col("q_id"), col("vec_id"), col("rank"))
+          .join(gains, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") / disc(col("rank"))).as("dcg"))
+        val idcg = gains
+          .join(gold.select(col("q_id"), col("vec_id"), col("rank")),
+            Seq("q_id", "vec_id"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") / disc(col("rank"))).as("idcg"))
+        queries.select(col("q_id"))
+          .join(dcg, Seq("q_id"), "left")
+          .join(idcg, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("dcg"), lit(0.0)).cast("float").as("dcg"),
+            col("idcg").cast("float").as("idcg"),
+            coalesce(col("dcg") / col("idcg"), lit(0.0)).cast("float").as("ndcg"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        def ranked(scoreExpr: String) =
+          s"""SELECT q_id, vec_id, rank FROM (
+             |  SELECT q_id, vec_id,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY s DESC, vec_id) AS INT) AS rank
+             |  FROM (SELECT q.q_id, c.vec_id, $scoreExpr AS s
+             |        FROM c CROSS JOIN q)) WHERE rank <= 10"""
+            .stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+           |  WHERE vec_id BETWEEN 1 AND 10),
+           |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 10),
+           |gold AS MATERIALIZED (
+           |${ranked(OracleSql.cosine("c.embedding", "q.qvec"))}),
+           |sys AS MATERIALIZED (
+           |${ranked(OracleSql.cosine("c.embedding[1:16]", "q.qvec[1:16]"))}),
+           |gains AS (SELECT q_id, vec_id, 11 - rank AS rel FROM gold),
+           |dcg AS (
+           |  SELECT s.q_id, sum(g.rel / (ln(s.rank + 1) / ln(2))) AS dcg
+           |  FROM sys s JOIN gains g ON g.q_id = s.q_id AND g.vec_id = s.vec_id
+           |  GROUP BY s.q_id),
+           |idcg AS (
+           |  SELECT go.q_id, sum(g.rel / (ln(go.rank + 1) / ln(2))) AS idcg
+           |  FROM gold go JOIN gains g ON g.q_id = go.q_id AND g.vec_id = go.vec_id
+           |  GROUP BY go.q_id)
+           |SELECT q.q_id,
+           |  CAST(coalesce(dcg.dcg, 0.0) AS REAL) AS dcg,
+           |  CAST(idcg.idcg AS REAL) AS idcg,
+           |  CAST(coalesce(dcg.dcg / idcg.idcg, 0.0) AS REAL) AS ndcg
+           |FROM q
+           |LEFT JOIN dcg ON dcg.q_id = q.q_id
+           |LEFT JOIN idcg ON idcg.q_id = q.q_id
+           |ORDER BY q.q_id""".stripMargin
+      }),
+
+    // Near-dup-cluster language purity: do dedup clusters stay within one
+    // language? The clustering-QA eval (purity = top-label share, exact
+    // rational) over the q56 connected components, multi-member clusters
+    // only. A low-purity cluster is a banding false positive in review.
+    Entry("q202_cluster_purity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val clusters = GraphAnalytics.dedupClusters(
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+            .select(col("doc_a"), col("doc_b")))
+        val withLang = clusters.join(
+          docs.select(col("doc_id"), col("lang")), "doc_id")
+        val langCounts = withLang.groupBy(col("cluster"), col("lang"))
+          .agg(count(lit(1)).as("n_lang"))
+        val top = langCounts.withColumn("rn", row_number().over(
+            Window.partitionBy(col("cluster"))
+              .orderBy(desc("n_lang"), col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("lang").as("top_lang"),
+            col("n_lang").as("top_n"))
+        val sizes = withLang.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2)
+        sizes.join(top, "cluster")
+          .withColumn("purity", col("top_n") / col("n_members"))
+          .select(col("cluster"), col("n_members"), col("top_lang"),
+            col("top_n"), col("purity"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |wl AS (
+              |  SELECT a.cluster, d.lang FROM assigned a
+              |  JOIN documents d USING (doc_id)),
+              |lc AS (
+              |  SELECT cluster, lang, count(*) AS n_lang
+              |  FROM wl GROUP BY 1, 2),
+              |top AS (
+              |  SELECT cluster, lang AS top_lang, n_lang AS top_n FROM (
+              |    SELECT cluster, lang, n_lang, row_number() OVER (
+              |      PARTITION BY cluster ORDER BY n_lang DESC, lang) AS rn
+              |    FROM lc) WHERE rn = 1),
+              |sz AS (
+              |  SELECT cluster, count(*) AS n_members FROM wl
+              |  GROUP BY cluster HAVING count(*) >= 2)
+              |SELECT sz.cluster, sz.n_members, top.top_lang, top.top_n,
+              |  top.top_n::DOUBLE / sz.n_members AS purity
+              |FROM sz JOIN top USING (cluster)
+              |ORDER BY sz.cluster""".stripMargin)),
+
     // Walk-corpus skip-gram PMI (the DeepWalk/node2vec embedding
     // front-end): deterministic hash walks over the co-purchase graph →
     // windowed co-occurrence pairs → PMI. Composes q140's walk engine with
