@@ -250,4 +250,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"score should be a pure projection:\n$p")
   }
+
+  test("q189 prefix join / q193 pHash / q198 interval overlap: " +
+    "candidate generation is equi-join keyed, never a product") {
+    Seq("q189_prefix_filter_join", "q193_phash_neardup",
+        "q198_interval_overlap").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q nested-loop joined:\n$p")
+    }
+  }
+
+  test("q196 global cumsum: the running total never funnels through " +
+    "a single-partition exchange") {
+    val p = planOf("q196_global_cumsum")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"two-pass prefix sum degraded to a serial window:\n$p")
+  }
 }
