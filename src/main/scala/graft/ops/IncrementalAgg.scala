@@ -41,6 +41,24 @@ object IncrementalAgg {
   def finalized(state: DataFrame): DataFrame =
     state.withColumn("avg", col("sm") / col("cnt"))
 
+  /** Incremental JOIN maintenance (the IVM delta rule): given snapshots
+    * A = Aold ∪ Ad and B = Bold ∪ Bd (disjoint deltas), the new join rows
+    * are exactly
+    *
+    *   Δ(A ⋈ B) = (Ad ⋈ Bold) ∪ (Aold ⋈ Bd) ∪ (Ad ⋈ Bd)
+    *
+    * so refreshing a materialized join costs O(|Δ| ⋈ |snapshot|), never a
+    * full A ⋈ B rescan — the join twin of the partial-aggregate refresh.
+    * The three terms are disjoint (each pairs a distinct old/new origin
+    * combination), so the union is exact, not a bag approximation.
+    * Output columns: join keys, then A's, then B's remaining columns. */
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+                bOld: DataFrame, bDelta: DataFrame,
+                keys: Seq[String]): DataFrame =
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+
   /** Fold a new event batch into the rollup at `aggPath` (created on first
     * call), atomically via the snapshot swap — readers never see a partial
     * refresh. Only the NEW batch is scanned. */

@@ -310,6 +310,94 @@ object RefinementQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
 
+    // Confusion matrix for the leave-one-out kNN label eval (the q166
+    // pipeline, sliced by (true, predicted) instead of accuracy-per-class):
+    // which labels the embedding space confuses with which — the error
+    // ANATOMY a scalar accuracy hides. Exact counts.
+    Entry("q204_knn_confusion",
+      (s, d) => {
+        import graft.ops.Similarity
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val q = emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("qvec"), col("label").as("true_label"))
+        val nn = Similarity.knnBatch(emb, q.select(col("q_id"), col("qvec")),
+            "vec_id", "embedding", "q_id", "qvec", k = 11)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rnk2", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+          .filter(col("rnk2") <= 10)
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val votes = nn.groupBy(col("q_id"), col("label"))
+          .agg(count(lit(1)).as("v"))
+        val pred = votes.groupBy(col("q_id"))
+          .agg(min_by(col("label"),
+            struct((-col("v")).as("nv"), col("label").as("l"))).as("pred"))
+        pred.join(q.select(col("q_id"), col("true_label")), "q_id")
+          .groupBy(col("true_label"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("pred"))
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT q.vec_id AS q_id, q.label AS true_label,
+              |    c.vec_id AS n_id, c.label AS n_label,
+              |    ${OracleSql.cosine("c.embedding", "q.embedding")} AS s
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id),
+              |topk AS (
+              |  SELECT q_id, true_label, n_label FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY s DESC, n_id) AS rn
+              |    FROM scored)
+              |  WHERE rn <= 10),
+              |votes AS (
+              |  SELECT q_id, true_label, n_label, count(*) AS v
+              |  FROM topk GROUP BY 1, 2, 3),
+              |pred AS (
+              |  SELECT q_id, true_label, n_label AS pred FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY q_id
+              |      ORDER BY v DESC, n_label) AS rn
+              |    FROM votes)
+              |  WHERE rn = 1)
+              |SELECT true_label, pred, count(*) AS n
+              |FROM pred GROUP BY 1, 2 ORDER BY true_label, pred""".stripMargin)),
+
+    // Incremental join maintenance (IVM delta rule): orders/lineitem each
+    // split into a standing snapshot and a delta batch; the materialized
+    // join refreshes from Δ(A⋈B) = Ad⋈Bold ∪ Aold⋈Bd ∪ Ad⋈Bd — never a
+    // full rescan. The ORACLE derives the same rows INDEPENDENTLY as
+    // (full join) minus (old join) per key — a cross-derivation check, not
+    // an echo of the implementation.
+    Entry("q203_join_ivm",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey"))
+        val (oOld, oDelta) = (o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+          o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+        val (lOld, lDelta) = (l.filter(pmod(col("l_partkey"), lit(7)) =!= 0),
+          l.filter(pmod(col("l_partkey"), lit(7)) === 0))
+        graft.ops.IncrementalAgg.joinDelta(oOld, oDelta, lOld, lDelta,
+            Seq("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("delta_rows"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH fullj AS (
+             |  SELECT o_orderkey, count(*) AS c
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |  GROUP BY 1),
+             |oldj AS (
+             |  SELECT o_orderkey, count(*) AS c
+             |  FROM (SELECT * FROM orders WHERE o_orderkey % 10 <> 0) o
+             |  JOIN (SELECT * FROM lineitem WHERE l_partkey % 7 <> 0) l
+             |    ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY 1)
+             |SELECT f.o_orderkey,
+             |  (f.c - coalesce(o.c, 0))::BIGINT AS delta_rows
+             |FROM fullj f LEFT JOIN oldj o USING (o_orderkey)
+             |WHERE f.c - coalesce(o.c, 0) > 0
+             |ORDER BY f.o_orderkey""".stripMargin)),
+
     // NDCG@10 of the truncated-dimension ranking against the full-dim gold
     // (graded relevance = 11 − gold rank): the ranking-quality eval that
     // recall@k (q141) cannot see — order WITHIN the hit set. Exact integer
