@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Dedup, GraphAnalytics}
+import graft.ops.{Curation, Dedup, GraphAnalytics, TextAnalysis}
 
 /** Round-4 refinement set: the exact-recall scale path for set-similarity
   * joins (prefix filtering), leakage-safe dataset splitting, the per-source
@@ -309,6 +309,99 @@ object RefinementQueries {
              |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.phash, b.phash)) <= 3
              |ORDER BY media_a, media_b""".stripMargin)),
+
+    // Language-ID eval against gold labels: the documents table carries the
+    // TRUE lang column, so the q23 marker classifier gets a real confusion
+    // matrix — which languages the marker heuristic confuses, per cell.
+    // Exact counts.
+    Entry("q205_langid_eval",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pred = TextAnalysis.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some {
+        val marker = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [$lst])) AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH scores AS (
+           |  SELECT doc_id, lang,
+           |    $marker
+           |  FROM documents),
+           |best AS (
+           |  SELECT doc_id, lang,
+           |    greatest(score_de, score_en, score_es, score_fr) AS b, *
+           |  FROM scores),
+           |pred AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN b <= 0 THEN 'und'
+           |         WHEN score_de = b THEN 'de'
+           |         WHEN score_en = b THEN 'en'
+           |         WHEN score_es = b THEN 'es'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM best)
+           |SELECT lang, pred_lang, count(*) AS n
+           |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+      }),
+
+    // Exact Spearman rank correlation between the quality composite and
+    // document length — the signal-redundancy check before adding a new
+    // quality feature. Total tie order (metric, doc_id) makes ranks
+    // integers; ρ = 1 − 6Σd²/(n(n²−1)) is exact longs + ONE division.
+    Entry("q206_rank_correlation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val q = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        val ranked = q
+          .withColumn("rq", row_number().over(
+            Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
+          .withColumn("rl", row_number().over(
+            Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        ranked.agg(count(lit(1)).as("n"),
+            sum((col("rq") - col("rl")) * (col("rq") - col("rl"))).as("sum_d2"))
+          .select(col("n"), col("sum_d2"),
+            (lit(1.0) - lit(6L) * col("sum_d2") /
+              (col("n") * (col("n") * col("n") - lit(1L)))).as("spearman_rho"))
+      },
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq.distinct.sorted
+          .map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS n_stop
+           |  FROM t),
+           |qual AS (
+           |  SELECT doc_id, n_chars,
+           |    0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+           |  FROM f),
+           |ranked AS (
+           |  SELECT
+           |    CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS rq,
+           |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rl
+           |  FROM qual)
+           |SELECT count(*) AS n,
+           |  sum((rq - rl) * (rq - rl))::BIGINT AS sum_d2,
+           |  1.0 - 6 * sum((rq - rl) * (rq - rl))::BIGINT
+           |    / (count(*) * (count(*) * count(*) - 1)) AS spearman_rho
+           |FROM ranked""".stripMargin
+      }),
 
     // Confusion matrix for the leave-one-out kNN label eval (the q166
     // pipeline, sliced by (true, predicted) instead of accuracy-per-class):

@@ -192,4 +192,28 @@ class IncrementalAggSpec extends SparkSpec {
       assert(math.rint(r.getDouble(4)).toLong == ca - ov, s"($da,$db) aNotB")
     }
   }
+
+  test("joinDelta: old join + delta == full join, for any disjoint split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val a = (1 to 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+      .toDF("k", "av")
+    val b = (1 to 300).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+      .toDF("k", "bv")
+    for (m <- Seq(2, 7)) {
+      val (aOld, aD) = (a.filter(col("av") % m =!= 0), a.filter(col("av") % m === 0))
+      val (bOld, bD) = (b.filter(col("bv") % m =!= 0), b.filter(col("bv") % m === 0))
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val full = bag(a.join(b, "k"))
+      val old = bag(aOld.join(bOld, "k"))
+      val delta = bag(IncrementalAgg.joinDelta(aOld, aD, bOld, bD, Seq("k")))
+      // bag union of old + delta must equal the full join exactly
+      val merged = (old.keySet ++ delta.keySet).map(r =>
+        r -> (old.getOrElse(r, 0) + delta.getOrElse(r, 0))).toMap
+      assert(merged === full, s"split mod $m")
+      // and the delta never re-emits an old row
+      assert(delta.keySet.forall(r => old.getOrElse(r, 0) + delta(r) == full(r)))
+    }
+  }
 }
