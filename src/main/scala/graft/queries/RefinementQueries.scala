@@ -403,6 +403,103 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Quantile normalization of the quality signal WITHIN each source:
+    // percent_rank over a (quality, doc_id) total order makes scores
+    // comparable across sources with different raw-score distributions —
+    // the standard pre-mixing transform. percent_rank = (rank−1)/(n−1) is
+    // an exact rational of window integers.
+    Entry("q207_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val q = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        q.withColumn("q_norm", percent_rank().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("quality"), col("doc_id"))))
+          .select(col("doc_id"), col("source"), col("quality"), col("q_norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq.distinct.sorted
+          .map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS n_stop
+           |  FROM t),
+           |qual AS (
+           |  SELECT doc_id, source,
+           |    0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+           |  FROM f)
+           |SELECT doc_id, source, quality,
+           |  percent_rank() OVER (PARTITION BY source
+           |    ORDER BY quality, doc_id) AS q_norm
+           |FROM qual ORDER BY doc_id""".stripMargin
+      }),
+
+    // Time-respecting 2-hop reachability over the purchase bipartite graph:
+    // customer a bought part p at t1, customer b bought the SAME part
+    // strictly later — the "possible influence" pair, with the earliest
+    // witnessing (t1, t2, part). Temporal-graph semantics (paths must move
+    // forward in time) that static 2-hop joins (q29) cannot express.
+    // Restricted to one market segment; the pair aggregate is a min_by
+    // over an exact struct order.
+    Entry("q208_time_respecting_reach",
+      (s, d) => {
+        val seg = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val orders = Tables.orders(s, d)
+        val po = orders
+          .join(seg, orders("o_custkey") === seg("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val purch = po
+          .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+            col("o_orderdate").as("t"))
+          .distinct()
+          .localCheckpoint(true) // both legs of the temporal self-join
+        val a = purch.select(col("cust").as("c_a"), col("part"), col("t").as("t1"))
+        val b = purch.select(col("cust").as("c_b"), col("part"), col("t").as("t2"))
+        a.join(b, Seq("part"))
+          .filter(col("c_a") =!= col("c_b") && col("t2") > col("t1"))
+          .groupBy(col("c_a"), col("c_b"))
+          .agg(min_by(struct(col("t1"), col("t2"), col("part")),
+            struct(col("t1"), col("t2"), col("part"))).as("w"))
+          .select(col("c_a"), col("c_b"), col("w.part").as("via_part"),
+            col("w.t1").as("t1"), col("w.t2").as("t2"))
+          .orderBy(col("c_a"), col("c_b"))
+      },
+      Some("""WITH purch AS (
+             |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part,
+             |    o.o_orderdate AS t
+             |  FROM orders o
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |    AND c.c_mktsegment = 'BUILDING'
+             |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+             |pairs AS (
+             |  SELECT a.cust AS c_a, b.cust AS c_b, a.part,
+             |    a.t AS t1, b.t AS t2
+             |  FROM purch a JOIN purch b ON a.part = b.part
+             |   AND a.cust <> b.cust AND b.t > a.t),
+             |best AS (
+             |  SELECT c_a, c_b, part AS via_part, t1, t2 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c_a, c_b
+             |      ORDER BY t1, t2, part) AS rn
+             |    FROM pairs) WHERE rn = 1)
+             |SELECT c_a, c_b, via_part, t1, t2
+             |FROM best ORDER BY c_a, c_b""".stripMargin)),
+
     // Confusion matrix for the leave-one-out kNN label eval (the q166
     // pipeline, sliced by (true, predicted) instead of accuracy-per-class):
     // which labels the embedding space confuses with which — the error
