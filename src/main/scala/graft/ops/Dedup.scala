@@ -421,6 +421,46 @@ object Dedup {
     out
   }
 
+  /** Content-defined chunking + cross-document chunk dedup (the
+    * rolling-hash boundary scheme of storage dedup, token-level): a chunk
+    * boundary falls AFTER any token whose hash ≡ 0 mod `avgChunkTokens`,
+    * so expected chunk length is `avgChunkTokens` and — the property that
+    * makes CDC beat fixed windows — an insertion early in a document
+    * shifts only its own chunk, not every later boundary. Chunks hash to
+    * md5; a chunk is "duplicated" when its hash appears in ≥ 2 distinct
+    * documents (template/boilerplate reuse at sub-document granularity).
+    * Returns per doc (n_chunks, n_dup_chunks, dup_frac) — all exact.
+    *
+    * Scale: one posexplode, one doc-keyed window (the same exchange serves
+    * chunk assembly), chunk-hash keyed df counts; nothing quadratic. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                    avgChunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(avgChunkTokens > 1, s"avgChunkTokens must be > 1: $avgChunkTokens")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
+          .as(Seq("pos", "tok")))
+    val wPrior = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = toks
+      .withColumn("brk",
+        when(pmod(hash60(col("tok")), lit(avgChunkTokens.toLong)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("brk")).over(wPrior), lit(0L)))
+    val chunks = assigned.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("h"))
+    val dfh = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    chunks.join(dfh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dfc") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac", col("n_dup_chunks") / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe train/test split: every near-duplicate CLUSTER lands
     * wholly in one split, so eval rows can never be near-copies of training
     * rows (the contamination mode plain hash splits cannot prevent). Docs

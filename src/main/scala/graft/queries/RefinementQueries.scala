@@ -403,6 +403,46 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Content-defined chunking dedup: rolling-hash boundaries (expected
+    // 8-token chunks), chunks hashed and counted across documents — the
+    // sub-document boilerplate-reuse report, and the CDC property storage
+    // dedup relies on (an early edit shifts one chunk, not every later
+    // window). Exact counts; boundary hash is the md5-derived hash60 the
+    // oracle reproduces.
+    Entry("q209_cdc_chunks",
+      (s, d) => Dedup.cdcChunkDedup(Tables.documents(s, d), "doc_id", "text",
+        avgChunkTokens = 8),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, i, t[i] AS tok FROM (
+              |    SELECT doc_id,
+              |      list_filter(string_split(lower(text), ' '),
+              |        x -> length(x) > 0) AS t
+              |    FROM documents),
+              |    unnest(generate_series(1, len(t))) AS u(i)),
+              |b AS (
+              |  SELECT doc_id, i, tok,
+              |    CASE WHEN ${h60("tok")} % 8 = 0 THEN 1 ELSE 0 END AS brk
+              |  FROM tok),
+              |c AS (
+              |  SELECT doc_id, i, tok,
+              |    coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS chunk_id
+              |  FROM b),
+              |ch AS (
+              |  SELECT doc_id, chunk_id,
+              |    md5(string_agg(tok, ' ' ORDER BY i)) AS h
+              |  FROM c GROUP BY 1, 2),
+              |dfh AS (
+              |  SELECT h, count(*) AS dfc FROM (SELECT DISTINCT doc_id, h FROM ch)
+              |  GROUP BY h)
+              |SELECT ch.doc_id, count(*) AS n_chunks,
+              |  sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+              |  sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+              |    AS dup_frac
+              |FROM ch JOIN dfh USING (h)
+              |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin)),
+
     // Quantile normalization of the quality signal WITHIN each source:
     // percent_rank over a (quality, doc_id) total order makes scores
     // comparable across sources with different raw-score distributions —
