@@ -403,6 +403,104 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // IVF probe-sweep harness: recall@10 and rows-probed at nProbe ∈
+    // {1,2,4,8} against the exact cosine top-10 — the probed-rows/recall
+    // tradeoff curve that picks an IVF operating point, completing the
+    // tuning triple (LSH recall q197, MinHash calibration q143). Exact
+    // counts; recall one division; everything computed in-plan.
+    Entry("q210_ivf_probe_sweep",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.Similarity
+        import graft.functions.VectorFunctions.l2sq
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 8)
+        val centroids = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        val gold = Similarity.knnCosine(corpus, query, "vec_id", "embedding",
+            10, -1.0).select(col("vec_id")).localCheckpoint(true)
+        val sizes = Similarity.ivfAssign(corpus, centroids, "vec_id", "embedding")
+          .groupBy(col("centroid_id")).agg(count(lit(1)).as("sz"))
+        val qrank = query.crossJoin(broadcast(centroids))
+          .withColumn("dist", round(l2sq(col("qvec"), col("cvec")), 6))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("dist"), col("centroid_id"))))
+          .select(col("centroid_id"), col("rn"))
+        val ps = Seq(1, 2, 4, 8)
+        val resAll = ps.map { p =>
+          Similarity.ivfTopKMulti(corpus, centroids, query,
+              "vec_id", "embedding", k = 10, nProbe = p)
+            .select(lit(p).as("n_probe"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        val hits = resAll.join(gold, "vec_id")
+          .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+        val probed = ps.toDF("n_probe")
+          .join(qrank.join(sizes, "centroid_id"), col("rn") <= col("n_probe"))
+          .groupBy(col("n_probe")).agg(sum(col("sz")).as("n_probed"))
+        probed.join(hits, Seq("n_probe"), "left")
+          .select(col("n_probe"), col("n_probed"),
+            (coalesce(col("n_hits"), lit(0L)) / lit(10.0)).as("recall_at_10"))
+          .orderBy(col("n_probe"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+              |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+              |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id FROM (
+              |    SELECT c.vec_id, cent.centroid_id,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |sizes AS (SELECT centroid_id, count(*) AS sz FROM assign GROUP BY 1),
+              |qrank AS (
+              |  SELECT cent.centroid_id,
+              |    row_number() OVER (ORDER BY
+              |      round(list_sum(list_transform(generate_series(1, len(q.qvec)),
+              |        i -> (q.qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |           * (q.qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |      cent.centroid_id) AS rn
+              |  FROM q CROSS JOIN cent),
+              |gold AS (
+              |  SELECT vec_id FROM (
+              |    SELECT c.vec_id, row_number() OVER (ORDER BY
+              |      round(${OracleSql.cosine("c.embedding", "q.qvec")}, 4) DESC,
+              |      c.vec_id) AS rn
+              |    FROM corpus c CROSS JOIN q) WHERE rn <= 10),
+              |ps AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+              |cand AS (
+              |  SELECT ps.n_probe, a.vec_id,
+              |    round(${OracleSql.cosine("c.embedding", "q.qvec")}, 4) AS s
+              |  FROM ps
+              |  JOIN qrank ON qrank.rn <= ps.n_probe
+              |  JOIN assign a ON a.centroid_id = qrank.centroid_id
+              |  JOIN corpus c ON c.vec_id = a.vec_id
+              |  CROSS JOIN q),
+              |topk AS (
+              |  SELECT n_probe, vec_id FROM (
+              |    SELECT n_probe, vec_id, row_number() OVER (
+              |      PARTITION BY n_probe ORDER BY s DESC, vec_id) AS rn2
+              |    FROM cand) WHERE rn2 <= 10),
+              |probed AS (
+              |  SELECT ps.n_probe, sum(sz)::BIGINT AS n_probed
+              |  FROM ps JOIN qrank ON qrank.rn <= ps.n_probe
+              |  JOIN sizes ON sizes.centroid_id = qrank.centroid_id
+              |  GROUP BY ps.n_probe),
+              |hits AS (
+              |  SELECT t.n_probe, count(*) AS n_hits
+              |  FROM topk t JOIN gold g ON g.vec_id = t.vec_id
+              |  GROUP BY 1)
+              |SELECT p.n_probe, p.n_probed,
+              |  coalesce(h.n_hits, 0) / 10.0 AS recall_at_10
+              |FROM probed p LEFT JOIN hits h ON h.n_probe = p.n_probe
+              |ORDER BY p.n_probe""".stripMargin)),
+
     // Content-defined chunking dedup: rolling-hash boundaries (expected
     // 8-token chunks), chunks hashed and counted across documents — the
     // sub-document boilerplate-reuse report, and the CDC property storage
