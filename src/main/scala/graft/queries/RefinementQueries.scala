@@ -403,6 +403,103 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Conversion latency: first view → first subsequent purchase per user,
+    // with exact-interval percentiles — the time-to-convert distribution
+    // (q88 counts conversions; this measures HOW LONG they take).
+    Entry("q211_conversion_latency",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(firstView, "user_id")
+          .filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("p_ts"), min(col("v_ts")).as("v_ts"))
+          .select((unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+            .as("latency_s"))
+        conv.agg(count(lit(1)).as("n_conversions"),
+          round(expr("percentile(latency_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(latency_s, 0.9)"), 4).as("p90_s"),
+          min(col("latency_s")).as("min_s"),
+          max(col("latency_s")).as("max_s"))
+      },
+      Some("""WITH fv AS (
+             |  SELECT user_id, min(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |conv AS (
+             |  SELECT e.user_id,
+             |    floor(epoch(min(e.ts))) - floor(epoch(min(fv.v_ts)))
+             |      AS latency_s
+             |  FROM events e JOIN fv ON fv.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+             |  GROUP BY 1)
+             |SELECT count(*) AS n_conversions,
+             |  round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+             |  round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+             |  min(latency_s)::BIGINT AS min_s,
+             |  max(latency_s)::BIGINT AS max_s
+             |FROM conv""".stripMargin)),
+
+    // U-shaped (position-based) multi-touch attribution: each purchase
+    // credits its day-window touch journey 40% to the first touch, 40% to
+    // the last, 20% split across the middle (1-touch → 1.0, 2 → 0.5/0.5).
+    // The multi-touch complement of q183's last-touch model. Per-channel
+    // credit sums emit float32 (partition-order drift on double sums).
+    Entry("q212_ushaped_attribution",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val touches = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_id").as("t_id"),
+            col("ts").as("t_ts"), col("event_type").as("channel"))
+        val joined = purchases.join(touches, Seq("user_id"))
+          .filter(col("t_ts") < col("p_ts") &&
+            unix_timestamp(col("p_ts")) - unix_timestamp(col("t_ts")) <= 86400L)
+        val w = Window.partitionBy(col("user_id"), col("p_id"))
+        val ordered = joined
+          .withColumn("rn", row_number().over(w.orderBy(col("t_ts"), col("t_id"))))
+          .withColumn("rrn", row_number().over(w.orderBy(desc("t_ts"), desc("t_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val credited = ordered.withColumn("credit",
+          when(col("n") === 1, lit(1.0))
+            .when(col("n") === 2, lit(0.5))
+            .when(col("rn") === 1 || col("rrn") === 1, lit(0.4))
+            .otherwise(lit(0.2) / (col("n") - 2)))
+        credited.groupBy(col("channel"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit")).cast("float").as("credit"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id, event_id AS t_id, ts AS t_ts,
+             |    event_type AS channel
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (
+             |  SELECT p.user_id, p.p_id, t.t_id, t.t_ts, t.channel
+             |  FROM p JOIN t ON t.user_id = p.user_id
+             |  WHERE t.t_ts < p.p_ts
+             |    AND floor(epoch(p.p_ts)) - floor(epoch(t.t_ts)) <= 86400),
+             |o AS (
+             |  SELECT channel,
+             |    row_number() OVER (PARTITION BY user_id, p_id
+             |      ORDER BY t_ts, t_id) AS rn,
+             |    row_number() OVER (PARTITION BY user_id, p_id
+             |      ORDER BY t_ts DESC, t_id DESC) AS rrn,
+             |    count(*) OVER (PARTITION BY user_id, p_id) AS n
+             |  FROM j)
+             |SELECT channel, count(*) AS n_touches,
+             |  CAST(sum(CASE WHEN n = 1 THEN 1.0
+             |    WHEN n = 2 THEN 0.5
+             |    WHEN rn = 1 OR rrn = 1 THEN 0.4
+             |    ELSE 0.2 / (n - 2) END) AS REAL) AS credit
+             |FROM o GROUP BY channel ORDER BY channel""".stripMargin)),
+
     // IVF probe-sweep harness: recall@10 and rows-probed at nProbe ∈
     // {1,2,4,8} against the exact cosine top-10 — the probed-rows/recall
     // tradeoff curve that picks an IVF operating point, completing the
