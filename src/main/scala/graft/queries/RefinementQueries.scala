@@ -403,6 +403,98 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // RFM segmentation: recency (days since last order), frequency (order
+    // count) and monetary (total spend) per customer, each cut into
+    // quartiles by ntile over a deterministic total order — the classic
+    // customer-value segmentation. The reference date is the corpus max
+    // order date, computed IN-PLAN (the q120 lesson: no driver-side
+    // actions in query construction). Exact integers and one spend sum
+    // per customer (sum of doubles within one group — rounded at emit).
+    Entry("q213_rfm",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d)
+        val maxDate = o.agg(max(col("o_orderdate")).as("max_d"))
+        val rfm = o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("last_d"),
+            count(lit(1)).as("frequency"),
+            round(sum(col("o_totalprice")), 2).as("monetary"))
+          .crossJoin(broadcast(maxDate))
+          .withColumn("recency_days", datediff(col("max_d"), col("last_d")))
+        rfm
+          .withColumn("r_q", ntile(4).over(
+            Window.orderBy(col("recency_days"), col("o_custkey"))))
+          .withColumn("f_q", ntile(4).over(
+            Window.orderBy(desc("frequency"), col("o_custkey"))))
+          .withColumn("m_q", ntile(4).over(
+            Window.orderBy(desc("monetary"), col("o_custkey"))))
+          .select(col("o_custkey"), col("recency_days"), col("frequency"),
+            col("monetary"), col("r_q"), col("f_q"), col("m_q"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH rfm AS (
+             |  SELECT o_custkey,
+             |    date_diff('day', max(o_orderdate),
+             |      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             |    count(*) AS frequency,
+             |    round(sum(o_totalprice), 2) AS monetary
+             |  FROM orders GROUP BY 1)
+             |SELECT o_custkey, recency_days, frequency, monetary,
+             |  CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_q,
+             |  CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_q,
+             |  CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_q
+             |FROM rfm ORDER BY o_custkey""".stripMargin)),
+
+    // Market-basket association rules over order baskets: part pairs with
+    // min support, directional confidence and lift — support/confidence/
+    // lift are exact rationals of basket counts. The wedge join runs on
+    // the basket key (Σ basket-size² work, never the part×part product).
+    Entry("q214_association_rules",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint(true) // basket list feeds pairs + item counts + total
+        val nBaskets = li.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        pairs
+          .join(itemN.select(col("l_partkey").as("a"), col("n_item").as("n_a")), "a")
+          .join(itemN.select(col("l_partkey").as("b"), col("n_item").as("n_b")), "b")
+          .crossJoin(broadcast(nBaskets))
+          .select(col("a"), col("b"), col("n_ab"),
+            (col("n_ab") / col("n_baskets")).as("support"),
+            (col("n_ab") / col("n_a")).as("conf_a_to_b"),
+            (col("n_ab") / col("n_b")).as("conf_b_to_a"),
+            ((col("n_ab") * col("n_baskets")) / (col("n_a") * col("n_b")))
+              .as("lift"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+             |itemn AS (
+             |  SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+             |pairs AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n_ab
+             |  FROM li x JOIN li y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT a, b, n_ab,
+             |  n_ab::DOUBLE / nb.n_baskets AS support,
+             |  n_ab::DOUBLE / na.n_item AS conf_a_to_b,
+             |  n_ab::DOUBLE / nbm.n_item AS conf_b_to_a,
+             |  (n_ab * nb.n_baskets)::DOUBLE / (na.n_item * nbm.n_item) AS lift
+             |FROM pairs
+             |JOIN itemn na ON na.l_partkey = pairs.a
+             |JOIN itemn nbm ON nbm.l_partkey = pairs.b
+             |CROSS JOIN nb
+             |ORDER BY a, b""".stripMargin)),
+
     // Conversion latency: first view → first subsequent purchase per user,
     // with exact-interval percentiles — the time-to-convert distribution
     // (q88 counts conversions; this measures HOW LONG they take).
