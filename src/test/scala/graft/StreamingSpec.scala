@@ -160,6 +160,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("gap-based session windows (session_window): per-user sessions close " +
+       "after 30 min idle; streamed sessions equal the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AccessEvent]
+    val agg = input.toDS()
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count("*").as("n_events"))
+      .select($"session_window.start".as("ss"),
+        $"session_window.end".as("se"), $"user_id", $"n_events")
+    val query = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val events = Fixtures.accessEvents(spark, n = 300).collect()
+      input.addData(events)
+      query.processAllAvailable()
+      input.addData(AccessEvent("late", "m0", "u0", "retrieval", 0.5, 0.5,
+        Timestamp.valueOf("2024-06-01 00:00:00")))
+      query.processAllAvailable()
+      val out = spark.table("sess_out").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      assert(out.nonEmpty)
+      // batch equivalence: identical session boundaries and counts
+      val batch = Fixtures.accessEvents(spark, n = 300).toDF()
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count("*").as("n_events"))
+        .select($"session_window.start", $"session_window.end", $"user_id", $"n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      batch.foreach { case (k, n) =>
+        assert(out.get(k).contains(n), s"session $k: ${out.get(k)} vs $n")
+      }
+    } finally query.stop()
+  }
+
   test("late data: an event behind the advanced watermark cannot reopen its closed window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AccessEvent]
