@@ -403,6 +403,70 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Duplicate-cluster size histogram: how many near-dup clusters exist
+    // at each size — the one-glance dedup health report (a heavy tail of
+    // big clusters means template spam; all-2s means benign near-copies).
+    // Exact counts over the q56 components.
+    Entry("q215_cluster_size_histogram",
+      (s, d) => {
+        val clusters = GraphAnalytics.dedupClusters(
+          Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+            .select(col("doc_a"), col("doc_b")))
+        clusters.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+          .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("size"))
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |sz AS (
+              |  SELECT cluster, count(*) AS size FROM comp GROUP BY cluster)
+              |SELECT size, count(*) AS n_clusters
+              |FROM sz GROUP BY size ORDER BY size""".stripMargin)),
+
+    // Degree-distribution power-law diagnostic over the co-purchase graph:
+    // OLS slope of ln(count) on ln(degree) — the graph-shape check (a
+    // slope near −2..−3 says scale-free tail; flat says mesh) that decides
+    // whether skew mitigations are even needed. Closed-form OLS over the
+    // (few) distinct degrees; ln on exact integers, float32 at emit.
+    Entry("q216_degree_powerlaw",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        val deg = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
+          .select(log(col("deg")).as("x"), log(col("n")).as("y"))
+        dist.agg(count(lit(1)).as("n_points"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n_points"),
+            ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_points") * col("sxx") - col("sx") * col("sx")))
+              .cast("float").as("slope"))
+      },
+      Some("""WITH e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT x.l_partkey AS src, y.l_partkey AS dst, count(*) AS n_co
+             |    FROM lineitem x JOIN lineitem y
+             |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |    GROUP BY 1, 2) WHERE n_co >= 2),
+             |deg AS (
+             |  SELECT id, count(*) AS deg FROM (
+             |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+             |  GROUP BY id),
+             |dist AS (
+             |  SELECT ln(deg) AS x, ln(count(*)) AS y
+             |  FROM deg GROUP BY deg)
+             |SELECT count(*) AS n_points,
+             |  CAST((count(*) * sum(x * y) - sum(x) * sum(y))
+             |    / (count(*) * sum(x * x) - sum(x) * sum(x)) AS REAL) AS slope
+             |FROM dist""".stripMargin)),
+
     // RFM segmentation: recency (days since last order), frequency (order
     // count) and monetary (total spend) per customer, each cut into
     // quartiles by ntile over a deterministic total order — the classic
