@@ -403,6 +403,129 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Cohen's kappa for the language classifier vs gold: chance-corrected
+    // agreement from the exact confusion counts — accuracy (q205) rewards
+    // majority-class guessing; kappa doesn't. All-rational arithmetic:
+    // po, pe and kappa are single divisions of exact products.
+    Entry("q217_cohens_kappa",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pred = TextAnalysis.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val joined = docs.select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+          .localCheckpoint(true) // feeds totals + both marginals
+        val n = joined.agg(count(lit(1)).as("n"))
+        val agree = joined.filter(col("lang") === col("pred_lang"))
+          .agg(count(lit(1)).as("n_agree"))
+        // chance agreement: Σ_c (gold marginal × predicted marginal)
+        val gm = joined.groupBy(col("lang")).agg(count(lit(1)).as("g"))
+        val pm = joined.groupBy(col("pred_lang").as("lang"))
+          .agg(count(lit(1)).as("p"))
+        val chance = gm.join(pm, "lang")
+          .agg(sum(col("g") * col("p")).as("sum_gp"))
+        n.crossJoin(broadcast(agree)).crossJoin(broadcast(chance))
+          .select(col("n"), col("n_agree"),
+            (col("n_agree") / col("n")).as("po"),
+            (col("sum_gp") / (col("n") * col("n"))).as("pe"),
+            ((col("n_agree") / col("n") - col("sum_gp") / (col("n") * col("n"))) /
+              (lit(1.0) - col("sum_gp") / (col("n") * col("n")))).as("kappa"))
+      },
+      Some {
+        val marker = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [$lst])) AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH scores AS (
+           |  SELECT doc_id, lang,
+           |    $marker
+           |  FROM documents),
+           |best AS (
+           |  SELECT doc_id, lang,
+           |    greatest(score_de, score_en, score_es, score_fr) AS b, *
+           |  FROM scores),
+           |pred AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN b <= 0 THEN 'und'
+           |         WHEN score_de = b THEN 'de'
+           |         WHEN score_en = b THEN 'en'
+           |         WHEN score_es = b THEN 'es'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM best),
+           |tot AS (SELECT count(*) AS n FROM pred),
+           |agr AS (SELECT count(*) AS n_agree FROM pred WHERE lang = pred_lang),
+           |gm AS (SELECT lang, count(*) AS g FROM pred GROUP BY 1),
+           |pm AS (SELECT pred_lang AS lang, count(*) AS p FROM pred GROUP BY 1),
+           |ch AS (
+           |  SELECT sum(g * p)::BIGINT AS sum_gp
+           |  FROM gm JOIN pm USING (lang))
+           |SELECT n, n_agree,
+           |  n_agree::DOUBLE / n AS po,
+           |  sum_gp::DOUBLE / (n * n) AS pe,
+           |  (n_agree::DOUBLE / n - sum_gp::DOUBLE / (n * n))
+           |    / (1.0 - sum_gp::DOUBLE / (n * n)) AS kappa
+           |FROM tot CROSS JOIN agr CROSS JOIN ch""".stripMargin
+      }),
+
+    // Doc-tiering with reason codes — the "why was this document dropped"
+    // observability report a production curation pipeline must emit:
+    // first-match precedence duplicate → quality floor → token floor →
+    // kept. Exact predicates (single divisions of exact counts), so the
+    // reason can never flip between engines.
+    Entry("q218_drop_reasons",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val q = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("quality"))
+        // duplicate: not the min-id holder of an identical-content group
+        val keepers = docs.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .select(col("keep_id"))
+        val flagged = docs.select(col("doc_id"), col("lang"))
+          .join(q, "doc_id")
+          .join(keepers.withColumnRenamed("keep_id", "doc_id")
+            .withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("is_keeper").isNull, lit("duplicate"))
+              .when(col("quality") < 0.55, lit("low_quality"))
+              .when(col("n_tokens") < 20, lit("too_short"))
+              .otherwise(lit("kept")))
+        flagged.groupBy(col("lang"), col("reason"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("reason"))
+      },
+      Some {
+        val stop = TextAnalysis.langMarkers.values.flatten.toSeq.distinct.sorted
+          .map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, text,
+           |    string_split(lower(text), ' ') AS toks FROM documents),
+           |f AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS n_stop
+           |  FROM t),
+           |qual AS (
+           |  SELECT doc_id, lang, text, n_tokens,
+           |    0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+           |  FROM f),
+           |keepers AS (
+           |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+           |flagged AS (
+           |  SELECT q.lang,
+           |    CASE WHEN k.doc_id IS NULL THEN 'duplicate'
+           |         WHEN q.quality < 0.55 THEN 'low_quality'
+           |         WHEN q.n_tokens < 20 THEN 'too_short'
+           |         ELSE 'kept' END AS reason
+           |  FROM qual q LEFT JOIN keepers k ON k.doc_id = q.doc_id)
+           |SELECT lang, reason, count(*) AS n
+           |FROM flagged GROUP BY 1, 2 ORDER BY lang, reason""".stripMargin
+      }),
+
     // Duplicate-cluster size histogram: how many near-dup clusters exist
     // at each size — the one-glance dedup health report (a heavy tail of
     // big clusters means template spam; all-2s means benign near-copies).
