@@ -403,6 +403,81 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Wilson-lower-bound conversion ranking: users ranked by the 95%
+    // Wilson score interval lower bound of purchases/(views+purchases) —
+    // the small-sample-honest "sort by rating" (a 1/1 user must NOT
+    // outrank a 40/50 one, which the raw rate does). Exact counts; one
+    // identical sqrt on both engines; float32 emit; rank on the exact
+    // integer pair would be ambiguous, so ties break by (rate desc,
+    // trials desc, user) via the exact integers.
+    Entry("q219_wilson_ranking",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+        val agg = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("trials"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("successes"))
+          .filter(col("trials") >= 5)
+        val z2 = lit(1.96 * 1.96)
+        val p = col("successes") / col("trials")
+        val n = col("trials")
+        val wilson = (p + z2 / (lit(2.0) * n) -
+          lit(1.96) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)) /
+          (lit(1.0) + z2 / n)
+        agg.select(col("user_id"), col("trials"), col("successes"),
+            wilson.cast("float").as("wilson_lb"))
+          .orderBy(desc("wilson_lb"), desc("trials"), col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH agg AS (
+             |  SELECT user_id, count(*) AS trials,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+             |      AS successes
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY 1 HAVING count(*) >= 5),
+             |w AS (
+             |  SELECT user_id, trials, successes,
+             |    CAST((successes::DOUBLE / trials
+             |        + (1.96 * 1.96) / (2.0 * trials)
+             |        - 1.96 * sqrt(((successes::DOUBLE / trials)
+             |            * (1.0 - successes::DOUBLE / trials)
+             |            + (1.96 * 1.96) / (4.0 * trials)) / trials))
+             |      / (1.0 + (1.96 * 1.96) / trials) AS REAL) AS wilson_lb
+             |  FROM agg)
+             |SELECT user_id, trials, successes, wilson_lb FROM w
+             |ORDER BY wilson_lb DESC, trials DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Behavioral entropy per user: Shannon entropy of the event-type
+    // distribution — the "how varied is this user's activity" feature
+    // (0 = single-action bots, high = diverse engagement). Same exact-
+    // count + ln discipline as the char-entropy gate.
+    Entry("q220_behavior_entropy",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        counts.groupBy(col("user_id"))
+          .agg(sum(col("c")).as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * log(col("c"))).as("clog"))
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            ((log(col("n_events")) - col("clog") / col("n_events")) /
+              lit(math.log(2.0))).cast("float").as("entropy_bits"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS c FROM events
+             |  GROUP BY 1, 2),
+             |a AS (
+             |  SELECT user_id, sum(c)::BIGINT AS n_events,
+             |    count(*) AS n_types, sum(c * ln(c)) AS clog
+             |  FROM c GROUP BY 1)
+             |SELECT user_id, n_events, n_types,
+             |  CAST((ln(n_events) - clog / n_events) / ln(2) AS REAL)
+             |    AS entropy_bits
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // Cohen's kappa for the language classifier vs gold: chance-corrected
     // agreement from the exact confusion counts — accuracy (q205) rewards
     // majority-class guessing; kappa doesn't. All-rational arithmetic:
