@@ -403,6 +403,120 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Data-quality expectation suite (the dbt-test/Great-Expectations op
+    // class): FK orphan counts, key uniqueness, empty-content and
+    // out-of-range checks — one row per check with its exact violation
+    // count, unioned into a single report relation a scheduler can gate
+    // on. Anti-joins and count-distinct only.
+    Entry("q221_data_quality_suite",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val cust = Tables.customer(s, d)
+        val docs = Tables.documents(s, d)
+        val ev = Tables.events(s, d)
+        def check(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"))
+        check("orders_custkey_fk",
+            orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+              "left_anti"))
+          .unionByName(check("lineitem_orderkey_fk",
+            li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+              "left_anti")))
+          .unionByName(
+            cust.agg((count(lit(1)) -
+              countDistinct(col("c_custkey"))).as("n_violations"))
+              .select(lit("customer_key_unique").as("check"),
+                col("n_violations")))
+          .unionByName(check("documents_nonempty",
+            docs.filter(col("text").isNull || length(col("text")) === 0)))
+          .unionByName(check("events_value_range",
+            ev.filter(col("value").isNull || isnan(col("value")))))
+          .orderBy(col("check"))
+      },
+      Some("""SELECT "check", n_violations FROM (
+             |  SELECT 'orders_custkey_fk' AS "check", count(*)::BIGINT AS n_violations
+             |  FROM orders o WHERE NOT EXISTS (
+             |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL
+             |  SELECT 'lineitem_orderkey_fk', count(*)::BIGINT
+             |  FROM lineitem l WHERE NOT EXISTS (
+             |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |  UNION ALL
+             |  SELECT 'customer_key_unique',
+             |    (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer
+             |  UNION ALL
+             |  SELECT 'documents_nonempty', count(*)::BIGINT FROM documents
+             |  WHERE text IS NULL OR length(text) = 0
+             |  UNION ALL
+             |  SELECT 'events_value_range', count(*)::BIGINT FROM events
+             |  WHERE value IS NULL OR isnan(value))
+             |ORDER BY "check"""".stripMargin)),
+
+    // FK-candidate inference by inclusion coefficient: for column pairs
+    // (A → B), |distinct A ∩ distinct B| / |distinct A| — 1.0 flags a
+    // foreign key, low values rule it out. The schema-discovery upgrade of
+    // A7 (the reference discovers labels/types; this discovers
+    // RELATIONSHIPS from data). Exact distinct counts per pair.
+    Entry("q222_fk_inference",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Seq(
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            Tables.lineitem(s, d).select(col("l_orderkey").as("a")),
+            Tables.orders(s, d).select(col("o_orderkey").as("b"))),
+          ("orders.o_custkey->customer.c_custkey",
+            Tables.orders(s, d).select(col("o_custkey").as("a")),
+            Tables.customer(s, d).select(col("c_custkey").as("b"))),
+          ("lineitem.l_partkey->part.p_partkey",
+            Tables.lineitem(s, d).select(col("l_partkey").as("a")),
+            Tables.part(s, d).select(col("p_partkey").as("b"))),
+          ("customer.c_nationkey->nation.n_nationkey",
+            Tables.customer(s, d).select(col("c_nationkey").as("a")),
+            Tables.nation(s, d).select(col("n_nationkey").as("b"))),
+          ("lineitem.l_suppkey->customer.c_custkey", // negative control
+            Tables.lineitem(s, d).select(col("l_suppkey").as("a")),
+            Tables.customer(s, d).select(col("c_custkey").as("b"))))
+        pairs.map { case (name, a, b) =>
+          val da = a.distinct()
+          val hit = da.join(b.distinct(), da("a") === col("b"), "left_semi")
+          da.agg(count(lit(1)).as("n_distinct_a"))
+            .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_included"))))
+            .select(lit(name).as("candidate"), col("n_distinct_a"),
+              col("n_included"),
+              (col("n_included") / col("n_distinct_a")).as("inclusion"))
+        }.reduce(_ unionByName _).orderBy(col("candidate"))
+      },
+      Some {
+        def pair(name: String, a: String, b: String) =
+          s"""SELECT '$name' AS candidate,
+             |  (SELECT count(DISTINCT $a) FROM ${a.split("\\.")(0)}) AS n_distinct_a,
+             |  (SELECT count(*) FROM (
+             |     SELECT DISTINCT ${a.split("\\.")(1)} AS v FROM ${a.split("\\.")(0)}) x
+             |   WHERE EXISTS (SELECT 1 FROM ${b.split("\\.")(0)}
+             |     WHERE ${b.split("\\.")(1)} = x.v)) AS n_included""".stripMargin
+        val rows = Seq(
+          pair("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem.l_orderkey", "orders.o_orderkey"),
+          pair("orders.o_custkey->customer.c_custkey",
+            "orders.o_custkey", "customer.c_custkey"),
+          pair("lineitem.l_partkey->part.p_partkey",
+            "lineitem.l_partkey", "part.p_partkey"),
+          pair("customer.c_nationkey->nation.n_nationkey",
+            "customer.c_nationkey", "nation.n_nationkey"),
+          pair("lineitem.l_suppkey->customer.c_custkey",
+            "lineitem.l_suppkey", "customer.c_custkey")
+        ).mkString("\n  UNION ALL\n")
+        s"""SELECT candidate, n_distinct_a::BIGINT AS n_distinct_a,
+           |  n_included::BIGINT AS n_included,
+           |  n_included::DOUBLE / n_distinct_a AS inclusion
+           |FROM (
+           |  $rows)
+           |ORDER BY candidate""".stripMargin
+      }),
+
     // Wilson-lower-bound conversion ranking: users ranked by the 95%
     // Wilson score interval lower bound of purchases/(views+purchases) —
     // the small-sample-honest "sort by rating" (a 1/1 user must NOT
