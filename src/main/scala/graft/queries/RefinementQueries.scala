@@ -403,6 +403,94 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Functional-dependency discovery: for candidate X → Y pairs, how many
+    // X values map to more than one Y (0 violators = the FD holds) plus
+    // the violation rate — schema profiling that catches denormalization
+    // bugs and finds natural keys. Exact distinct counts per key.
+    Entry("q223_fd_discovery",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val orders = Tables.orders(s, d)
+        def fd(name: String, df: org.apache.spark.sql.DataFrame,
+               x: String, y: String) =
+          df.groupBy(col(x)).agg(countDistinct(col(y)).as("ny"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating"))
+            .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+              (col("n_violating") / col("n_keys")).as("violation_rate"))
+        fd("o_orderkey->o_custkey", orders, "o_orderkey", "o_custkey")
+          .unionByName(fd("o_custkey->o_orderpriority", orders,
+            "o_custkey", "o_orderpriority"))
+          .unionByName(fd("l_orderkey->l_partkey", li,
+            "l_orderkey", "l_partkey"))
+          .unionByName(fd("l_partkey->l_suppkey", li,
+            "l_partkey", "l_suppkey"))
+          .orderBy(col("fd"))
+      },
+      Some {
+        def fd(name: String, table: String, x: String, y: String) =
+          s"""SELECT '$name' AS fd, count(*)::BIGINT AS n_keys,
+             |  sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             |  sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             |    AS violation_rate
+             |FROM (SELECT $x, count(DISTINCT $y) AS ny FROM $table
+             |      GROUP BY $x)""".stripMargin
+        s"""SELECT * FROM (
+           |${fd("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey")}
+           |UNION ALL
+           |${fd("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority")}
+           |UNION ALL
+           |${fd("l_orderkey->l_partkey", "lineitem", "l_orderkey", "l_partkey")}
+           |UNION ALL
+           |${fd("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey")})
+           |ORDER BY fd""".stripMargin
+      }),
+
+    // Benford first-digit audit of order totals: observed first-digit
+    // shares vs Benford's log10(1+1/d) expectation with per-digit χ²
+    // contributions — the classic synthetic-data/fraud smell test. Digit
+    // extraction is exact string arithmetic; expectation and χ² are
+    // identical ln-ratio arithmetic on both engines, float32 at emit.
+    Entry("q224_benford",
+      (s, d) => {
+        val digits = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 0)
+          .select(substring(col("o_totalprice").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .filter(col("digit").between(1, 9))
+        val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val total = digits.agg(count(lit(1)).as("total"))
+        counts.crossJoin(broadcast(total))
+          .withColumn("observed", col("n") / col("total"))
+          .withColumn("expected",
+            log(lit(1.0) + lit(1.0) / col("digit")) / lit(math.log(10.0)))
+          .withColumn("chi2_term",
+            (col("n") - col("expected") * col("total")) *
+              (col("n") - col("expected") * col("total")) /
+              (col("expected") * col("total")))
+          .select(col("digit"), col("n"),
+            col("observed").cast("float").as("observed"),
+            col("expected").cast("float").as("expected"),
+            col("chi2_term").cast("float").as("chi2_term"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH dg AS (
+             |  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)
+             |    AS digit
+             |  FROM orders WHERE o_totalprice > 0),
+             |dd AS (SELECT digit FROM dg WHERE digit BETWEEN 1 AND 9),
+             |c AS (SELECT digit, count(*) AS n FROM dd GROUP BY 1),
+             |t AS (SELECT count(*) AS total FROM dd)
+             |SELECT digit, n,
+             |  CAST(n::DOUBLE / total AS REAL) AS observed,
+             |  CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS REAL) AS expected,
+             |  CAST((n - (ln(1.0 + 1.0 / digit) / ln(10.0)) * total)
+             |     * (n - (ln(1.0 + 1.0 / digit) / ln(10.0)) * total)
+             |     / ((ln(1.0 + 1.0 / digit) / ln(10.0)) * total) AS REAL)
+             |    AS chi2_term
+             |FROM c CROSS JOIN t ORDER BY digit""".stripMargin)),
+
     // Data-quality expectation suite (the dbt-test/Great-Expectations op
     // class): FK orphan counts, key uniqueness, empty-content and
     // out-of-range checks — one row per check with its exact violation
