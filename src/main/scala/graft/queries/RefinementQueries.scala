@@ -403,6 +403,100 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Deseasonalized anomaly detection: daily event counts per type, the
+    // day-of-week median as the seasonal level, |count − dow_median|
+    // scored against the MAD of the deseasonalized residuals — flags the
+    // genuinely anomalous days a raw threshold (which fires every weekend)
+    // cannot isolate. Order-statistic arithmetic only — fully exact.
+    Entry("q225_seasonal_outliers",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", dayofweek(col("day")))
+          .localCheckpoint(true) // seasonal medians + residuals + MAD share it
+        val seasonal = daily.groupBy(col("event_type"), col("dow"))
+          .agg(expr("percentile(n, 0.5)").as("dow_median"))
+        val resid = daily.join(seasonal, Seq("event_type", "dow"))
+          .withColumn("resid", abs(col("n") - col("dow_median")))
+        val mad = resid.groupBy(col("event_type"))
+          .agg(expr("percentile(resid, 0.5)").as("mad"))
+        resid.join(mad, "event_type")
+          .filter(col("resid") > lit(3.0) * col("mad") && col("mad") > 0)
+          .select(col("event_type"), col("day"), col("n"),
+            col("dow_median"), col("resid"), col("mad"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |dd AS (
+             |  SELECT event_type, day, n, dayofweek(day) + 1 AS dow FROM daily),
+             |seasonal AS (
+             |  SELECT event_type, dow, quantile_cont(n, 0.5) AS dow_median
+             |  FROM dd GROUP BY 1, 2),
+             |resid AS (
+             |  SELECT dd.event_type, dd.day, dd.n, s.dow_median,
+             |    abs(dd.n - s.dow_median) AS resid
+             |  FROM dd JOIN seasonal s
+             |    ON s.event_type = dd.event_type AND s.dow = dd.dow),
+             |mad AS (
+             |  SELECT event_type, quantile_cont(resid, 0.5) AS mad
+             |  FROM resid GROUP BY 1)
+             |SELECT r.event_type, r.day, r.n, r.dow_median, r.resid, m.mad
+             |FROM resid r JOIN mad m ON m.event_type = r.event_type
+             |WHERE r.resid > 3.0 * m.mad AND m.mad > 0
+             |ORDER BY r.event_type, r.day""".stripMargin)),
+
+    // Cross-correlation matrix of event types: Pearson r between every
+    // pair of types' daily-count series (inner-joined on shared days) —
+    // which behaviors move together. Exact integer sums into the
+    // closed-form r; float32 at emit.
+    Entry("q226_type_correlation",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val a = daily.select(col("event_type").as("ta"), col("day"),
+          col("n").as("na"))
+        val b = daily.select(col("event_type").as("tb"), col("day"),
+          col("n").as("nb"))
+        a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb"))
+          .agg(count(lit(1)).as("days"),
+            sum(col("na")).as("sa"), sum(col("nb")).as("sb"),
+            sum(col("na") * col("nb")).as("sab"),
+            sum(col("na") * col("na")).as("saa"),
+            sum(col("nb") * col("nb")).as("sbb"))
+          .select(col("ta"), col("tb"), col("days"),
+            ((col("days") * col("sab") - col("sa") * col("sb")) /
+              (sqrt(col("days") * col("saa") - col("sa") * col("sa")) *
+                sqrt(col("days") * col("sbb") - col("sb") * col("sb"))))
+              .cast("float").as("pearson_r"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |j AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    a.n AS na, b.n AS nb
+             |  FROM daily a JOIN daily b
+             |    ON a.day = b.day AND a.event_type < b.event_type),
+             |agg AS (
+             |  SELECT ta, tb, count(*) AS days,
+             |    sum(na)::BIGINT AS sa, sum(nb)::BIGINT AS sb,
+             |    sum(na * nb)::BIGINT AS sab,
+             |    sum(na * na)::BIGINT AS saa,
+             |    sum(nb * nb)::BIGINT AS sbb
+             |  FROM j GROUP BY 1, 2)
+             |SELECT ta, tb, days,
+             |  CAST((days * sab - sa * sb)
+             |    / (sqrt(days * saa - sa * sa) * sqrt(days * sbb - sb * sb))
+             |    AS REAL) AS pearson_r
+             |FROM agg ORDER BY ta, tb""".stripMargin)),
+
     // Functional-dependency discovery: for candidate X → Y pairs, how many
     // X values map to more than one Y (0 violators = the FD holds) plus
     // the violation rate — schema profiling that catches denormalization
