@@ -403,6 +403,109 @@ object RefinementQueries {
            |FROM ranked""".stripMargin
       }),
 
+    // Exact audience-overlap matrix: pairwise user-set Jaccard between
+    // event types — the EXACT twin of the q129 theta-sketch estimates
+    // (run both to calibrate sketch error budgets). Distinct-pair
+    // inverted-index join, exact rational Jaccard.
+    Entry("q227_audience_overlap",
+      (s, d) => {
+        val ua = Tables.events(s, d)
+          .select(col("event_type"), col("user_id")).distinct()
+          .localCheckpoint(true)
+        val sizes = ua.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val inter = ua.select(col("event_type").as("ta"), col("user_id"))
+          .join(ua.select(col("event_type").as("tb"), col("user_id")), "user_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+        inter
+          .join(sizes.select(col("event_type").as("ta"), col("n").as("na")), "ta")
+          .join(sizes.select(col("event_type").as("tb"), col("n").as("nb")), "tb")
+          .select(col("ta"), col("tb"), col("n_both"), col("na"), col("nb"),
+            (col("n_both") / (col("na") + col("nb") - col("n_both")))
+              .as("jaccard"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH ua AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |sizes AS (SELECT event_type, count(*) AS n FROM ua GROUP BY 1),
+             |inter AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb,
+             |    count(*) AS n_both
+             |  FROM ua a JOIN ua b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, n_both, sa.n AS na, sb.n AS nb,
+             |  n_both::DOUBLE / (sa.n + sb.n - n_both) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.event_type = ta
+             |JOIN sizes sb ON sb.event_type = tb
+             |ORDER BY ta, tb""".stripMargin)),
+
+    // Kendall-tau rank agreement between the cosine and dot-product
+    // rankings (q103's two fusion legs): concordant vs discordant pairs
+    // over the items both top-25s share — quantifies how much norm
+    // variation actually reorders results. All-integer pair counts; tau is
+    // one division.
+    Entry("q228_rank_agreement",
+      (s, d) => {
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        val byCos = Similarity.knnCosine(corpus, q, "vec_id", "embedding", 25, -1.0)
+          .select(col("vec_id"), col("score"))
+          .withColumn("r_cos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("score"), col("vec_id"))))
+          .select(col("vec_id"), col("r_cos"))
+        val byDot = Similarity.knnDot(corpus, q, "vec_id", "embedding", 25)
+          .select(col("vec_id"), col("score"))
+          .withColumn("r_dot", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("score"), col("vec_id"))))
+          .select(col("vec_id"), col("r_dot"))
+        val shared = byCos.join(byDot, "vec_id").localCheckpoint(true)
+        val pairs = shared.select(col("r_cos").as("ca"), col("r_dot").as("da"))
+          .crossJoin(shared.select(col("r_cos").as("cb"), col("r_dot").as("db")))
+          .filter(col("ca") < col("cb"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(when((col("da") < col("db")), 1L).otherwise(0L)).as("concordant"))
+          .select(col("n_pairs"), col("concordant"),
+            (col("n_pairs") - col("concordant")).as("discordant"),
+            ((lit(2L) * col("concordant") - col("n_pairs")) / col("n_pairs"))
+              .as("kendall_tau"))
+      },
+      Some {
+        val cos = OracleSql.cosine("c.embedding", "q.qvec")
+        val dot = """list_sum(list_transform(generate_series(1, len(c.embedding)),
+                    |  i -> c.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))""".stripMargin
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+           |cosr AS (
+           |  SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id) AS r_cos
+           |  FROM (SELECT c.vec_id, round($cos, 4) AS s
+           |        FROM corpus c CROSS JOIN q
+           |        ORDER BY s DESC, c.vec_id LIMIT 25)),
+           |dotr AS (
+           |  SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id) AS r_dot
+           |  FROM (SELECT c.vec_id, round($dot, 4) AS s
+           |        FROM corpus c CROSS JOIN q
+           |        ORDER BY s DESC, c.vec_id LIMIT 25)),
+           |shared AS (
+           |  SELECT r_cos, r_dot FROM cosr JOIN dotr USING (vec_id)),
+           |p AS (
+           |  SELECT a.r_cos AS ca, a.r_dot AS da, b.r_cos AS cb, b.r_dot AS db
+           |  FROM shared a JOIN shared b ON a.r_cos < b.r_cos)
+           |SELECT count(*) AS n_pairs,
+           |  sum(CASE WHEN da < db THEN 1 ELSE 0 END)::BIGINT AS concordant,
+           |  (count(*) - sum(CASE WHEN da < db THEN 1 ELSE 0 END))::BIGINT
+           |    AS discordant,
+           |  (2 * sum(CASE WHEN da < db THEN 1 ELSE 0 END) - count(*))::DOUBLE
+           |    / count(*) AS kendall_tau
+           |FROM p""".stripMargin
+      }),
+
     // Deseasonalized anomaly detection: daily event counts per type, the
     // day-of-week median as the seasonal level, |count − dow_median|
     // scored against the MAD of the deseasonalized residuals — flags the
