@@ -18,7 +18,8 @@ object Registry {
         TextQueries.entries ++ DomainQueries.entries ++ ExtendedQueries.entries ++
         DomainPipelineQueries.entries ++ StatsQueries.entries ++
         BreadthQueries.entries ++ SchemaQueries.entries ++ HybridQueries.entries ++
-        CurationQueries.entries ++ RefinementQueries.entries
+        CurationQueries.entries ++ RefinementQueries.entries ++
+        PipelineQueries.entries
     val dups = entries.groupBy(_.name).filter(_._2.length > 1).keys
     require(dups.isEmpty,
       s"duplicate query names (last-wins maps would silently drop one): ${dups.mkString(", ")}")
