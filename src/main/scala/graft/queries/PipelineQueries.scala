@@ -125,6 +125,93 @@ object PipelineQueries {
            |JOIN avgb USING (b_id)
            |WHERE cos / ((avg_a + avg_b) / 2) >= 1.02
            |ORDER BY a_id""".stripMargin
-      })
+      }),
+
+    // Blocklist gating report (the wordlist-filter step every web-scale
+    // curation pipeline runs before training): per source, how many docs
+    // contain a blocklisted term, total hit occurrences, and the flag
+    // rate. One token scan, map-side array intersection, one combinable
+    // aggregation — no shuffle beyond the per-source rollup. Rates are
+    // single divisions of exact integers (bit-identical across engines,
+    // per the no-rounding discipline).
+    Entry("q231_blocklist_rate",
+      (s, d) => {
+        val blocked = Seq("slow", "drop", "stale")
+        val toks = Fns.tokens(col("text"))
+        Tables.documents(s, d)
+          .withColumn("n_hits",
+            size(filter(toks, t =>
+              array_contains(array(blocked.map(lit): _*), t))).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("n_hits")).as("total_hits"))
+          .withColumn("flag_rate", col("n_flagged") / col("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (
+             |  SELECT source,
+             |    CAST(len(list_filter(string_split(lower(text), ' '),
+             |      t -> list_contains(['slow', 'drop', 'stale'], t)))
+             |      AS BIGINT) AS n_hits
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_flagged,
+             |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+             |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    ::DOUBLE / count(*) AS flag_rate
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Packing-efficiency report: run the q121 greedy sequence packer
+    // (per-shard cumsum bin assignment at seqLen=512) and report per shard
+    // how well the bins fill — sequence count, fill rate against capacity,
+    // overflow bins (a single doc longer than seqLen), and the largest
+    // bin. The metric that tells you whether packing wastes training
+    // FLOPs; one window + two combinable aggregations.
+    Entry("q232_packing_efficiency",
+      (s, d) => {
+        val seqLen = 512
+        val packed = graft.ops.Packing.sequencePack(
+          Tables.documents(s, d), "doc_id", "text", "lang", seqLen)
+        packed.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_seqs"),
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("n_tokens") > seqLen, 1L).otherwise(0L))
+              .as("n_overflow"),
+            max(col("n_tokens")).as("max_seq_tokens"))
+          .withColumn("fill_rate",
+            col("total_tokens") / (col("n_seqs") * seqLen))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+             |      AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+             |      AS cum
+             |  FROM t),
+             |seqs AS (
+             |  -- floor, not bare CAST: DuckDB's double->BIGINT cast rounds
+             |  -- to nearest while Spark's truncates
+             |  SELECT lang, CAST(floor((cum - n_tokens) / 512) AS BIGINT)
+             |      AS seq_id,
+             |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+             |  FROM c GROUP BY 1, 2)
+             |SELECT lang, count(*) AS n_seqs,
+             |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_overflow,
+             |  max(n_tokens) AS max_seq_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT)::DOUBLE / (count(*) * 512)
+             |    AS fill_rate
+             |FROM seqs GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
