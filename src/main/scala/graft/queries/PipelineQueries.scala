@@ -212,6 +212,136 @@ object PipelineQueries {
              |  max(n_tokens) AS max_seq_tokens,
              |  CAST(sum(n_tokens) AS BIGINT)::DOUBLE / (count(*) * 512)
              |    AS fill_rate
-             |FROM seqs GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM seqs GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Krippendorff's alpha (nominal, two raters: gold lang vs the n-gram
+    // classifier) — the agreement coefficient that generalizes q217's
+    // kappa to missing data and >2 raters; here the two-rater closed form:
+    // alpha = 1 − (n−1)·2·disagree / (n² − Σ_c n_c²) over the coincidence
+    // marginals n_c (each unit contributes BOTH its ratings). All-integer
+    // sums, one division — bit-exact across engines.
+    Entry("q233_krippendorff_alpha",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val pred = TextAnalysis.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val joined = docs.select(col("doc_id"), col("lang"))
+          .join(pred, "doc_id")
+          .localCheckpoint(true) // feeds units, disagreements, marginals
+        val units = joined.agg(count(lit(1)).as("n_units"))
+        val dis = joined.filter(col("lang") =!= col("pred_lang"))
+          .agg(count(lit(1)).as("n_disagree"))
+        val marg = joined.select(col("lang").as("v"))
+          .union(joined.select(col("pred_lang").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_ratings"),
+            sum(col("c") * col("c")).as("sum_sq"))
+        units.crossJoin(broadcast(dis)).crossJoin(broadcast(marg))
+          .select(col("n_units"), col("n_disagree"),
+            (lit(1.0) -
+              ((col("n_ratings") - 1) * lit(2L) * col("n_disagree")) /
+                (col("n_ratings") * col("n_ratings") - col("sum_sq")))
+              .as("alpha"))
+      },
+      Some {
+        val marker = graft.ops.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+          .map { case (lang, ms) =>
+            val lst = ms.map(m => s"'$m'").mkString(", ")
+            s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [$lst])) AS score_$lang"
+          }.mkString(",\n    ")
+        s"""WITH scores AS (
+           |  SELECT doc_id, lang,
+           |    $marker
+           |  FROM documents),
+           |best AS (
+           |  SELECT doc_id, lang,
+           |    greatest(score_de, score_en, score_es, score_fr) AS b, *
+           |  FROM scores),
+           |pred AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN b <= 0 THEN 'und'
+           |         WHEN score_de = b THEN 'de'
+           |         WHEN score_en = b THEN 'en'
+           |         WHEN score_es = b THEN 'es'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM best),
+           |units AS (SELECT count(*) AS n_units FROM pred),
+           |dis AS (
+           |  SELECT count(*) AS n_disagree FROM pred
+           |  WHERE lang <> pred_lang),
+           |marg AS (
+           |  SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+           |  FROM (
+           |    SELECT v, count(*) AS c FROM (
+           |      SELECT lang AS v FROM pred
+           |      UNION ALL SELECT pred_lang FROM pred)
+           |    GROUP BY v))
+           |SELECT n_units, n_disagree,
+           |  1.0 - ((n - 1) * 2 * n_disagree)::DOUBLE / (n * n - sum_sq)
+           |    AS alpha
+           |FROM units CROSS JOIN dis CROSS JOIN marg""".stripMargin
+      }),
+
+    // Held-out Markov-chain perplexity of the per-user event stream: train
+    // add-one-smoothed first-order transition probabilities on even users,
+    // score odd users' transitions — the sequence-model sanity metric
+    // (uniform-random streams land near perplexity = V). Transition counts
+    // are two combinable aggs; scoring is two broadcast joins against the
+    // |types|²-bounded model. ln-derived outputs emitted float32.
+    Entry("q234_markov_perplexity",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("user_id"), col("event_type"), col("next_type"))
+          .localCheckpoint(true) // feeds train counts and the test scan
+        val train = trans.filter(pmod(col("user_id"), lit(2)) === 0)
+        val test = trans.filter(pmod(col("user_id"), lit(2)) === 1)
+        val vdf = Tables.events(s, d)
+          .agg(countDistinct(col("event_type")).as("vsz"))
+        val pairCnt = train.groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("ck"))
+        val ctxCnt = train.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cn"))
+        test
+          .join(broadcast(pairCnt), Seq("event_type", "next_type"), "left")
+          .join(broadcast(ctxCnt), Seq("event_type"), "left")
+          .crossJoin(broadcast(vdf))
+          .withColumn("nll",
+            -log((coalesce(col("ck"), lit(0L)) + 1) /
+              (coalesce(col("cn"), lit(0L)) + col("vsz"))))
+          .agg(count(lit(1)).as("n_transitions"),
+            avg(col("nll")).cast("float").as("avg_nll"),
+            exp(avg(col("nll"))).cast("float").as("perplexity"))
+      },
+      Some("""WITH tr AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |t2 AS (SELECT * FROM tr WHERE next_type IS NOT NULL),
+             |train AS (
+             |  SELECT event_type, next_type FROM t2 WHERE user_id % 2 = 0),
+             |test AS (
+             |  SELECT event_type, next_type FROM t2 WHERE user_id % 2 = 1),
+             |v AS (SELECT count(DISTINCT event_type) AS vsz FROM events),
+             |pc AS (
+             |  SELECT event_type, next_type, count(*) AS ck
+             |  FROM train GROUP BY 1, 2),
+             |cc AS (SELECT event_type, count(*) AS cn FROM train GROUP BY 1)
+             |SELECT count(*) AS n_transitions,
+             |  CAST(avg(-ln((coalesce(ck, 0) + 1)::DOUBLE
+             |    / (coalesce(cn, 0) + vsz))) AS REAL) AS avg_nll,
+             |  CAST(exp(avg(-ln((coalesce(ck, 0) + 1)::DOUBLE
+             |    / (coalesce(cn, 0) + vsz)))) AS REAL) AS perplexity
+             |FROM test
+             |LEFT JOIN pc USING (event_type, next_type)
+             |LEFT JOIN cc USING (event_type)
+             |CROSS JOIN v""".stripMargin))
   )
 }
