@@ -342,6 +342,119 @@ object PipelineQueries {
              |FROM test
              |LEFT JOIN pc USING (event_type, next_type)
              |LEFT JOIN cc USING (event_type)
-             |CROSS JOIN v""".stripMargin))
+             |CROSS JOIN v""".stripMargin)),
+
+    // Retractable-aggregate incremental view maintenance: refresh a
+    // per-customer (count, revenue) rollup from a CDC delta carrying
+    // inserts (+1), updates (retract old, insert new) and deletes (−1) —
+    // the q125/q203 family extended to RETRACTIONS, i.e. what a
+    // changelog-consuming materialized view must do. The maintained state
+    // is base partials ∪ signed delta partials re-aggregated (mergeable,
+    // map-side combinable; at 100 TB the base partials are the stored
+    // rollup and only the delta is scanned). Money is exact integer cents
+    // (floor(price·100) — identical double ops on both engines); the
+    // oracle recomputes the post-CDC table directly, proving the IVM
+    // algebra.
+    Entry("q235_agg_ivm",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        def cents(price: org.apache.spark.sql.Column) =
+          floor(price * 100).cast("long")
+        val base = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_custkey"), lit(1L).as("sign"),
+            cents(col("o_totalprice")).as("cents"))
+        val updated = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        val updOld = updated.select(col("o_custkey"), lit(-1L).as("sign"),
+          cents(col("o_totalprice")).as("cents"))
+        val updNew = updated.select(col("o_custkey"), lit(1L).as("sign"),
+          cents(col("o_totalprice") + 50.0).as("cents"))
+        val dels = base
+          .filter(pmod(col("o_orderkey"), lit(7)) =!= 0 &&
+            pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_custkey"), lit(-1L).as("sign"),
+            cents(col("o_totalprice")).as("cents"))
+        val basePart = base.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("cents"))
+          .select(col("o_custkey"), col("n"), col("cents"))
+        val deltaPart = inserts.union(updOld).union(updNew).union(dels)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("sign")).as("n"),
+            sum(col("sign") * col("cents")).as("cents"))
+          .select(col("o_custkey"), col("n"), col("cents"))
+        basePart.union(deltaPart)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("cents")).as("total_cents"))
+          .filter(col("n_orders") > 0)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH final AS (
+             |  SELECT o_custkey,
+             |    CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+             |         THEN o_totalprice + 50.0 ELSE o_totalprice END AS price
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+             |             AND o_orderkey % 13 = 0))
+             |SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(price * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Embedding-space outlier detection (the curation step that drops
+    // mislabeled / off-distribution vectors before contrastive training):
+    // per label, the 3 vectors least similar to their class centroid.
+    // Centroids are element-wise means SNAPPED TO FLOAT32 — the snap
+    // absorbs partial-sum order, so both engines hold bit-identical
+    // centroids and the cosine (fixed-order double fold) stays exact,
+    // making the per-label ranking deterministic. One posexplode agg
+    // (#labels × dim rows) + one broadcast join; scales as a map-side
+    // pass over the corpus.
+    Entry("q236_embedding_outliers",
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosineSim
+        val emb = Tables.embeddings(s, d)
+        val cent = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+            .as("pairs"))
+          .select(col("label"),
+            transform(col("pairs"), p => p.getField("m").cast("float"))
+              .as("centroid"))
+        emb.join(broadcast(cent), "label")
+          .withColumn("cos_centroid", cosineSim(col("embedding"), col("centroid")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("cos_centroid"), col("vec_id"))).cast("int"))
+          .filter(col("rank") <= 3)
+          .select(col("label"), col("vec_id"), col("cos_centroid"), col("rank"))
+          .orderBy(col("label"), col("rank"))
+      },
+      Some {
+        val cos = OracleSql.cosine("e.embedding", "c.centroid")
+        s"""WITH cent AS (
+           |  SELECT label, i, CAST(avg(embedding[i]::DOUBLE) AS REAL) AS m
+           |  FROM embeddings,
+           |    UNNEST(generate_series(1,
+           |      (SELECT max(len(embedding)) FROM embeddings))) AS t(i)
+           |  GROUP BY 1, 2),
+           |c AS (SELECT label, list(m ORDER BY i) AS centroid
+           |      FROM cent GROUP BY 1),
+           |scored AS (
+           |  SELECT e.label, e.vec_id, $cos AS cos_centroid
+           |  FROM embeddings e JOIN c ON e.label = c.label),
+           |ranked AS (
+           |  SELECT label, vec_id, cos_centroid,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY label ORDER BY cos_centroid, vec_id) AS INT)
+           |      AS rank
+           |  FROM scored)
+           |SELECT label, vec_id, cos_centroid, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+      })
   )
 }
