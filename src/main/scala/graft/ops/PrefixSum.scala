@@ -74,6 +74,42 @@ object PrefixSum {
       .drop("_pid", "_off", "_v")
   }
 
+  /** Global running MAX of a LONG `valueCol` over the total order
+    * `orderCols` — same two-pass scheme as [[globalRunningSum]], but max
+    * is idempotent and order-independent, so the carry is an exact long
+    * and the output is bit-reproducible under any partitioning with no
+    * decimal machinery. Appends `running_max`. (The streaming-watermark
+    * recurrence: wm = max(wm, event_time) over arrival order.) */
+  def globalRunningMax(df: DataFrame, orderCols: Seq[Column],
+                       valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", valueCol)
+      .localCheckpoint(true) // pin the partitioning: offsets must describe THIS layout
+    require(ranged.schema("_v").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "globalRunningMax needs a LONG value column — cast the measure")
+    val partials = ranged.groupBy(col("_pid"))
+      .agg(max(col("_v")).as("pmax"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive prefix max: partition p's offset = max of partials before p
+    val offsets = partials.scanLeft(0 -> Long.MinValue) {
+      case ((_, acc), (pid, pm)) => pid -> math.max(acc, pm)
+    }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("running_max",
+        greatest(col("_off"), max(col("_v")).over(w)))
+      .drop("_pid", "_off", "_v")
+  }
+
   /** Concurrency (sweep-line) profile over half-open activity intervals
     * [startCol, endCol): per time bucket, the net change in active
     * intervals and the number concurrently active. The deltas aggregate

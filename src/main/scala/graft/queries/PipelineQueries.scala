@@ -455,6 +455,115 @@ object PipelineQueries {
            |  FROM scored)
            |SELECT label, vec_id, cos_centroid, rank FROM ranked
            |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
-      })
+      }),
+
+    // Shuffle-key skew diagnosis — the planning input for salting (the
+    // Skew.scala op) and AQE skew-join thresholds: per candidate shuffle
+    // key, the exact Gini coefficient of the key-frequency distribution,
+    // top-1 / top-10 key shares, and the max key size. Gini over sorted
+    // frequencies is all-integer ((2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)) — one
+    // division, bit-exact. One count-agg + one window per audited key.
+    Entry("q237_key_skew",
+      (s, d) => {
+        def audit(df: org.apache.spark.sql.DataFrame, key: String,
+                  keyName: String) = {
+          val freq = df.groupBy(col(key)).agg(count(lit(1)).as("x"))
+          val ranked = freq
+            .withColumn("i",
+              row_number().over(Window.orderBy(col("x"), col(key))).cast("long"))
+            .withColumn("nk", count(lit(1)).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          ranked.agg(
+              count(lit(1)).as("n_keys"),
+              sum(col("x")).as("n_rows"),
+              sum(col("i") * col("x")).as("s1"),
+              max(col("x")).as("max_freq"),
+              sum(when(col("i") > col("nk") - 10, col("x")).otherwise(0L))
+                .as("top10_rows"))
+            .select(lit(keyName).as("key_name"), col("n_keys"), col("n_rows"),
+              ((lit(2L) * col("s1") - (col("n_keys") + 1) * col("n_rows")) /
+                (col("n_keys") * col("n_rows"))).as("gini"),
+              (col("max_freq") / col("n_rows")).as("top1_share"),
+              (col("top10_rows") / col("n_rows")).as("top10_share"))
+        }
+        val ev = Tables.events(s, d)
+        val o = Tables.orders(s, d)
+        audit(ev, "user_id", "events.user_id")
+          .union(audit(ev, "event_type", "events.event_type"))
+          .union(audit(o, "o_custkey", "orders.o_custkey"))
+          .orderBy(col("key_name"))
+      },
+      Some {
+        def sql(table: String, key: String) =
+          s"""SELECT '$table.$key' AS key_name,
+             |  count(*) AS n_keys,
+             |  CAST(sum(x) AS BIGINT) AS n_rows,
+             |  (2 * sum(i * x) - (count(*) + 1) * sum(x))::DOUBLE
+             |    / (count(*) * sum(x)) AS gini,
+             |  max(x)::DOUBLE / sum(x) AS top1_share,
+             |  CAST(sum(CASE WHEN i > (SELECT count(*) FROM (
+             |      SELECT $key FROM $table GROUP BY $key)) - 10
+             |    THEN x ELSE 0 END) AS BIGINT)::DOUBLE / sum(x)
+             |    AS top10_share
+             |FROM (
+             |  SELECT x, CAST(row_number() OVER (ORDER BY x, $key) AS BIGINT)
+             |      AS i
+             |  FROM (SELECT $key, count(*) AS x FROM $table GROUP BY $key))""".stripMargin
+        s"""${sql("events", "user_id")}
+           |UNION ALL
+           |${sql("events", "event_type")}
+           |UNION ALL
+           |${sql("orders", "o_custkey")}
+           |ORDER BY key_name""".stripMargin
+      }),
+
+    // Watermark-lateness audit: replay the event stream in arrival order
+    // (event_id) and measure, for candidate watermark delays, how many
+    // events would arrive behind the advanced watermark (= running max
+    // event time − delay) and be dropped. The empirical basis for picking
+    // `withWatermark` bounds (T1 family): ONE distributed running-max pass
+    // over the arrival order (PrefixSum.globalRunningMax — the two-pass
+    // prefix primitive, not a single-partition Window), then one explode
+    // over the delay grid — no per-delay rescan. Rates are exact single
+    // divisions.
+    Entry("q238_lateness_audit",
+      (s, d) => {
+        val delays = Seq(0L, 3600L, 21600L)
+        graft.ops.PrefixSum.globalRunningMax(
+            Tables.events(s, d)
+              // ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+              // is stable
+              .select(col("event_id"),
+                unix_micros(col("ts").cast("timestamp")).as("ts_us")),
+            Seq(col("event_id")), col("ts_us"))
+          .withColumnRenamed("running_max", "wm_us")
+          .select(col("ts_us"), col("wm_us"),
+            explode(array(delays.map(lit): _*)).as("delay_s"))
+          .groupBy(col("delay_s"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("ts_us") < col("wm_us") - col("delay_s") * 1000000L,
+              1L).otherwise(0L)).as("n_late"))
+          .withColumn("late_rate", col("n_late") / col("n_events"))
+          .orderBy(col("delay_s"))
+      },
+      Some("""WITH arr AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             |      ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm_us
+             |  FROM events),
+             |g AS (
+             |  SELECT ts_us, wm_us,
+             |    unnest([CAST(0 AS BIGINT), 3600, 21600]) AS delay_s
+             |  FROM arr)
+             |SELECT CAST(delay_s AS BIGINT) AS delay_s,
+             |  count(*) AS n_events,
+             |  CAST(sum(CASE WHEN ts_us < wm_us - delay_s * 1000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             |  CAST(sum(CASE WHEN ts_us < wm_us - delay_s * 1000000
+             |    THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / count(*)
+             |    AS late_rate
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -37,6 +37,27 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningMax equals the sequential running max and never " +
+       "funnels rows through one partition") {
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 5000L).map(i => (i, rnd.nextLong() % 1000000L))
+      .toDF("k", "v")
+    val out = PrefixSum.globalRunningMax(df, Seq(col("k")), col("v"))
+    val seqW = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("running_max", max(col("v")).over(seqW))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global running max fell back to a single-partition exchange:\n" + plan)
+    // a non-long measure is a loud error
+    intercept[IllegalArgumentException] {
+      PrefixSum.globalRunningMax(df, Seq(col("k")), col("v").cast("double"))
+    }
+  }
+
   test("concurrencyProfile: hand-checked sweep, net sums to zero") {
     // intervals [1,4), [2,3), [3,5): concurrency 1,2,2,1 at t=1..4
     val iv = Seq((1L, 4L), (2L, 3L), (3L, 5L)).toDF("s", "e")
