@@ -564,6 +564,128 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN ts_us < wm_us - delay_s * 1000000
              |    THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / count(*)
              |    AS late_rate
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Greedy k-center coreset selection (Gonzalez farthest-first): pick 6
+    // maximally-spread embedding exemplars — the diverse-subset selection
+    // step for data pruning / annotation budgets. Each round is ONE corpus
+    // scan against ≤ |centers| broadcast vectors (no quadratic step);
+    // cosine distances are bit-exact, ties break by vec_id, and the
+    // per-round localCheckpoint keeps lineage flat — the q132-family
+    // iterative discipline. The oracle unrolls the same 6 rounds as CTEs.
+    Entry("q239_kcenter_coreset",
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosineSim
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val seed = emb.orderBy(col("vec_id")).limit(1)
+        var centers = seed.localCheckpoint(true)
+        val picks = (1 to 6).map { r =>
+          val next = emb
+            .crossJoin(broadcast(centers.select(col("embedding").as("cvec"))))
+            .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("cvec")))
+            .groupBy(col("vec_id"))
+            .agg(min(col("dist")).as("mindist"),
+              first(col("embedding")).as("embedding"))
+            .orderBy(desc("mindist"), col("vec_id"))
+            .limit(1)
+            .localCheckpoint(true)
+          centers = centers
+            .union(next.select(col("vec_id"), col("embedding")))
+            .localCheckpoint(true)
+          next.select(lit(r).as("round"), col("vec_id"), col("mindist"))
+        }
+        picks.reduce(_.union(_)).orderBy(col("round"))
+      },
+      Some {
+        val cos = OracleSql.cosine("e.embedding", "c.embedding")
+        val rounds = (1 to 6).map { r =>
+          val prev = s"c${r - 1}"
+          s"""s$r AS (
+             |  SELECT e.vec_id, e.embedding, min(1 - $cos) AS mindist
+             |  FROM embeddings e CROSS JOIN $prev c
+             |  GROUP BY e.vec_id, e.embedding
+             |  ORDER BY mindist DESC, e.vec_id LIMIT 1),
+             |c$r AS (
+             |  SELECT vec_id, embedding FROM $prev
+             |  UNION ALL SELECT vec_id, embedding FROM s$r)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 6)
+          .map(r => s"SELECT $r AS round, vec_id, mindist FROM s$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH c0 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+           |$rounds
+           |$out
+           |ORDER BY round""".stripMargin
+      }),
+
+    // UniMax token-budget allocation: split a total token budget across
+    // sources by water-filling — every source below the water level τ is
+    // fully used, the rest are capped at τ, with Σ alloc = budget. The
+    // closed form needs one sort + one cumulative window (m = last source
+    // whose full use still fits), no iteration. Integer token counts; τ is
+    // the single division. The mixture-design step a multi-source training
+    // run does before sampling (cf. q133's temperature mixture, which
+    // weights; this BUDGETS).
+    Entry("q240_unimax_allocation",
+      (s, d) => {
+        val w = Window.orderBy(col("avail"), col("source"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val tok = Tables.documents(s, d)
+          .select(col("source"), size(Fns.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+          .groupBy(col("source")).agg(sum(col("n_tokens")).as("avail"))
+        tok
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("cum", sum(col("avail")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("total", sum(col("avail")).over(wAll))
+          .withColumn("budget", floor(col("total") * 0.6).cast("long"))
+          .withColumn("fits",
+            col("cum") + (col("n") - col("i")) * col("avail") <= col("budget"))
+          .withColumn("m", max(when(col("fits"), col("i")).otherwise(0L))
+            .over(wAll))
+          .withColumn("cum_m", max(when(col("fits"), col("cum")).otherwise(0L))
+            .over(wAll))
+          .withColumn("allocated",
+            when(col("fits"), col("avail").cast("double"))
+              .otherwise((col("budget") - col("cum_m")) / (col("n") - col("m"))))
+          .select(col("source"), col("avail"), col("budget"),
+            col("fits").as("fully_used"), col("allocated"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+             |      AS avail
+             |  FROM documents GROUP BY source),
+             |r AS (
+             |  SELECT source, avail,
+             |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT)
+             |      AS i,
+             |    CAST(sum(avail) OVER (ORDER BY avail, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum,
+             |    count(*) OVER () AS n,
+             |    CAST(sum(avail) OVER () AS BIGINT) AS total
+             |  FROM tok),
+             |f AS (
+             |  SELECT *, CAST(floor(total * 0.6) AS BIGINT) AS budget,
+             |    cum + (n - i) * avail <= CAST(floor(total * 0.6) AS BIGINT)
+             |      AS fits
+             |  FROM r),
+             |g AS (
+             |  SELECT *,
+             |    max(CASE WHEN fits THEN i ELSE 0 END) OVER () AS m,
+             |    max(CASE WHEN fits THEN cum ELSE 0 END) OVER () AS cum_m
+             |  FROM f)
+             |SELECT source, avail, budget, fits AS fully_used,
+             |  CASE WHEN fits THEN avail::DOUBLE
+             |       ELSE (budget - cum_m)::DOUBLE / (n - m) END AS allocated
+             |FROM g ORDER BY source""".stripMargin))
   )
 }
