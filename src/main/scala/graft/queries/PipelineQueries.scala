@@ -686,6 +686,172 @@ object PipelineQueries {
              |SELECT source, avail, budget, fits AS fully_used,
              |  CASE WHEN fits THEN avail::DOUBLE
              |       ELSE (budget - cum_m)::DOUBLE / (n - m) END AS allocated
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Right-to-be-forgotten cascade audit (S7 delete family, extended to
+    // referential integrity): given a deletion list of customers, count
+    // what a compliant cascade removes at each FK hop (customer → orders →
+    // lineitem) and PROVE the post-cascade state has zero orphans — the
+    // compliance report a deletion pipeline emits. Delete list and order
+    // keys propagate as broadcast semi/anti joins; counts are one agg per
+    // table.
+    Entry("q241_gdpr_cascade",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val orders = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val delCust = cust.filter(pmod(col("c_custkey"), lit(97)) === 0)
+          .select(col("c_custkey")).localCheckpoint(true)
+        val delOrders = orders.join(broadcast(delCust),
+            orders("o_custkey") === delCust("c_custkey"), "left_semi")
+          .select(col("o_orderkey")).localCheckpoint(true)
+        val keptOrders = orders.join(broadcast(delCust),
+          orders("o_custkey") === delCust("c_custkey"), "left_anti")
+        val keptLi = li.join(broadcast(delOrders),
+          li("l_orderkey") === delOrders("o_orderkey"), "left_anti")
+        // orphans after cascade: kept child rows whose parent is gone
+        val orphanOrders = keptOrders.join(
+          cust.join(broadcast(delCust), Seq("c_custkey"), "left_anti")
+            .select(col("c_custkey")),
+          keptOrders("o_custkey") === col("c_custkey"), "left_anti")
+        val orphanLi = keptLi.join(keptOrders.select(col("o_orderkey")),
+          keptLi("l_orderkey") === keptOrders("o_orderkey"), "left_anti")
+        def report(name: String, total: org.apache.spark.sql.DataFrame,
+                   deleted: org.apache.spark.sql.DataFrame,
+                   orphans: org.apache.spark.sql.DataFrame) = {
+          val t = total.agg(count(lit(1)).as("n_total"))
+          val del = deleted.agg(count(lit(1)).as("n_deleted"))
+          val o = orphans.agg(count(lit(1)).as("n_orphans_after"))
+          t.crossJoin(broadcast(del)).crossJoin(broadcast(o))
+            .select(lit(name).as("table_name"), col("n_total"),
+              col("n_deleted"),
+              (col("n_total") - col("n_deleted")).as("n_remaining"),
+              col("n_orphans_after"))
+        }
+        report("customer", cust, cust.join(broadcast(delCust),
+            Seq("c_custkey"), "left_semi"), cust.limit(0))
+          .union(report("orders", orders,
+            orders.join(broadcast(delOrders), Seq("o_orderkey"), "left_semi"),
+            orphanOrders))
+          .union(report("lineitem", li,
+            li.join(broadcast(delOrders),
+              li("l_orderkey") === delOrders("o_orderkey"), "left_semi"),
+            orphanLi))
+          .orderBy(col("table_name"))
+      },
+      Some("""WITH delc AS (
+             |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+             |delo AS (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+             |keptO AS (
+             |  SELECT * FROM orders
+             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)),
+             |keptL AS (
+             |  SELECT * FROM lineitem
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)),
+             |orphO AS (
+             |  SELECT count(*) AS n FROM keptO
+             |  WHERE o_custkey NOT IN (
+             |    SELECT c_custkey FROM customer
+             |    WHERE c_custkey NOT IN (SELECT c_custkey FROM delc))),
+             |orphL AS (
+             |  SELECT count(*) AS n FROM keptL
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM keptO))
+             |SELECT 'customer' AS table_name,
+             |  (SELECT count(*) FROM customer) AS n_total,
+             |  (SELECT count(*) FROM delc) AS n_deleted,
+             |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM delc)
+             |    AS n_remaining,
+             |  CAST(0 AS BIGINT) AS n_orphans_after
+             |UNION ALL
+             |SELECT 'orders',
+             |  (SELECT count(*) FROM orders),
+             |  (SELECT count(*) FROM delo),
+             |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM delo),
+             |  (SELECT n FROM orphO)
+             |UNION ALL
+             |SELECT 'lineitem',
+             |  (SELECT count(*) FROM lineitem),
+             |  (SELECT count(*) FROM lineitem
+             |   WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+             |  (SELECT count(*) FROM lineitem)
+             |    - (SELECT count(*) FROM lineitem
+             |       WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+             |  (SELECT n FROM orphL)
+             |ORDER BY table_name""".stripMargin)),
+
+    // Leave-one-source-out (jackknife) influence on the langid eval: for
+    // each source, overall accuracy WITHOUT that source's docs — the
+    // "which slice is dragging the metric" report, computed in ONE pass
+    // (global totals minus per-source partials via a window; no per-source
+    // rescans). Accuracies are single divisions of exact counts;
+    // influence = acc_without − acc_overall is two such divisions
+    // subtracted — identical op sequence both engines.
+    Entry("q242_jackknife_source",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val pred = TextAnalysis.langId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pred_lang"))
+        val joined = docs.select(col("doc_id"), col("lang"), col("source"))
+          .join(pred, "doc_id")
+        val perSource = joined.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_s"),
+            sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+              .as("c_s"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        perSource
+          .withColumn("n", sum(col("n_s")).over(wAll))
+          .withColumn("c", sum(col("c_s")).over(wAll))
+          .select(col("source"), col("n_s"),
+            (col("c_s") / col("n_s")).as("acc_source"),
+            (col("c") / col("n")).as("acc_overall"),
+            ((col("c") - col("c_s")) / (col("n") - col("n_s")))
+              .as("acc_without"),
+            (((col("c") - col("c_s")) / (col("n") - col("n_s"))) -
+              (col("c") / col("n"))).as("influence"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val marker = graft.ops.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+          .map { case (lang, ms) =>
+            val lst = ms.map(m => s"'$m'").mkString(", ")
+            s"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [$lst])) AS score_$lang"
+          }.mkString(",\n    ")
+        s"""WITH scores AS (
+           |  SELECT doc_id, lang, source,
+           |    $marker
+           |  FROM documents),
+           |best AS (
+           |  SELECT doc_id, lang, source,
+           |    greatest(score_de, score_en, score_es, score_fr) AS b, *
+           |  FROM scores),
+           |pred AS (
+           |  SELECT doc_id, lang, source,
+           |    CASE WHEN b <= 0 THEN 'und'
+           |         WHEN score_de = b THEN 'de'
+           |         WHEN score_en = b THEN 'en'
+           |         WHEN score_es = b THEN 'es'
+           |         ELSE 'fr' END AS pred_lang
+           |  FROM best),
+           |per AS (
+           |  SELECT source, count(*) AS n_s,
+           |    CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS c_s
+           |  FROM pred GROUP BY source),
+           |tot AS (
+           |  SELECT source, n_s, c_s,
+           |    CAST(sum(n_s) OVER () AS BIGINT) AS n,
+           |    CAST(sum(c_s) OVER () AS BIGINT) AS c
+           |  FROM per)
+           |SELECT source, n_s,
+           |  c_s::DOUBLE / n_s AS acc_source,
+           |  c::DOUBLE / n AS acc_overall,
+           |  (c - c_s)::DOUBLE / (n - n_s) AS acc_without,
+           |  (c - c_s)::DOUBLE / (n - n_s) - c::DOUBLE / n AS influence
+           |FROM tot ORDER BY source""".stripMargin
+      })
   )
 }
