@@ -852,6 +852,96 @@ object PipelineQueries {
            |  (c - c_s)::DOUBLE / (n - n_s) AS acc_without,
            |  (c - c_s)::DOUBLE / (n - n_s) - c::DOUBLE / n AS influence
            |FROM tot ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Optimizer-stats quality audit: for each FK join, the textbook
+    // cardinality estimate |A|·|B| / max(d_A, d_B) against the EXACT join
+    // size — the report that tells you whether column statistics would
+    // mis-plan a 100 TB join (the estimate drives broadcast/shuffle
+    // choices in any cost-based planner). Distinct counts and join counts
+    // are exact aggs; est and ratio are single divisions.
+    Entry("q243_join_estimate",
+      (s, d) => {
+        def audit(name: String, a: org.apache.spark.sql.DataFrame,
+                  ka: String, b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val sa = a.agg(count(lit(1)).as("n_left"),
+            countDistinct(col(ka)).as("d_left"))
+          val sb = b.agg(count(lit(1)).as("n_right"),
+            countDistinct(col(kb)).as("d_right"))
+          val ex = a.join(b, a(ka) === b(kb)).agg(count(lit(1)).as("exact_rows"))
+          sa.crossJoin(broadcast(sb)).crossJoin(broadcast(ex))
+            .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+              col("d_left"), col("d_right"), col("exact_rows"),
+              ((col("n_left") * col("n_right")) /
+                greatest(col("d_left"), col("d_right")).cast("double"))
+                .as("est_rows"))
+        }
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val l = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        audit("orders_customer", o, "o_custkey", c, "c_custkey")
+          .union(audit("lineitem_orders", l, "l_orderkey", o, "o_orderkey"))
+          .union(audit("lineitem_part", l, "l_partkey", p, "p_partkey"))
+          .withColumn("est_ratio", col("est_rows") / col("exact_rows"))
+          .orderBy(col("join_name"))
+      },
+      Some {
+        def sql(name: String, a: String, ka: String, b: String, kb: String) =
+          s"""SELECT '$name' AS join_name,
+             |  (SELECT count(*) FROM $a) AS n_left,
+             |  (SELECT count(*) FROM $b) AS n_right,
+             |  (SELECT count(DISTINCT $ka) FROM $a) AS d_left,
+             |  (SELECT count(DISTINCT $kb) FROM $b) AS d_right,
+             |  (SELECT count(*) FROM $a JOIN $b ON $ka = $kb) AS exact_rows,
+             |  (SELECT count(*) FROM $a) * (SELECT count(*) FROM $b)
+             |    / greatest((SELECT count(DISTINCT $ka) FROM $a),
+             |               (SELECT count(DISTINCT $kb) FROM $b))::DOUBLE
+             |    AS est_rows""".stripMargin
+        s"""SELECT *, est_rows / exact_rows AS est_ratio FROM (
+           |${sql("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+           |UNION ALL
+           |${sql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+           |UNION ALL
+           |${sql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")})
+           |ORDER BY join_name""".stripMargin
+      }),
+
+    // Term-proximity scoring (the positional-index retrieval feature BM25
+    // lacks): for a two-term query, each doc's minimum token distance
+    // between occurrences — close co-occurrence ranks above scattered
+    // mentions. Positions are filtered to the query terms BEFORE the
+    // per-doc pair join, so the quadratic step is (tf_a × tf_b) per doc,
+    // never length². Top-50 by (min_dist, doc_id).
+    Entry("q244_term_proximity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(Fns.tokens(col("text"))).as(Seq("i", "w")))
+        val a = toks.filter(col("w") === "hash")
+          .select(col("doc_id"), col("i").as("ia"))
+        val b = toks.filter(col("w") === "join")
+          .select(col("doc_id"), col("i").as("ib"))
+        a.join(b, "doc_id")
+          .groupBy(col("doc_id"))
+          .agg(min(abs(col("ia") - col("ib"))).cast("long").as("min_dist"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy(col("min_dist"), col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, i, t[i] AS w
+             |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+             |a AS (SELECT doc_id, i AS ia FROM pos WHERE w = 'hash'),
+             |b AS (SELECT doc_id, i AS ib FROM pos WHERE w = 'join')
+             |SELECT doc_id,
+             |  CAST(min(abs(ia - ib)) AS BIGINT) AS min_dist,
+             |  count(*) AS n_pairs
+             |FROM a JOIN b USING (doc_id)
+             |GROUP BY doc_id
+             |ORDER BY min_dist, doc_id LIMIT 50""".stripMargin))
   )
 }
