@@ -942,6 +942,139 @@ object PipelineQueries {
              |  count(*) AS n_pairs
              |FROM a JOIN b USING (doc_id)
              |GROUP BY doc_id
-             |ORDER BY min_dist, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY min_dist, doc_id LIMIT 50""".stripMargin)),
+
+    // INT8 quantization recall eval: per query, recall@10 of the PURE
+    // int8-ranked KNN (no exact rescore — this measures what quantization
+    // alone costs, the accuracy side of q69's 4× scan-byte saving). Both
+    // rankings are bounded-TopK aggregations over one corpus scan with the
+    // 8-query batch broadcast; recall is |∩|/10, exact rational. The
+    // acceptance gate you run before switching a 100 TB corpus to a
+    // quantized candidate pass.
+    Entry("q245_int8_recall",
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosineSim
+        import graft.functions.QuantFunctions.{int8Quantize, int8Cosine}
+        import graft.ops.{Similarity, TopK}
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        val corpus = emb.filter(col("vec_id") > 8)
+          .localCheckpoint(true) // feeds both rankings
+        val exact = Similarity.knnBatch(corpus, queries,
+            "vec_id", "embedding", "q_id", "qvec", k = 10)
+          .select(col("q_id"), col("vec_id"))
+        val top = TopK.topK(10)
+        val int8 = corpus
+          .withColumn("qc", int8Quantize(col("embedding")))
+          .crossJoin(broadcast(queries.withColumn("qq", int8Quantize(col("qvec")))))
+          .withColumn("__score", int8Cosine(col("qc"), col("qq")))
+          .groupBy(col("q_id"))
+          .agg(top(col("__score"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "s")))
+          .select(col("q_id"), col("s.id").as("vec_id"))
+        exact.join(int8, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+          .withColumn("recall_at_10", col("n_overlap") / lit(10.0))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        def quantSql(v: String): String =
+          s"""list_transform($v, x -> floor(x::DOUBLE /
+             |    (CASE WHEN list_max(list_transform($v, y -> abs(y::DOUBLE))) = 0
+             |          THEN 1.0
+             |          ELSE list_max(list_transform($v, y -> abs(y::DOUBLE))) / 127.0
+             |     END) + 0.5))""".stripMargin
+        val cosExact = OracleSql.cosine("c.embedding", "q.qvec")
+        val cosQ = OracleSql.cosine("qcv", "qqv")
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+           |  WHERE vec_id BETWEEN 1 AND 8),
+           |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+           |exact AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY $cosExact DESC, c.vec_id) AS rk
+           |    FROM c CROSS JOIN q)
+           |  WHERE rk <= 10),
+           |qq AS (SELECT q_id, ${quantSql("qvec")} AS qqv FROM q),
+           |qc AS (SELECT vec_id, ${quantSql("embedding")} AS qcv FROM c),
+           |int8 AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT qq.q_id, qc.vec_id,
+           |      row_number() OVER (PARTITION BY qq.q_id
+           |        ORDER BY $cosQ DESC, qc.vec_id) AS rk
+           |    FROM qc CROSS JOIN qq)
+           |  WHERE rk <= 10)
+           |SELECT q_id, count(*) AS n_overlap,
+           |  count(*) / 10.0 AS recall_at_10
+           |FROM exact SEMI JOIN int8 USING (q_id, vec_id)
+           |GROUP BY q_id ORDER BY q_id""".stripMargin
+      }),
+
+    // Dataset card: the one-row corpus datasheet a training run records
+    // next to its manifest — sizes, language entropy (mix balance), exact
+    // duplicate rate, mean quality. Every number is one combinable agg
+    // over a single scan (plus the lang histogram, #langs-bounded);
+    // ln-derived entropy and order-dependent means emit float32.
+    Entry("q246_dataset_card",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(Fns.tokens(col("text"))).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        val ent = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .agg(sum(-(col("c") / col("n")) * log(col("c") / col("n")))
+            .cast("float").as("lang_entropy"))
+        val q = TextAnalysis.quality(docs, "doc_id", "text")
+          .agg(avg(col("quality")).cast("float").as("mean_quality"))
+        base.crossJoin(broadcast(ent)).crossJoin(broadcast(q))
+          .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+            col("n_sources"),
+            (lit(1.0) - col("n_distinct_texts") / col("n_docs"))
+              .as("exact_dup_rate"),
+            col("lang_entropy"), col("mean_quality"))
+      },
+      Some("""WITH base AS (
+             |  SELECT count(*) AS n_docs,
+             |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+             |      AS n_tokens,
+             |    count(DISTINCT lang) AS n_langs,
+             |    count(DISTINCT source) AS n_sources,
+             |    count(DISTINCT text) AS n_distinct_texts
+             |  FROM documents),
+             |ent AS (
+             |  SELECT CAST(sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS REAL)
+             |    AS lang_entropy
+             |  FROM (
+             |    SELECT c, sum(c) OVER () AS n FROM (
+             |      SELECT lang, count(*) AS c FROM documents GROUP BY lang))),
+             |q AS (
+             |  SELECT CAST(avg(
+             |      0.4 * least(1.0, n_tokens / 64.0)
+             |    + 0.3 * (n_distinct::DOUBLE / n_tokens)
+             |    + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens)) AS REAL)
+             |    AS mean_quality
+             |  FROM (
+             |    SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+             |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             |      CAST(len(list_filter(toks, x -> list_contains([__STOP__], x)))
+             |        AS BIGINT) AS n_stop
+             |    FROM (SELECT string_split(lower(text), ' ') AS toks
+             |          FROM documents)))
+             |SELECT n_docs, n_tokens, n_langs, n_sources,
+             |  1.0 - n_distinct_texts::DOUBLE / n_docs AS exact_dup_rate,
+             |  lang_entropy, mean_quality
+             |FROM base CROSS JOIN ent CROSS JOIN q""".stripMargin
+        .replace("__STOP__",
+          graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
+            .distinct.sorted.map(m => s"'$m'").mkString(", "))))
   )
 }
