@@ -1075,6 +1075,99 @@ object PipelineQueries {
              |FROM base CROSS JOIN ent CROSS JOIN q""".stripMargin
         .replace("__STOP__",
           graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
-            .distinct.sorted.map(m => s"'$m'").mkString(", "))))
+            .distinct.sorted.map(m => s"'$m'").mkString(", ")))),
+
+    // Hubness audit: the k-occurrence distribution of the embedding space
+    // — vectors that appear in disproportionately many other points'
+    // top-5 lists ("hubs") degrade ANN recall and retrieval diversity in
+    // high dimensions (Radovanović et al.). All-pairs batch KNN in the
+    // bounded-TopK shape (per-partition ≤ k rows per query); at corpus
+    // scale the query side routes through IVF (AnnRewrite) instead of the
+    // dense cross product. Top-20 hubs by in-count.
+    Entry("q247_hubness",
+      (s, d) => {
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val knn = Similarity.knnBatch(emb,
+            emb.select(col("vec_id").as("q_id"), col("embedding").as("qvec")),
+            "vec_id", "embedding", "q_id", "qvec", k = 6)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+          .filter(col("rn") <= 5)
+        knn.groupBy(col("vec_id")).agg(count(lit(1)).as("n_k"))
+          .orderBy(desc("n_k"), col("vec_id"))
+          .limit(20)
+      },
+      Some {
+        val cos = OracleSql.cosine("c.embedding", "q.qvec")
+        s"""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS qvec FROM embeddings),
+           |c AS (SELECT vec_id, embedding FROM embeddings),
+           |knn AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY $cos DESC, c.vec_id) AS rk
+           |    FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+           |  WHERE rk <= 5)
+           |SELECT vec_id, count(*) AS n_k FROM knn
+           |GROUP BY vec_id ORDER BY n_k DESC, vec_id LIMIT 20""".stripMargin
+      }),
+
+    // Cross-source duplication flow matrix: which sources mirror each
+    // other — near-duplicate pairs (exact 3-shingle Jaccard ≥ 0.5, the
+    // q21 join) rolled up to (source_a, source_b) with pair counts. The
+    // provenance diagnostic that decides which source to DROP when a
+    // mirror is found. Inherits the prefix/inverted-index candidate
+    // restriction of jaccardPairs — never |A|×|B|; the rollup joins are
+    // broadcast (doc→source is a projection of the doc table).
+    Entry("q248_source_overlap",
+      (s, d) => {
+        import graft.ops.Dedup
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+            shingleK = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("ra")),
+            "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("rb")),
+            "doc_b")
+          .select(least(col("ra"), col("rb")).as("sa"),
+            greatest(col("ra"), col("rb")).as("sb"))
+          .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(desc("n_pairs"), col("sa"), col("sb"))
+          .limit(30)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |  FROM toks),
+             |inter AS (
+             |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+             |  FROM sh sa JOIN sh sb
+             |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             |  GROUP BY 1, 2),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM inter i
+             |  JOIN sizes na ON na.doc_id = i.doc_a
+             |  JOIN sizes nb ON nb.doc_id = i.doc_b
+             |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+             |lab AS (
+             |  SELECT least(da.source, db.source) AS sa,
+             |    greatest(da.source, db.source) AS sb
+             |  FROM pairs
+             |  JOIN documents da ON da.doc_id = doc_a
+             |  JOIN documents db ON db.doc_id = doc_b)
+             |SELECT sa, sb, count(*) AS n_pairs FROM lab
+             |GROUP BY sa, sb ORDER BY n_pairs DESC, sa, sb LIMIT 30""".stripMargin))
   )
 }
