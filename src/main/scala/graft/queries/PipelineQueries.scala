@@ -84,7 +84,10 @@ object PipelineQueries {
             b.select(col("b_id"), col("embedding").as("qvec")),
             "a_id", "embedding", "b_id", "qvec", k = 4)
           .groupBy(col("b_id")).agg(avg(col("score")).as("avg_b"))
-        best.join(avgA, "a_id").join(avgB, "b_id")
+        // the per-query averages are query-batch-sized (≤ |A'| rows) —
+        // broadcast them; a shuffle join here would repartition the
+        // batch for nothing
+        best.join(broadcast(avgA), "a_id").join(broadcast(avgB), "b_id")
           .withColumn("margin",
             col("cos") / ((col("avg_a") + col("avg_b")) / 2))
           .filter(col("margin") >= 1.02)
@@ -1168,6 +1171,125 @@ object PipelineQueries {
              |  JOIN documents da ON da.doc_id = doc_a
              |  JOIN documents db ON db.doc_id = doc_b)
              |SELECT sa, sb, count(*) AS n_pairs FROM lab
-             |GROUP BY sa, sb ORDER BY n_pairs DESC, sa, sb LIMIT 30""".stripMargin))
+             |GROUP BY sa, sb ORDER BY n_pairs DESC, sa, sb LIMIT 30""".stripMargin)),
+
+    // Behavioral-predictability outliers: score EVERY user's event stream
+    // under the q234 transition model (trained on even users) and surface
+    // the 5 most predictable (bot-like replay: near-zero surprise) and 5
+    // least predictable (random/fraud-like) users — the account-quality
+    // gate a behavioral pipeline runs before using interaction data as
+    // training signal. Same broadcast-model joins as q234; per-user NLL is
+    // one agg. float32 at the emit/order boundary.
+    Entry("q249_bot_outliers",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("user_id"), col("event_type"), col("next_type"))
+          .localCheckpoint(true)
+        val train = trans.filter(pmod(col("user_id"), lit(2)) === 0)
+        val vdf = Tables.events(s, d)
+          .agg(countDistinct(col("event_type")).as("vsz"))
+        val pairCnt = train.groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("ck"))
+        val ctxCnt = train.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cn"))
+        val scored = trans
+          .join(broadcast(pairCnt), Seq("event_type", "next_type"), "left")
+          .join(broadcast(ctxCnt), Seq("event_type"), "left")
+          .crossJoin(broadcast(vdf))
+          .withColumn("nll",
+            -log((coalesce(col("ck"), lit(0L)) + 1) /
+              (coalesce(col("cn"), lit(0L)) + col("vsz"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_trans"),
+            avg(col("nll")).cast("float").as("avg_nll"))
+          .filter(col("n_trans") >= 10)
+          .localCheckpoint(true) // feeds both tails
+        val bots = scored.orderBy(col("avg_nll"), col("user_id")).limit(5)
+          .withColumn("tail", lit("predictable"))
+        val chaotic = scored.orderBy(desc("avg_nll"), col("user_id")).limit(5)
+          .withColumn("tail", lit("erratic"))
+        bots.union(chaotic).orderBy(col("tail"), col("avg_nll"), col("user_id"))
+      },
+      Some("""WITH tr AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |t2 AS (SELECT * FROM tr WHERE next_type IS NOT NULL),
+             |train AS (
+             |  SELECT event_type, next_type FROM t2 WHERE user_id % 2 = 0),
+             |v AS (SELECT count(DISTINCT event_type) AS vsz FROM events),
+             |pc AS (
+             |  SELECT event_type, next_type, count(*) AS ck
+             |  FROM train GROUP BY 1, 2),
+             |cc AS (SELECT event_type, count(*) AS cn FROM train GROUP BY 1),
+             |scored AS (
+             |  SELECT user_id, count(*) AS n_trans,
+             |    CAST(avg(-ln((coalesce(ck, 0) + 1)::DOUBLE
+             |      / (coalesce(cn, 0) + vsz))) AS REAL) AS avg_nll
+             |  FROM t2
+             |  LEFT JOIN pc USING (event_type, next_type)
+             |  LEFT JOIN cc USING (event_type)
+             |  CROSS JOIN v
+             |  GROUP BY user_id
+             |  HAVING count(*) >= 10),
+             |bots AS (
+             |  SELECT *, 'predictable' AS tail FROM scored
+             |  ORDER BY avg_nll, user_id LIMIT 5),
+             |chaotic AS (
+             |  SELECT *, 'erratic' AS tail FROM scored
+             |  ORDER BY avg_nll DESC, user_id LIMIT 5)
+             |SELECT * FROM bots UNION ALL SELECT * FROM chaotic
+             |ORDER BY tail, avg_nll, user_id""".stripMargin)),
+
+    // CCNet-style perplexity bucketing: split the corpus into head /
+    // middle / tail terciles by unigram-LM surprise (q145's score) — the
+    // standard "keep head+middle, drop tail" curation heuristic. Bucket
+    // boundaries via ntile over the float32 score (cross-engine stable);
+    // at corpus scale the thresholds come from a quantile sketch (q128
+    // family) and the assignment is map-side — the ntile here is the
+    // oracle-exact small-scale form. Per-bucket stats are combinable aggs.
+    Entry("q250_ccnet_buckets",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val sc = TextAnalysis.unigramSurprise(
+            Tables.documents(s, d), "doc_id", "text")
+          .withColumn("bucket", ntile(3).over(
+            Window.orderBy(col("avg_surprise"), col("doc_id"))))
+        sc.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("avg_surprise")).as("lo"),
+            max(col("avg_surprise")).as("hi"),
+            avg(col("avg_surprise")).cast("float").as("mean_surprise"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |tk AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+             |cnt AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+             |tot AS (SELECT count(*)::DOUBLE AS t FROM tk),
+             |sc AS (
+             |  SELECT doc_id,
+             |    count(*) AS n_tokens,
+             |    CAST(sum(-ln(c / (SELECT t FROM tot))) / count(*) AS REAL)
+             |      AS avg_surprise
+             |  FROM tk JOIN cnt USING (w)
+             |  GROUP BY doc_id),
+             |b AS (
+             |  SELECT *, ntile(3) OVER (ORDER BY avg_surprise, doc_id)
+             |      AS bucket
+             |  FROM sc)
+             |SELECT bucket, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  min(avg_surprise) AS lo, max(avg_surprise) AS hi,
+             |  CAST(avg(avg_surprise) AS REAL) AS mean_surprise
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 }

@@ -267,4 +267,74 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"two-pass prefix sum degraded to a serial window:\n$p")
   }
+
+  test("q230 margin bitext: both KNN legs broadcast the query side into " +
+    "bounded top-k aggregations, no sort-merge join") {
+    val p = planOf("q230_margin_bitext")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded TopK aggregator missing:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bitext scoring shuffled a sort-merge join:\n$p")
+  }
+
+  test("q235 agg IVM: signed delta folds via partial (map-side) aggregation, " +
+    "no window operator") {
+    val p = planOf("q235_agg_ivm")
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.contains("HashAggregate"), s"no partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"IVM fold planned a window:\n$p")
+  }
+
+  test("q238 lateness audit: the running watermark max never funnels " +
+    "through a single-partition exchange") {
+    val p = planOf("q238_lateness_audit")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"running max degraded to a serial window:\n$p")
+  }
+
+  test("q247 hubness: all-pairs KNN runs as a bounded top-k aggregation " +
+    "with the query batch broadcast, no sort-merge join") {
+    val p = planOf("q247_hubness")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded TopK aggregator missing:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      s"query batch not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"hubness scoring shuffled a sort-merge join:\n$p")
+  }
+
+  test("q239 k-center: a selection round scans the corpus against " +
+    "BROADCAST centers — no shuffle join, no cartesian against a " +
+    "non-broadcast side (the query's own rounds are checkpointed, so pin " +
+    "the round shape directly)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosineSim
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val centers = emb.orderBy(col("vec_id")).limit(2)
+    val round = emb
+      .crossJoin(broadcast(centers.select(col("embedding").as("cvec"))))
+      .withColumn("dist", lit(1.0) - cosineSim(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dist")).as("mindist"), first(col("embedding")).as("embedding"))
+      .orderBy(desc("mindist"), col("vec_id")).limit(1)
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"centers not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"k-center round shuffled the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax planned a global sort:\n$p")
+  }
+
+  test("q241 GDPR cascade: the delete list propagates as broadcast " +
+    "semi/anti joins, never a shuffle join") {
+    val p = planOf("q241_gdpr_cascade")
+    assert(p.contains("BroadcastHashJoin"),
+      s"delete list not broadcast:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"cascade lost its semi/anti joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"delete propagation shuffled a sort-merge join:\n$p")
+  }
 }
