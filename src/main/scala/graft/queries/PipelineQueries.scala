@@ -1290,6 +1290,81 @@ object PipelineQueries {
              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |  min(avg_surprise) AS lo, max(avg_surprise) AS hi,
              |  CAST(avg(avg_surprise) AS REAL) AS mean_surprise
-             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // IVF-routed hubness — q247's SCALE PATH: every vector probes only its
+    // 2 nearest IVF lists instead of the full corpus, so scored candidate
+    // pairs grow with list size, not corpus² (the ScaleSmoke IVF
+    // sub-linearity argument applied to an all-pairs diagnostic). Same
+    // bounded-TopK aggregation per query; hub counts then roll up
+    // map-side. Run next to q247 to read the routing's effect on the hub
+    // list directly.
+    Entry("q251_hubness_ivf",
+      (s, d) => {
+        import graft.functions.VectorFunctions.{cosineSim, l2sq}
+        import graft.ops.{Similarity, TopK}
+        val emb = Tables.embeddings(s, d)
+        val cent = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        val corpus = emb.filter(col("vec_id") > 8)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("centroid_id"))
+        val qProbes = corpus
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", round(l2sq(col("qvec"), col("cvec")), 6))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qvec"), col("centroid_id").as("q_centroid"))
+        val top = TopK.topK(5)
+        Similarity.ivfAssign(corpus, cent, "vec_id", "embedding")
+          .join(qProbes, col("centroid_id") === col("q_centroid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("__score",
+            round(cosineSim(col("embedding"), col("qvec")), 4))
+          .groupBy(col("q_id"))
+          .agg(top(col("__score"), col("vec_id")).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "sc")))
+          .select(col("sc.id").as("vec_id"))
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("n_k"))
+          .orderBy(desc("n_k"), col("vec_id"))
+          .limit(20)
+      },
+      Some {
+        val cos = OracleSql.cosine("a.embedding", "p.qvec")
+        def l2(v1: String, v2: String) =
+          s"""round(list_sum(list_transform(generate_series(1, len($v1)),
+             |  i -> ($v1[i]::DOUBLE - $v2[i]::DOUBLE)
+             |     * ($v1[i]::DOUBLE - $v2[i]::DOUBLE))), 6)""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cvec
+           |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+           |corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+           |assign AS (
+           |  SELECT vec_id, centroid_id, embedding FROM (
+           |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+           |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           |        ${l2("c.embedding", "cent.cvec")}, cent.centroid_id) AS rn
+           |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, qvec, q_centroid FROM (
+           |    SELECT c.vec_id AS q_id, c.embedding AS qvec,
+           |      cent.centroid_id AS q_centroid,
+           |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           |        ${l2("c.embedding", "cent.cvec")}, cent.centroid_id) AS rn
+           |    FROM corpus c CROSS JOIN cent) WHERE rn <= 2),
+           |knn AS (
+           |  SELECT vec_id FROM (
+           |    SELECT p.q_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+           |        round($cos, 4) DESC, a.vec_id) AS rk
+           |    FROM assign a JOIN probes p ON a.centroid_id = p.q_centroid
+           |    WHERE a.vec_id <> p.q_id)
+           |  WHERE rk <= 5)
+           |SELECT vec_id, count(*) AS n_k FROM knn
+           |GROUP BY vec_id ORDER BY n_k DESC, vec_id LIMIT 20""".stripMargin
+      })
   )
 }
