@@ -631,6 +631,84 @@ object ScaleSmoke {
       assert(gS == gL, s"Gramian cell count must be corpus-independent: $gS vs $gL")
     }
 
+    // ---- IVF-routed hubness (q251 shape): the all-pairs diagnostic routes
+    // every query through 2 probed lists, so SCORED CANDIDATE PAIRS grow
+    // ~linearly with the corpus when the centroid count scales with it —
+    // the brute-force variant (q247) would grow corpus².
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.l2sq
+      def hubStats(n: Long, nCentroids: Int): (Long, Double) = {
+        val corpus = vecCorpus(n).localCheckpoint(true)
+        val cent = corpus.filter(col("id") < nCentroids)
+          .select(col("id").as("centroid_id"), col("embedding").as("cvec"))
+          .localCheckpoint(true)
+        val t = System.nanoTime()
+        val assigned = graft.ops.Similarity.ivfAssign(
+          corpus, cent, "id", "embedding")
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("centroid_id"))
+        val qProbes = corpus
+          .select(col("id").as("q_id"), col("embedding").as("qvec"))
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", round(l2sq(col("qvec"), col("cvec")), 6))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("centroid_id").as("q_centroid"))
+        val pairs = assigned
+          .join(qProbes, col("centroid_id") === col("q_centroid"))
+          .filter(col("id") =!= col("q_id"))
+          .count()
+        (pairs, (System.nanoTime() - t) / 1e9)
+      }
+      val (hpS, hSecS) = hubStats(10000L, 64)
+      val (hpL, hSecL) = hubStats(100000L, 640)
+      println(f"[scale-smoke] ivf-hubness small: vecs=10000 candidatePairs=$hpS " +
+        f"hubSeconds=$hSecS%.1f")
+      println(f"[scale-smoke] ivf-hubness large: vecs=100000 candidatePairs=$hpL " +
+        f"hubSeconds=$hSecL%.1f")
+      // corpus ×10 → candidate pairs must stay ~linear (≤ 20×, not 100×)
+      assert(hpL < 20L * hpS,
+        s"IVF hubness candidate pairs grew super-linearly: $hpS -> $hpL")
+      assert(hpL < (100000L * 99999L) / 10,
+        s"IVF hubness scored a near-quadratic candidate set: $hpL")
+    }
+
+    // ---- Greedy k-center (q239 shape): each selection round is ONE corpus
+    // scan against broadcast centers — wall time must scale ~linearly with
+    // the corpus, and the per-round scored relation is rows × |centers|.
+    {
+      import graft.functions.VectorFunctions.cosineSim
+      def kcStats(n: Long): (Long, Double) = {
+        val corpus = vecCorpus(n).localCheckpoint(true)
+        val t = System.nanoTime()
+        var centers = corpus.orderBy(col("id")).limit(1).localCheckpoint(true)
+        (1 to 3).foreach { _ =>
+          val next = corpus
+            .crossJoin(broadcast(centers.select(col("embedding").as("cvec"))))
+            .withColumn("dist",
+              lit(1.0) - cosineSim(col("embedding"), col("cvec")))
+            .groupBy(col("id"))
+            .agg(min(col("dist")).as("mind"),
+              first(col("embedding")).as("embedding"))
+            .orderBy(desc("mind"), col("id")).limit(1)
+            .localCheckpoint(true)
+          centers = centers.union(next.select(col("id"), col("embedding")))
+            .localCheckpoint(true)
+        }
+        (centers.count(), (System.nanoTime() - t) / 1e9)
+      }
+      val (kcS, kcSecS) = kcStats(50000L)
+      val (kcL, kcSecL) = kcStats(500000L)
+      println(f"[scale-smoke] kcenter small: vecs=50000 centers=$kcS " +
+        f"kcSeconds=$kcSecS%.1f")
+      println(f"[scale-smoke] kcenter large: vecs=500000 centers=$kcL " +
+        f"kcSeconds=$kcSecL%.1f")
+      assert(kcS == 4 && kcL == 4, s"k-center picked $kcS/$kcL centers, want 4")
+      assert(kcSecL < 25 * math.max(kcSecS, 1.0),
+        f"k-center wall time super-linear: $kcSecS%.1f -> $kcSecL%.1f for 10x")
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }
