@@ -1365,6 +1365,107 @@ object PipelineQueries {
            |  WHERE rk <= 5)
            |SELECT vec_id, count(*) AS n_k FROM knn
            |GROUP BY vec_id ORDER BY n_k DESC, vec_id LIMIT 20""".stripMargin
-      })
+      }),
+
+    // Output write planning: per output shard (lang), the file count a
+    // balanced write needs at a target file size, plus a skew flag against
+    // the median shard — the report that sizes `repartition(n)` /
+    // maxRecordsPerFile before a 100 TB write so the lake gets neither
+    // 10 GB monsters nor 10k small files. Integer byte arithmetic
+    // (n_chars as the size proxy); one agg + one tiny all-shards window.
+    Entry("q252_write_plan",
+      (s, d) => {
+        val target = 262144L // 256 KiB per file at test scale
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("bytes"))
+          .withColumn("n_files",
+            ceil(col("bytes").cast("double") / target).cast("long"))
+          .withColumn("median_bytes",
+            expr("percentile(bytes, 0.5)").over(wAll))
+          .select(col("lang"), col("n_docs"), col("bytes"), col("n_files"),
+            (col("bytes") / col("n_files")).as("avg_file_bytes"),
+            (col("bytes") > lit(2.0) * col("median_bytes")).as("skewed"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH shards AS (
+             |  SELECT lang, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS bytes
+             |  FROM documents GROUP BY lang),
+             |w AS (
+             |  SELECT *, quantile_cont(bytes, 0.5) OVER () AS median_bytes,
+             |    CAST(ceil(bytes::DOUBLE / 262144) AS BIGINT) AS n_files
+             |  FROM shards)
+             |SELECT lang, n_docs, bytes, n_files,
+             |  bytes::DOUBLE / n_files AS avg_file_bytes,
+             |  bytes > 2.0 * median_bytes AS skewed
+             |FROM w ORDER BY lang""".stripMargin)),
+
+    // Population-stability-index drift between user cohorts: per event
+    // type, PSI of the value distribution (10 fixed-width bins over the
+    // global range, add-half smoothing) between even- and odd-user
+    // cohorts — the standard "did the feature distribution move" gate
+    // before reusing a trained model on new data. Binning is identical
+    // double arithmetic both engines; ln-derived PSI emits float32. Two
+    // combinable aggs over one scan.
+    Entry("q253_psi_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"), col("value"))
+        val wT = Window.partitionBy(col("event_type"))
+        val binned = ev
+          .withColumn("vmin", min(col("value")).over(wT))
+          .withColumn("vmax", max(col("value")).over(wT))
+          .withColumn("bin",
+            least(lit(9), floor((col("value") - col("vmin")) * 10.0 /
+              (col("vmax") - col("vmin"))).cast("int")))
+          .withColumn("cohort", pmod(col("user_id"), lit(2)))
+        val counts = binned.groupBy(col("event_type"), col("bin"))
+          .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("cb"))
+        val wE = Window.partitionBy(col("event_type")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn("na", sum(col("ca")).over(wE))
+          .withColumn("nb", sum(col("cb")).over(wE))
+          .withColumn("p", (col("ca") + 0.5) / (col("na") + 5.0))
+          .withColumn("q", (col("cb") + 0.5) / (col("nb") + 5.0))
+          .groupBy(col("event_type"))
+          .agg(max(col("na")).as("n_even"), max(col("nb")).as("n_odd"),
+            sum((col("p") - col("q")) * log(col("p") / col("q")))
+              .cast("float").as("psi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, user_id, value,
+             |    min(value) OVER (PARTITION BY event_type) AS vmin,
+             |    max(value) OVER (PARTITION BY event_type) AS vmax
+             |  FROM events),
+             |binned AS (
+             |  SELECT event_type,
+             |    least(9, CAST(floor((value - vmin) * 10.0 / (vmax - vmin))
+             |      AS INT)) AS bin,
+             |    user_id % 2 AS cohort
+             |  FROM ev),
+             |counts AS (
+             |  SELECT event_type, bin,
+             |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS ca,
+             |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cb
+             |  FROM binned GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT *,
+             |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+             |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+             |  FROM counts)
+             |SELECT event_type, max(na) AS n_even, max(nb) AS n_odd,
+             |  CAST(sum(((ca + 0.5) / (na + 5.0) - (cb + 0.5) / (nb + 5.0))
+             |    * ln(((ca + 0.5) / (na + 5.0)) / ((cb + 0.5) / (nb + 5.0))))
+             |    AS REAL) AS psi
+             |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
