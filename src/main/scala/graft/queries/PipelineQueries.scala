@@ -1466,6 +1466,114 @@ object PipelineQueries {
              |  CAST(sum(((ca + 0.5) / (na + 5.0) - (cb + 0.5) / (nb + 5.0))
              |    * ln(((ca + 0.5) / (na + 5.0)) / ((cb + 0.5) / (nb + 5.0))))
              |    AS REAL) AS psi
-             |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Churn-label construction with leakage-safe features: label = "no
+    // activity on/after the cutoff"; features come ONLY from before the
+    // cutoff (the point-in-time discipline of q120 — a feature computed
+    // over the full range would leak the label). One scan, conditional
+    // aggregation on both sides of the cutoff; hours_since_last is a
+    // single division of exact epoch micros.
+    Entry("q254_churn_features",
+      (s, d) => {
+        val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+        val cutoffUs = unix_micros(cutoff)
+        Tables.events(s, d)
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("ts_us") < cutoffUs, 1L).otherwise(0L))
+              .as("n_events_before"),
+            max(when(col("ts_us") < cutoffUs, col("ts_us"))).as("last_us"),
+            sum(when(col("ts_us") >= cutoffUs, 1L).otherwise(0L))
+              .as("n_after"))
+          .filter(col("n_events_before") > 0)
+          .select(col("user_id"), col("n_events_before"),
+            ((cutoffUs - col("last_us")) / 3600000000.0)
+              .as("hours_since_last"),
+            (col("n_after") === 0).as("churned"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    epoch_us(TIMESTAMP '2024-01-25 00:00:00') AS cutoff_us
+             |  FROM events),
+             |agg AS (
+             |  SELECT user_id,
+             |    CAST(sum(CASE WHEN ts_us < cutoff_us THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_events_before,
+             |    max(CASE WHEN ts_us < cutoff_us THEN ts_us END) AS last_us,
+             |    CAST(sum(CASE WHEN ts_us >= cutoff_us THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_after,
+             |    max(cutoff_us) AS cutoff_us
+             |  FROM ev GROUP BY user_id)
+             |SELECT user_id, n_events_before,
+             |  (cutoff_us - last_us) / 3600000000.0 AS hours_since_last,
+             |  n_after = 0 AS churned
+             |FROM agg WHERE n_events_before > 0
+             |ORDER BY user_id""".stripMargin)),
+
+    // A/B lift analysis: treatment = user parity, metric = purchase rate;
+    // absolute lift, relative lift, and the two-proportion z statistic
+    // (pooled) — the experiment readout (q219's Wilson bound ranks ONE
+    // arm; this compares two). Counts are exact; rates and lift are
+    // single divisions; z has a sqrt so it emits float32.
+    Entry("q255_ab_lift",
+      (s, d) => {
+        // conversion = purchase within the first 48 h (over the full month
+        // every user purchases eventually — rate 1.0 degenerates z)
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("ts") < lit("2024-01-03 00:00:00").cast("timestamp_ntz"),
+              1L).otherwise(0L))
+            .as("converted"))
+          .withColumn("arm", pmod(col("user_id"), lit(2)))
+        val arms = perUser.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+        val a = arms.filter(col("arm") === 0)
+          .select(col("n").as("n_a"), col("c").as("c_a"))
+        val b = arms.filter(col("arm") === 1)
+          .select(col("n").as("n_b"), col("c").as("c_b"))
+        a.crossJoin(broadcast(b))
+          .withColumn("rate_a", col("c_a") / col("n_a"))
+          .withColumn("rate_b", col("c_b") / col("n_b"))
+          .withColumn("pool",
+            (col("c_a") + col("c_b")) / (col("n_a") + col("n_b")))
+          .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+            col("rate_a"), col("rate_b"),
+            (col("rate_b") - col("rate_a")).as("abs_lift"),
+            ((col("rate_b") - col("rate_a")) /
+              sqrt(col("pool") * (lit(1.0) - col("pool")) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+              .cast("float").as("z_stat"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |    CAST(max(CASE WHEN event_type = 'purchase'
+             |      AND ts < TIMESTAMP '2024-01-03 00:00:00'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+             |    user_id % 2 AS arm
+             |  FROM events GROUP BY user_id),
+             |arms AS (
+             |  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+             |  FROM per_user GROUP BY arm),
+             |ab AS (
+             |  SELECT
+             |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+             |    (SELECT c FROM arms WHERE arm = 0) AS c_a,
+             |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+             |    (SELECT c FROM arms WHERE arm = 1) AS c_b)
+             |SELECT n_a, c_a, n_b, c_b,
+             |  c_a::DOUBLE / n_a AS rate_a,
+             |  c_b::DOUBLE / n_b AS rate_b,
+             |  c_b::DOUBLE / n_b - c_a::DOUBLE / n_a AS abs_lift,
+             |  CAST((c_b::DOUBLE / n_b - c_a::DOUBLE / n_a)
+             |    / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
+             |         * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
+             |         * (1.0 / n_a + 1.0 / n_b)) AS REAL) AS z_stat
+             |FROM ab""".stripMargin))
   )
 }
