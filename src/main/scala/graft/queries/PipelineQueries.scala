@@ -1574,6 +1574,115 @@ object PipelineQueries {
              |    / sqrt(((c_a + c_b)::DOUBLE / (n_a + n_b))
              |         * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b))
              |         * (1.0 / n_a + 1.0 / n_b)) AS REAL) AS z_stat
-             |FROM ab""".stripMargin))
+             |FROM ab""".stripMargin)),
+
+    // Winsorized revenue: per order priority, the mean of totalprice with
+    // the tails clipped at that group's exact p5/p95 — the robust
+    // aggregate a metrics pipeline uses when a few whale orders would
+    // swamp the mean. Group percentiles are one agg (exact interpolated,
+    // q58 family) broadcast back; clip is map-side. Means emit float32
+    // (sum-order discipline).
+    Entry("q256_winsorized_revenue",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"))
+        val bounds = o.groupBy(col("o_orderpriority"))
+          .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+            expr("percentile(o_totalprice, 0.95)").as("p95"))
+        o.join(broadcast(bounds), "o_orderpriority")
+          .withColumn("clipped",
+            least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("o_totalprice")).cast("float").as("raw_mean"),
+            avg(col("clipped")).cast("float").as("winsorized_mean"),
+            min(col("p05")).cast("float").as("p05"),
+            max(col("p95")).cast("float").as("p95"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority,
+             |    quantile_cont(o_totalprice, 0.05) AS p05,
+             |    quantile_cont(o_totalprice, 0.95) AS p95
+             |  FROM orders GROUP BY 1)
+             |SELECT o.o_orderpriority, count(*) AS n,
+             |  CAST(avg(o_totalprice) AS REAL) AS raw_mean,
+             |  CAST(avg(least(greatest(o_totalprice, p05), p95)) AS REAL)
+             |    AS winsorized_mean,
+             |  CAST(min(p05) AS REAL) AS p05, CAST(max(p95) AS REAL) AS p95
+             |FROM orders o JOIN b USING (o_orderpriority)
+             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)),
+
+    // Sequence-to-target training-pair construction: per user stream, the
+    // (3-event context → next event) examples a next-action model trains
+    // on — the example constructor run at corpus scale before sampling.
+    // One window per user (three lags), one count agg; top 30 patterns.
+    Entry("q257_context_pairs",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("t1", lag(col("event_type"), 3).over(w))
+          .withColumn("t2", lag(col("event_type"), 2).over(w))
+          .withColumn("t3", lag(col("event_type"), 1).over(w))
+          .filter(col("t1").isNotNull)
+          .select(concat_ws(">", col("t1"), col("t2"), col("t3"))
+            .as("context"), col("event_type").as("next"))
+          .groupBy(col("context"), col("next"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("context"), col("next"))
+          .limit(30)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type, 3) OVER w AS t1,
+             |    lag(event_type, 2) OVER w AS t2,
+             |    lag(event_type, 1) OVER w AS t3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT t1 || '>' || t2 || '>' || t3 AS context,
+             |  event_type AS next, count(*) AS n
+             |FROM seq WHERE t1 IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY n DESC, context, next LIMIT 30""".stripMargin)),
+
+    // Negative-sampling table (word2vec): the unigram^0.75 distribution
+    // with cumulative boundaries — what a contrastive trainer samples
+    // negatives from. The table is VOCAB-sized (the corpus is touched once
+    // for counts), so the ordered cumulative window is deliberately tiny.
+    // pow/sum-order outputs emit float32.
+    Entry("q258_negative_sampling",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val wCum = Window.orderBy(col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnt
+          .withColumn("wt", pow(col("c"), 0.75))
+          .withColumn("z", sum(col("wt")).over(wAll))
+          .withColumn("p", col("wt") / col("z"))
+          .select(col("w"), col("c"),
+            col("p").cast("float").as("p"),
+            (sum(col("wt")).over(wCum) / col("z")).cast("float").as("cum_p"))
+          .orderBy(col("w"))
+      },
+      Some("""WITH cnt AS (
+             |  SELECT w, count(*) AS c FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0 GROUP BY w),
+             |t AS (
+             |  SELECT w, c, pow(c, 0.75) AS wt,
+             |    sum(pow(c, 0.75)) OVER () AS z,
+             |    sum(pow(c, 0.75)) OVER (ORDER BY w
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM cnt)
+             |SELECT w, c, CAST(wt / z AS REAL) AS p,
+             |  CAST(cum / z AS REAL) AS cum_p
+             |FROM t ORDER BY w""".stripMargin))
   )
 }
