@@ -1683,6 +1683,170 @@ object PipelineQueries {
              |  FROM cnt)
              |SELECT w, c, CAST(wt / z AS REAL) AS p,
              |  CAST(cum / z AS REAL) AS cum_p
-             |FROM t ORDER BY w""".stripMargin))
+             |FROM t ORDER BY w""".stripMargin)),
+
+    // Loss-mask span extraction: maximal consecutive runs of blocklisted
+    // tokens per doc, as (start, end) token offsets — what a trainer needs
+    // to EXCLUDE from the loss (or a redactor needs to overwrite) rather
+    // than the per-doc counts q231 reports. Runs via the islands trick
+    // (position − dense rank is constant within a run) — one window over
+    // the ALREADY-FILTERED hit positions, never the full token stream.
+    Entry("q259_mask_spans",
+      (s, d) => {
+        val blocked = Seq("slow", "drop", "stale")
+        val hits = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(Fns.tokens(col("text"))).as(Seq("i", "w")))
+          .filter(col("w").isin(blocked: _*))
+        hits
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+          .withColumn("island", col("i") - col("rn"))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("i")).cast("long").as("start_tok"),
+            max(col("i")).cast("long").as("end_tok"),
+            count(lit(1)).as("span_len"))
+          .filter(col("span_len") >= 2)
+          .select(col("doc_id"), col("start_tok"), col("end_tok"),
+            col("span_len"))
+          .orderBy(col("doc_id"), col("start_tok"))
+          .limit(100)
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, i - 1 AS i, t[i] AS w FROM (
+             |    SELECT doc_id, string_split(lower(text), ' ') AS t
+             |    FROM documents),
+             |    UNNEST(generate_series(1, len(t))) AS u(i)),
+             |hits AS (
+             |  SELECT doc_id, i,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+             |  FROM pos WHERE w IN ('slow', 'drop', 'stale')),
+             |spans AS (
+             |  SELECT doc_id, CAST(min(i) AS BIGINT) AS start_tok,
+             |    CAST(max(i) AS BIGINT) AS end_tok,
+             |    count(*) AS span_len
+             |  FROM hits GROUP BY doc_id, i - rn)
+             |SELECT * FROM spans WHERE span_len >= 2
+             |ORDER BY doc_id, start_tok LIMIT 100""".stripMargin)),
+
+    // Epoch-aware mixing plan (Muennighoff data-constrained scaling): give
+    // each source a QUALITY-proportional share of a budget that EXCEEDS
+    // the unique supply, capped at 4 epochs of repetition — the plan that
+    // decides how many times each source is repeated in the final mix.
+    // Quality mass rides q24's composite score; everything after the two
+    // per-source aggs is scalar arithmetic (float32 at the emit boundary).
+    Entry("q260_epoch_plan",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val avail = docs
+          .select(col("doc_id"), col("source"),
+            size(Fns.tokens(col("text"))).cast("long").as("n_tokens"))
+        val qual = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        val perSource = avail.join(qual, "doc_id")
+          .groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("avail"),
+            sum(col("quality")).as("qmass"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        perSource
+          .withColumn("total_avail", sum(col("avail")).over(wAll))
+          .withColumn("qtot", sum(col("qmass")).over(wAll))
+          .withColumn("budget", col("total_avail") * 2)
+          .withColumn("target", col("budget") * col("qmass") / col("qtot"))
+          .withColumn("epochs",
+            least(lit(4.0), col("target") / col("avail")))
+          .select(col("source"), col("avail"),
+            col("target").cast("float").as("target_tokens"),
+            col("epochs").cast("float").as("epochs"),
+            (col("epochs") * col("avail")).cast("float").as("final_tokens"),
+            (col("epochs") > 1.0).as("repeated"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             |    CAST(len(list_filter(toks, x -> list_contains([__STOP__], x)))
+             |      AS BIGINT) AS n_stop
+             |  FROM t),
+             |q AS (
+             |  SELECT source, n_tokens,
+             |    0.4 * least(1.0, n_tokens / 64.0)
+             |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+             |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+             |  FROM f),
+             |per AS (
+             |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+             |    sum(quality) AS qmass
+             |  FROM q GROUP BY source),
+             |w AS (
+             |  SELECT *,
+             |    CAST(sum(avail) OVER () AS BIGINT) * 2 AS budget,
+             |    sum(qmass) OVER () AS qtot
+             |  FROM per),
+             |plan AS (
+             |  SELECT source, avail,
+             |    budget * qmass / qtot AS target,
+             |    least(4.0, (budget * qmass / qtot) / avail) AS epochs
+             |  FROM w)
+             |SELECT source, avail,
+             |  CAST(target AS REAL) AS target_tokens,
+             |  CAST(epochs AS REAL) AS epochs,
+             |  CAST(epochs * avail AS REAL) AS final_tokens,
+             |  epochs > 1.0 AS repeated
+             |FROM plan ORDER BY source""".stripMargin
+        .replace("__STOP__",
+          graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
+            .distinct.sorted.map(m => s"'$m'").mkString(", ")))),
+
+    // Aspect-ratio bucketing (the SDXL batching step): snap each image's
+    // aspect ratio to the nearest canonical bucket in LOG space so a batch
+    // never mixes portrait with landscape. Image dims are the
+    // deterministic fixture formula over doc_id (the multimodal tables'
+    // metadata seam); bucketing is a 5-row broadcast argmin — map-side at
+    // any scale.
+    Entry("q261_aspect_buckets",
+      (s, d) => {
+        val media = Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("width", (lit(256) + pmod(col("doc_id"), lit(8)) * 64))
+          .withColumn("height", (lit(256) + pmod(col("doc_id"), lit(5)) * 96))
+          .withColumn("ar", col("width").cast("double") / col("height"))
+        val buckets = Seq(0.5, 0.75, 1.0, 4.0 / 3, 2.0)
+        val bdf = media.sparkSession.range(1)
+          .select(explode(array(buckets.map(lit): _*)).as("bucket_ar"))
+        media.crossJoin(broadcast(bdf))
+          .withColumn("dist", abs(log(col("ar")) - log(col("bucket_ar"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("dist"), col("bucket_ar"))))
+          .filter(col("rn") === 1)
+          .groupBy(col("bucket_ar"))
+          .agg(count(lit(1)).as("n_images"),
+            avg(col("ar")).cast("float").as("mean_ar"))
+          .orderBy(col("bucket_ar"))
+      },
+      Some("""WITH media AS (
+             |  SELECT doc_id,
+             |    256 + (doc_id % 8) * 64 AS width,
+             |    256 + (doc_id % 5) * 96 AS height
+             |  FROM documents),
+             |ar AS (
+             |  SELECT doc_id, width::DOUBLE / height AS ar FROM media),
+             |b AS (SELECT unnest([0.5, 0.75, 1.0, 4.0 / 3, 2.0]) AS bucket_ar),
+             |pick AS (
+             |  SELECT doc_id, ar, bucket_ar FROM (
+             |    SELECT doc_id, ar, bucket_ar,
+             |      row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY abs(ln(ar) - ln(bucket_ar)), bucket_ar) AS rn
+             |    FROM ar CROSS JOIN b)
+             |  WHERE rn = 1)
+             |SELECT bucket_ar, count(*) AS n_images,
+             |  CAST(avg(ar) AS REAL) AS mean_ar
+             |FROM pick GROUP BY bucket_ar ORDER BY bucket_ar""".stripMargin))
   )
 }
