@@ -1847,6 +1847,180 @@ object PipelineQueries {
              |  WHERE rn = 1)
              |SELECT bucket_ar, count(*) AS n_images,
              |  CAST(avg(ar) AS REAL) AS mean_ar
-             |FROM pick GROUP BY bucket_ar ORDER BY bucket_ar""".stripMargin))
+             |FROM pick GROUP BY bucket_ar ORDER BY bucket_ar""".stripMargin)),
+
+    // Walk-forward (rolling-origin) cross-validation folds: three
+    // time-anchored train/test splits with a 5-day test horizon — the
+    // only CV scheme that respects temporal causality for event data
+    // (random K-fold leaks the future). Per fold: sizes plus the train vs
+    // test purchase-rate drift. One scan; each fold is a conditional agg
+    // (no per-fold rescan); rates are exact single divisions.
+    Entry("q262_walkforward_cv",
+      (s, d) => {
+        val folds = Seq(("2024-01-10", 1), ("2024-01-15", 2), ("2024-01-20", 3))
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("ts").cast("timestamp_ntz").as("ts"))
+          .localCheckpoint(true)
+        folds.map { case (cut, f) =>
+          val cutTs = lit(cut + " 00:00:00").cast("timestamp_ntz")
+          val endTs = lit(cut + " 00:00:00").cast("timestamp_ntz") +
+            expr("INTERVAL 5 DAYS")
+          ev.agg(
+              sum(when(col("ts") < cutTs, 1L).otherwise(0L)).as("n_train"),
+              sum(when(col("ts") < cutTs &&
+                col("event_type") === "purchase", 1L).otherwise(0L))
+                .as("p_train"),
+              sum(when(col("ts") >= cutTs && col("ts") < endTs, 1L)
+                .otherwise(0L)).as("n_test"),
+              sum(when(col("ts") >= cutTs && col("ts") < endTs &&
+                col("event_type") === "purchase", 1L).otherwise(0L))
+                .as("p_test"))
+            .select(lit(f).as("fold"), col("n_train"), col("n_test"),
+              (col("p_train") / col("n_train")).as("train_purchase_rate"),
+              (col("p_test") / col("n_test")).as("test_purchase_rate"))
+        }.reduce(_.union(_)).orderBy(col("fold"))
+      },
+      Some {
+        def fold(cut: String, f: Int) =
+          s"""SELECT $f AS fold,
+             |  CAST(sum(CASE WHEN ts < TIMESTAMP '$cut 00:00:00'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |  CAST(sum(CASE WHEN ts >= TIMESTAMP '$cut 00:00:00'
+             |    AND ts < TIMESTAMP '$cut 00:00:00' + INTERVAL 5 DAY
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             |  sum(CASE WHEN ts < TIMESTAMP '$cut 00:00:00'
+             |    AND event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+             |    / sum(CASE WHEN ts < TIMESTAMP '$cut 00:00:00'
+             |      THEN 1 ELSE 0 END) AS train_purchase_rate,
+             |  sum(CASE WHEN ts >= TIMESTAMP '$cut 00:00:00'
+             |    AND ts < TIMESTAMP '$cut 00:00:00' + INTERVAL 5 DAY
+             |    AND event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+             |    / sum(CASE WHEN ts >= TIMESTAMP '$cut 00:00:00'
+             |      AND ts < TIMESTAMP '$cut 00:00:00' + INTERVAL 5 DAY
+             |      THEN 1 ELSE 0 END) AS test_purchase_rate
+             |FROM events""".stripMargin
+        s"""${fold("2024-01-10", 1)}
+           |UNION ALL
+           |${fold("2024-01-15", 2)}
+           |UNION ALL
+           |${fold("2024-01-20", 3)}
+           |ORDER BY fold""".stripMargin
+      }),
+
+    // Exact tie-aware AUC (Mann-Whitney): does per-user event volume
+    // predict an elevated error share? Average ranks over score ties are
+    // dyadic rationals, the rank-sum is exact, and AUC is one division —
+    // the binary-classifier eval metric, computed distributedly (one
+    // window over DISTINCT scores, not a per-pair product). q263's AUC +
+    // q201's NDCG + q141's recall close out the eval-metric family.
+    Entry("q263_auc",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("ne"))
+          .select(col("n").as("score"),
+            (col("ne") * 5 > col("n")).as("pos"))
+        val byScore = users.groupBy(col("score"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"))
+        val ranked = byScore
+          .withColumn("before",
+            coalesce(sum(col("cnt")).over(
+              Window.orderBy(col("score"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("avg_rank", col("before") + (col("cnt") + 1) / lit(2.0))
+        ranked.agg(
+            sum(col("cpos")).as("n_pos"),
+            sum(col("cnt") - col("cpos")).as("n_neg"),
+            sum(col("cpos") * col("avg_rank")).as("rank_sum_pos"))
+          .select(col("n_pos"), col("n_neg"),
+            ((col("rank_sum_pos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+              (col("n_pos") * col("n_neg"))).as("auc"))
+      },
+      Some("""WITH users AS (
+             |  SELECT count(*) AS score,
+             |    5 * count(CASE WHEN event_type = 'error' THEN 1 END)
+             |      > count(*) AS pos
+             |  FROM events GROUP BY user_id),
+             |by_score AS (
+             |  SELECT score, count(*) AS cnt,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS cpos
+             |  FROM users GROUP BY score),
+             |ranked AS (
+             |  SELECT *,
+             |    coalesce(CAST(sum(cnt) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS before,
+             |    coalesce(CAST(sum(cnt) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) + (cnt + 1) / 2.0 AS avg_rank
+             |  FROM by_score)
+             |SELECT CAST(sum(cpos) AS BIGINT) AS n_pos,
+             |  CAST(sum(cnt - cpos) AS BIGINT) AS n_neg,
+             |  (sum(cpos * avg_rank)
+             |    - sum(cpos) * (sum(cpos) + 1) / 2.0)
+             |    / (sum(cpos) * sum(cnt - cpos)) AS auc
+             |FROM ranked""".stripMargin)),
+
+    // Item-item collaborative similarity: cosine between items'
+    // user-engagement vectors (items = the props JSON key k, engagement =
+    // per-user event counts) — the classic CF neighborhood build. The
+    // item-pair join is INVERTED-INDEX on user (only co-engaged pairs are
+    // scored, never items²); integer dot products and exact norms make
+    // the cosine bit-exact, so the top-20 ranking is deterministic.
+    Entry("q264_item_similarity",
+      (s, d) => {
+        val ui = Tables.events(s, d)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("item"))
+          .groupBy(col("user_id"), col("item"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // feeds norms + both join legs
+        val norms = ui.groupBy(col("item"))
+          .agg(sum(col("c") * col("c")).as("sq"))
+        val pairs = ui.select(col("user_id"), col("item").as("ia"),
+            col("c").as("ca"))
+          .join(ui.select(col("user_id"), col("item").as("ib"),
+            col("c").as("cb")), "user_id")
+          .filter(col("ia") < col("ib"))
+          .groupBy(col("ia"), col("ib"))
+          .agg(sum(col("ca") * col("cb")).as("dot"),
+            count(lit(1)).as("n_users"))
+        pairs
+          .join(broadcast(norms.select(col("item").as("ia"),
+            col("sq").as("sqa"))), "ia")
+          .join(broadcast(norms.select(col("item").as("ib"),
+            col("sq").as("sqb"))), "ib")
+          .select(col("ia"), col("ib"), col("n_users"),
+            (col("dot") / (sqrt(col("sqa")) * sqrt(col("sqb"))))
+              .as("cosine"))
+          .orderBy(desc("cosine"), col("ia"), col("ib"))
+          .limit(20)
+      },
+      Some("""WITH ui AS (
+             |  SELECT user_id,
+             |    CAST(json_extract(props, '$.k') AS INT) AS item,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |norms AS (
+             |  SELECT item, CAST(sum(c * c) AS BIGINT) AS sq
+             |  FROM ui GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.item AS ia, b.item AS ib,
+             |    CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+             |    count(*) AS n_users
+             |  FROM ui a JOIN ui b
+             |    ON a.user_id = b.user_id AND a.item < b.item
+             |  GROUP BY 1, 2)
+             |SELECT ia, ib, n_users,
+             |  dot::DOUBLE / (sqrt(sa.sq::DOUBLE) * sqrt(sb.sq::DOUBLE))
+             |    AS cosine
+             |FROM pairs
+             |JOIN norms sa ON sa.item = ia
+             |JOIN norms sb ON sb.item = ib
+             |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin))
   )
 }
