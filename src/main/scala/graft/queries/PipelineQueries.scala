@@ -2021,6 +2021,113 @@ object PipelineQueries {
              |FROM pairs
              |JOIN norms sa ON sa.item = ia
              |JOIN norms sb ON sb.item = ib
-             |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin))
+             |ORDER BY cosine DESC, ia, ib LIMIT 20""".stripMargin)),
+
+    // Calibration check by context: train cohort's P(next = purchase |
+    // current type) against the test cohort's OBSERVED rate, per current
+    // type — the reliability diagram for a conditional model (a model can
+    // have good AUC and still be miscalibrated; this catches it). Same
+    // lead-window transitions as q234; the table is |types|-bounded; all
+    // rates exact single divisions.
+    Entry("q265_calibration",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("user_id"), col("event_type"), col("next_type"))
+          .localCheckpoint(true)
+        def rates(cohort: Int, pred: String, obs: String) =
+          trans.filter(pmod(col("user_id"), lit(2)) === cohort)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as(s"n_$pred"),
+              (sum(when(col("next_type") === "purchase", 1L).otherwise(0L)) /
+                count(lit(1))).as(obs))
+        rates(0, "train", "predicted_rate")
+          .join(rates(1, "test", "observed_rate"), "event_type")
+          .withColumn("gap",
+            abs(col("observed_rate") - col("predicted_rate")))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH tr AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |t2 AS (SELECT * FROM tr WHERE next_type IS NOT NULL),
+             |train AS (
+             |  SELECT event_type, count(*) AS n_train,
+             |    sum(CASE WHEN next_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::DOUBLE / count(*) AS predicted_rate
+             |  FROM t2 WHERE user_id % 2 = 0 GROUP BY 1),
+             |test AS (
+             |  SELECT event_type, count(*) AS n_test,
+             |    sum(CASE WHEN next_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::DOUBLE / count(*) AS observed_rate
+             |  FROM t2 WHERE user_id % 2 = 1 GROUP BY 1)
+             |SELECT event_type, n_train, predicted_rate, n_test,
+             |  observed_rate, abs(observed_rate - predicted_rate) AS gap
+             |FROM train JOIN test USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // Greedy max-coverage selection: pick 5 documents that together cover
+    // the most distinct 3-shingles — the budgeted-coverage dual of q239's
+    // k-center (facility location picks SPREAD; max-coverage picks
+    // CONTENT). Each round scores marginal gain with one anti-join against
+    // the covered set (never rescans selected docs' shingles), argmax ties
+    // to the smaller doc_id; rounds localCheckpoint like every iterative
+    // op here. Oracle unrolls the same 5 rounds.
+    Entry("q266_greedy_coverage",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(Fns.shingles(Fns.tokens(col("text")), 3)))
+              .as("shingle"))
+          .localCheckpoint(true)
+        var covered = sh.filter(lit(false)).select(col("shingle"))
+          .localCheckpoint(true)
+        val picks = (1 to 5).map { r =>
+          val gain = sh.join(covered, Seq("shingle"), "left_anti")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+            .orderBy(desc("gain"), col("doc_id")).limit(1)
+            .localCheckpoint(true)
+          covered = covered
+            .union(sh.join(gain.select(col("doc_id")), "doc_id")
+              .select(col("shingle")))
+            .distinct().localCheckpoint(true)
+          gain.select(lit(r).as("round"), col("doc_id"), col("gain"))
+        }
+        picks.reduce(_.union(_)).orderBy(col("round"))
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          val prev = s"cov${r - 1}"
+          s"""g$r AS (
+             |  SELECT doc_id, count(*) AS gain FROM sh
+             |  WHERE shingle NOT IN (SELECT shingle FROM $prev)
+             |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+             |cov$r AS (
+             |  SELECT shingle FROM $prev
+             |  UNION
+             |  SELECT shingle FROM sh WHERE doc_id = (SELECT doc_id FROM g$r))""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5)
+          .map(r => s"SELECT $r AS round, doc_id, gain FROM g$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+           |  FROM toks),
+           |cov0 AS (SELECT shingle FROM sh WHERE 1 = 0),
+           |$rounds
+           |$out
+           |ORDER BY round""".stripMargin
+      })
   )
 }
