@@ -2128,6 +2128,122 @@ object PipelineQueries {
            |$rounds
            |$out
            |ORDER BY round""".stripMargin
-      })
+      }),
+
+    // SimHash method eval: precision/recall of 16-bit SimHash (hamming ≤
+    // 3, the q44 detector) against exact-Jaccard ≥ 0.5 ground truth (the
+    // q21 join) — the calibration report that justifies replacing the
+    // exact join with the sketch at scale (q197 does this for MinHash-LSH;
+    // SimHash trades differently: one 8-byte signature per doc). Counts
+    // are exact; both rates are single divisions.
+    Entry("q267_simhash_recall",
+      (s, d) => {
+        import graft.ops.Dedup
+        val docs = Tables.documents(s, d)
+        val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+            shingleK = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+        val detected = Dedup.simhashPairs(docs, "doc_id", "text",
+            bits = 16, maxDist = 3)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nD = detected.agg(count(lit(1)).as("n_detected"))
+        val nTp = truth.join(detected, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_tp"))
+        nT.crossJoin(broadcast(nD)).crossJoin(broadcast(nTp))
+          .select(col("n_truth"), col("n_detected"), col("n_tp"),
+            (col("n_tp") / col("n_truth")).as("recall"),
+            (col("n_tp") / col("n_detected")).as("precision"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+             |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |  FROM toks),
+             |inter AS (
+             |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS ninter
+             |  FROM sh sa JOIN sh sb
+             |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             |  GROUP BY 1, 2),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |truth AS (
+             |  SELECT doc_a, doc_b FROM inter i
+             |  JOIN sizes na ON na.doc_id = i.doc_a
+             |  JOIN sizes nb ON nb.doc_id = i.doc_b
+             |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+             |tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             |  FROM documents),
+             |th AS (SELECT doc_id,
+             |  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok),
+             |votes AS (
+             |  SELECT doc_id, bit,
+             |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+             |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) bits
+             |  GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit)
+             |      ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id),
+             |detected AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+             |nt AS (SELECT count(*) AS n_truth FROM truth),
+             |nd AS (SELECT count(*) AS n_detected FROM detected),
+             |tp AS (
+             |  SELECT count(*) AS n_tp FROM truth
+             |  SEMI JOIN detected USING (doc_a, doc_b))
+             |SELECT n_truth, n_detected, n_tp,
+             |  n_tp::DOUBLE / n_truth AS recall,
+             |  n_tp::DOUBLE / n_detected AS precision
+             |FROM nt CROSS JOIN nd CROSS JOIN tp""".stripMargin)),
+
+    // Bloom-filter sizing planner for the q82 semi-join prefilter: for
+    // each candidate bit budget, the optimal hash count k = ln2·m/n and
+    // the expected false-positive rate (1 − e^(−kn/m))^k, driven by the
+    // ACTUAL distinct-key count — pick the smallest filter meeting 1%.
+    // The n is one exact agg; the table is |budgets|-sized scalar math
+    // (exp/pow → float32).
+    Entry("q268_bloom_planner",
+      (s, d) => {
+        val n = Tables.lineitem(s, d)
+          .agg(countDistinct(col("l_orderkey")).as("n_keys"))
+        val budgets = Seq(65536L, 262144L, 1048576L, 4194304L)
+        val bdf = n.sparkSession.range(1)
+          .select(explode(array(budgets.map(lit): _*)).as("m_bits"))
+        bdf.crossJoin(broadcast(n))
+          .withColumn("k_opt",
+            greatest(lit(1L),
+              round(lit(math.log(2.0)) * col("m_bits") / col("n_keys"))
+                .cast("long")))
+          .withColumn("fpp",
+            pow(lit(1.0) - exp(-col("k_opt").cast("double") *
+              col("n_keys") / col("m_bits")), col("k_opt").cast("double")))
+          .select(col("m_bits"), col("n_keys"), col("k_opt"),
+            col("fpp").cast("float").as("fpp"),
+            (col("fpp") <= 0.01).as("meets_1pct"))
+          .orderBy(col("m_bits"))
+      },
+      Some("""WITH n AS (
+             |  SELECT count(DISTINCT l_orderkey) AS n_keys FROM lineitem),
+             |b AS (
+             |  SELECT unnest([CAST(65536 AS BIGINT), 262144, 1048576,
+             |    4194304]) AS m_bits),
+             |t AS (
+             |  SELECT m_bits, n_keys,
+             |    greatest(1, CAST(round(ln(2) * m_bits / n_keys) AS BIGINT))
+             |      AS k_opt
+             |  FROM b CROSS JOIN n)
+             |SELECT m_bits, n_keys, k_opt,
+             |  CAST(pow(1.0 - exp(-k_opt::DOUBLE * n_keys / m_bits),
+             |    k_opt::DOUBLE) AS REAL) AS fpp,
+             |  pow(1.0 - exp(-k_opt::DOUBLE * n_keys / m_bits),
+             |    k_opt::DOUBLE) <= 0.01 AS meets_1pct
+             |FROM t ORDER BY m_bits""".stripMargin))
   )
 }
