@@ -2244,6 +2244,202 @@ object PipelineQueries {
              |    k_opt::DOUBLE) AS REAL) AS fpp,
              |  pow(1.0 - exp(-k_opt::DOUBLE * n_keys / m_bits),
              |    k_opt::DOUBLE) <= 0.01 AS meets_1pct
-             |FROM t ORDER BY m_bits""".stripMargin))
+             |FROM t ORDER BY m_bits""".stripMargin)),
+
+    // IVF recall@k curve: recall at k ∈ {1, 5, 10} of the nProbe=2 IVF
+    // route against the exact ranking, averaged over an 8-query batch —
+    // the tuning curve (q210 sweeps probes at fixed k; this sweeps k at
+    // fixed probes). Both rankings are one bounded pass; the per-k rollup
+    // explodes a 3-element grid, never rescans. Recall is exact rational
+    // (intersection counts / k / #queries).
+    Entry("q269_ivf_recall_curve",
+      (s, d) => {
+        import graft.functions.VectorFunctions.{cosineSim, l2sq}
+        import graft.ops.Similarity
+        val emb = Tables.embeddings(s, d)
+        val cent = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        val corpus = emb.filter(col("vec_id") > 8)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val queries = corpus.filter(col("vec_id").between(9, 16))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        // k+1 then drop self per query (the q247 pattern) — the corpus
+        // must keep the OTHER query vectors as candidates
+        val exact = Similarity.knnBatch(corpus, queries,
+            "vec_id", "embedding", "q_id", "qvec", k = 11)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rank_e", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+          .filter(col("rank_e") <= 10)
+          .select(col("q_id"), col("vec_id"), col("rank_e"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("centroid_id"))
+        val qProbes = queries.crossJoin(broadcast(cent))
+          .withColumn("dist", round(l2sq(col("qvec"), col("cvec")), 6))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qvec"), col("centroid_id").as("q_centroid"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(desc("score"), col("vec_id"))
+        val ivf = Similarity.ivfAssign(corpus, cent, "vec_id", "embedding")
+          .join(broadcast(qProbes), col("centroid_id") === col("q_centroid"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+          .withColumn("rank_i", row_number().over(wr))
+          .filter(col("rank_i") <= 10)
+          .select(col("q_id"), col("vec_id"), col("rank_i"))
+        val nq = lit(8)
+        exact.join(ivf, Seq("q_id", "vec_id"))
+          .select(col("rank_e"), col("rank_i"),
+            explode(array(lit(1), lit(5), lit(10))).as("k"))
+          .filter(col("rank_e") <= col("k") && col("rank_i") <= col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+          .select(col("k"), col("n_hits"),
+            (col("n_hits") / (col("k") * nq)).as("recall"))
+          .orderBy(col("k"))
+      },
+      Some {
+        val cosE = OracleSql.cosine("c.embedding", "q.qvec")
+        val cosI = OracleSql.cosine("a.embedding", "p.qvec")
+        def l2(v1: String, v2: String) =
+          s"""round(list_sum(list_transform(generate_series(1, len($v1)),
+             |  i -> ($v1[i]::DOUBLE - $v2[i]::DOUBLE)
+             |     * ($v1[i]::DOUBLE - $v2[i]::DOUBLE))), 6)""".stripMargin
+        s"""WITH cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cvec
+           |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+           |corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+           |q AS (
+           |  SELECT vec_id AS q_id, embedding AS qvec FROM corpus
+           |  WHERE vec_id BETWEEN 9 AND 16),
+           |exact AS (
+           |  SELECT q_id, vec_id, rank_e FROM (
+           |    SELECT q.q_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY $cosE DESC, c.vec_id) AS rank_e
+           |    FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+           |  WHERE rank_e <= 10),
+           |assign AS (
+           |  SELECT vec_id, centroid_id, embedding FROM (
+           |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+           |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           |        ${l2("c.embedding", "cent.cvec")}, cent.centroid_id) AS rn
+           |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+           |probes AS (
+           |  SELECT q_id, qvec, q_centroid FROM (
+           |    SELECT q.q_id, q.qvec, cent.centroid_id AS q_centroid,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        ${l2("q.qvec", "cent.cvec")}, cent.centroid_id) AS rn
+           |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+           |ivf AS (
+           |  SELECT q_id, vec_id, rank_i FROM (
+           |    SELECT p.q_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+           |        round($cosI, 4) DESC, a.vec_id) AS rank_i
+           |    FROM assign a JOIN probes p ON a.centroid_id = p.q_centroid
+           |    WHERE a.vec_id <> p.q_id)
+           |  WHERE rank_i <= 10),
+           |-- unnest inside the joined CTE + aggregate-over-filter trips a
+           |-- DuckDB internal assertion; a standalone ks CTE cross-joined in
+           |-- is equivalent and stable
+           |ks AS (SELECT unnest([1, 5, 10]) AS k),
+           |grid AS (
+           |  SELECT e.rank_e, i.rank_i, k
+           |  FROM exact e JOIN ivf i USING (q_id, vec_id) CROSS JOIN ks)
+           |SELECT k, count(*) AS n_hits,
+           |  count(*)::DOUBLE / (k * 8) AS recall
+           |FROM grid WHERE rank_e <= k AND rank_i <= k
+           |GROUP BY k ORDER BY k""".stripMargin
+      }),
+
+    // Funnel with confidence bounds: per view→click→purchase step, the
+    // step conversion and its Wilson lower bound (z = 1.96) — q88 counts
+    // stages; this adds the significance readout that says whether a
+    // step's drop is real or small-sample noise (q219's bound, applied to
+    // sequential steps). One staged scan; per-step math is scalar.
+    Entry("q270_funnel_ci",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        val stages = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .filter(col("ts") < lit("2024-01-03").cast("timestamp_ntz"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" &&
+              col("ts") > col("t_view"), col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" &&
+              col("ts") > col("t_click"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("t_view")).isNotNull.as("s1"),
+            max(col("t_click")).isNotNull.as("s2"),
+            max(col("t_purchase")).isNotNull.as("s3"))
+          .agg(sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+            sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
+          .localCheckpoint(true)
+        def wilson(p: org.apache.spark.sql.Column,
+                   n: org.apache.spark.sql.Column) = {
+          val z2 = lit(1.96 * 1.96)
+          ((p + z2 / (n * 2) -
+            lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+              z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)).cast("float")
+        }
+        val s12 = stages.select(lit("view>click").as("step"),
+          col("n1").as("n_in"), col("n2").as("n_out"),
+          (col("n2") / col("n1")).as("conversion"),
+          wilson(col("n2") / col("n1"), col("n1")).as("wilson_lower"))
+        val s23 = stages.select(lit("click>purchase").as("step"),
+          col("n2").as("n_in"), col("n3").as("n_out"),
+          (col("n3") / col("n2")).as("conversion"),
+          wilson(col("n3") / col("n2"), col("n2")).as("wilson_lower"))
+        s12.union(s23).orderBy(col("step"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t_view,
+             |    ts, event_type
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+             |st2 AS (
+             |  SELECT user_id, t_view,
+             |    min(CASE WHEN event_type = 'click' AND ts > t_view
+             |      THEN ts END) OVER (PARTITION BY user_id) AS t_click,
+             |    ts, event_type
+             |  FROM staged),
+             |st3 AS (
+             |  SELECT user_id, t_view, t_click,
+             |    min(CASE WHEN event_type = 'purchase' AND ts > t_click
+             |      THEN ts END) OVER (PARTITION BY user_id) AS t_purchase
+             |  FROM st2),
+             |per_user AS (
+             |  SELECT user_id, max(t_view) IS NOT NULL AS s1,
+             |    max(t_click) IS NOT NULL AS s2,
+             |    max(t_purchase) IS NOT NULL AS s3
+             |  FROM st3 GROUP BY user_id),
+             |n AS (
+             |  SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1,
+             |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+             |  FROM per_user)
+             |SELECT 'view>click' AS step, n1 AS n_in, n2 AS n_out,
+             |  n2::DOUBLE / n1 AS conversion,
+             |  CAST((n2::DOUBLE / n1 + 1.96 * 1.96 / (2 * n1)
+             |    - 1.96 * sqrt((n2::DOUBLE / n1) * (1.0 - n2::DOUBLE / n1) / n1
+             |      + 1.96 * 1.96 / (4.0 * n1 * n1)))
+             |    / (1.0 + 1.96 * 1.96 / n1) AS REAL) AS wilson_lower
+             |FROM n
+             |UNION ALL
+             |SELECT 'click>purchase', n2, n3,
+             |  n3::DOUBLE / n2,
+             |  CAST((n3::DOUBLE / n2 + 1.96 * 1.96 / (2 * n2)
+             |    - 1.96 * sqrt((n3::DOUBLE / n2) * (1.0 - n3::DOUBLE / n2) / n2
+             |      + 1.96 * 1.96 / (4.0 * n2 * n2)))
+             |    / (1.0 + 1.96 * 1.96 / n2) AS REAL)
+             |FROM n
+             |ORDER BY step""".stripMargin))
   )
 }
