@@ -46,6 +46,30 @@ object Enrichment {
       .drop(r(keyCol))
   }
 
+  /** Left-OUTER interval join: like [[intervalJoin]], but left rows with
+    * NO in-window right match are still emitted (right columns null) once
+    * the watermark proves no match can arrive — the "every purchase gets a
+    * row, attributed or not" shape. The emission is deliberately LATE by
+    * one watermark horizon for unmatched rows: correctness requires
+    * waiting out `lookback + allowedLateness` before declaring a miss,
+    * which is exactly the state bound, so memory stays
+    * O(rate × (lookback + lateness)) here too. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        tsCol: String, lookback: String,
+                        allowedLateness: String): DataFrame = {
+    val l = left.withWatermark(tsCol, allowedLateness)
+    val renamed = right.select(right.columns.map(c =>
+      if (c == keyCol) col(c).as(s"r_$keyCol") else col(c).as(s"r_$c"))
+      .toIndexedSeq: _*)
+    val r = renamed.withWatermark(s"r_$tsCol", allowedLateness)
+    l.join(r,
+      l(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(tsCol),
+      "leftOuter")
+      .drop(s"r_$keyCol")
+  }
+
   /** Stream-static enrichment: left-join rows against the parquet
     * dimension at `dimPath`; dimension columns (except the key) come back
     * `dim_`-prefixed, and the dimension is broadcast so the stream side

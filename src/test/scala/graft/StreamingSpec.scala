@@ -395,6 +395,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer interval join: unmatched purchases emit with nulls " +
+       "once the watermark proves no view can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[AccessEvent]
+    val views = MemoryStream[AccessEvent]
+    val joined = graft.streaming.Enrichment.intervalJoinOuter(
+      purchases.toDF(), views.toDF(), keyCol = "user_id", tsCol = "ts",
+      lookback = "10 minutes", allowedLateness = "5 minutes")
+    val query = joined.writeStream.format("memory").queryName("outer_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: String, user: String, t: String) =
+        AccessEvent(id, "m0", user, "x", 0.5, 0.5, Timestamp.valueOf(t))
+      views.addData(ev("v1", "alice", "2024-01-01 09:55:00"))
+      purchases.addData(
+        ev("p1", "alice", "2024-01-01 10:00:00"),   // matched by v1
+        ev("p2", "dave", "2024-01-01 10:00:00"))    // no view at all
+      query.processAllAvailable()
+      val early = spark.table("outer_out")
+        .select("event_id", "r_event_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(early.contains(("p1", Some("v1"))), s"match not emitted: $early")
+      assert(!early.exists(_._1 == "p2"),
+        s"unmatched row emitted BEFORE its window could be declared closed: $early")
+      // advance both watermarks past p2's horizon (ts + lookback + lateness)
+      views.addData(ev("v9", "carol", "2024-01-01 11:00:00"))
+      purchases.addData(ev("p9", "carol", "2024-01-01 11:00:00"))
+      query.processAllAvailable()
+      views.addData(ev("v10", "carol", "2024-01-01 12:00:00"))
+      purchases.addData(ev("p10", "carol", "2024-01-01 12:00:00"))
+      query.processAllAvailable()
+      val out = spark.table("outer_out")
+        .select("event_id", "r_event_id").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(out.contains(("p2", None)),
+        s"unmatched purchase never emitted with null enrichment: $out")
+    } finally query.stop()
+  }
+
   test("foreachBatch keyed-upsert sink: merges batches, batch replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sink").toFile
