@@ -2440,6 +2440,74 @@ object PipelineQueries {
              |      + 1.96 * 1.96 / (4.0 * n2 * n2)))
              |    / (1.0 + 1.96 * 1.96 / n2) AS REAL)
              |FROM n
-             |ORDER BY step""".stripMargin))
+             |ORDER BY step""".stripMargin)),
+
+    // Heaps' law fit: vocabulary-growth exponent β from V(N) = K·N^β,
+    // regressed over 8 cumulative corpus checkpoints (distinct 3-shingles
+    // vs tokens seen) — with q229's Zipf slope, the pair of exponents
+    // that characterizes whether a corpus grows like natural text (β ≈
+    // 0.5–0.7) or like templated output (β → 0). First-occurrence doc per
+    // shingle is ONE agg; each checkpoint is a conditional sum against the
+    // 8-row broadcast grid — no per-checkpoint rescan, no running window.
+    Entry("q271_heaps_fit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), size(Fns.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+          .localCheckpoint(true)
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(Fns.shingles(Fns.tokens(col("text")), 3)))
+              .as("shingle"))
+          .groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+        val maxDoc = docs.agg(max(col("doc_id")).as("mx"))
+        val grid = maxDoc.select(explode(array((1 to 8).map(lit): _*)).as("k"),
+            col("mx"))
+          .select(col("k"), floor(col("mx") * col("k") / 8.0).cast("long")
+            .as("cp"))
+          .localCheckpoint(true)
+        val vocab = sh.crossJoin(broadcast(grid))
+          .groupBy(col("cp"))
+          .agg(sum(when(col("fd") <= col("cp"), 1L).otherwise(0L)).as("v"))
+        val toks = docs.crossJoin(broadcast(grid))
+          .groupBy(col("cp"))
+          .agg(sum(when(col("doc_id") <= col("cp"), col("n_tok"))
+            .otherwise(0L)).as("t"))
+        vocab.join(toks, "cp")
+          .agg(count(lit(1)).as("n_points"),
+            expr("regr_slope(ln(v), ln(t))").cast("float").as("beta"),
+            exp(expr("regr_intercept(ln(v), ln(t))")).cast("float").as("k"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+             |      AS n_tok
+             |  FROM documents),
+             |toks0 AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT shingle, min(doc_id) AS fd FROM (
+             |    SELECT DISTINCT doc_id,
+             |      unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+             |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |    FROM toks0)
+             |  GROUP BY shingle),
+             |grid AS (
+             |  SELECT k, CAST(floor((SELECT max(doc_id) FROM docs) * k / 8.0)
+             |      AS BIGINT) AS cp
+             |  FROM (SELECT unnest(generate_series(1, 8)) AS k)),
+             |vocab AS (
+             |  SELECT cp, CAST(sum(CASE WHEN fd <= cp THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS v
+             |  FROM sh CROSS JOIN grid GROUP BY cp),
+             |tk AS (
+             |  SELECT cp, CAST(sum(CASE WHEN doc_id <= cp THEN n_tok
+             |      ELSE 0 END) AS BIGINT) AS t
+             |  FROM docs CROSS JOIN grid GROUP BY cp)
+             |SELECT count(*) AS n_points,
+             |  CAST(regr_slope(ln(v), ln(t)) AS REAL) AS beta,
+             |  CAST(exp(regr_intercept(ln(v), ln(t))) AS REAL) AS k
+             |FROM vocab JOIN tk USING (cp)""".stripMargin))
   )
 }
