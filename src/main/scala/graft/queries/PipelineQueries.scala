@@ -2089,7 +2089,9 @@ object PipelineQueries {
         var covered = sh.filter(lit(false)).select(col("shingle"))
           .localCheckpoint(true)
         val picks = (1 to 5).map { r =>
-          val gain = sh.join(covered, Seq("shingle"), "left_anti")
+          // covered is ≤ |selected docs| × shingles-per-doc — broadcast it
+          // so the marginal-gain anti-join stays map-side over the corpus
+          val gain = sh.join(broadcast(covered), Seq("shingle"), "left_anti")
             .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
             .orderBy(desc("gain"), col("doc_id")).limit(1)
             .localCheckpoint(true)
@@ -2466,9 +2468,13 @@ object PipelineQueries {
           .select(col("k"), floor(col("mx") * col("k") / 8.0).cast("long")
             .as("cp"))
           .localCheckpoint(true)
-        val vocab = sh.crossJoin(broadcast(grid))
+        // shrink to the fd histogram (≤ #docs rows) BEFORE the ×8 grid
+        // expansion — the corpus-sized shingle relation is touched once
+        val fdHist = sh.groupBy(col("fd")).agg(count(lit(1)).as("c"))
+        val vocab = fdHist.crossJoin(broadcast(grid))
           .groupBy(col("cp"))
-          .agg(sum(when(col("fd") <= col("cp"), 1L).otherwise(0L)).as("v"))
+          .agg(sum(when(col("fd") <= col("cp"), col("c")).otherwise(0L))
+            .as("v"))
         val toks = docs.crossJoin(broadcast(grid))
           .groupBy(col("cp"))
           .agg(sum(when(col("doc_id") <= col("cp"), col("n_tok"))
