@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 eval-infrastructure completion: threshold curves, count-class
+  * smoothing, decile gains — the remaining classifier/LM evaluation
+  * surfaces beyond the scalar metrics (q263 AUC, q217 kappa, q201 NDCG).
+  * Every entry is DuckDB-oracle-checked.
+  */
+object EvalQueries {
+
+  def entries: Seq[Entry] = Seq(
+
+    // Precision/recall curve: P and R of "volume predicts elevated error
+    // share" at a threshold grid — the curve behind q263's single AUC
+    // number. One per-user agg, then one 5-row broadcast grid expansion
+    // with conditional sums (no per-threshold rescan). All-integer counts,
+    // single divisions.
+    Entry("q272_pr_curve",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("score"),
+            (sum(when(col("event_type") === "error", 1L).otherwise(0L)) * 5 >
+              count(lit(1))).as("pos"))
+          .localCheckpoint(true)
+        // thresholds from score QUANTILES, not absolute counts — the grid
+        // stays meaningful at any scale factor and never flags zero rows
+        val grid = users
+          .agg(expr("percentile(score, array(0.1, 0.3, 0.5, 0.7, 0.9))")
+            .as("ths"))
+          .select(posexplode(col("ths")).as(Seq("i", "threshold")))
+          .select((col("i") + 1).cast("int").as("grid_pt"), col("threshold"))
+        users.crossJoin(broadcast(grid))
+          .groupBy(col("grid_pt"), col("threshold"))
+          .agg(
+            sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+              .as("n_flagged"),
+            sum(when(col("score") >= col("threshold") && col("pos"), 1L)
+              .otherwise(0L)).as("n_tp"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+          .select(col("grid_pt"), col("threshold"), col("n_flagged"),
+            col("n_tp"),
+            (col("n_tp") / col("n_flagged")).as("precision"),
+            (col("n_tp") / col("n_pos")).as("recall"))
+          .orderBy(col("grid_pt"))
+      },
+      Some("""WITH users AS (
+             |  SELECT count(*) AS score,
+             |    5 * count(CASE WHEN event_type = 'error' THEN 1 END)
+             |      > count(*) AS pos
+             |  FROM events GROUP BY user_id),
+             |grid AS (
+             |  SELECT CAST(i AS INT) AS grid_pt, th AS threshold FROM (
+             |    SELECT unnest(quantile_cont(score,
+             |        [0.1, 0.3, 0.5, 0.7, 0.9])) AS th,
+             |      unnest(generate_series(1, 5)) AS i
+             |    FROM users))
+             |SELECT grid_pt, threshold,
+             |  CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_flagged,
+             |  CAST(sum(CASE WHEN score >= threshold AND pos THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_tp,
+             |  sum(CASE WHEN score >= threshold AND pos THEN 1 ELSE 0 END)
+             |    ::DOUBLE
+             |    / sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+             |    AS precision,
+             |  sum(CASE WHEN score >= threshold AND pos THEN 1 ELSE 0 END)
+             |    ::DOUBLE / sum(CASE WHEN pos THEN 1 ELSE 0 END) AS recall
+             |FROM users CROSS JOIN grid
+             |GROUP BY grid_pt, threshold ORDER BY grid_pt""".stripMargin)),
+
+    // Good–Turing count-class smoothing: the count-of-counts table N_r
+    // and the discounted estimate r* = (r+1)·N_{r+1}/N_r for the low
+    // count classes — how an n-gram LM reserves mass for unseen events
+    // (the missing-mass estimate N_1/N is the first row's headline). The
+    // table is |count classes|-sized; corpus touched once. Exact
+    // rationals.
+    Entry("q273_good_turing",
+      (s, d) => {
+        import graft.functions.Fns
+        // 3-shingle "events", not unigrams — the 31-word vocabulary has no
+        // low count classes, shingles populate r = 1..5 at every SF
+        val counts = Tables.documents(s, d)
+          .select(explode(Fns.shingles(Fns.tokens(col("text")), 3)).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("r"))
+        val nr = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        nr
+          .withColumn("n_r_next",
+            lead(col("n_r"), 1).over(Window.orderBy(col("r"))))
+          .withColumn("n_total", sum(col("r") * col("n_r")).over(wAll))
+          .filter(col("r") <= 5)
+          .select(col("r"), col("n_r"),
+            ((col("r") + 1) * coalesce(col("n_r_next"), lit(0L)) /
+              col("n_r")).as("r_star"),
+            (col("r") * col("n_r") / col("n_total")).as("class_mass"))
+          .orderBy(col("r"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |counts AS (
+             |  SELECT w, count(*) AS r FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+             |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS w
+             |    FROM toks)
+             |  GROUP BY w),
+             |nr AS (SELECT r, count(*) AS n_r FROM counts GROUP BY r),
+             |t AS (
+             |  SELECT r, n_r,
+             |    lead(n_r) OVER (ORDER BY r) AS n_r_next,
+             |    CAST(sum(r * n_r) OVER () AS BIGINT) AS n_total
+             |  FROM nr)
+             |SELECT r, n_r,
+             |  (r + 1) * coalesce(n_r_next, 0)::DOUBLE / n_r AS r_star,
+             |  r * n_r::DOUBLE / n_total AS class_mass
+             |FROM t WHERE r <= 5 ORDER BY r""".stripMargin)),
+
+    // Decile gains table: rank users by score, split into deciles, report
+    // per-decile capture and CUMULATIVE capture of positives vs the
+    // random baseline (lift) — the targeting readout ("the top 20% of the
+    // list holds X% of the positives"). ntile over the exact integer
+    // score (cross-engine stable ordering with the id tie-break);
+    // cumulative sums over the 10-row decile relation.
+    Entry("q274_gains_table",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("score"),
+            (sum(when(col("event_type") === "error", 1L).otherwise(0L)) * 5 >
+              count(lit(1))).as("pos"))
+        val deciled = users.withColumn("decile",
+          ntile(10).over(Window.orderBy(desc("score"), col("user_id"))))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        deciled.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+          .withColumn("cum_n", sum(col("n")).over(wCum))
+          .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+          .withColumn("tot_n", sum(col("n")).over(wAll))
+          .select(col("decile"), col("n"), col("n_pos"),
+            (col("cum_pos") / col("tot_pos")).as("cum_capture"),
+            ((col("cum_pos") / col("tot_pos")) /
+              (col("cum_n") / col("tot_n"))).as("cum_lift"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, count(*) AS score,
+             |    5 * count(CASE WHEN event_type = 'error' THEN 1 END)
+             |      > count(*) AS pos
+             |  FROM events GROUP BY user_id),
+             |deciled AS (
+             |  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id)
+             |      AS decile
+             |  FROM users),
+             |agg AS (
+             |  SELECT decile, count(*) AS n,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_pos
+             |  FROM deciled GROUP BY decile),
+             |c AS (
+             |  SELECT *,
+             |    CAST(sum(n_pos) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_pos,
+             |    CAST(sum(n) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_n,
+             |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos,
+             |    CAST(sum(n) OVER () AS BIGINT) AS tot_n
+             |  FROM agg)
+             |SELECT decile, n, n_pos,
+             |  cum_pos::DOUBLE / tot_pos AS cum_capture,
+             |  (cum_pos::DOUBLE / tot_pos) / (cum_n::DOUBLE / tot_n)
+             |    AS cum_lift
+             |FROM c ORDER BY decile""".stripMargin))
+  )
+}
