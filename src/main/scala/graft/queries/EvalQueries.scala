@@ -236,6 +236,86 @@ object EvalQueries {
              |  ON substr(a.journey, 1, 3) = substr(b.journey, 1, 3)
              | AND a.user_id < b.user_id
              |WHERE levenshtein(a.journey, b.journey) <= 3
-             |ORDER BY lev, u_a, u_b LIMIT 50""".stripMargin))
+             |ORDER BY lev, u_a, u_b LIMIT 50""".stripMargin)),
+
+    // Burstiness (Fano factor) per event type: variance-to-mean ratio of
+    // hourly arrival counts — F ≈ 1 is Poisson, F ≫ 1 is bursty (retry
+    // storms, bots), F < 1 is rate-limited. Variance from exact integer
+    // power sums (Σx, Σx²), so everything up to the two final divisions
+    // is exact — no variance-of-doubles drift.
+    Entry("q276_fano_burstiness",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("x"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"))
+          .filter(col("n_hours") > 1)
+          .select(col("event_type"), col("n_hours"),
+            (col("s1") / col("n_hours")).as("mean_per_hour"),
+            (((col("s2") - col("s1") * col("s1") / col("n_hours").cast("double")) /
+              (col("n_hours") - 1)) /
+              (col("s1") / col("n_hours"))).as("fano"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n_hours,
+             |    CAST(sum(x) AS BIGINT) AS s1,
+             |    CAST(sum(x * x) AS BIGINT) AS s2
+             |  FROM hourly GROUP BY 1)
+             |SELECT event_type, n_hours,
+             |  s1::DOUBLE / n_hours AS mean_per_hour,
+             |  ((s2 - s1 * s1 / n_hours::DOUBLE) / (n_hours - 1))
+             |    / (s1::DOUBLE / n_hours) AS fano
+             |FROM agg WHERE n_hours > 1 ORDER BY event_type""".stripMargin)),
+
+    // Inter-event dwell-time percentiles per transition: exact p50/p90 of
+    // the gap (seconds) between consecutive events for the 10 most common
+    // (prev → next) transitions — the empirical basis for session-gap
+    // (q37) and state-timeout choices, where q238 calibrates the
+    // watermark. One lag window, one percentile agg per transition.
+    Entry("q277_dwell_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .select(col("prev_type"), col("event_type").as("next_type"),
+            ((col("ts_us") - col("prev_us")) / 1000000.0).as("gap_s"))
+        gaps.groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(gap_s, 0.5)"), 3).as("p50_s"),
+            round(expr("percentile(gap_s, 0.9)"), 3).as("p90_s"))
+          .orderBy(desc("n"), col("prev_type"), col("next_type"))
+          .limit(10)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             |    lag(event_type) OVER w AS prev_type,
+             |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |gaps AS (
+             |  SELECT prev_type, event_type AS next_type,
+             |    (ts_us - prev_us) / 1000000.0 AS gap_s
+             |  FROM seq WHERE prev_type IS NOT NULL)
+             |SELECT prev_type, next_type, count(*) AS n,
+             |  round(quantile_cont(gap_s, 0.5), 3) AS p50_s,
+             |  round(quantile_cont(gap_s, 0.9), 3) AS p90_s
+             |FROM gaps GROUP BY 1, 2
+             |ORDER BY n DESC, prev_type, next_type LIMIT 10""".stripMargin))
   )
 }
