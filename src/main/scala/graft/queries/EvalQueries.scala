@@ -316,6 +316,90 @@ object EvalQueries {
              |  round(quantile_cont(gap_s, 0.5), 3) AS p50_s,
              |  round(quantile_cont(gap_s, 0.9), 3) AS p90_s
              |FROM gaps GROUP BY 1, 2
-             |ORDER BY n DESC, prev_type, next_type LIMIT 10""".stripMargin))
+             |ORDER BY n DESC, prev_type, next_type LIMIT 10""".stripMargin)),
+
+    // Lorenz concentration curve: cumulative share of total events held
+    // by the bottom-p fraction of users, at decile points — the curve
+    // behind q237's Gini scalar ("the top 10% of keys hold X% of the
+    // rows" readout that sizes skew mitigations). ntile over exact
+    // integer activity; shares are exact single divisions over the
+    // 10-row decile relation.
+    Entry("q278_lorenz_curve",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        val deciled = users.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("x"), col("user_id"))))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        deciled.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("rows_held"))
+          .withColumn("cum_rows", sum(col("rows_held")).over(wCum))
+          .withColumn("tot_rows", sum(col("rows_held")).over(wAll))
+          .withColumn("cum_users", sum(col("n_users")).over(wCum))
+          .withColumn("tot_users", sum(col("n_users")).over(wAll))
+          .select(col("decile"), col("n_users"), col("rows_held"),
+            (col("cum_users") / col("tot_users")).as("pop_share"),
+            (col("cum_rows") / col("tot_rows")).as("row_share"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+             |deciled AS (
+             |  SELECT *, ntile(10) OVER (ORDER BY x, user_id) AS decile
+             |  FROM users),
+             |agg AS (
+             |  SELECT decile, count(*) AS n_users,
+             |    CAST(sum(x) AS BIGINT) AS rows_held
+             |  FROM deciled GROUP BY decile),
+             |c AS (
+             |  SELECT *,
+             |    CAST(sum(rows_held) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_rows,
+             |    CAST(sum(rows_held) OVER () AS BIGINT) AS tot_rows,
+             |    CAST(sum(n_users) OVER (ORDER BY decile
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_users,
+             |    CAST(sum(n_users) OVER () AS BIGINT) AS tot_users
+             |  FROM agg)
+             |SELECT decile, n_users, rows_held,
+             |  cum_users::DOUBLE / tot_users AS pop_share,
+             |  cum_rows::DOUBLE / tot_rows AS row_share
+             |FROM c ORDER BY decile""".stripMargin)),
+
+    // Hill tail-index estimator over the top-200 order values: α =
+    // 1 / mean(ln(x_i / x_k)) — is the revenue distribution power-law
+    // heavy (α < 2: variance undefined, whales dominate; mitigations like
+    // q256's winsorizing become mandatory)? Top-k via the bounded top-k
+    // heap; ln-derived output emits float32.
+    Entry("q279_hill_tail",
+      (s, d) => {
+        val k = 200
+        val top = Tables.orders(s, d)
+          .select(col("o_totalprice"), col("o_orderkey"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(k + 1)
+          .localCheckpoint(true) // feeds the cutoff scalar and the mean
+        val cutoff = top.agg(min(col("o_totalprice")).as("x_k"))
+        top.crossJoin(broadcast(cutoff))
+          .filter(col("o_totalprice") > col("x_k"))
+          .agg(count(lit(1)).as("n_tail"),
+            (lit(1.0) / avg(log(col("o_totalprice") / col("x_k"))))
+              .cast("float").as("hill_alpha"),
+            max(col("o_totalprice")).as("x_max"),
+            min(col("x_k")).as("x_k"))
+      },
+      Some("""WITH top AS (
+             |  SELECT o_totalprice FROM orders
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 201),
+             |cutoff AS (SELECT min(o_totalprice) AS x_k FROM top)
+             |SELECT count(*) AS n_tail,
+             |  CAST(1.0 / avg(ln(o_totalprice / x_k)) AS REAL) AS hill_alpha,
+             |  max(o_totalprice) AS x_max, min(x_k) AS x_k
+             |FROM top CROSS JOIN cutoff
+             |WHERE o_totalprice > x_k""".stripMargin))
   )
 }
