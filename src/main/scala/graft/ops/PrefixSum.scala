@@ -38,14 +38,16 @@ object PrefixSum {
     val spark = df.sparkSession
     import spark.implicits._
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // dtype check BEFORE the repartition+checkpoint: analysis is free, and
+    // an invalid call must not pay a full materialization first.
+    require(df.withColumn("_v", valueCol).schema("_v").dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      "globalRunningSum needs a DECIMAL value column (exact, order-independent " +
+        "accumulation) — cast the measure, e.g. col(\"v\").cast(\"decimal(30,10)\")")
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", valueCol)
       .localCheckpoint(true) // pin the partitioning: offsets must describe THIS layout
-    require(ranged.schema("_v").dataType
-        .isInstanceOf[org.apache.spark.sql.types.DecimalType],
-      "globalRunningSum needs a DECIMAL value column (exact, order-independent " +
-        "accumulation) — cast the measure, e.g. col(\"v\").cast(\"decimal(30,10)\")")
     val partials = ranged.groupBy(col("_pid"))
       .agg(sum(col("_v")).as("psum"))
       .collect().map(r => r.getInt(0) -> r.getDecimal(1))
@@ -85,13 +87,15 @@ object PrefixSum {
     val spark = df.sparkSession
     import spark.implicits._
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // dtype check BEFORE the repartition+checkpoint: analysis is free, and
+    // an invalid call must not pay a full materialization first.
+    require(df.withColumn("_v", valueCol).schema("_v").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "globalRunningMax needs a LONG value column — cast the measure")
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", valueCol)
       .localCheckpoint(true) // pin the partitioning: offsets must describe THIS layout
-    require(ranged.schema("_v").dataType ==
-        org.apache.spark.sql.types.LongType,
-      "globalRunningMax needs a LONG value column — cast the measure")
     val partials = ranged.groupBy(col("_pid"))
       .agg(max(col("_v")).as("pmax"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
@@ -110,22 +114,95 @@ object PrefixSum {
       .drop("_pid", "_off", "_v")
   }
 
+  /** Global 1-based `row_number()` over the total order `orderCols`,
+    * appended as LONG column `out` — the distributed form of
+    * `row_number().over(Window.orderBy(...))`, which Catalyst executes as
+    * ONE task holding the whole relation. Same two-pass scheme as
+    * [[globalRunningSum]]: range-repartition by the order, per-partition
+    * COUNTS (one long per partition) → exclusive offsets broadcast back →
+    * per-partition `row_number` + offset. Ranks are exact integers, so the
+    * output is bit-identical to the single-window form whenever
+    * `orderCols` is a total (tie-free) order — which it must be anyway for
+    * either form to be deterministic. Rows comparing equal on the range
+    * boundary keys land in one partition, so no rank is ever split. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      out: String = "rn"): DataFrame =
+    rankedWithCount(df, orderCols, out)._1
+
+  /** [[globalRowNumber]] plus the exact total row count N (already known
+    * from the offset pass — no extra scan). Callers that need N in-plan
+    * (ntile cutoffs, "top-10 of n" predicates) take it as a literal. */
+  def globalRowNumberWithCount(df: DataFrame, orderCols: Seq[Column],
+                               out: String = "rn"): (DataFrame, Long) =
+    rankedWithCount(df, orderCols, out)
+
+  /** Distributed `ntile(buckets)` over the total order `orderCols`,
+    * appended as INT column `out`. Bit-identical to the single-window
+    * `ntile` (and to DuckDB/ANSI semantics): with N rows, the first
+    * N mod buckets buckets hold ceil(N/buckets) rows, the rest
+    * floor(N/buckets). The rank comes from [[globalRowNumber]] (two-pass,
+    * no single-task sort); the bucket is then a map-side closed-form
+    * expression of (rank, N) — exact integer arithmetic throughout. */
+  def globalNtile(df: DataFrame, buckets: Int, orderCols: Seq[Column],
+                  out: String): DataFrame = {
+    require(buckets > 0, s"ntile buckets must be positive, got $buckets")
+    val (ranked, n) = rankedWithCount(df, orderCols, "_gnt_rn")
+    val q = n / buckets       // small-bucket size
+    val r = n % buckets       // number of big (q+1-row) buckets
+    val cut = r * (q + 1)     // rows covered by the big buckets
+    // Ranks are < 2^53 so double division is exact for the floor() forms.
+    val rn = col("_gnt_rn")
+    val bucket =
+      if (q == 0) rn // N < buckets: every row is its own bucket
+      else when(rn <= cut, floor((rn - 1) / lit(q + 1)) + 1)
+        .otherwise(lit(r) + floor((rn - cut - 1) / lit(q)) + 1)
+    ranked.withColumn(out, bucket.cast("int")).drop("_gnt_rn")
+  }
+
+  private def rankedWithCount(df: DataFrame, orderCols: Seq[Column],
+                              out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // pin the partitioning: offsets must describe THIS layout
+    val partials = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("pcnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // exclusive prefix count: partition p's offset = rows before p
+    val offsets = partials.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, c)) => pid -> (acc + c)
+    }.init.zip(partials).map { case ((_, off), (pid, _)) => (pid, off) }
+    val total = partials.map(_._2).sum
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    val ranked = ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn(out, (col("_off") + row_number().over(w)).cast("long"))
+      .drop("_pid", "_off")
+    (ranked, total)
+  }
+
   /** Concurrency (sweep-line) profile over half-open activity intervals
     * [startCol, endCol): per time bucket, the net change in active
     * intervals and the number concurrently active. The deltas aggregate
-    * distributedly (one groupBy on the bucket); the cumulative runs over
-    * the DISTINCT-BUCKET domain — bounded by the time range, not the row
-    * count, so the ordered window is a deliberately small relation (for
-    * unbounded domains use [[globalRunningSum]]). All counts are exact
-    * integers. Returns (bucket, net, concurrent) ordered by bucket. */
+    * distributedly (one groupBy on the bucket); the cumulative over the
+    * distinct-bucket domain runs through [[globalRunningSum]] — the
+    * bucket domain is bounded by the time RANGE, not the row count, but a
+    * decade of minute buckets is still 5M rows, far past what one task
+    * should sort. Longs ride the decimal carry losslessly, so all counts
+    * stay exact integers. Returns (bucket, net, concurrent) ordered by
+    * bucket. */
   def concurrencyProfile(df: DataFrame, startCol: Column,
                          endCol: Column): DataFrame = {
     val deltas = df.select(startCol.as("bucket"), lit(1L).as("d"))
       .unionAll(df.select(endCol.as("bucket"), lit(-1L).as("d")))
       .groupBy(col("bucket")).agg(sum(col("d")).as("net"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("concurrent", sum(col("net")).over(w))
+    globalRunningSum(deltas, Seq(col("bucket")),
+        col("net").cast("decimal(20,0)"))
+      .withColumn("concurrent", col("running").cast("long"))
+      .drop("running")
       .orderBy(col("bucket"))
   }
 }

@@ -77,7 +77,10 @@ object EvalQueries {
     // count classes — how an n-gram LM reserves mass for unseen events
     // (the missing-mass estimate N_1/N is the first row's headline). The
     // table is |count classes|-sized; corpus touched once. Exact
-    // rationals.
+    // rationals. N_{r+1} comes from a SELF-JOIN on r+1 (coalesced to 0
+    // when the class is empty), NOT lead() over the present classes —
+    // lead returns N at the next PRESENT r, so a gap (say r=4 empty,
+    // r=6 present) would silently feed r* the wrong numerator.
     Entry("q273_good_turing",
       (s, d) => {
         import graft.functions.Fns
@@ -87,12 +90,12 @@ object EvalQueries {
           .select(explode(Fns.shingles(Fns.tokens(col("text")), 3)).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("r"))
         val nr = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
-        val wAll = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
+        val nextClass = nr.select((col("r") - 1).as("r"),
+          col("n_r").as("n_r_next"))
+        val tot = nr.agg(sum(col("r") * col("n_r")).as("n_total"))
         nr
-          .withColumn("n_r_next",
-            lead(col("n_r"), 1).over(Window.orderBy(col("r"))))
-          .withColumn("n_total", sum(col("r") * col("n_r")).over(wAll))
+          .join(nextClass, Seq("r"), "left")
+          .crossJoin(broadcast(tot))
           .filter(col("r") <= 5)
           .select(col("r"), col("n_r"),
             ((col("r") + 1) * coalesce(col("n_r_next"), lit(0L)) /
@@ -111,31 +114,32 @@ object EvalQueries {
              |    FROM toks)
              |  GROUP BY w),
              |nr AS (SELECT r, count(*) AS n_r FROM counts GROUP BY r),
-             |t AS (
-             |  SELECT r, n_r,
-             |    lead(n_r) OVER (ORDER BY r) AS n_r_next,
-             |    CAST(sum(r * n_r) OVER () AS BIGINT) AS n_total
-             |  FROM nr)
-             |SELECT r, n_r,
-             |  (r + 1) * coalesce(n_r_next, 0)::DOUBLE / n_r AS r_star,
-             |  r * n_r::DOUBLE / n_total AS class_mass
-             |FROM t WHERE r <= 5 ORDER BY r""".stripMargin)),
+             |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_total FROM nr)
+             |SELECT a.r, a.n_r,
+             |  (a.r + 1) * coalesce(b.n_r, 0)::DOUBLE / a.n_r AS r_star,
+             |  a.r * a.n_r::DOUBLE / n_total AS class_mass
+             |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+             |CROSS JOIN tot
+             |WHERE a.r <= 5 ORDER BY a.r""".stripMargin)),
 
     // Decile gains table: rank users by score, split into deciles, report
     // per-decile capture and CUMULATIVE capture of positives vs the
     // random baseline (lift) — the targeting readout ("the top 20% of the
-    // list holds X% of the positives"). ntile over the exact integer
-    // score (cross-engine stable ordering with the id tie-break);
-    // cumulative sums over the 10-row decile relation.
+    // list holds X% of the positives"). The user relation is corpus-sized,
+    // so the decile cut is the two-pass BSP ranker (PrefixSum.globalNtile)
+    // over the exact integer score with the id tie-break — bit-identical
+    // to ANSI ntile, no single-task global sort; the remaining cumulative
+    // windows run over the 10-row decile relation.
     Entry("q274_gains_table",
       (s, d) => {
+        import graft.ops.PrefixSum
         val users = Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("score"),
             (sum(when(col("event_type") === "error", 1L).otherwise(0L)) * 5 >
               count(lit(1))).as("pos"))
-        val deciled = users.withColumn("decile",
-          ntile(10).over(Window.orderBy(desc("score"), col("user_id"))))
+        val deciled = PrefixSum.globalNtile(users, 10,
+          Seq(desc("score"), col("user_id")), "decile")
         val wCum = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.rowsBetween(
@@ -240,17 +244,29 @@ object EvalQueries {
 
     // Burstiness (Fano factor) per event type: variance-to-mean ratio of
     // hourly arrival counts — F ≈ 1 is Poisson, F ≫ 1 is bursty (retry
-    // storms, bots), F < 1 is rate-limited. Variance from exact integer
-    // power sums (Σx, Σx²), so everything up to the two final divisions
-    // is exact — no variance-of-doubles drift.
+    // storms, bots), F < 1 is rate-limited. The hourly relation is
+    // DENSIFIED against the global hour range (type × hour grid, absent
+    // hours = 0 arrivals) — grouping only observed hours would drop the
+    // zero-count hours, biasing the mean up and F down for sparse types
+    // and breaking the "F ≈ 1 is Poisson" readout. Variance from exact
+    // integer power sums (Σx, Σx²), so everything up to the two final
+    // divisions is exact — no variance-of-doubles drift.
     Entry("q276_fano_burstiness",
       (s, d) => {
-        val hourly = Tables.events(s, d)
-          .select(col("event_type"),
-            date_trunc("hour", col("ts")).as("h"))
-          .groupBy(col("event_type"), col("h"))
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        val hourly = ev.groupBy(col("event_type"), col("h"))
           .agg(count(lit(1)).as("x"))
-        hourly.groupBy(col("event_type"))
+        // global hour domain, in-plan (broadcast grid: |types| × |hours|,
+        // bounded by the time range at any corpus size)
+        val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+        val dense = ev.select(col("event_type")).distinct()
+          .crossJoin(hours)
+          .join(hourly, Seq("event_type", "h"), "left")
+          .withColumn("x", coalesce(col("x"), lit(0L)))
+        dense.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_hours"),
             sum(col("x")).as("s1"),
             sum(col("x") * col("x")).as("s2"))
@@ -262,15 +278,25 @@ object EvalQueries {
               (col("s1") / col("n_hours"))).as("fano"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH hourly AS (
-             |  SELECT event_type, date_trunc('hour', ts) AS h,
-             |    count(*) AS x
-             |  FROM events GROUP BY 1, 2),
+      Some("""WITH ev AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+             |hourly AS (
+             |  SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2),
+             |hours AS (
+             |  SELECT unnest(generate_series(min(h), max(h),
+             |    INTERVAL 1 HOUR)) AS h
+             |  FROM ev),
+             |dense AS (
+             |  SELECT t.event_type, hr.h, coalesce(hourly.x, 0) AS x
+             |  FROM (SELECT DISTINCT event_type FROM ev) t
+             |  CROSS JOIN hours hr
+             |  LEFT JOIN hourly ON hourly.event_type = t.event_type
+             |    AND hourly.h = hr.h),
              |agg AS (
              |  SELECT event_type, count(*) AS n_hours,
              |    CAST(sum(x) AS BIGINT) AS s1,
              |    CAST(sum(x * x) AS BIGINT) AS s2
-             |  FROM hourly GROUP BY 1)
+             |  FROM dense GROUP BY 1)
              |SELECT event_type, n_hours,
              |  s1::DOUBLE / n_hours AS mean_per_hour,
              |  ((s2 - s1 * s1 / n_hours::DOUBLE) / (n_hours - 1))
@@ -321,15 +347,18 @@ object EvalQueries {
     // Lorenz concentration curve: cumulative share of total events held
     // by the bottom-p fraction of users, at decile points — the curve
     // behind q237's Gini scalar ("the top 10% of keys hold X% of the
-    // rows" readout that sizes skew mitigations). ntile over exact
-    // integer activity; shares are exact single divisions over the
-    // 10-row decile relation.
+    // rows" readout that sizes skew mitigations). The decile cut over the
+    // corpus-sized user relation is the two-pass BSP ranker
+    // (PrefixSum.globalNtile) on exact integer activity — bit-identical
+    // to ANSI ntile, no single-task global sort; shares are exact single
+    // divisions over the 10-row decile relation.
     Entry("q278_lorenz_curve",
       (s, d) => {
+        import graft.ops.PrefixSum
         val users = Tables.events(s, d)
           .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-        val deciled = users.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("x"), col("user_id"))))
+        val deciled = PrefixSum.globalNtile(users, 10,
+          Seq(col("x"), col("user_id")), "decile")
         val wCum = Window.orderBy(col("decile"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.rowsBetween(

@@ -19,8 +19,10 @@ object PipelineQueries {
     // corpus-health diagnostic (natural text fits slope ≈ −1; template or
     // machine-generated text flattens or steepens it — compare per-source
     // to catch synthetic contamination). One explode + one map-side-combined
-    // count; the regression runs on a 200-row relation, so the OLS sums are
-    // a single partial-aggregable pass. Slope/intercept/r² emitted float32
+    // count; the top-200 cut is orderBy+limit (TakeOrderedAndProject — a
+    // distributed per-partition top-k, never a global sort), so the ONLY
+    // ordered window runs on the 200-row relation and the OLS sums are a
+    // single partial-aggregable pass. Slope/intercept/r² emitted float32
     // (ln low bits and partition sum order are engine-dependent).
     Entry("q229_zipf_fit",
       (s, d) => {
@@ -28,9 +30,9 @@ object PipelineQueries {
           .select(explode(Fns.tokens(col("text"))).as("w"))
           .filter(length(col("w")) > 0)
           .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        tf.withColumn("rank",
+        tf.orderBy(desc("cnt"), col("w")).limit(200)
+          .withColumn("rank",
             row_number().over(Window.orderBy(desc("cnt"), col("w"))))
-          .filter(col("rank") <= 200)
           .agg(
             count(lit(1)).as("n_terms"),
             expr("regr_slope(ln(cnt), ln(rank))").cast("float").as("zipf_slope"),
@@ -465,24 +467,25 @@ object PipelineQueries {
     // key, the exact Gini coefficient of the key-frequency distribution,
     // top-1 / top-10 key shares, and the max key size. Gini over sorted
     // frequencies is all-integer ((2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)) — one
-    // division, bit-exact. One count-agg + one window per audited key.
+    // division, bit-exact. Ranks over the key-frequency relation (itself
+    // corpus-growing: 10⁹ users at the target scale) come from the
+    // two-pass BSP ranker (PrefixSum.globalRowNumber — range partials +
+    // broadcast offsets), never a single-task global-sort window; the key
+    // count it already knows feeds the top-10 predicate as a literal.
     Entry("q237_key_skew",
       (s, d) => {
+        import graft.ops.PrefixSum
         def audit(df: org.apache.spark.sql.DataFrame, key: String,
                   keyName: String) = {
           val freq = df.groupBy(col(key)).agg(count(lit(1)).as("x"))
-          val ranked = freq
-            .withColumn("i",
-              row_number().over(Window.orderBy(col("x"), col(key))).cast("long"))
-            .withColumn("nk", count(lit(1)).over(
-              Window.rowsBetween(Window.unboundedPreceding,
-                Window.unboundedFollowing)))
+          val (ranked, nk) = PrefixSum.globalRowNumberWithCount(
+            freq, Seq(col("x"), col(key)), "i")
           ranked.agg(
               count(lit(1)).as("n_keys"),
               sum(col("x")).as("n_rows"),
               sum(col("i") * col("x")).as("s1"),
               max(col("x")).as("max_freq"),
-              sum(when(col("i") > col("nk") - 10, col("x")).otherwise(0L))
+              sum(when(col("i") > lit(nk) - 10, col("x")).otherwise(0L))
                 .as("top10_rows"))
             .select(lit(keyName).as("key_name"), col("n_keys"), col("n_rows"),
               ((lit(2L) * col("s1") - (col("n_keys") + 1) * col("n_rows")) /
@@ -875,7 +878,11 @@ object PipelineQueries {
           sa.crossJoin(broadcast(sb)).crossJoin(broadcast(ex))
             .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
               col("d_left"), col("d_right"), col("exact_rows"),
-              ((col("n_left") * col("n_right")) /
+              // n_left·n_right in DOUBLE: both counts are exact below 2^53
+              // so the product rounds once — a long×long product would
+              // silently overflow at the row counts this query documents
+              // (≥ ~3e9 per side at the 100 TB target)
+              ((col("n_left").cast("double") * col("n_right")) /
                 greatest(col("d_left"), col("d_right")).cast("double"))
                 .as("est_rows"))
         }
@@ -1249,18 +1256,21 @@ object PipelineQueries {
 
     // CCNet-style perplexity bucketing: split the corpus into head /
     // middle / tail terciles by unigram-LM surprise (q145's score) — the
-    // standard "keep head+middle, drop tail" curation heuristic. Bucket
-    // boundaries via ntile over the float32 score (cross-engine stable);
-    // at corpus scale the thresholds come from a quantile sketch (q128
-    // family) and the assignment is map-side — the ntile here is the
-    // oracle-exact small-scale form. Per-bucket stats are combinable aggs.
+    // standard "keep head+middle, drop tail" curation heuristic. Tercile
+    // assignment is EXACT and distributed: the two-pass BSP ranker
+    // (PrefixSum.globalNtile — range partials + broadcast offsets + a
+    // closed-form map-side bucket from (rank, N)) over the float32 score
+    // (cross-engine stable) with the doc_id tie-break; bit-identical to
+    // ANSI ntile with no single-task global sort. (The sketch-threshold
+    // form of the q128 family remains the approximate alternative when
+    // exact boundaries aren't required.) Per-bucket stats are combinable.
     Entry("q250_ccnet_buckets",
       (s, d) => {
-        import graft.ops.TextAnalysis
-        val sc = TextAnalysis.unigramSurprise(
-            Tables.documents(s, d), "doc_id", "text")
-          .withColumn("bucket", ntile(3).over(
-            Window.orderBy(col("avg_surprise"), col("doc_id"))))
+        import graft.ops.{PrefixSum, TextAnalysis}
+        val sc = PrefixSum.globalNtile(
+          TextAnalysis.unigramSurprise(
+            Tables.documents(s, d), "doc_id", "text"),
+          3, Seq(col("avg_surprise"), col("doc_id")), "bucket")
         sc.groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
@@ -1648,26 +1658,30 @@ object PipelineQueries {
 
     // Negative-sampling table (word2vec): the unigram^0.75 distribution
     // with cumulative boundaries — what a contrastive trainer samples
-    // negatives from. The table is VOCAB-sized (the corpus is touched once
-    // for counts), so the ordered cumulative window is deliberately tiny.
-    // pow/sum-order outputs emit float32.
+    // negatives from. The table is VOCAB-sized (the corpus is touched
+    // once for counts) but a web-scale vocabulary is itself 10⁸ rows, so
+    // the cumulative runs through the two-pass BSP prefix sum
+    // (PrefixSum.globalRunningSum — decimal carry, order-independent and
+    // exact under any partitioning) and Z is one map-side-combinable
+    // decimal agg, broadcast back — no single-task window anywhere.
+    // pow/division outputs emit float32.
     Entry("q258_negative_sampling",
       (s, d) => {
+        import graft.ops.PrefixSum
         val cnt = Tables.documents(s, d)
           .select(explode(Fns.tokens(col("text"))).as("w"))
           .filter(length(col("w")) > 0)
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val wAll = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        val wCum = Window.orderBy(col("w"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cnt
           .withColumn("wt", pow(col("c"), 0.75))
-          .withColumn("z", sum(col("wt")).over(wAll))
-          .withColumn("p", col("wt") / col("z"))
+        val zDf = cnt.agg(
+          sum(col("wt").cast("decimal(38,15)")).as("z"))
+        PrefixSum.globalRunningSum(cnt, Seq(col("w")),
+            col("wt").cast("decimal(38,15)"))
+          .crossJoin(broadcast(zDf))
           .select(col("w"), col("c"),
-            col("p").cast("float").as("p"),
-            (sum(col("wt")).over(wCum) / col("z")).cast("float").as("cum_p"))
+            (col("wt") / col("z").cast("double")).cast("float").as("p"),
+            (col("running").cast("double") / col("z").cast("double"))
+              .cast("float").as("cum_p"))
           .orderBy(col("w"))
       },
       Some("""WITH cnt AS (

@@ -353,19 +353,22 @@ object RefinementQueries {
     // Exact Spearman rank correlation between the quality composite and
     // document length — the signal-redundancy check before adding a new
     // quality feature. Total tie order (metric, doc_id) makes ranks
-    // integers; ρ = 1 − 6Σd²/(n(n²−1)) is exact longs + ONE division.
+    // integers; both rank passes are the two-pass BSP ranker
+    // (PrefixSum.globalRowNumber — range partials + broadcast offsets),
+    // bit-identical to the single-window row_number with no single-task
+    // global sort over the corpus-sized doc relation.
+    // ρ = 1 − 6Σd²/(n(n²−1)) is exact longs + ONE division.
     Entry("q206_rank_correlation",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.ops.PrefixSum
         val docs = Tables.documents(s, d)
         val q = TextAnalysis.quality(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality"))
           .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        val ranked = q
-          .withColumn("rq", row_number().over(
-            Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
-          .withColumn("rl", row_number().over(
-            Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        val ranked = PrefixSum.globalRowNumber(
+          PrefixSum.globalRowNumber(q,
+            Seq(col("quality"), col("doc_id")), "rq"),
+          Seq(col("n_chars"), col("doc_id")), "rl")
         ranked.agg(count(lit(1)).as("n"),
             sum((col("rq") - col("rl")) * (col("rq") - col("rl"))).as("sum_d2"))
           .select(col("n"), col("sum_d2"),
@@ -1066,14 +1069,18 @@ object RefinementQueries {
 
     // RFM segmentation: recency (days since last order), frequency (order
     // count) and monetary (total spend) per customer, each cut into
-    // quartiles by ntile over a deterministic total order — the classic
-    // customer-value segmentation. The reference date is the corpus max
+    // quartiles over a deterministic total order — the classic
+    // customer-value segmentation. The customer relation is corpus-sized
+    // (10⁹ at target scale), so each quartile cut is the two-pass BSP
+    // ranker (PrefixSum.globalNtile: range partials + broadcast offsets +
+    // closed-form map-side bucket) — bit-identical to ANSI ntile with no
+    // single-task global sort. The reference date is the corpus max
     // order date, computed IN-PLAN (the q120 lesson: no driver-side
     // actions in query construction). Exact integers and one spend sum
     // per customer (sum of doubles within one group — rounded at emit).
     Entry("q213_rfm",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.ops.PrefixSum
         val o = Tables.orders(s, d)
         val maxDate = o.agg(max(col("o_orderdate")).as("max_d"))
         val rfm = o.groupBy(col("o_custkey"))
@@ -1082,13 +1089,14 @@ object RefinementQueries {
             round(sum(col("o_totalprice")), 2).as("monetary"))
           .crossJoin(broadcast(maxDate))
           .withColumn("recency_days", datediff(col("max_d"), col("last_d")))
-        rfm
-          .withColumn("r_q", ntile(4).over(
-            Window.orderBy(col("recency_days"), col("o_custkey"))))
-          .withColumn("f_q", ntile(4).over(
-            Window.orderBy(desc("frequency"), col("o_custkey"))))
-          .withColumn("m_q", ntile(4).over(
-            Window.orderBy(desc("monetary"), col("o_custkey"))))
+        val cut = Seq(
+          ("r_q", Seq(col("recency_days"), col("o_custkey"))),
+          ("f_q", Seq(desc("frequency"), col("o_custkey"))),
+          ("m_q", Seq(desc("monetary"), col("o_custkey"))))
+          .foldLeft(rfm) { case (df, (name, order)) =>
+            PrefixSum.globalNtile(df, 4, order, name)
+          }
+        cut
           .select(col("o_custkey"), col("recency_days"), col("frequency"),
             col("monetary"), col("r_q"), col("f_q"), col("m_q"))
           .orderBy(col("o_custkey"))

@@ -58,6 +58,53 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber is BIT-EQUAL to the single-window row_number " +
+       "(asc and desc, skewed keys) and never funnels through one partition") {
+    val rnd = new scala.util.Random(23)
+    // heavy-tailed first key (lots of range-boundary ties) + unique tie-break
+    val df = (1L to 20000L).map { i =>
+      (i, math.min(rnd.nextInt(40), rnd.nextInt(4)), rnd.nextDouble())
+    }.toDF("id", "grp", "v")
+    for (order <- Seq(Seq(col("grp"), col("id")),
+                      Seq(desc("v"), col("id")),
+                      Seq(col("grp"), desc("v"), col("id")))) {
+      val out = PrefixSum.globalRowNumber(df, order, "rn")
+      val expect = df.withColumn("rn",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === expect, s"order $order")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        "global row_number fell back to a single-partition exchange:\n" + plan)
+    }
+    // the with-count variant reports the exact N it already knows
+    val (_, n) = PrefixSum.globalRowNumberWithCount(df, Seq(col("id")))
+    assert(n === 20000L)
+  }
+
+  test("globalNtile matches single-window ntile for every (N, buckets) " +
+       "shape: N<n, N=n, divisible, remainder, skew") {
+    val rnd = new scala.util.Random(31)
+    for ((rows, buckets) <- Seq((3, 10), (10, 10), (40, 4), (4033, 10),
+                                (997, 3), (5000, 4))) {
+      val df = (1L to rows.toLong).map { i =>
+        (i, math.min(rnd.nextInt(1000), rnd.nextInt(30)))
+      }.toDF("id", "x")
+      val order = Seq(col("x"), col("id"))
+      val out = PrefixSum.globalNtile(df, buckets, order, "b")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val expect = df.withColumn("b",
+          ntile(buckets).over(Window.orderBy(order: _*)))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(out === expect, s"rows=$rows buckets=$buckets")
+    }
+    // empty input: no rows, no crash
+    val empty = Seq.empty[(Long, Long)].toDF("id", "x")
+    assert(PrefixSum.globalNtile(empty, 7, Seq(col("x"), col("id")), "b")
+      .count() === 0L)
+  }
+
   test("concurrencyProfile: hand-checked sweep, net sums to zero") {
     // intervals [1,4), [2,3), [3,5): concurrency 1,2,2,1 at t=1..4
     val iv = Seq((1L, 4L), (2L, 3L), (3L, 5L)).toDF("s", "e")
