@@ -372,9 +372,27 @@ object Dedup {
     */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
     val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
+    val cand = prefixCandidates(sh, threshold)
+    // verification shingle sets only for docs a candidate pair touches —
+    // the same candidate-proportional discipline as minhashLsh
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val out = jaccardVerify(cand, shCand, threshold)
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** Candidate-pair generation for [[prefixFilterJoin]] — exposed at
+    * package level so the spec can pin the metric that makes prefix
+    * filtering the default exact path: |prefix candidates| strictly below
+    * the inverted-index co-occurrence pair count jaccardPairs verifies. */
+  private[graft] def prefixCandidates(sh: DataFrame,
+                                      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Per-doc global-order rank; keep only the prefix. BOTH corpus stats
     // ride windows instead of aggregate+join round-trips: document
     // frequency is a count() over shingle partitions, set size n and the
@@ -398,7 +416,7 @@ object Dedup {
     // passing bound, so dropping failing occurrences loses nothing (classic
     // PPJoin argument) while cutting candidates ~50× on near-miss pairs.
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"),
+    pref.select(col("doc_id").as("doc_a"), col("shingle"),
         col("n").as("na"), col("rn").as("rna"))
       .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
         col("n").as("nb"), col("rn").as("rnb")), Seq("shingle"))
@@ -408,17 +426,8 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
       // near-dup-population-sized, not corpus-sized: collapse partitions so
       // the verify stages don't pay 32 task launches per tiny relation
-      .coalesce(math.max(1, docs.sparkSession.sessionState.conf.numShufflePartitions / 8))
+      .coalesce(math.max(1, sh.sparkSession.sessionState.conf.numShufflePartitions / 8))
       .localCheckpoint(true)
-    // verification shingle sets only for docs a candidate pair touches —
-    // the same candidate-proportional discipline as minhashLsh
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val out = jaccardVerify(cand, shCand, threshold)
-      .localCheckpoint(true)
-    sh.unpersist()
-    out
   }
 
   /** Content-defined chunking + cross-document chunk dedup (the

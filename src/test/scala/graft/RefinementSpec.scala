@@ -44,6 +44,32 @@ class RefinementSpec extends SparkSpec {
     assert(pref === Set((1L, 2L)))
   }
 
+  test("prefix filtering is the default embedded exact-Jaccard path: " +
+       "same verified pairs as the inverted-index join on the real corpus, " +
+       "with a strictly smaller candidate set") {
+    // The metric that justifies routing q190/q191/q267 (and every other
+    // embedded ground-truth call) through prefixFilterJoin: the candidate
+    // join touches only rare-prefix co-occurrences, never every pair that
+    // shares ANY shingle. Hash parity is covered by the driver gate; this
+    // pins the candidate-volume win so a regression to the q21 join shape
+    // is loud.
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    val invertedIndexPairs = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val prefixPairs = Dedup.prefixCandidates(sh, 0.5).count()
+    sh.unpersist()
+    assert(prefixPairs < invertedIndexPairs,
+      s"prefix filter did not shrink candidates: $prefixPairs vs $invertedIndexPairs")
+    // verified outputs agree exactly on the real corpus (not just fixtures)
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref === brute)
+  }
+
   test("leakageSafeSplit: clusters land wholly in one split; all docs covered") {
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select(col("doc_a"), col("doc_b"))
