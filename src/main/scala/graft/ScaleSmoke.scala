@@ -709,6 +709,209 @@ object ScaleSmoke {
         f"k-center wall time super-linear: $kcSecS%.1f -> $kcSecL%.1f for 10x")
     }
 
+    // ---- Exact-rank tier (the q206/q213/q229/q237/q250/q258/q274/q278
+    // replacement shape): the two-pass BSP ranker at 10⁷ rows. The small
+    // tier pins BIT-equality with the single-window form (the claim that
+    // made the refactor hash-safe); the large tier pins the invariants a
+    // single-task sort cannot fake: rank bijection, ANSI ntile bucket
+    // sizing, bucket/order consistency, and per-task row bounds (no
+    // partition ever holds the whole relation).
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.PrefixSum
+      def freqRel(n: Long) = spark.range(0, n).select(
+        col("id").as("k"),
+        // cast back to long: Spark's long/long division yields DOUBLE
+        (lit(10000000L) /
+          (pmod(xxhash64(col("id") * 31 + 7), lit(1000000L)) + 1L))
+          .cast("long").as("x"))
+      val order = Seq(col("x"), col("k"))
+      val small = freqRel(200000L).localCheckpoint(true)
+      val twoPass = PrefixSum.globalRowNumber(small, order, "rn")
+      val oneTask = small.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      val rankDiff = twoPass.select(col("k"), col("rn"))
+        .join(oneTask.select(col("k"), col("rn").as("rn1")), "k")
+        .filter(col("rn") =!= col("rn1")).count()
+      val ntDiff = PrefixSum.globalNtile(small, 10, order, "b")
+        .select(col("k"), col("b"))
+        .join(small.withColumn("b1",
+            ntile(10).over(Window.orderBy(order: _*)))
+          .select(col("k"), col("b1")), "k")
+        .filter(col("b") =!= col("b1")).count()
+      println(s"[scale-smoke] exact-rank small: rows=200000 " +
+        s"rankMismatches=$rankDiff ntileMismatches=$ntDiff")
+      assert(rankDiff == 0, "two-pass rank diverged from the single-window form")
+      assert(ntDiff == 0, "two-pass ntile diverged from the single-window form")
+
+      val n = 10000000L
+      val big = freqRel(n).localCheckpoint(true)
+      val t = System.nanoTime()
+      val ranked = PrefixSum.globalRowNumber(big, order, "rn")
+        .localCheckpoint(true)
+      val rkSecs = (System.nanoTime() - t) / 1e9
+      val st = ranked.agg(count(lit(1)).as("c"), min(col("rn")).as("mn"),
+        max(col("rn")).as("mx"), count_distinct(col("rn")).as("d")).head()
+      assert(st.getLong(0) == n && st.getLong(1) == 1L &&
+        st.getLong(2) == n && st.getLong(3) == n,
+        s"rank not a 1..N bijection: $st")
+      val perTask = ranked.withColumn("p", spark_partition_id())
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      println(f"[scale-smoke] exact-rank large: rows=$n " +
+        f"maxTaskRows=$perTask rankSeconds=$rkSecs%.1f")
+      assert(perTask < 4 * n / 32,
+        s"rank funneled $perTask of $n rows through one task")
+      val t2 = System.nanoTime()
+      val nt = PrefixSum.globalNtile(big, 10, order, "b").localCheckpoint(true)
+      val ntSecs = (System.nanoTime() - t2) / 1e9
+      val buckets = nt.groupBy(col("b"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("x"), col("k"))).as("lo"),
+          max(struct(col("x"), col("k"))).as("hi"))
+        .orderBy(col("b")).collect()
+      println(f"[scale-smoke] exact-ntile large: buckets=${buckets.length} " +
+        f"ntileSeconds=$ntSecs%.1f")
+      assert(buckets.length == 10, s"expected 10 buckets: ${buckets.length}")
+      val cs = buckets.map(_.getLong(1))
+      assert(cs.max - cs.min <= 1, s"ANSI bucket sizing violated: ${cs.toSeq}")
+      buckets.sliding(2).foreach { case Array(a, b) =>
+        val (hiA, loB) = (a.getStruct(3), b.getStruct(2))
+        val ordered = hiA.getLong(0) < loB.getLong(0) ||
+          (hiA.getLong(0) == loB.getLong(0) && hiA.getLong(1) < loB.getLong(1))
+        assert(ordered, s"bucket ${a.getInt(0)} overlaps ${b.getInt(0)}: $hiA vs $loB")
+      }
+    }
+
+    // ---- Large-vocab text tier: the documents fixture's ~31-word base
+    // vocabulary never stresses vocab-keyed shuffles, so the q229 (Zipf
+    // top-k + OLS), q258 (unigram^0.75 sampling table) and q145 (per-doc
+    // unigram surprise) shapes run here against 10⁶ DISTINCT tokens. The
+    // Zipf fit doubles as a numeric check: cnt(r) = ⌊10⁷/r⌋ has slope −1
+    // by construction.
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.PrefixSum
+      val V = 1000000L
+      val tf = spark.range(1, V + 1).select(
+        concat(lit("t"), col("id")).as("w"),
+        (lit(10000000L) / col("id")).cast("long").as("cnt"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val zipf = tf.orderBy(desc("cnt"), col("w")).limit(200)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), col("w"))))
+        .agg(count(lit(1)).as("n_terms"),
+          expr("regr_slope(ln(cnt), ln(rank))").as("slope")).head()
+      val zSecs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-smoke] zipf 1e6-vocab: topTerms=${zipf.getLong(0)} " +
+        f"slope=${zipf.getDouble(1)}%.4f zipfSeconds=$zSecs%.1f")
+      assert(zipf.getLong(0) == 200L, "top-200 cut lost terms")
+      assert(math.abs(zipf.getDouble(1) + 1.0) < 0.02,
+        s"Zipf slope off the constructed -1: ${zipf.getDouble(1)}")
+
+      val t1 = System.nanoTime()
+      val wtd = tf.withColumn("wt", pow(col("cnt"), 0.75))
+      val zDf = wtd.agg(sum(col("wt").cast("decimal(38,15)")).as("z"))
+      val closing = PrefixSum.globalRunningSum(wtd, Seq(col("w")),
+          col("wt").cast("decimal(38,15)"))
+        .crossJoin(broadcast(zDf))
+        .select((col("running").cast("double") / col("z").cast("double"))
+          .as("cum_p"))
+        .agg(count(lit(1)).as("n"), max(col("cum_p")).as("mx")).head()
+      val nsSecs = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-smoke] sampling-table 1e6-vocab: rows=${closing.getLong(0)} " +
+        f"cumClose=${closing.getDouble(1)}%.12f nsSeconds=$nsSecs%.1f")
+      assert(closing.getLong(0) == V, "sampling table lost vocab rows")
+      assert(math.abs(closing.getDouble(1) - 1.0) < 1e-9,
+        s"cumulative mass does not close at 1: ${closing.getDouble(1)}")
+
+      val docs = spark.range(0, 200000).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(20)),
+          i => concat(lit("t"), pmod(xxhash64(col("id") * 23 + i.cast("long") * 101),
+            lit(V))))).as("text"))
+      val t2 = System.nanoTime()
+      val sup = graft.ops.TextAnalysis.unigramSurprise(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("avg_surprise").isNull, 1L).otherwise(0L)).as("nulls")).head()
+      val supSecs = (System.nanoTime() - t2) / 1e9
+      println(f"[scale-smoke] surprise 1e6-vocab: docs=${sup.getLong(0)} " +
+        f"nulls=${sup.getLong(1)} supSeconds=$supSecs%.1f")
+      assert(sup.getLong(0) == 200000L && sup.getLong(1) == 0L,
+        "unigram surprise dropped docs or produced nulls at 1e6 vocab")
+    }
+
+    // ---- Streaming counters tier (T5 at state pressure): 10⁶ keys, two
+    // micro-batches, half the keys' second event arriving LATE (event time
+    // before the stored lastTs — the cross-batch disorder the fold must
+    // absorb). The streamed decay-at-update state must equal the batch
+    // decay-at-read recompute per key: hit counts exactly, EMAs to fp
+    // tolerance (same math, different pow association). Pins the
+    // decay-at-update contract under 10⁶-key state, not 5-row fixtures.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.domain.Schemas.AccessEvent
+      import graft.streaming.Counters
+      import spark.implicits._
+      val nKeys = 1000000
+      val base = 1700000000000L
+      def ev(k: Int, batch: Int): AccessEvent = {
+        val t1 = base + (k % 97).toLong * 3600000L
+        val ts = if (batch == 0) t1
+                 else if (k % 2 == 0) t1 + 5L * 86400000L  // on-time
+                 else t1 - 3L * 86400000L                  // LATE by 3 days
+        AccessEvent(s"e$batch-$k", f"m$k%07d", "u", "retrieval",
+          0.5, (k % 10) / 10.0, new java.sql.Timestamp(ts))
+      }
+      val batch0 = (0 until nKeys).map(ev(_, 0))
+      val batch1 = (0 until nKeys).map(ev(_, 1))
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[AccessEvent]
+      val query = Counters.counterStream(spark, input.toDS())
+        .writeStream.format("memory").queryName("t5scale")
+        .outputMode("update").start()
+      val t = System.nanoTime()
+      try {
+        input.addData(batch0); query.processAllAvailable()
+        input.addData(batch1); query.processAllAvailable()
+      } finally query.stop()
+      val strSecs = (System.nanoTime() - t) / 1e9
+      // final state per key = the update with the max hit_total (hit counts
+      // grow strictly across a key's updates)
+      val streamed = spark.table("t5scale")
+        .groupBy(col("memory_id"))
+        .agg(max(struct(col("hit_total"), col("ema_30d"),
+          col("conf_weighted_30d"))).as("s"))
+        .select(col("memory_id"), col("s.hit_total").as("hit_s"),
+          col("s.ema_30d").as("ema_s"),
+          col("s.conf_weighted_30d").as("conf_s"))
+      // batch decay-at-read recompute over the SAME events
+      val evDf = (batch0 ++ batch1).toDF()
+        .select(col("memory_id"), col("confidence"),
+          unix_millis(col("ts")).as("ms"))
+      val lastTs = evDf.groupBy(col("memory_id")).agg(max(col("ms")).as("last_ms"))
+      val dec = pow(lit(0.5),
+        (col("last_ms") - col("ms")) / lit(86400000.0) / lit(Counters.HalfLifeDays))
+      val batch = evDf.join(lastTs, "memory_id")
+        .groupBy(col("memory_id"))
+        .agg(count(lit(1)).cast("double").as("hit_b"),
+          sum(dec).as("ema_b"),
+          sum(col("confidence") * dec).as("conf_b"))
+      val cmp = streamed.join(batch, "memory_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("hit_s") =!= col("hit_b"), 1L).otherwise(0L)).as("badHits"),
+          max(abs(col("ema_s") - col("ema_b"))).as("emaDiff"),
+          max(abs(col("conf_s") - col("conf_b"))).as("confDiff")).head()
+      println(f"[scale-smoke] streaming-counters: keys=${cmp.getLong(0)} " +
+        f"badHits=${cmp.getLong(1)} emaDiff=${cmp.getDouble(2)}%.2e " +
+        f"confDiff=${cmp.getDouble(3)}%.2e streamSeconds=$strSecs%.1f")
+      assert(cmp.getLong(0) == nKeys.toLong, s"lost keys: ${cmp.getLong(0)}")
+      assert(cmp.getLong(1) == 0L, "streamed hit counts diverged from batch")
+      assert(cmp.getDouble(2) < 1e-9 && cmp.getDouble(3) < 1e-9,
+        "streamed EMA diverged from the batch decay-at-read recompute")
+      spark.sql("DROP TABLE IF EXISTS t5scale")
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }

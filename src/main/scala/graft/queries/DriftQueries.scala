@@ -1,0 +1,687 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns
+import graft.ops.PrefixSum
+
+/** Round-5 set: the statistical-testing suite a training-data pipeline
+  * runs between corpus snapshots — distribution drift (KS, Mann–Whitney,
+  * χ²/Cramér's V, Jensen–Shannon), multiple-testing control (Benjamini–
+  * Hochberg), a deterministic permutation test, and the generation-quality
+  * diagnostics (n-gram novelty, distinct-n diversity). Every ranked or
+  * cumulative step over a corpus-growing relation runs through the
+  * two-pass BSP prefix primitives (ops/PrefixSum.scala) — no single-task
+  * global sorts. Every entry is DuckDB-oracle-checked; transcendental
+  * outputs (ln/exp) emit float32 per the repo-wide discipline, while
+  * division/sqrt chains over exact integers emit full doubles (IEEE ops
+  * on identical inputs are bit-identical across engines).
+  *
+  * The a/b population split used throughout is the source-name length
+  * (src0–src9 vs src10–src19) for documents and an md5-parity user split
+  * for events — deterministic, engine-portable (md5 is bit-identical
+  * everywhere; no engine-specific hash enters an oracle-compared value).
+  */
+object DriftQueries {
+
+  def entries: Seq[Entry] = Seq(
+
+    // Two-sample Kolmogorov–Smirnov over the document-length distribution
+    // of corpus halves: D = max |F_a(x) − F_b(x)| over the observed
+    // support — the standard drift gate between corpus snapshots. Both
+    // ECDFs are exact cumulative counts via the two-pass BSP prefix sum
+    // over the (corpus-growing) distinct-value relation; D is a max of
+    // single divisions of exact integers — bit-identical across engines.
+    Entry("q280_ks_test",
+      (s, d) => {
+        val side = when(length(col("source")) === 4, lit("a")).otherwise(lit("b"))
+        val g = Tables.documents(s, d)
+          .select(col("n_chars"), side.as("side"))
+          .groupBy(col("n_chars"))
+          .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+        val cum = PrefixSum.globalRunningSum(
+          PrefixSum.globalRunningSum(g, Seq(col("n_chars")),
+              col("ca").cast("decimal(20,0)"))
+            .withColumnRenamed("running", "cum_a"),
+          Seq(col("n_chars")), col("cb").cast("decimal(20,0)"))
+          .withColumnRenamed("running", "cum_b")
+        val tot = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+        cum.crossJoin(broadcast(tot))
+          .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+            max(abs(col("cum_a").cast("double") / col("n_a") -
+              col("cum_b").cast("double") / col("n_b"))).as("ks_d"))
+      },
+      Some("""WITH s AS (
+             |  SELECT n_chars,
+             |    CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS side
+             |  FROM documents),
+             |g AS (
+             |  SELECT n_chars,
+             |    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM s GROUP BY 1),
+             |c AS (
+             |  SELECT
+             |    CAST(sum(ca) OVER (ORDER BY n_chars) AS BIGINT) AS cum_a,
+             |    CAST(sum(cb) OVER (ORDER BY n_chars) AS BIGINT) AS cum_b
+             |  FROM g),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             |             CAST(sum(cb) AS BIGINT) AS n_b FROM g)
+             |SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+             |  max(abs(c.cum_a::DOUBLE / t.n_a - c.cum_b::DOUBLE / t.n_b))
+             |    AS ks_d
+             |FROM c CROSS JOIN t""".stripMargin)),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) with midrank tie handling and the
+    // tie-corrected normal approximation — the nonparametric location test
+    // for "did the new crawl shift document lengths?". All rank machinery
+    // is integer-exact WITHOUT materializing per-row ranks: 2·R_a =
+    // Σ_v ca_v·(2·cumBefore_v + ct_v + 1) over the distinct-value relation,
+    // whose cumulative runs through the BSP prefix sum. The z chain is
+    // division/sqrt over exact integers — full-double emit.
+    Entry("q281_mann_whitney",
+      (s, d) => {
+        val side = when(length(col("source")) === 4, lit("a")).otherwise(lit("b"))
+        val g = Tables.documents(s, d)
+          .select(col("n_chars"), side.as("side"))
+          .groupBy(col("n_chars"))
+          .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+          .withColumn("ct", col("ca") + col("cb"))
+        val cum = PrefixSum.globalRunningSum(g, Seq(col("n_chars")),
+            col("ct").cast("decimal(20,0)"))
+          .withColumn("cum", col("running").cast("long")).drop("running")
+        val a = cum.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("ca") * (lit(2L) * (col("cum") - col("ct")) + col("ct") + 1L))
+            .as("two_ra"),
+          sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie_sum"))
+        val uA = (col("two_ra").cast("double") -
+          col("na").cast("double") * (col("na") + lit(1L))) / lit(2.0)
+        val nD = (col("na") + col("nb")).cast("double")
+        val sigma = sqrt(col("na").cast("double") * col("nb") / lit(12.0) *
+          ((col("na") + col("nb") + lit(1L)).cast("double") -
+            col("tie_sum").cast("double") / (nD * (col("na") + col("nb") - lit(1L)))))
+        a.select(col("na").as("n_a"), col("nb").as("n_b"),
+          uA.as("u_a"),
+          ((uA - col("na").cast("double") * col("nb") / lit(2.0)) / sigma).as("z"))
+      },
+      Some("""WITH s AS (
+             |  SELECT n_chars,
+             |    CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS side
+             |  FROM documents),
+             |g AS (
+             |  SELECT n_chars,
+             |    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             |    CAST(count(*) AS BIGINT) AS ct
+             |  FROM s GROUP BY 1),
+             |c AS (
+             |  SELECT *, CAST(sum(ct) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+             |  FROM g),
+             |a AS (
+             |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(sum(ca * (2 * (cum - ct) + ct + 1)) AS BIGINT) AS two_ra,
+             |    CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_sum
+             |  FROM c)
+             |SELECT na AS n_a, nb AS n_b,
+             |  (two_ra::DOUBLE - na::DOUBLE * (na + 1)) / 2.0 AS u_a,
+             |  ((two_ra::DOUBLE - na::DOUBLE * (na + 1)) / 2.0
+             |      - na::DOUBLE * nb / 2.0)
+             |    / sqrt(na::DOUBLE * nb / 12.0 *
+             |        ((na + nb + 1)::DOUBLE
+             |          - tie_sum::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1))))
+             |    AS z
+             |FROM a""".stripMargin)),
+
+    // χ² independence test of event_type × 6-hour daypart, with Cramér's V
+    // effect size — "is traffic mix shifting across dayparts?". The
+    // contingency grid is DENSIFIED (type × daypart cross join, absent
+    // cells observed 0 — a zero cell still contributes its expectation).
+    // Counts exact; each cell term is an exact-integer division, but χ²
+    // SUMS those doubles — addition order is engine-dependent, so χ² and
+    // the V derived from it emit float32 (one-ulp drift seen at sf0.001).
+    Entry("q282_chi_squared",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("hour(ts) div 6").as("daypart"))
+        val obs = ev.groupBy(col("event_type"), col("daypart"))
+          .agg(count(lit(1)).as("o"))
+        val grid = ev.select(col("event_type")).distinct()
+          .crossJoin(ev.select(col("daypart")).distinct())
+          .join(obs, Seq("event_type", "daypart"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+        val rowT = grid.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+        val colT = grid.groupBy(col("daypart")).agg(sum(col("o")).as("ctt"))
+        val nT = grid.agg(sum(col("o")).as("n"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("daypart")).as("c"))
+        val e = col("rt").cast("double") * col("ctt") / col("n")
+        grid.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "daypart")
+          .crossJoin(broadcast(nT))
+          .agg(max(col("n")).as("n"), max(col("r")).as("r"),
+            max(col("c")).as("c"),
+            sum((col("o") - e) * (col("o") - e) / e).as("chi2"))
+          .select(col("n"), col("r"), col("c"),
+            ((col("r") - 1) * (col("c") - 1)).as("dof"),
+            col("chi2").cast("float").as("chi2"),
+            sqrt(col("chi2") / (col("n").cast("double") *
+              least(col("r") - 1, col("c") - 1))).cast("float").as("cramers_v"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, hour(ts) // 6 AS daypart FROM events),
+             |obs AS (
+             |  SELECT event_type, daypart, CAST(count(*) AS BIGINT) AS o
+             |  FROM ev GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT t.event_type, p.daypart, coalesce(obs.o, 0) AS o
+             |  FROM (SELECT DISTINCT event_type FROM ev) t
+             |  CROSS JOIN (SELECT DISTINCT daypart FROM ev) p
+             |  LEFT JOIN obs ON obs.event_type = t.event_type
+             |    AND obs.daypart = p.daypart),
+             |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             |       FROM grid GROUP BY 1),
+             |ctt AS (SELECT daypart, CAST(sum(o) AS BIGINT) AS ctt
+             |        FROM grid GROUP BY 1),
+             |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |  count(DISTINCT event_type) AS r, count(DISTINCT daypart) AS c
+             |  FROM grid)
+             |SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+             |  (max(r) - 1) * (max(c) - 1) AS dof,
+             |  CAST(sum((g.o - rt.rt::DOUBLE * ctt.ctt / nt.n)
+             |    * (g.o - rt.rt::DOUBLE * ctt.ctt / nt.n)
+             |    / (rt.rt::DOUBLE * ctt.ctt / nt.n)) AS REAL) AS chi2,
+             |  CAST(sqrt(sum((g.o - rt.rt::DOUBLE * ctt.ctt / nt.n)
+             |    * (g.o - rt.rt::DOUBLE * ctt.ctt / nt.n)
+             |    / (rt.rt::DOUBLE * ctt.ctt / nt.n))
+             |    / (max(nt.n)::DOUBLE * least(max(r) - 1, max(c) - 1)))
+             |    AS REAL) AS cramers_v
+             |FROM grid g
+             |JOIN rt USING (event_type) JOIN ctt USING (daypart)
+             |CROSS JOIN nt""".stripMargin)),
+
+    // Jensen–Shannon divergence between the token distributions of the two
+    // corpus halves — the bounded (≤ ln 2), symmetric drift measure for
+    // "did the vocabulary mix move?". One vocab-keyed count agg (map-side
+    // combinable) and one broadcast of two scalars; ln enters the value,
+    // so the JSD emits float32.
+    Entry("q283_js_divergence",
+      (s, d) => {
+        val side = when(length(col("source")) === 4, lit("a")).otherwise(lit("b"))
+        val cnt = Tables.documents(s, d)
+          .select(side.as("side"), explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w"))
+          .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+        val tot = cnt.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+        val p = col("ca").cast("double") / col("n_a")
+        val q = col("cb").cast("double") / col("n_b")
+        val m = (p + q) / lit(2.0)
+        cnt.crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("vocab"),
+            max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+            (lit(0.5) * sum(when(col("ca") > 0, p * log(p / m)).otherwise(0.0)) +
+              lit(0.5) * sum(when(col("cb") > 0, q * log(q / m)).otherwise(0.0)))
+              .cast("float").as("jsd"))
+      },
+      Some("""WITH s AS (
+             |  SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS side,
+             |    unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT w,
+             |    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM s WHERE length(w) > 0 GROUP BY 1),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             |             CAST(sum(cb) AS BIGINT) AS n_b FROM cnt)
+             |SELECT count(*) AS vocab, max(n_a) AS n_a, max(n_b) AS n_b,
+             |  CAST(0.5 * sum(CASE WHEN ca > 0 THEN (ca::DOUBLE / n_a)
+             |      * ln((ca::DOUBLE / n_a)
+             |        / (((ca::DOUBLE / n_a) + (cb::DOUBLE / n_b)) / 2.0))
+             |      ELSE 0.0 END)
+             |    + 0.5 * sum(CASE WHEN cb > 0 THEN (cb::DOUBLE / n_b)
+             |      * ln((cb::DOUBLE / n_b)
+             |        / (((ca::DOUBLE / n_a) + (cb::DOUBLE / n_b)) / 2.0))
+             |      ELSE 0.0 END) AS REAL) AS jsd
+             |FROM cnt CROSS JOIN t""".stripMargin)),
+
+    // Benjamini–Hochberg FDR control over a grid of Welch z-tests (arm =
+    // md5-parity user split, one hypothesis per event_type × daypart cell):
+    // rank p ascending, reject every rank ≤ max{i : p_(i) ≤ α·i/m}. The
+    // corpus-sized work is ONE map-side-combinable agg (decimal power sums
+    // per cell); the ranking window runs on the m-row hypothesis grid —
+    // bounded by the design, not the corpus. The normal tail uses the
+    // Abramowitz–Stegun 26.2.17 polynomial, written IDENTICALLY in both
+    // engines; exp makes p float32, and BH compares that same float32 on
+    // both sides, so the reject set can never straddle.
+    Entry("q284_bh_fdr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val arm = pmod(ascii(substring(md5(col("user_id").cast("string")), 1, 1)), lit(2))
+        // decimal(12,6), NOT (20,6): v*v must fit (25,12) unclipped — at
+        // (20,6) Spark's product would exceed precision 38 and CLIP the
+        // scale to 9 while DuckDB keeps 12, a one-ulp z drift (seen at sf0.1)
+        val cells = Tables.events(s, d)
+          .select(col("event_type"), expr("hour(ts) div 6").as("daypart"),
+            arm.as("arm"), col("value").cast("decimal(12,6)").as("v"))
+          .groupBy(col("event_type"), col("daypart"))
+          .agg(sum(when(col("arm") === 0, col("v"))).as("s0"),
+            sum(when(col("arm") === 0, col("v") * col("v"))).as("q0"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, col("v"))).as("s1"),
+            sum(when(col("arm") === 1, col("v") * col("v"))).as("q1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+          .filter(col("n0") > 1 && col("n1") > 1)
+        def mv(sCol: String, qCol: String, nCol: String) = {
+          val m = col(sCol).cast("double") / col(nCol)
+          val v = (col(qCol).cast("double") -
+            col(sCol).cast("double") * col(sCol).cast("double") / col(nCol)) /
+            (col(nCol) - 1)
+          (m, v)
+        }
+        val (m0, v0) = mv("s0", "q0", "n0")
+        val (m1, v1) = mv("s1", "q1", "n1")
+        val z = (m0 - m1) / sqrt(v0 / col("n0") + v1 / col("n1"))
+        // the tail polynomial runs ALL-DOUBLE from the float32 z:
+        // float-precision intermediates promote differently across
+        // engines (Spark float*float=float, DuckDB REAL*lit=DOUBLE)
+        val az = abs(col("z").cast("double"))
+        val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+        val pnd = exp(-az * az / 2) * lit(0.3989422804014327) *
+          (k * (lit(0.319381530) + k * (lit(-0.356563782) +
+            k * (lit(1.781477937) + k * (lit(-1.821255978) +
+              k * lit(1.330274429))))))
+        val scored = cells
+          .withColumn("z", z.cast("float"))
+          .withColumn("p", (lit(2.0) * pnd).cast("float"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("p"), col("event_type"), col("daypart"))))
+        val m = scored.agg(count(lit(1)).as("m")).head().getLong(0)
+        val passed = col("p") <= col("rank").cast("double") * lit(0.05) / lit(m)
+        val iMax = scored
+          .agg(coalesce(max(when(passed, col("rank"))), lit(0)).as("i_max"))
+        scored.crossJoin(broadcast(iMax))
+          .select(col("event_type"), col("daypart"),
+            col("n0").as("n_a"), col("n1").as("n_b"),
+            col("z"), col("p"), col("rank"),
+            (col("rank") <= col("i_max")).as("rejected"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, hour(ts) // 6 AS daypart,
+             |    ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm,
+             |    CAST(value AS DECIMAL(12,6)) AS v
+             |  FROM events),
+             |cells AS (
+             |  SELECT event_type, daypart,
+             |    sum(CASE WHEN arm = 0 THEN v END) AS s0,
+             |    sum(CASE WHEN arm = 0 THEN v * v END) AS q0,
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    sum(CASE WHEN arm = 1 THEN v END) AS s1,
+             |    sum(CASE WHEN arm = 1 THEN v * v END) AS q1,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+             |  FROM ev GROUP BY 1, 2
+             |  HAVING sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 1
+             |     AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 1),
+             |zed AS (
+             |  SELECT *,
+             |    CAST((s0::DOUBLE / n0 - s1::DOUBLE / n1)
+             |      / sqrt(((q0::DOUBLE - s0::DOUBLE * s0::DOUBLE / n0) / (n0 - 1)) / n0
+             |           + ((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1) / (n1 - 1)) / n1)
+             |      AS REAL) AS z
+             |  FROM cells),
+             |pp AS (
+             |  SELECT *, CAST(2.0 * exp(-abs(z::DOUBLE) * abs(z::DOUBLE) / 2)
+             |    * 0.3989422804014327
+             |    * ((1.0 / (1.0 + 0.2316419 * abs(z::DOUBLE))) * (0.319381530
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z::DOUBLE))) * (-0.356563782
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z::DOUBLE))) * (1.781477937
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z::DOUBLE))) * (-1.821255978
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z::DOUBLE))) * 1.330274429)))))
+             |    AS REAL) AS p
+             |  FROM zed),
+             |ranked AS (
+             |  SELECT *, CAST(row_number() OVER
+             |      (ORDER BY p, event_type, daypart) AS INT) AS rank,
+             |    count(*) OVER () AS m
+             |  FROM pp),
+             |im AS (
+             |  SELECT coalesce(max(CASE WHEN p <= rank::DOUBLE * 0.05 / m
+             |    THEN rank END), 0) AS i_max FROM ranked)
+             |SELECT event_type, daypart, n0 AS n_a, n1 AS n_b, z, p, rank,
+             |  rank <= i_max AS rejected
+             |FROM ranked CROSS JOIN im ORDER BY rank""".stripMargin)),
+
+    // n-gram novelty: the fraction of each held-out source's DISTINCT
+    // 3-shingles unseen in the training half — the generalization-vs-
+    // memorization readout (novelty ≈ 0 means the "new" source is a
+    // restatement of the train set; complements q117's contamination
+    // direction). One distinct per side and one anti-join on the shingle
+    // key; exact rationals.
+    Entry("q285_ngram_novelty",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(length(col("source")) === 4)
+          .select(explode(Fns.shingles(Fns.tokens(col("text")), 3)).as("sh"))
+          .distinct()
+        val test = docs.filter(length(col("source")) > 4)
+          .select(col("source"), explode(Fns.shingles(Fns.tokens(col("text")), 3)).as("sh"))
+          .distinct()
+        val novel = test.join(train, Seq("sh"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+        test.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+          .join(novel, Seq("source"), "left")
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+          .select(col("source"), col("n_shingles"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_shingles")).as("novelty_rate"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT source, unnest(list_transform(
+             |    generate_series(1, greatest(len(t) - 2, 0)),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |  FROM (SELECT source, string_split(lower(text), ' ') AS t
+             |        FROM documents)),
+             |train AS (SELECT DISTINCT sh FROM sh WHERE length(source) = 4),
+             |test AS (SELECT DISTINCT source, sh FROM sh
+             |         WHERE length(source) > 4),
+             |novel AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_novel
+             |  FROM test WHERE sh NOT IN (SELECT sh FROM train)
+             |  GROUP BY source)
+             |SELECT t.source, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  coalesce(max(novel.n_novel), 0) AS n_novel,
+             |  coalesce(max(novel.n_novel), 0)::DOUBLE / count(*)
+             |    AS novelty_rate
+             |FROM test t LEFT JOIN novel ON novel.source = t.source
+             |GROUP BY t.source ORDER BY t.source""".stripMargin)),
+
+    // Distinct-n diversity per source: distinct/total n-gram ratios for
+    // n = 1, 2, 3 — the standard template/degeneracy detector for
+    // generated corpora (low distinct-2 = repetitive boilerplate). One
+    // explode per n, all aggregates map-side combinable; exact rationals.
+    Entry("q286_distinct_ngrams",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def level(n: Int) = docs
+          .select(col("source"),
+            explode(Fns.shingles(Fns.tokens(col("text")), n)).as("g"))
+          .filter(length(col("g")) > 0)
+          .groupBy(col("source"))
+          .agg(lit(n).as("n"), count(lit(1)).as("total"),
+            countDistinct(col("g")).as("uniq"))
+        level(1).unionAll(level(2)).unionAll(level(3))
+          .select(col("source"), col("n"), col("total"), col("uniq"),
+            (col("uniq").cast("double") / col("total")).as("distinct_ratio"))
+          .orderBy(col("source"), col("n"))
+      },
+      Some {
+        def sql(n: Int) = {
+          val expr = (1 to n).map(j => s"t[i+${j - 1}]").mkString(" || ' ' || ")
+          s"""SELECT source, $n AS n, CAST(count(*) AS BIGINT) AS total,
+             |  CAST(count(DISTINCT g) AS BIGINT) AS uniq,
+             |  count(DISTINCT g)::DOUBLE / count(*) AS distinct_ratio
+             |FROM (
+             |  SELECT source, unnest(list_transform(
+             |    generate_series(1, greatest(len(t) - ${n - 1}, 0)),
+             |    i -> $expr)) AS g
+             |  FROM (SELECT source, string_split(lower(text), ' ') AS t
+             |        FROM documents))
+             |WHERE length(g) > 0
+             |GROUP BY source""".stripMargin
+        }
+        s"""SELECT * FROM (${sql(1)} UNION ALL ${sql(2)} UNION ALL ${sql(3)})
+           |ORDER BY source, n""".stripMargin
+      }),
+
+    // Deterministic permutation test for the A/B mean-value gap: 64
+    // md5-keyed reassignments of users to arms (md5 is bit-identical in
+    // every engine — the permutation IDs ride the oracle), two-sided
+    // p = (1 + #{b : |Δ_b| ≥ |Δ_obs|}) / (B + 1). Sums carry DECIMAL so
+    // every Δ_b is exact-input double — the ≥ comparison can never flip
+    // on fp noise. One 65× map-side explode aggregated to 130 rows.
+    Entry("q287_permutation_test",
+      (s, d) => {
+        val B = 64
+        val perms = Tables.events(s, d)
+          .select(col("user_id"), col("value").cast("decimal(20,6)").as("v"),
+            explode(sequence(lit(0), lit(B))).as("b"))
+          .withColumn("arm",
+            pmod(ascii(substring(md5(concat(col("user_id"), lit("|"),
+              col("b").cast("string"))), 1, 1)), lit(2)))
+        val diffs = perms.groupBy(col("b"))
+          .agg(sum(when(col("arm") === 0, col("v"))).as("s0"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, col("v"))).as("s1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+          .select(col("b"),
+            (col("s0").cast("double") / col("n0") -
+              col("s1").cast("double") / col("n1")).as("diff"))
+        val obs = diffs.filter(col("b") === 0)
+          .select(col("diff").as("diff_obs"))
+        diffs.filter(col("b") > 0)
+          .crossJoin(broadcast(obs))
+          .agg(max(col("diff_obs")).as("diff_obs"),
+            count(lit(1)).as("n_perms"),
+            sum(when(abs(col("diff")) >= abs(col("diff_obs")), 1L)
+              .otherwise(0L)).as("n_extreme"))
+          .select(col("diff_obs").cast("float").as("diff_obs"),
+            col("n_perms"), col("n_extreme"),
+            ((col("n_extreme") + 1).cast("double") / (col("n_perms") + 1))
+              .as("p_value"))
+      },
+      Some("""WITH perms AS (
+             |  SELECT user_id, CAST(value AS DECIMAL(20,6)) AS v, b,
+             |    ascii(substr(md5(user_id || '|' || CAST(b AS VARCHAR)), 1, 1))
+             |      % 2 AS arm
+             |  FROM events, unnest(generate_series(0, 64)) AS t(b)),
+             |diffs AS (
+             |  SELECT b,
+             |    sum(CASE WHEN arm = 0 THEN v END)::DOUBLE
+             |      / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+             |    - sum(CASE WHEN arm = 1 THEN v END)::DOUBLE
+             |      / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS diff
+             |  FROM perms GROUP BY b),
+             |obs AS (SELECT diff AS diff_obs FROM diffs WHERE b = 0)
+             |SELECT CAST(max(diff_obs) AS REAL) AS diff_obs,
+             |  CAST(count(*) AS BIGINT) AS n_perms,
+             |  CAST(sum(CASE WHEN abs(diff) >= abs(diff_obs) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_extreme,
+             |  (sum(CASE WHEN abs(diff) >= abs(diff_obs) THEN 1 ELSE 0 END) + 1)
+             |    ::DOUBLE / (count(*) + 1) AS p_value
+             |FROM diffs CROSS JOIN obs WHERE b > 0""".stripMargin)),
+
+    // Kendall τ-b between document length (chars) and token count, over
+    // ALL-INTEGER buckets (no float boundary can ever flip a cell across
+    // engines). Concordant/discordant pairs come from the bucket
+    // CONTINGENCY table's self-join — |cells|² work, bounded by the bucket
+    // design, never corpus² — and the tie terms from the marginals. Exact
+    // longs until the final sqrt ratio.
+    Entry("q288_kendall_tau",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .select(expr("n_chars div 50").as("x"),
+            expr("size(split(lower(text), ' ')) div 5").as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // read by the pair join (twice) + 3 margins
+        val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("cnt").as("na"))
+        val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("cnt").as("nb"))
+        val pairs = a.join(b, col("xa") < col("xb"))
+          .agg(sum(when(col("ya") < col("yb"), col("na") * col("nb")).otherwise(0L)).as("conc"),
+            sum(when(col("ya") > col("yb"), col("na") * col("nb")).otherwise(0L)).as("disc"))
+        val n = cells.agg(sum(col("cnt")).as("n"))
+        val tx = cells.groupBy(col("x")).agg(sum(col("cnt")).as("t"))
+          .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+        val ty = cells.groupBy(col("y")).agg(sum(col("cnt")).as("t"))
+          .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+        pairs.crossJoin(broadcast(n)).crossJoin(broadcast(tx))
+          .crossJoin(broadcast(ty))
+          .select(col("n"), col("conc"), col("disc"),
+            ((col("conc") - col("disc")).cast("double") /
+              sqrt((col("n").cast("double") * (col("n") - 1) / lit(2.0) - col("n1")) *
+                (col("n").cast("double") * (col("n") - 1) / lit(2.0) - col("n2"))))
+              .as("tau_b"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT n_chars // 50 AS x,
+             |    len(string_split(lower(text), ' ')) // 5 AS y,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN a.y < b.y THEN a.cnt * b.cnt ELSE 0 END)
+             |      AS BIGINT) AS conc,
+             |    CAST(sum(CASE WHEN a.y > b.y THEN a.cnt * b.cnt ELSE 0 END)
+             |      AS BIGINT) AS disc
+             |  FROM cells a JOIN cells b ON a.x < b.x),
+             |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+             |tx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1 FROM (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cells GROUP BY x)),
+             |ty AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2 FROM (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cells GROUP BY y))
+             |SELECT n, conc, disc,
+             |  (conc - disc)::DOUBLE
+             |    / sqrt((n::DOUBLE * (n - 1) / 2.0 - n1)
+             |         * (n::DOUBLE * (n - 1) / 2.0 - n2)) AS tau_b
+             |FROM pairs CROSS JOIN n CROSS JOIN tx CROSS JOIN ty""".stripMargin)),
+
+    // Weight-of-evidence / information-value scorecard: activity deciles
+    // (two-pass BSP ntile over the corpus-sized user relation) against the
+    // error-heavy outcome — the standard credit-scoring feature audit
+    // ("which score bands separate the classes, and how much signal does
+    // the feature carry in total"). Counts exact; WoE and IV take ln →
+    // float32 emit. The IV total rides a 10-row window (k-bounded).
+    Entry("q289_woe_iv",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("score"),
+            (sum(when(col("event_type") === "error", 1L).otherwise(0L)) * 5 >
+              count(lit(1))).as("pos"))
+        val deciled = PrefixSum.globalNtile(users, 10,
+          Seq(desc("score"), col("user_id")), "decile")
+        val g = deciled.groupBy(col("decile"))
+          .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+        val tot = g.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+        // ADJUSTED WoE (+0.5 per-bucket smoothing): a pure bucket (zero
+        // positives or negatives in a decile) would otherwise divide by
+        // zero — which ANSI Spark raises as an error even for doubles
+        // (seen at sf0.001). The IV weight keeps the raw shares.
+        val pr = col("n_pos").cast("double") / col("tp")
+        val nr = col("n_neg").cast("double") / col("tn")
+        val woe = log(((col("n_pos") + lit(0.5)) / col("tp")) /
+          ((col("n_neg") + lit(0.5)) / col("tn")))
+        val scored = g.crossJoin(broadcast(tot))
+          .filter(col("tp") > 0 && col("tn") > 0)
+          .withColumn("woe_term", (pr - nr) * woe)
+          .withColumn("woe", woe.cast("float"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        scored
+          .withColumn("iv", sum(col("woe_term")).over(wAll).cast("float"))
+          .select(col("decile"), col("n_pos"), col("n_neg"), col("woe"),
+            col("iv"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, count(*) AS score,
+             |    5 * count(CASE WHEN event_type = 'error' THEN 1 END)
+             |      > count(*) AS pos
+             |  FROM events GROUP BY user_id),
+             |deciled AS (
+             |  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id)
+             |      AS decile
+             |  FROM users),
+             |g AS (
+             |  SELECT decile,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+             |  FROM deciled GROUP BY decile),
+             |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+             |             CAST(sum(n_neg) AS BIGINT) AS tn FROM g)
+             |SELECT decile, n_pos, n_neg,
+             |  CAST(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)) AS REAL)
+             |    AS woe,
+             |  CAST(sum((n_pos::DOUBLE / tp - n_neg::DOUBLE / tn)
+             |    * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn))) OVER ()
+             |    AS REAL) AS iv
+             |FROM g CROSS JOIN t WHERE tp > 0 AND tn > 0 ORDER BY decile""".stripMargin)),
+
+    // Kaplan–Meier survival over user lifetimes (days between first and
+    // last event), right-censored at the corpus horizon (no event in the
+    // final 12 hours = churned; later activity = still alive, censored) —
+    // the retention curve behind churn
+    // modeling. Risk sets are exact cumulative counts and the survival
+    // product is exp(Σ ln(1 − d/n)), both cumulatives through the two-pass
+    // BSP prefix sum (the duration axis grows with the observation span);
+    // ln/exp make survival float32.
+    Entry("q290_kaplan_meier",
+      (s, d) => {
+        val horizon = 12L * 3600000000L
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val corpusMax = ev.agg(max(col("us")).as("max_us"))
+        val life = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+          .crossJoin(broadcast(corpusMax))
+          .select(expr("(last_us - first_us) div 86400000000").as("dur_d"),
+            when(col("max_us") - col("last_us") > horizon, 1L).otherwise(0L)
+              .as("died"))
+        val byDur = life.groupBy(col("dur_d"))
+          .agg(sum(col("died")).as("d_events"),
+            sum(lit(1L) - col("died")).as("c_censored"),
+            count(lit(1)).as("ct"))
+        val nTot = byDur.agg(sum(col("ct")).as("n_total"))
+        val cum = PrefixSum.globalRunningSum(byDur, Seq(col("dur_d")),
+            col("ct").cast("decimal(20,0)"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("n_risk",
+            col("n_total") - col("running").cast("long") + col("ct"))
+          .withColumn("ln_term",
+            log(lit(1.0) - col("d_events").cast("double") / col("n_risk")))
+        PrefixSum.globalRunningSum(cum.drop("running"), Seq(col("dur_d")),
+            col("ln_term").cast("decimal(30,15)"))
+          .withColumn("survival", exp(col("running").cast("double")).cast("float"))
+          .filter(col("d_events") > 0)
+          .select(col("dur_d"), col("n_risk"), col("d_events"),
+            col("c_censored"), col("survival"))
+          .orderBy(col("dur_d"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |mx AS (SELECT max(us) AS max_us FROM ev),
+             |life AS (
+             |  SELECT (max(us) - min(us)) // 86400000000 AS dur_d,
+             |    CASE WHEN (SELECT max_us FROM mx) - max(us) > 43200000000
+             |      THEN 1 ELSE 0 END AS died
+             |  FROM ev GROUP BY user_id),
+             |byd AS (
+             |  SELECT dur_d, CAST(sum(died) AS BIGINT) AS d_events,
+             |    CAST(sum(1 - died) AS BIGINT) AS c_censored,
+             |    CAST(count(*) AS BIGINT) AS ct
+             |  FROM life GROUP BY dur_d),
+             |t AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM byd),
+             |risk AS (
+             |  SELECT *,
+             |    (SELECT n_total FROM t)
+             |      - CAST(sum(ct) OVER (ORDER BY dur_d) AS BIGINT) + ct
+             |      AS n_risk
+             |  FROM byd),
+             |surv AS (
+             |  SELECT *,
+             |    CAST(exp(sum(CAST(ln(1.0 - d_events::DOUBLE / n_risk)
+             |        AS DECIMAL(30,15))) OVER (ORDER BY dur_d)) AS REAL)
+             |      AS survival
+             |  FROM risk)
+             |SELECT dur_d, n_risk, d_events, c_censored, survival
+             |FROM surv WHERE d_events > 0 ORDER BY dur_d""".stripMargin))
+  )
+}
