@@ -682,6 +682,292 @@ object DriftQueries {
              |      AS survival
              |  FROM risk)
              |SELECT dur_d, n_risk, d_events, c_censored, survival
-             |FROM surv WHERE d_events > 0 ORDER BY dur_d""".stripMargin))
+             |FROM surv WHERE d_events > 0 ORDER BY dur_d""".stripMargin)),
+
+    // Dedup-cluster edge-density audit: connected components merge
+    // transitively, so a cluster can contain pairs that were NEVER
+    // directly similar (chain-merge over-clustering — the failure mode
+    // that deletes non-duplicates). Per cluster size: direct-edge count
+    // vs possible pairs; density 1 = every member pair verified, density
+    // → 0 = chains. Edges map onto clusters with one broadcast-size join
+    // (near-dup population, not corpus); the ratio is one exact division.
+    Entry("q291_cluster_density",
+      (s, d) => {
+        import graft.ops.{Dedup, GraphAnalytics}
+        val pairs = Dedup.prefixFilterJoin(Tables.documents(s, d),
+            "doc_id", "text", 3, 0.5)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+        val clusters = GraphAnalytics.dedupClusters(pairs)
+        val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("s"))
+        val edges = pairs
+          .join(clusters.select(col("doc_id").as("doc_a"),
+            col("cluster")), "doc_a")
+          .groupBy(col("cluster")).agg(count(lit(1)).as("ne"))
+        sizes.join(edges, "cluster")
+          .groupBy(col("s").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("ne")).as("n_edges"),
+            sum(expr("s * (s - 1) div 2")).as("n_possible"))
+          .withColumn("edge_density",
+            col("n_edges").cast("double") / col("n_possible"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+             |         FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(t) - 2, 0)),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |  FROM toks),
+             |inter AS (
+             |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+             |    count(*) AS ninter
+             |  FROM sh sa JOIN sh sb
+             |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             |  GROUP BY 1, 2),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM inter i
+             |  JOIN sizes na ON na.doc_id = i.doc_a
+             |  JOIN sizes nb ON nb.doc_id = i.doc_b
+             |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+             |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+             |comp AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+             |  FROM reach GROUP BY a),
+             |cl AS (SELECT cluster, CAST(count(*) AS BIGINT) AS s
+             |       FROM comp GROUP BY 1),
+             |pe AS (
+             |  SELECT c.cluster, CAST(count(*) AS BIGINT) AS ne
+             |  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+             |  GROUP BY 1)
+             |SELECT s AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sum(ne) AS BIGINT) AS n_edges,
+             |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS n_possible,
+             |  sum(ne)::DOUBLE / sum(s * (s - 1) // 2) AS edge_density
+             |FROM cl JOIN pe USING (cluster)
+             |GROUP BY s ORDER BY s""".stripMargin)),
+
+    // Expected calibration error over a temporal split: each user's
+    // first-half error RATE is the "predicted probability" that they hit
+    // an error in the second half; ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+    // over ten fixed-width bins. Bin ids floor identical doubles (exact
+    // rationals) so cells can never straddle engines; mean confidence
+    // sums doubles → float32, accuracy stays an exact rational.
+    Entry("q292_ece",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).as("mid_us"))
+        val users = ev.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("us") < col("mid_us"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("us") < col("mid_us") &&
+              col("event_type") === "error", 1L).otherwise(0L)).as("e1"),
+            max(when(col("us") >= col("mid_us") &&
+              col("event_type") === "error", 1L).otherwise(0L)).as("pos"))
+          .filter(col("n1") > 0)
+          .withColumn("p_hat", col("e1").cast("double") / col("n1"))
+          .withColumn("bin",
+            least(floor(col("p_hat") * 10), lit(9L)).cast("int"))
+        val g = users.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos")).as("n_pos"),
+            avg(col("p_hat")).as("conf_d"))
+        val tot = g.agg(sum(col("n")).as("n_tot"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        g.crossJoin(broadcast(tot))
+          .withColumn("acc", col("n_pos").cast("double") / col("n"))
+          .withColumn("ece", sum(
+            col("n").cast("double") / col("n_tot") *
+              abs(col("acc") - col("conf_d"))).over(wAll).cast("float"))
+          .select(col("bin"), col("n"), col("conf_d").cast("float").as("conf"),
+            col("acc"), col("ece"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |mid AS (SELECT (min(us) + max(us)) / 2 AS mid_us FROM ev),
+             |users AS (
+             |  SELECT user_id,
+             |    CAST(sum(CASE WHEN us < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1,
+             |    CAST(sum(CASE WHEN us < mid_us AND event_type = 'error'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+             |    CAST(max(CASE WHEN us >= mid_us AND event_type = 'error'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS pos
+             |  FROM ev CROSS JOIN mid GROUP BY user_id
+             |  HAVING sum(CASE WHEN us < mid_us THEN 1 ELSE 0 END) > 0),
+             |binned AS (
+             |  SELECT *, e1::DOUBLE / n1 AS p_hat,
+             |    CAST(least(floor((e1::DOUBLE / n1) * 10), 9) AS INT) AS bin
+             |  FROM users),
+             |g AS (
+             |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos, avg(p_hat) AS conf_d
+             |  FROM binned GROUP BY bin),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM g)
+             |SELECT bin, n, CAST(conf_d AS REAL) AS conf,
+             |  n_pos::DOUBLE / n AS acc,
+             |  CAST(sum(n::DOUBLE / n_tot * abs(n_pos::DOUBLE / n - conf_d))
+             |    OVER () AS REAL) AS ece
+             |FROM g CROSS JOIN t ORDER BY bin""".stripMargin)),
+
+    // Count-min sketch audit: a 4×64 CMS over the token stream (seeded
+    // md5 row hashes — bit-identical in any engine), read back for the
+    // ten heaviest tokens against their true counts. The one-sided error
+    // (est ≥ true, bounded by collisions) is the planning input for
+    // sizing sketch width vs the q99 exact heavy-hitter pass. Sketch
+    // cells are ONE map-side-combinable agg (d·w cells total); estimates
+    // are a broadcast-size join. All exact integers.
+    Entry("q293_countmin",
+      (s, d) => {
+        val cnt = Tables.documents(s, d)
+          .select(explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // feeds the cells, the top-10 and the probe
+        val hashed = cnt.select(col("w"), col("c"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .withColumn("bucket",
+            pmod(Fns.hash60(concat(col("w"), lit("#"), col("r"))), lit(64L)))
+        val cells = hashed.groupBy(col("r"), col("bucket"))
+          .agg(sum(col("c")).as("cell"))
+        val top = cnt.orderBy(desc("c"), col("w")).limit(10)
+          .select(col("w").as("tw"), col("c").as("true_c"))
+        val probes = top
+          .withColumn("r", explode(sequence(lit(0), lit(3))))
+          .withColumn("bucket",
+            pmod(Fns.hash60(concat(col("tw"), lit("#"), col("r"))), lit(64L)))
+          .join(cells, Seq("r", "bucket"))
+        probes.groupBy(col("tw").as("w"))
+          .agg(max(col("true_c")).as("true_c"), min(col("cell")).as("est"))
+          .withColumn("err", col("est") - col("true_c"))
+          .orderBy(desc("true_c"), col("w"))
+      },
+      Some {
+        val h = (e: String) => s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+        s"""WITH cnt AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents)
+           |  WHERE length(w) > 0 GROUP BY w),
+           |hashed AS (
+           |  SELECT w, c, r,
+           |    ${h("w || '#' || CAST(r AS VARCHAR)")} % 64 AS bucket
+           |  FROM cnt, unnest(generate_series(0, 3)) AS t(r)),
+           |cells AS (
+           |  SELECT r, bucket, CAST(sum(c) AS BIGINT) AS cell
+           |  FROM hashed GROUP BY 1, 2),
+           |top AS (
+           |  SELECT w AS tw, c AS true_c FROM cnt
+           |  ORDER BY c DESC, w LIMIT 10),
+           |probes AS (
+           |  SELECT tw, true_c, cells.cell
+           |  FROM top, unnest(generate_series(0, 3)) AS t(r)
+           |  JOIN cells ON cells.r = t.r
+           |    AND cells.bucket = ${h("tw || '#' || CAST(t.r AS VARCHAR)")} % 64)
+           |SELECT tw AS w, max(true_c) AS true_c,
+           |  CAST(min(cell) AS BIGINT) AS est,
+           |  CAST(min(cell) - max(true_c) AS BIGINT) AS err
+           |FROM probes GROUP BY tw ORDER BY true_c DESC, w""".stripMargin
+      }),
+
+    // Neyman allocation for a labeling budget: the optimal stratified
+    // sample takes n_h ∝ N_h·σ_h — big AND internally varied strata get
+    // annotators; uniform strata don't. σ from exact integer power sums
+    // (one scan); the share normalizer sums 20 doubles → float32 emit.
+    Entry("q294_neyman_allocation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, d)
+          .select(col("source"), col("n_chars").cast("long").as("x"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_h"),
+            sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"))
+          .filter(col("n_h") > 1)
+        val sigma = sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n_h")) /
+          (col("n_h") - 1))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        g.withColumn("w_h", col("n_h").cast("double") * sigma)
+          .withColumn("share", (col("w_h") / sum(col("w_h")).over(wAll))
+            .cast("float"))
+          .select(col("source"), col("n_h"), sigma.cast("float").as("sigma"),
+            col("share"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH g AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+             |    CAST(sum(n_chars) AS BIGINT) AS s1,
+             |    CAST(sum(n_chars::BIGINT * n_chars) AS BIGINT) AS s2
+             |  FROM documents GROUP BY source HAVING count(*) > 1),
+             |w AS (
+             |  SELECT *, n_h::DOUBLE * sqrt((s2::DOUBLE
+             |      - s1::DOUBLE * s1::DOUBLE / n_h) / (n_h - 1)) AS w_h
+             |  FROM g)
+             |SELECT source, n_h,
+             |  CAST(sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_h)
+             |    / (n_h - 1)) AS REAL) AS sigma,
+             |  CAST(w_h / sum(w_h) OVER () AS REAL) AS share
+             |FROM w ORDER BY source""".stripMargin)),
+
+    // Quality ~ ln(length) regression per source — the confound audit
+    // before using either signal for curation (a high slope means the
+    // "quality" feature is mostly re-measuring length for that source).
+    // One grouped regr agg (map-side-combinable power sums); regression
+    // outputs emit float32 (ln + engine-ordered sums).
+    Entry("q295_quality_length_regression",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val q = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id")
+        q.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            expr("regr_slope(quality, ln(n_chars))").cast("float").as("slope"),
+            expr("regr_r2(quality, ln(n_chars))").cast("float").as("r2"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val stop = graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, source, n_chars,
+           |    string_split(lower(text), ' ') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, source, n_chars,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS n_stop
+           |  FROM t),
+           |qual AS (
+           |  SELECT doc_id, source, n_chars,
+           |    0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality
+           |  FROM f)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(regr_slope(quality, ln(n_chars)) AS REAL) AS slope,
+           |  CAST(regr_r2(quality, ln(n_chars)) AS REAL) AS r2
+           |FROM qual GROUP BY source ORDER BY source""".stripMargin
+      })
   )
 }
