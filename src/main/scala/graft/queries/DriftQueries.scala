@@ -968,6 +968,186 @@ object DriftQueries {
            |  CAST(regr_slope(quality, ln(n_chars)) AS REAL) AS slope,
            |  CAST(regr_r2(quality, ln(n_chars)) AS REAL) AS r2
            |FROM qual GROUP BY source ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Flesch reading-ease per source, with a deterministic vowel-group
+    // syllable heuristic (regex, identical in both engines) — the
+    // readability gate corpus curation runs next to the q24/q175 quality
+    // scores. One explode for syllables, one regex count for sentences;
+    // per-doc scores are exact-input doubles, the per-source mean sums
+    // them → float32.
+    Entry("q296_readability",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val syl = docs
+          .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(greatest(lit(1),
+              size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0)))
+                .cast("long"))).as("n_syl"))
+        val perDoc = docs
+          .select(col("doc_id"), col("source"),
+            greatest(lit(1L),
+              size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+                .cast("long")).as("n_sent"))
+          .join(syl, "doc_id")
+          .withColumn("flesch",
+            lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") / col("n_sent")) -
+              lit(84.6) * (col("n_syl").cast("double") / col("n_words")))
+        perDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            avg(col("flesch")).cast("float").as("avg_flesch"),
+            avg(col("n_syl").cast("double") / col("n_words")).cast("float")
+              .as("avg_syl_per_word"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |syl AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(sum(greatest(1,
+             |      len(regexp_extract_all(w, '[aeiouy]+')))) AS BIGINT)
+             |      AS n_syl
+             |  FROM toks WHERE length(w) > 0 GROUP BY doc_id),
+             |perdoc AS (
+             |  SELECT d.source,
+             |    206.835
+             |      - 1.015 * (s.n_words::DOUBLE
+             |          / greatest(1, len(regexp_extract_all(d.text, '[.!?]+'))))
+             |      - 84.6 * (s.n_syl::DOUBLE / s.n_words) AS flesch,
+             |    s.n_syl::DOUBLE / s.n_words AS spw
+             |  FROM documents d JOIN syl s USING (doc_id))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(avg(flesch) AS REAL) AS avg_flesch,
+             |  CAST(avg(spw) AS REAL) AS avg_syl_per_word
+             |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Trailing 7-day active users per day (DAU + WAU7) — the liveness
+    // series behind every engagement dashboard. Exact distinct counts:
+    // the (day, user) relation joins a 7-day trailing range (bounded ×7
+    // fan-out, never corpus²), then one distinct-count per day.
+    Entry("q297_rolling_active",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct().localCheckpoint(true) // feeds the grid, DAU and the range join
+        val days = du.select(col("day")).distinct()
+        val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = days.as("g")
+          .join(du.as("u"),
+            col("u.day") >= date_sub(col("g.day"), 6) &&
+              col("u.day") <= col("g.day"))
+          .groupBy(col("g.day").as("day"))
+          .agg(countDistinct(col("u.user_id")).as("wau7"))
+        dau.join(wau, "day").orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day FROM du),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |        FROM du GROUP BY day),
+             |wau AS (
+             |  SELECT g.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau7
+             |  FROM days g JOIN du u
+             |    ON u.day >= g.day - 6 AND u.day <= g.day
+             |  GROUP BY g.day)
+             |SELECT day, dau, wau7 FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
+
+    // Church–Gale word burstiness for the 50 heaviest tokens: a Poisson
+    // spread would hit df_pred = D·(1 − e^(−tf/D)) documents; real words
+    // CLUMP (df_obs < df_pred), templates repeat everywhere. The
+    // burstiness ratio feeds stopword/boilerplate calls the raw df rank
+    // (q176) can't make. Counts exact; e^ makes the ratio float32.
+    Entry("q298_word_burstiness",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+        val stats = tok.groupBy(col("w"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        stats.orderBy(desc("tf"), col("w")).limit(50)
+          .crossJoin(broadcast(nDocs))
+          .select(col("w"), col("tf"), col("df"),
+            ((col("n_docs") * (lit(1.0) -
+              exp(-col("tf").cast("double") / col("n_docs")))) /
+              col("df")).cast("float").as("burstiness"))
+          .orderBy(desc("tf"), col("w"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+             |  FROM documents),
+             |stats AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS tf,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM tok WHERE length(w) > 0 GROUP BY w),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |top AS (SELECT * FROM stats ORDER BY tf DESC, w LIMIT 50)
+             |SELECT w, tf, df,
+             |  CAST((n_docs * (1.0 - exp(-(tf::DOUBLE) / n_docs))) / df
+             |    AS REAL) AS burstiness
+             |FROM top CROSS JOIN nd ORDER BY tf DESC, w""".stripMargin)),
+
+    // Mutual information (and the sqrt-normalized NMI) between event type
+    // and daypart — the effect-size companion to q282's χ²: how many nats
+    // does knowing the hour tell you about the event mix? Same densified
+    // grid; ln → float32.
+    Entry("q299_mutual_information",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr("hour(ts) div 6").as("daypart"))
+        val obs = ev.groupBy(col("event_type"), col("daypart"))
+          .agg(count(lit(1)).as("o"))
+        val rowT = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+        val colT = obs.groupBy(col("daypart")).agg(sum(col("o")).as("ctt"))
+        val nT = obs.agg(sum(col("o")).as("n"))
+        val pxy = col("o").cast("double") / col("n")
+        val px = col("rt").cast("double") / col("n")
+        val py = col("ctt").cast("double") / col("n")
+        val joined = obs.join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "daypart")
+          .crossJoin(broadcast(nT))
+        val hx = rowT.crossJoin(broadcast(nT))
+          .agg(sum(-(col("rt").cast("double") / col("n")) *
+            log(col("rt").cast("double") / col("n"))).as("h_x"))
+        val hy = colT.crossJoin(broadcast(nT))
+          .agg(sum(-(col("ctt").cast("double") / col("n")) *
+            log(col("ctt").cast("double") / col("n"))).as("h_y"))
+        joined
+          .agg(max(col("n")).as("n"),
+            sum(pxy * log(pxy / (px * py))).as("mi_d"))
+          .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+          .select(col("n"), col("mi_d").cast("float").as("mi"),
+            (col("mi_d") / sqrt(col("h_x") * col("h_y"))).cast("float")
+              .as("nmi"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, hour(ts) // 6 AS daypart FROM events),
+             |obs AS (
+             |  SELECT event_type, daypart, CAST(count(*) AS BIGINT) AS o
+             |  FROM ev GROUP BY 1, 2),
+             |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             |       FROM obs GROUP BY 1),
+             |ctt AS (SELECT daypart, CAST(sum(o) AS BIGINT) AS ctt
+             |        FROM obs GROUP BY 1),
+             |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+             |hx AS (SELECT sum(-(rt::DOUBLE / n) * ln(rt::DOUBLE / n)) AS h_x
+             |       FROM rt CROSS JOIN nt),
+             |hy AS (SELECT sum(-(ctt::DOUBLE / n) * ln(ctt::DOUBLE / n)) AS h_y
+             |       FROM ctt CROSS JOIN nt)
+             |SELECT max(n) AS n,
+             |  CAST(sum((o::DOUBLE / n) * ln((o::DOUBLE / n)
+             |    / ((rt.rt::DOUBLE / n) * (ctt.ctt::DOUBLE / n)))) AS REAL)
+             |    AS mi,
+             |  CAST(sum((o::DOUBLE / n) * ln((o::DOUBLE / n)
+             |    / ((rt.rt::DOUBLE / n) * (ctt.ctt::DOUBLE / n))))
+             |    / sqrt(max(h_x) * max(h_y)) AS REAL) AS nmi
+             |FROM obs JOIN rt USING (event_type) JOIN ctt USING (daypart)
+             |CROSS JOIN nt CROSS JOIN hx CROSS JOIN hy""".stripMargin))
   )
 }
