@@ -1148,6 +1148,112 @@ object DriftQueries {
              |    / ((rt.rt::DOUBLE / n) * (ctt.ctt::DOUBLE / n))))
              |    / sqrt(max(h_x) * max(h_y)) AS REAL) AS nmi
              |FROM obs JOIN rt USING (event_type) JOIN ctt USING (daypart)
-             |CROSS JOIN nt CROSS JOIN hx CROSS JOIN hy""".stripMargin))
+             |CROSS JOIN nt CROSS JOIN hx CROSS JOIN hy""".stripMargin)),
+
+    // End-to-end curation run report — the whole filter funnel as ONE
+    // declarative plan: length gate → language gate → repetition gate →
+    // exact dedup (md5 canonical) → near-dup dedup (prefix-filter pairs,
+    // CC clusters, min-id representative). Each stage filters the
+    // PREVIOUS stage's survivors; the report emits surviving docs and
+    // chars per stage — the run card a 100 TB curation job prints. Every
+    // gate is exact/deterministic, so the funnel is hash-reproducible;
+    // the near-dup stage reuses the candidate-restricted pair join and
+    // the distributed CC (never corpus²).
+    Entry("q300_curation_report",
+      (s, d) => {
+        import graft.ops.{Dedup, GraphAnalytics}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        val s1 = docs.filter(col("n_chars") >= 100)
+        val s2 = s1.filter(col("lang") === "en")
+        val s3 = s2
+          .withColumn("toks", filter(Fns.tokens(col("text")),
+            t => length(t) > 0))
+          .filter(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")) >= 0.5)
+          .drop("toks")
+        val s4 = s3.withColumn("h", md5(col("text")))
+          .withColumn("keep", col("doc_id") === min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+          .filter(col("keep")).drop("h", "keep")
+          .localCheckpoint(true) // feeds the pair join AND the s5 anti-join
+        val pairs = Dedup.prefixFilterJoin(s4, "doc_id", "text", 3, 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val dropNearDup = GraphAnalytics.dedupClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster")) // non-representatives
+          .select(col("doc_id"))
+        val s5 = s4.join(dropNearDup, Seq("doc_id"), "left_anti")
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+            .select(lit(name).as("stage"), col("n_docs"),
+              col("n_chars").cast("long").as("n_chars"))
+        stage("0_input", docs)
+          .unionAll(stage("1_length", s1))
+          .unionAll(stage("2_lang", s2))
+          .unionAll(stage("3_repetition", s3))
+          .unionAll(stage("4_exact_dedup", s4))
+          .unionAll(stage("5_near_dedup", s5))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH RECURSIVE
+             |s1 AS (SELECT * FROM documents WHERE n_chars >= 100),
+             |s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+             |s3 AS (
+             |  SELECT * FROM s2
+             |  WHERE len(list_distinct(list_filter(
+             |      string_split(lower(text), ' '), x -> length(x) > 0)))
+             |    ::DOUBLE / len(list_filter(
+             |      string_split(lower(text), ' '), x -> length(x) > 0)) >= 0.5),
+             |s4 AS (
+             |  SELECT * FROM s3
+             |  WHERE doc_id IN (
+             |    SELECT min(doc_id) FROM s3 GROUP BY md5(text))),
+             |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+             |         FROM s4),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(t) - 2, 0)),
+             |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+             |  FROM toks),
+             |inter AS (
+             |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+             |    count(*) AS ninter
+             |  FROM sh sa JOIN sh sb
+             |    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+             |  GROUP BY 1, 2),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM inter i
+             |  JOIN sizes na ON na.doc_id = i.doc_a
+             |  JOIN sizes nb ON nb.doc_id = i.doc_b
+             |  WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5),
+             |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a),
+             |comp AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+             |  FROM reach GROUP BY a),
+             |s5 AS (
+             |  SELECT * FROM s4 WHERE doc_id NOT IN (
+             |    SELECT doc_id FROM comp WHERE doc_id <> cluster))
+             |SELECT * FROM (
+             |  SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars
+             |  FROM documents
+             |  UNION ALL SELECT '1_length', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1
+             |  UNION ALL SELECT '2_lang', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+             |  UNION ALL SELECT '3_repetition', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3
+             |  UNION ALL SELECT '4_exact_dedup', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
+             |  UNION ALL SELECT '5_near_dedup', CAST(count(*) AS BIGINT),
+             |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)
+             |ORDER BY stage""".stripMargin))
   )
 }
