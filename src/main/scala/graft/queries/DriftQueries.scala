@@ -694,7 +694,7 @@ object DriftQueries {
     Entry("q291_cluster_density",
       (s, d) => {
         import graft.ops.{Dedup, GraphAnalytics}
-        val pairs = Dedup.prefixFilterJoin(Tables.documents(s, d),
+        val pairs = Dedup.exactJaccardPairs(Tables.documents(s, d),
             "doc_id", "text", 3, 0.5)
           .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
         val clusters = GraphAnalytics.dedupClusters(pairs)
@@ -1177,7 +1177,7 @@ object DriftQueries {
             .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
           .filter(col("keep")).drop("h", "keep")
           .localCheckpoint(true) // feeds the pair join AND the s5 anti-join
-        val pairs = Dedup.prefixFilterJoin(s4, "doc_id", "text", 3, 0.5)
+        val pairs = Dedup.exactJaccardPairs(s4, "doc_id", "text", 3, 0.5)
           .select(col("doc_a"), col("doc_b"))
         val dropNearDup = GraphAnalytics.dedupClusters(pairs)
           .filter(col("doc_id") =!= col("cluster")) // non-representatives

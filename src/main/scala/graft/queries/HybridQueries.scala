@@ -415,7 +415,7 @@ object HybridQueries {
         import graft.ops.{Dedup, GraphAnalytics, TextAnalysis}
         val docs = Tables.documents(s, d)
         val clusters = GraphAnalytics.dedupClusters(
-          Dedup.prefixFilterJoin(docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+          Dedup.exactJaccardPairs(docs, "doc_id", "text", shingleK = 3, threshold = 0.5)
             .select(col("doc_a"), col("doc_b")))
         val quality = TextAnalysis.quality(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality"))

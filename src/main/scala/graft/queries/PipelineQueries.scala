@@ -1138,7 +1138,7 @@ object PipelineQueries {
         import graft.ops.Dedup
         val docs = Tables.documents(s, d)
         val src = docs.select(col("doc_id"), col("source"))
-        val pairs = Dedup.prefixFilterJoin(docs, "doc_id", "text",
+        val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
             shingleK = 3, threshold = 0.5)
           .select(col("doc_a"), col("doc_b"))
         pairs
@@ -2156,7 +2156,7 @@ object PipelineQueries {
       (s, d) => {
         import graft.ops.Dedup
         val docs = Tables.documents(s, d)
-        val truth = Dedup.prefixFilterJoin(docs, "doc_id", "text",
+        val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
             shingleK = 3, threshold = 0.5)
           .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
         val detected = Dedup.simhashPairs(docs, "doc_id", "text",

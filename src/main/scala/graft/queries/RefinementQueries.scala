@@ -167,7 +167,7 @@ object RefinementQueries {
     Entry("q197_lsh_recall",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val exact = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+        val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         val lshCand = Dedup.candidatePairs(Dedup.bands(
           Dedup.minhashSignatures(Dedup.shingleRaw(docs, "doc_id", "text", 3), 16),
           16, 4))
@@ -223,7 +223,7 @@ object RefinementQueries {
     // training doc. Singletons hash their own id.
     Entry("q190_cluster_safe_split",
       (s, d) => Dedup.leakageSafeSplit(Tables.documents(s, d), "doc_id",
-        Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
           .select(col("doc_a"), col("doc_b")),
         trainPct = 80),
       Some(s"""WITH RECURSIVE $clusterCtes
@@ -241,7 +241,7 @@ object RefinementQueries {
         val docs = Tables.documents(s, d)
         Curation.dedupImpact(docs, "doc_id", "text", "source",
           GraphAnalytics.dedupClusters(
-            Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+            Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
               .select(col("doc_a"), col("doc_b"))))
       },
       Some(s"""WITH RECURSIVE $clusterCtes,
@@ -1010,7 +1010,7 @@ object RefinementQueries {
     Entry("q215_cluster_size_histogram",
       (s, d) => {
         val clusters = GraphAnalytics.dedupClusters(
-          Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+          Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
             .select(col("doc_a"), col("doc_b")))
         clusters.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
           .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
@@ -1671,7 +1671,7 @@ object RefinementQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
         val clusters = GraphAnalytics.dedupClusters(
-          Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
+          Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
             .select(col("doc_a"), col("doc_b")))
         val withLang = clusters.join(
           docs.select(col("doc_id"), col("lang")), "doc_id")

@@ -173,7 +173,7 @@ object TextQueries {
     // representative (min doc id). Oracle = recursive-CTE reachability.
     Entry("q56_dedup_clusters",
       (s, d) => graft.ops.GraphAnalytics.dedupClusters(
-        Dedup.prefixFilterJoin(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
+        Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)
           .select(col("doc_a"), col("doc_b"))),
       Some(
         s"""WITH RECURSIVE $shingleCtes,
@@ -1227,7 +1227,7 @@ object TextQueries {
         import graft.ops.{Dedup, GraphAnalytics}
         val docs = Tables.documents(s, d)
         val clusters = GraphAnalytics.dedupClusters(
-          Dedup.prefixFilterJoin(docs, "doc_id", "text", shingleK = 3,
+          Dedup.exactJaccardPairs(docs, "doc_id", "text", shingleK = 3,
             threshold = 0.5).select(col("doc_a"), col("doc_b")))
         val sized = clusters.groupBy(col("cluster"))
           .agg(count(lit(1)).as("csize"))
@@ -1334,7 +1334,7 @@ object TextQueries {
         val chars = TextAnalysis.charClassProfile(docs, "doc_id", "text")
           .select(col("doc_id"), col("letter_ratio"))
         val clusters = GraphAnalytics.dedupClusters(
-          Dedup.prefixFilterJoin(docs, "doc_id", "text", shingleK = 3,
+          Dedup.exactJaccardPairs(docs, "doc_id", "text", shingleK = 3,
             threshold = 0.5).select(col("doc_a"), col("doc_b")))
         val surv = clusters.join(quality, "doc_id")
           .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))

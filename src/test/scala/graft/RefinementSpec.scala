@@ -44,11 +44,9 @@ class RefinementSpec extends SparkSpec {
     assert(pref === Set((1L, 2L)))
   }
 
-  test("prefix filtering is the default embedded exact-Jaccard path: " +
-       "same verified pairs as the inverted-index join on the real corpus, " +
-       "with a strictly smaller candidate set") {
-    // The metric that justifies routing q190/q191/q267 (and every other
-    // embedded ground-truth call) through prefixFilterJoin: the candidate
+  test("prefix filtering bounds candidates on the real corpus and its " +
+       "verified output equals the inverted-index join exactly") {
+    // The candidate-volume property behind the prefix path: the candidate
     // join touches only rare-prefix co-occurrences, never every pair that
     // shares ANY shingle. Hash parity is covered by the driver gate; this
     // pins the candidate-volume win so a regression to the q21 join shape
@@ -68,6 +66,38 @@ class RefinementSpec extends SparkSpec {
     val pref = Dedup.prefixFilterJoin(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pref === brute)
+  }
+
+  test("exactJaccardPairs cost gate: inverted index on bounded-df corpora, " +
+       "prefix filter under stop-shingle skew — identical output either way") {
+    // Uniform-ish corpus (each doc's shingles mostly unique): Σ df² stays
+    // ~|rows| → the gate keeps the cheap inverted-index join (measured
+    // 3-4x faster at 200k docs on a 50k vocab).
+    val uniform = (1L to 60L).map { i =>
+      (i, s"unique body number $i with words u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }.toDF("doc_id", "text")
+    val shU = Dedup.shingleSets(uniform, "doc_id", "text", 3).persist()
+    assert(Dedup.invertedIndexIsCheap(shU, 64.0),
+      "gate refused the inverted index on a skew-free corpus")
+    shU.unpersist()
+    // Stop-shingle corpus: one boilerplate phrase in EVERY doc → Σ df²
+    // quadratic in the corpus → the gate must route to the prefix filter.
+    val boiler = "terms of service apply to this site today ok"
+    val skewed = (1L to 200L).map { i =>
+      (i, s"$boiler only w$i here")
+    }.toDF("doc_id", "text")
+    val shS = Dedup.shingleSets(skewed, "doc_id", "text", 3).persist()
+    assert(!Dedup.invertedIndexIsCheap(shS, 64.0),
+      "gate kept the inverted index under stop-shingle skew")
+    shS.unpersist()
+    // physical choice never changes the answer
+    for (docs <- Seq(uniform, skewed)) {
+      val auto = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(auto === brute)
+    }
   }
 
   test("leakageSafeSplit: clusters land wholly in one split; all docs covered") {
