@@ -1254,6 +1254,215 @@ object DriftQueries {
              |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s4
              |  UNION ALL SELECT '5_near_dedup', CAST(count(*) AS BIGINT),
              |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s5)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // Sample-ratio mismatch check for the md5-parity A/B assignment: a
+    // healthy 50/50 user split should give |z| ≤ 3; SRM is the first
+    // thing to rule out before reading any experiment metric (a biased
+    // assignment invalidates every downstream lift). One distinct-user
+    // agg; z is divisions/sqrt over exact integers (full double), the
+    // A–S tail p emits float32.
+    Entry("q301_srm_check",
+      (s, d) => {
+        val users = Tables.events(s, d).select(col("user_id")).distinct()
+          .withColumn("arm",
+            pmod(ascii(substring(md5(col("user_id").cast("string")), 1, 1)),
+              lit(2)))
+        val g = users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        val n = col("n_a") + col("n_b")
+        val z = (col("n_a").cast("double") - n.cast("double") / 2) /
+          sqrt(n.cast("double") / 4)
+        val az = abs(col("z"))
+        val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+        val pnd = exp(-az * az / 2) * lit(0.3989422804014327) *
+          (k * (lit(0.319381530) + k * (lit(-0.356563782) +
+            k * (lit(1.781477937) + k * (lit(-1.821255978) +
+              k * lit(1.330274429))))))
+        g.withColumn("z", z)
+          .select(col("n_a"), col("n_b"), col("z"),
+            (lit(2.0) * pnd).cast("float").as("p"),
+            (abs(col("z")) > 3.0).as("srm_flag"))
+      },
+      Some("""WITH users AS (
+             |  SELECT DISTINCT user_id,
+             |    ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm
+             |  FROM events),
+             |g AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM users),
+             |zed AS (
+             |  SELECT *, (n_a::DOUBLE - (n_a + n_b)::DOUBLE / 2)
+             |    / sqrt((n_a + n_b)::DOUBLE / 4) AS z
+             |  FROM g)
+             |SELECT n_a, n_b, z,
+             |  CAST(2.0 * exp(-abs(z) * abs(z) / 2) * 0.3989422804014327
+             |    * ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978
+             |      + (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429)))))
+             |    AS REAL) AS p,
+             |  abs(z) > 3.0 AS srm_flag
+             |FROM zed""".stripMargin)),
+
+    // MinHash banding planner: for every (bands, rows) factorization of a
+    // 16-hash signature, the S-curve P(match | s) = 1 − (1 − s^r)^b
+    // integrated above/below the target threshold gives the false-negative
+    // and false-positive mass — the a-priori companion to q143's empirical
+    // calibration (pick the factorization BEFORE paying a corpus pass).
+    // Pure closed-form grid (5 plans × 19 similarity points, broadcast
+    // literals); pow emits float32.
+    Entry("q302_lsh_band_planner",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = 0.5
+        val plans = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        val planDf = s.range(1).select(explode(array(plans.map {
+            case (b, r) => struct(lit(b).as("bands"),
+              lit(r).as("rows_per_band"))
+          }: _*)).as("p"))
+          .select(col("p.bands").as("bands"),
+            col("p.rows_per_band").as("rows_per_band"))
+        val grid = planDf.withColumn("i",
+          explode(sequence(lit(1), lit(19))))
+          .withColumn("sim", col("i").cast("double") / 20)
+        val pMatch = lit(1.0) -
+          pow(lit(1.0) - pow(col("sim"), col("rows_per_band")), col("bands"))
+        val scored = grid
+          .withColumn("fn", when(col("sim") >= t, lit(1.0) - pMatch)
+            .otherwise(0.0))
+          .withColumn("fp", when(col("sim") < t, pMatch).otherwise(0.0))
+          .groupBy(col("bands"), col("rows_per_band"))
+          .agg(sum(col("fn")).as("fn_mass_d"), sum(col("fp")).as("fp_mass_d"))
+          .withColumn("cost_d", col("fn_mass_d") + col("fp_mass_d"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        scored
+          .withColumn("best",
+            col("cost_d") === min(col("cost_d")).over(wAll))
+          .select(col("bands"), col("rows_per_band"),
+            col("fn_mass_d").cast("float").as("fn_mass"),
+            col("fp_mass_d").cast("float").as("fp_mass"),
+            col("cost_d").cast("float").as("cost"), col("best"))
+          .orderBy(col("bands"))
+      },
+      Some("""WITH plans(bands, rows_per_band) AS (
+             |  VALUES (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)),
+             |grid AS (
+             |  SELECT bands, rows_per_band, i::DOUBLE / 20 AS sim
+             |  FROM plans, unnest(generate_series(1, 19)) AS t(i)),
+             |scored AS (
+             |  SELECT bands, rows_per_band,
+             |    sum(CASE WHEN sim >= 0.5
+             |      THEN 1.0 - (1.0 - (1.0 - pow(sim, rows_per_band))
+             |        ** bands) ELSE 0.0 END) AS fn_mass_d,
+             |    sum(CASE WHEN sim < 0.5
+             |      THEN 1.0 - (1.0 - pow(sim, rows_per_band)) ** bands
+             |      ELSE 0.0 END) AS fp_mass_d
+             |  FROM grid GROUP BY 1, 2)
+             |SELECT bands, rows_per_band,
+             |  CAST(fn_mass_d AS REAL) AS fn_mass,
+             |  CAST(fp_mass_d AS REAL) AS fp_mass,
+             |  CAST(fn_mass_d + fp_mass_d AS REAL) AS cost,
+             |  fn_mass_d + fp_mass_d
+             |    = min(fn_mass_d + fp_mass_d) OVER () AS best
+             |FROM scored ORDER BY bands""".stripMargin)),
+
+    // Per-user interval-union coverage: treat each event as an activity
+    // interval [ts, ts + ceil(value) minutes) and compute the exact union
+    // length (merged, overlap-free) vs the first→last span — how BUSY a
+    // user's timeline actually is, the per-key sibling of q195's global
+    // sweep. One user-partitioned window (running max of interval end
+    // over PRIOR rows clips each interval's new contribution); exact
+    // integer seconds throughout.
+    Entry("q303_interval_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("s_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val clipped = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("s_us"),
+            (unix_micros(col("ts").cast("timestamp")) +
+              greatest(lit(1L), ceil(col("value")).cast("long")) * 60000000L)
+              .as("e_us"))
+          .withColumn("prev_end", max(col("e_us")).over(w))
+          .withColumn("add_us",
+            greatest(lit(0L), col("e_us") -
+              greatest(col("s_us"), coalesce(col("prev_end"), col("s_us")))))
+        clipped.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("add_us")).as("cov_us"),
+            (max(col("e_us")) - min(col("s_us"))).as("span_us"))
+          // INTEGER division (div), not /: a double quotient could round
+          // up across an integer boundary before the truncating cast
+          .withColumn("covered_s", expr("cov_us div 1000000"))
+          .withColumn("span_s", expr("span_us div 1000000"))
+          .withColumn("coverage",
+            col("covered_s").cast("double") / col("span_s"))
+          .select(col("user_id"), col("n_events"), col("covered_s"),
+            col("span_s"), col("coverage"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+             |    epoch_us(CAST(ts AS TIMESTAMP))
+             |      + greatest(1, CAST(ceil(value) AS BIGINT)) * 60000000
+             |      AS e_us
+             |  FROM events),
+             |clipped AS (
+             |  SELECT *,
+             |    max(e_us) OVER (PARTITION BY user_id
+             |      ORDER BY s_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prev_end
+             |  FROM iv)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(greatest(0, e_us
+             |    - greatest(s_us, coalesce(prev_end, s_us)))) // 1000000
+             |    AS BIGINT) AS covered_s,
+             |  CAST((max(e_us) - min(s_us)) // 1000000 AS BIGINT) AS span_s,
+             |  (CAST(sum(greatest(0, e_us
+             |    - greatest(s_us, coalesce(prev_end, s_us)))) // 1000000
+             |    AS BIGINT))::DOUBLE
+             |    / ((max(e_us) - min(s_us)) // 1000000) AS coverage
+             |FROM clipped GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Herfindahl–Hirschman concentration of the token supply across
+    // sources, with the effective source count 1/HHI — "is the corpus
+    // really diverse, or three sources in a trenchcoat?" (the mixing
+    // planners q133/q142 read this before reweighting). Counts exact;
+    // the share-square sum is engine-ordered → float32.
+    Entry("q304_hhi_concentration",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("source"), explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("source")).agg(count(lit(1)).as("c"))
+        val tot = g.agg(sum(col("c")).as("t"))
+        val share = col("c").cast("double") / col("t")
+        g.crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("n_sources"),
+            sum(share * share).as("hhi_d"))
+          .select(col("n_sources"), col("hhi_d").cast("float").as("hhi"),
+            (lit(1.0) / col("hhi_d")).cast("float").as("effective_sources"))
+      },
+      Some("""WITH g AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0 GROUP BY source),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM g)
+             |SELECT count(*) AS n_sources,
+             |  CAST(sum((c::DOUBLE / t) * (c::DOUBLE / t)) AS REAL) AS hhi,
+             |  CAST(1.0 / sum((c::DOUBLE / t) * (c::DOUBLE / t)) AS REAL)
+             |    AS effective_sources
+             |FROM g CROSS JOIN t""".stripMargin))
   )
 }
