@@ -1463,6 +1463,317 @@ object DriftQueries {
              |  CAST(sum((c::DOUBLE / t) * (c::DOUBLE / t)) AS REAL) AS hhi,
              |  CAST(1.0 / sum((c::DOUBLE / t) * (c::DOUBLE / t)) AS REAL)
              |    AS effective_sources
-             |FROM g CROSS JOIN t""".stripMargin))
+             |FROM g CROSS JOIN t""".stripMargin)),
+
+    // Decision-stump learner: the information gain of every "activity ≥ t"
+    // split for predicting the error-heavy outcome, with the best split
+    // flagged — the single-feature baseline every feature audit starts
+    // from (and the WoE table's discrete cousin). Candidate thresholds =
+    // the distinct activity values; left/right class counts come from ONE
+    // cumulative pass over that relation (BSP prefix sum — the value
+    // domain grows with the corpus), entropies are closed-form from exact
+    // counts; ln → float32. The argmax rides an agg + broadcast join, not
+    // a global window.
+    Entry("q305_info_gain_split",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("score"),
+            (sum(when(col("event_type") === "error", 1L).otherwise(0L)) * 5 >
+              count(lit(1))).as("pos"))
+        val g = users.groupBy(col("score"))
+          .agg(count(lit(1)).as("n_s"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("pos_s"))
+        // cumulative from the HIGH end: left split of "score >= t"
+        val cum = PrefixSum.globalRunningSum(
+          PrefixSum.globalRunningSum(g, Seq(desc("score")),
+              col("n_s").cast("decimal(20,0)"))
+            .withColumn("n_left", col("running").cast("long"))
+            .drop("running"),
+          Seq(desc("score")), col("pos_s").cast("decimal(20,0)"))
+          .withColumn("pos_left", col("running").cast("long"))
+          .drop("running")
+        val tot = g.agg(sum(col("n_s")).as("n"), sum(col("pos_s")).as("npos"))
+        def ent(p: org.apache.spark.sql.Column) =
+          when(p > 0 && p < 1, -p * log(p) - (lit(1.0) - p) * log(lit(1.0) - p))
+            .otherwise(0.0)
+        val scored = cum.crossJoin(broadcast(tot))
+          .withColumn("n_right", col("n") - col("n_left"))
+          .withColumn("pos_right", col("npos") - col("pos_left"))
+          .filter(col("n_right") > 0) // the lowest threshold splits nothing off
+          .withColumn("ig_d",
+            ent(col("npos").cast("double") / col("n")) -
+              col("n_left").cast("double") / col("n") *
+                ent(col("pos_left").cast("double") / col("n_left")) -
+              col("n_right").cast("double") / col("n") *
+                ent(col("pos_right").cast("double") / col("n_right")))
+        val best = scored.agg(max(col("ig_d")).as("best_ig"))
+        scored.crossJoin(broadcast(best))
+          .select(col("score").as("threshold"), col("n_left"), col("pos_left"),
+            col("ig_d").cast("float").as("info_gain"),
+            (col("ig_d") === col("best_ig")).as("best"))
+          .orderBy(col("threshold"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, count(*) AS score,
+             |    5 * count(CASE WHEN event_type = 'error' THEN 1 END)
+             |      > count(*) AS pos
+             |  FROM events GROUP BY user_id),
+             |g AS (
+             |  SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_s
+             |  FROM users GROUP BY score),
+             |cum AS (
+             |  SELECT score,
+             |    CAST(sum(n_s) OVER (ORDER BY score DESC) AS BIGINT)
+             |      AS n_left,
+             |    CAST(sum(pos_s) OVER (ORDER BY score DESC) AS BIGINT)
+             |      AS pos_left
+             |  FROM g),
+             |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             |             CAST(sum(pos_s) AS BIGINT) AS npos FROM g),
+             |scored AS (
+             |  SELECT score, n_left, pos_left,
+             |    (CASE WHEN npos > 0 AND npos < n
+             |       THEN -(npos::DOUBLE / n) * ln(npos::DOUBLE / n)
+             |          - (1.0 - npos::DOUBLE / n) * ln(1.0 - npos::DOUBLE / n)
+             |       ELSE 0.0 END)
+             |    - n_left::DOUBLE / n *
+             |      (CASE WHEN pos_left > 0 AND pos_left < n_left
+             |        THEN -(pos_left::DOUBLE / n_left)
+             |            * ln(pos_left::DOUBLE / n_left)
+             |          - (1.0 - pos_left::DOUBLE / n_left)
+             |            * ln(1.0 - pos_left::DOUBLE / n_left)
+             |        ELSE 0.0 END)
+             |    - (n - n_left)::DOUBLE / n *
+             |      (CASE WHEN npos - pos_left > 0 AND npos - pos_left < n - n_left
+             |        THEN -((npos - pos_left)::DOUBLE / (n - n_left))
+             |            * ln((npos - pos_left)::DOUBLE / (n - n_left))
+             |          - (1.0 - (npos - pos_left)::DOUBLE / (n - n_left))
+             |            * ln(1.0 - (npos - pos_left)::DOUBLE / (n - n_left))
+             |        ELSE 0.0 END) AS ig_d
+             |  FROM cum CROSS JOIN t WHERE n - n_left > 0),
+             |best AS (SELECT max(ig_d) AS best_ig FROM scored)
+             |SELECT score AS threshold, n_left, pos_left,
+             |  CAST(ig_d AS REAL) AS info_gain, ig_d = best_ig AS best
+             |FROM scored CROSS JOIN best ORDER BY threshold""".stripMargin)),
+
+    // Smoothed target encoding of event_type against the high-value
+    // outcome (value above the exact corpus mean): te = (pos_c + m·prior)
+    // / (n_c + m) with m = 10 — the leakage-resistant categorical feature
+    // every tabular model starts with. The mean rides an exact decimal
+    // sum so the outcome labels can never straddle engines; everything
+    // after is exact counts + single divisions (full doubles).
+    Entry("q306_target_encoding",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+        val mean = ev.agg(
+          (sum(col("value").cast("decimal(20,6)")).cast("double") /
+            count(lit(1))).as("mu"))
+        val labeled = ev.crossJoin(broadcast(mean))
+          .withColumn("pos", col("value") > col("mu"))
+        val g = labeled.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        val prior = g.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("pt"))
+        g.crossJoin(broadcast(prior))
+          .select(col("event_type"), col("n"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n")).as("raw_rate"),
+            ((col("n_pos").cast("double") +
+              lit(10.0) * (col("pt").cast("double") / col("nt"))) /
+              (col("n") + lit(10L))).as("te_smoothed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH mu AS (
+             |  SELECT sum(CAST(value AS DECIMAL(20,6)))::DOUBLE / count(*)
+             |    AS mu
+             |  FROM events),
+             |g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN value > mu THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_pos
+             |  FROM events CROSS JOIN mu GROUP BY event_type),
+             |p AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             |             CAST(sum(n_pos) AS BIGINT) AS pt FROM g)
+             |SELECT event_type, n, n_pos,
+             |  n_pos::DOUBLE / n AS raw_rate,
+             |  (n_pos::DOUBLE + 10.0 * (pt::DOUBLE / nt)) / (n + 10)
+             |    AS te_smoothed
+             |FROM g CROSS JOIN p ORDER BY event_type""".stripMargin)),
+
+    // Hash-fold split stability: five md5-keyed folds of the corpus, per-
+    // fold mean quality and length, and the max−min fold drift — if a
+    // random 20% slice moves the metric, per-fold eval numbers are noise,
+    // not signal. Fold routing is engine-portable md5; means sum doubles
+    // → float32; drift from the 5-row fold relation.
+    Entry("q307_split_stability",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val q = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("fold",
+            pmod(ascii(substring(md5(col("doc_id").cast("string")), 1, 1)),
+              lit(5)))
+        val g = q.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("quality")).as("mq_d"),
+            avg(col("n_chars")).as("mc_d"))
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        g.withColumn("quality_drift",
+            (max(col("mq_d")).over(wAll) - min(col("mq_d")).over(wAll))
+              .cast("float"))
+          .select(col("fold"), col("n"),
+            col("mq_d").cast("float").as("mean_quality"),
+            col("mc_d").cast("float").as("mean_chars"),
+            col("quality_drift"))
+          .orderBy(col("fold"))
+      },
+      Some {
+        val stop = graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS n_stop
+           |  FROM t),
+           |qual AS (
+           |  SELECT doc_id, n_chars,
+           |    0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS quality,
+           |    ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5 AS fold
+           |  FROM f),
+           |g AS (
+           |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           |    avg(quality) AS mq_d, avg(n_chars) AS mc_d
+           |  FROM qual GROUP BY fold)
+           |SELECT fold, n, CAST(mq_d AS REAL) AS mean_quality,
+           |  CAST(mc_d AS REAL) AS mean_chars,
+           |  CAST(max(mq_d) OVER () - min(mq_d) OVER () AS REAL)
+           |    AS quality_drift
+           |FROM g ORDER BY fold""".stripMargin
+      }),
+
+    // Pairwise vocabulary overlap between sources (token-set Jaccard) —
+    // which sources are restatements of each other BEFORE document-level
+    // dedup ever runs. The pair terms come from the token-keyed join of
+    // distinct (source, token) rows — Σ per-token source-pair work, never
+    // |sources|² × vocab. Exact counts and one division.
+    Entry("q308_vocab_overlap",
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .select(col("source"), explode(Fns.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .distinct().localCheckpoint(true) // feeds sizes + both join legs
+        val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+        val inter = st.select(col("source").as("source_a"), col("w"))
+          .join(st.select(col("source").as("source_b"), col("w")), Seq("w"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("source").as("source_a"),
+            col("nv").as("na")), "source_a")
+          .join(sizes.select(col("source").as("source_b"),
+            col("nv").as("nb")), "source_b")
+          .select(col("source_a"), col("source_b"), col("inter"),
+            (col("na") + col("nb") - col("inter")).as("union_sz"),
+            (col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter"))).as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH st AS (
+             |  SELECT DISTINCT source, w FROM (
+             |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0),
+             |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+             |          FROM st GROUP BY source),
+             |inter AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(count(*) AS BIGINT) AS inter
+             |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, inter,
+             |  na.nv + nb.nv - inter AS union_sz,
+             |  inter::DOUBLE / (na.nv + nb.nv - inter) AS jaccard
+             |FROM inter
+             |JOIN sizes na ON na.source = source_a
+             |JOIN sizes nb ON nb.source = source_b
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Nelson–Aalen cumulative hazard over the q290 lifetimes — the
+    // additive (hazard-space) twin of the Kaplan–Meier product: H(t) =
+    // Σ_{t'≤t} d/n is what hazard-regression models consume. Per-duration
+    // hazards are single exact divisions; the cumulative rides the BSP
+    // prefix sum in decimal, emitted float32.
+    Entry("q309_nelson_aalen",
+      (s, d) => {
+        val horizon = 12L * 3600000000L
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+        val corpusMax = ev.agg(max(col("us")).as("max_us"))
+        val life = ev.groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+          .crossJoin(broadcast(corpusMax))
+          .select(expr("(last_us - first_us) div 86400000000").as("dur_d"),
+            when(col("max_us") - col("last_us") > horizon, 1L).otherwise(0L)
+              .as("died"))
+        val byDur = life.groupBy(col("dur_d"))
+          .agg(sum(col("died")).as("d_events"), count(lit(1)).as("ct"))
+        val nTot = byDur.agg(sum(col("ct")).as("n_total"))
+        val risk = PrefixSum.globalRunningSum(byDur, Seq(col("dur_d")),
+            col("ct").cast("decimal(20,0)"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("n_risk",
+            col("n_total") - col("running").cast("long") + col("ct"))
+          .drop("running")
+          .withColumn("hazard",
+            col("d_events").cast("double") / col("n_risk"))
+        PrefixSum.globalRunningSum(risk, Seq(col("dur_d")),
+            col("hazard").cast("decimal(30,15)"))
+          .withColumn("cum_hazard", col("running").cast("double").cast("float"))
+          .filter(col("d_events") > 0)
+          .select(col("dur_d"), col("n_risk"), col("d_events"),
+            col("hazard"), col("cum_hazard"))
+          .orderBy(col("dur_d"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |mx AS (SELECT max(us) AS max_us FROM ev),
+             |life AS (
+             |  SELECT (max(us) - min(us)) // 86400000000 AS dur_d,
+             |    CASE WHEN (SELECT max_us FROM mx) - max(us) > 43200000000
+             |      THEN 1 ELSE 0 END AS died
+             |  FROM ev GROUP BY user_id),
+             |byd AS (
+             |  SELECT dur_d, CAST(sum(died) AS BIGINT) AS d_events,
+             |    CAST(count(*) AS BIGINT) AS ct
+             |  FROM life GROUP BY dur_d),
+             |t AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM byd),
+             |risk AS (
+             |  SELECT *,
+             |    (SELECT n_total FROM t)
+             |      - CAST(sum(ct) OVER (ORDER BY dur_d) AS BIGINT) + ct
+             |      AS n_risk
+             |  FROM byd),
+             |haz AS (
+             |  SELECT *, d_events::DOUBLE / n_risk AS hazard FROM risk)
+             |SELECT dur_d, n_risk, d_events, hazard,
+             |  CAST(CAST(sum(CAST(hazard AS DECIMAL(30,15)))
+             |    OVER (ORDER BY dur_d) AS DOUBLE) AS REAL) AS cum_hazard
+             |FROM haz WHERE d_events > 0 ORDER BY dur_d""".stripMargin))
   )
 }
