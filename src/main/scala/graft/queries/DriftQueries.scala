@@ -1774,6 +1774,214 @@ object DriftQueries {
              |SELECT dur_d, n_risk, d_events, hazard,
              |  CAST(CAST(sum(CAST(hazard AS DECIMAL(30,15)))
              |    OVER (ORDER BY dur_d) AS DOUBLE) AS REAL) AS cum_hazard
-             |FROM haz WHERE d_events > 0 ORDER BY dur_d""".stripMargin))
+             |FROM haz WHERE d_events > 0 ORDER BY dur_d""".stripMargin)),
+
+    // Character-class profile per source: upper-case, digit, punctuation
+    // and whitespace character shares — the cheap curation columns that
+    // catch ALL-CAPS spam, number dumps and markup residue before any
+    // model-based scoring. Counts via regex-strip length differences
+    // (identical regex engines on ASCII classes); exact integers and
+    // single divisions.
+    Entry("q310_casing_profile",
+      (s, d) => {
+        def cnt(pat: String) =
+          (length(col("text")) -
+            length(regexp_replace(col("text"), pat, ""))).cast("long")
+        val g = Tables.documents(s, d)
+          .select(col("source"), length(col("text")).cast("long").as("nc"),
+            cnt("[A-Z]").as("upper"), cnt("[0-9]").as("digit"),
+            cnt("[^A-Za-z0-9 ]").as("punct"), cnt(" ").as("space"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+            sum(col("upper")).as("u"), sum(col("digit")).as("dg"),
+            sum(col("punct")).as("p"), sum(col("space")).as("sp"))
+        g.select(col("source"), col("n_docs"), col("n_chars"),
+            (col("u").cast("double") / col("n_chars")).as("upper_ratio"),
+            (col("dg").cast("double") / col("n_chars")).as("digit_ratio"),
+            (col("p").cast("double") / col("n_chars")).as("punct_ratio"),
+            (col("sp").cast("double") / col("n_chars")).as("space_ratio"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH g AS (
+             |  SELECT source,
+             |    CAST(length(text) AS BIGINT) AS nc,
+             |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+             |      AS BIGINT) AS u,
+             |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS BIGINT) AS dg,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+             |      AS BIGINT) AS p,
+             |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+             |      AS BIGINT) AS sp
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nc) AS BIGINT) AS n_chars,
+             |  sum(u)::DOUBLE / sum(nc) AS upper_ratio,
+             |  sum(dg)::DOUBLE / sum(nc) AS digit_ratio,
+             |  sum(p)::DOUBLE / sum(nc) AS punct_ratio,
+             |  sum(sp)::DOUBLE / sum(nc) AS space_ratio
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Template-head detection: documents sharing their first five tokens
+    // — the cheapest boilerplate-family finder (form letters, scraped
+    // templates, generated spam share heads long before they share whole
+    // shingle sets). One prefix groupBy; heads hitting ≥ 3 docs emit with
+    // an example doc. Exact counts.
+    Entry("q311_template_heads",
+      (s, d) => {
+        val heads = Tables.documents(s, d)
+          .select(col("doc_id"), Fns.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 5)
+          .select(col("doc_id"),
+            array_join(slice(col("toks"), 1, 5), " ").as("head"))
+        heads.groupBy(col("head"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+          .filter(col("n_docs") >= 3)
+          .orderBy(desc("n_docs"), col("head"))
+      },
+      Some("""WITH heads AS (
+             |  SELECT doc_id,
+             |    array_to_string(t[1:5], ' ') AS head
+             |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 5)
+             |SELECT head, CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(doc_id) AS example_doc
+             |FROM heads GROUP BY head HAVING count(*) >= 3
+             |ORDER BY n_docs DESC, head""".stripMargin)),
+
+    // Degree assortativity of the co-purchase graph (q216's edges): the
+    // Pearson correlation of endpoint degrees over the directed edge list
+    // — positive means hubs buddy with hubs (retail graphs are usually
+    // DISassortative, which is why hub-aware partitioning pays). Exact
+    // integer power sums over edges; one closed-form correlation.
+    Entry("q312_assortativity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // feeds degrees AND the directed expansion
+        val deg = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val directed = edges
+          .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val pairs = directed
+          .join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+        val a = pairs.agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        a.select(col("m"),
+          ((col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            sqrt((col("m").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")) *
+              (col("m").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy"))))
+            .as("assortativity"))
+      },
+      Some("""WITH e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT x.l_partkey AS src, y.l_partkey AS dst,
+             |      count(*) AS n_co
+             |    FROM lineitem x JOIN lineitem y
+             |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |    GROUP BY 1, 2) WHERE n_co >= 2),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+             |  GROUP BY id),
+             |directed AS (
+             |  SELECT src, dst FROM e
+             |  UNION ALL SELECT dst, src FROM e),
+             |pairs AS (
+             |  SELECT a.deg AS dx, b.deg AS dy
+             |  FROM directed
+             |  JOIN deg a ON a.id = directed.src
+             |  JOIN deg b ON b.id = directed.dst),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             |    CAST(sum(dy * dy) AS BIGINT) AS syy
+             |  FROM pairs)
+             |SELECT m,
+             |  (m::DOUBLE * sxy - sx::DOUBLE * sy)
+             |    / sqrt((m::DOUBLE * sxx - sx::DOUBLE * sx)
+             |         * (m::DOUBLE * syy - sy::DOUBLE * sy)) AS assortativity
+             |FROM agg""".stripMargin)),
+
+    // Deterministic Poisson bootstrap CI for the mean event value: 32
+    // replicas, each row's replica weight drawn from a QUANTIZED
+    // Poisson(1) inverse-CDF over an md5-derived byte — fully
+    // reproducible and bit-identical in any engine (the practical
+    // requirement a sampled bootstrap can't meet). Replica means are
+    // exact-decimal rationals; the band is the 2nd-smallest/2nd-largest
+    // replica mean (a ~94% percentile-bootstrap interval at B = 32).
+    Entry("q313_hash_bootstrap_ci",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 32
+        // byte ∈ [0,256): two md5 hex chars; Poisson(1) CDF quantized to
+        // /256 steps: P(0)=.368→94, P(≤1)=.736→188, P(≤2)=.920→235,
+        // P(≤3)=.981→251, P(≤4)=.996→255
+        val byte = conv(substring(md5(concat(col("event_id"), lit("|"),
+          col("b").cast("string"))), 1, 2), 16, 10).cast("int")
+        val w = when(col("byte") < 94, 0L).when(col("byte") < 188, 1L)
+          .when(col("byte") < 235, 2L).when(col("byte") < 251, 3L)
+          .when(col("byte") < 255, 4L).otherwise(5L)
+        val reps = Tables.events(s, d)
+          .select(col("event_id"), col("value").cast("decimal(20,6)").as("v"),
+            explode(sequence(lit(1), lit(B))).as("b"))
+          .withColumn("byte", byte)
+          .withColumn("w", w)
+          .groupBy(col("b"))
+          .agg((sum(col("w") * col("v")).cast("double") / sum(col("w")))
+            .as("rep_mean"))
+        val obs = Tables.events(s, d)
+          .agg((sum(col("value").cast("decimal(20,6)")).cast("double") /
+            count(lit(1))).as("mean_obs"))
+        val ranked = reps.withColumn("rk",
+          row_number().over(Window.orderBy(col("rep_mean"), col("b"))))
+        ranked.crossJoin(broadcast(obs))
+          .agg(max(col("mean_obs")).as("mean_obs"),
+            count(lit(1)).as("n_reps"),
+            max(when(col("rk") === 2, col("rep_mean"))).as("ci_lo"),
+            max(when(col("rk") === B - 1, col("rep_mean"))).as("ci_hi"))
+      },
+      Some("""WITH reps AS (
+             |  SELECT b,
+             |    sum(w * v)::DOUBLE / sum(w) AS rep_mean
+             |  FROM (
+             |    SELECT b, CAST(value AS DECIMAL(20,6)) AS v,
+             |      CASE WHEN byte < 94 THEN 0 WHEN byte < 188 THEN 1
+             |        WHEN byte < 235 THEN 2 WHEN byte < 251 THEN 3
+             |        WHEN byte < 255 THEN 4 ELSE 5 END AS w
+             |    FROM (
+             |      SELECT event_id, value, b,
+             |        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+             |          || '|' || CAST(b AS VARCHAR)), 1, 2)) AS INT) AS byte
+             |      FROM events, unnest(generate_series(1, 32)) AS t(b)))
+             |  GROUP BY b),
+             |obs AS (
+             |  SELECT sum(CAST(value AS DECIMAL(20,6)))::DOUBLE / count(*)
+             |    AS mean_obs
+             |  FROM events),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (ORDER BY rep_mean, b) AS rk
+             |  FROM reps)
+             |SELECT max(mean_obs) AS mean_obs,
+             |  CAST(count(*) AS BIGINT) AS n_reps,
+             |  max(CASE WHEN rk = 2 THEN rep_mean END) AS ci_lo,
+             |  max(CASE WHEN rk = 31 THEN rep_mean END) AS ci_hi
+             |FROM ranked CROSS JOIN obs""".stripMargin))
   )
 }
