@@ -1982,6 +1982,330 @@ object DriftQueries {
              |  CAST(count(*) AS BIGINT) AS n_reps,
              |  max(CASE WHEN rk = 2 THEN rep_mean END) AS ci_lo,
              |  max(CASE WHEN rk = 31 THEN rep_mean END) AS ci_hi
-             |FROM ranked CROSS JOIN obs""".stripMargin))
+             |FROM ranked CROSS JOIN obs""".stripMargin)),
+
+    // Label-centroid separation matrix: between-centroid cosine for every
+    // label pair next to each label's within-cohesion (mean member→
+    // centroid cosine) — the embedding-space class-separability audit
+    // (labels whose centroids cosine ≈ their within-cohesion are not
+    // separable by any metric model). Centroids are per-dim float32 means
+    // (the q236 pattern — f32 absorbs the sum-order drift), cosines are
+    // the fixed-order double fold; the within means emit float32.
+    Entry("q314_centroid_separation",
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosineSim
+        val emb = Tables.embeddings(s, d)
+        val cent = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("i"), col("m"))))
+            .as("pairs"))
+          .select(col("label"),
+            transform(col("pairs"), p => p.getField("m").cast("float"))
+              .as("centroid"))
+          .localCheckpoint(true) // feeds the within join AND the pair matrix
+        val within = emb.join(broadcast(cent), "label")
+          .withColumn("c", cosineSim(col("embedding"), col("centroid")))
+          .groupBy(col("label")).agg(avg(col("c")).cast("float").as("within"))
+        cent.select(col("label").as("label_a"), col("centroid").as("ca"))
+          .join(cent.select(col("label").as("label_b"), col("centroid").as("cb")),
+            col("label_a") < col("label_b"))
+          .withColumn("between_cos", cosineSim(col("ca"), col("cb")))
+          .join(broadcast(within.select(col("label").as("label_a"),
+            col("within").as("within_a"))), "label_a")
+          .join(broadcast(within.select(col("label").as("label_b"),
+            col("within").as("within_b"))), "label_b")
+          .select(col("label_a"), col("label_b"), col("between_cos"),
+            col("within_a"), col("within_b"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some {
+        val cosEC = OracleSql.cosine("e.embedding", "c.centroid")
+        val cosAB = OracleSql.cosine("a.centroid", "b.centroid")
+        s"""WITH cent AS (
+           |  SELECT label, i, CAST(avg(embedding[i]::DOUBLE) AS REAL) AS m
+           |  FROM embeddings,
+           |    UNNEST(generate_series(1,
+           |      (SELECT max(len(embedding)) FROM embeddings))) AS t(i)
+           |  GROUP BY 1, 2),
+           |c AS (SELECT label, list(m ORDER BY i) AS centroid
+           |      FROM cent GROUP BY 1),
+           |within AS (
+           |  SELECT e.label, CAST(avg($cosEC) AS REAL) AS within
+           |  FROM embeddings e JOIN c ON e.label = c.label
+           |  GROUP BY e.label)
+           |SELECT a.label AS label_a, b.label AS label_b,
+           |  $cosAB AS between_cos,
+           |  wa.within AS within_a, wb.within AS within_b
+           |FROM c a JOIN c b ON a.label < b.label
+           |JOIN within wa ON wa.label = a.label
+           |JOIN within wb ON wb.label = b.label
+           |ORDER BY label_a, label_b""".stripMargin
+      }),
+
+    // KNN label-margin audit: for a fixed probe set, the gap between the
+    // best SAME-label neighbor and the best OTHER-label neighbor — the
+    // metric-learning health readout (negative margin = the space
+    // confuses that probe's class; the per-label negative-margin rate is
+    // what triggers hard-negative mining, q134). Probe side is bounded
+    // (50 ids) and broadcast; one corpus scan of fixed-order double
+    // cosines; means emit float32, rates stay exact rationals.
+    Entry("q315_knn_margin",
+      (s, d) => {
+        import graft.functions.VectorFunctions.cosineSim
+        val emb = Tables.embeddings(s, d)
+        val probes = emb.orderBy(col("vec_id")).limit(50)
+          .select(col("vec_id").as("pid"), col("label").as("plabel"),
+            col("embedding").as("pemb"))
+        val scored = emb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .withColumn("cos", cosineSim(col("embedding"), col("pemb")))
+        val perProbe = scored.groupBy(col("pid"), col("plabel"))
+          .agg(max(when(col("label") === col("plabel"), col("cos"))).as("best_same"),
+            max(when(col("label") =!= col("plabel"), col("cos"))).as("best_diff"))
+          .withColumn("margin", col("best_same") - col("best_diff"))
+        perProbe.groupBy(col("plabel").as("label"))
+          .agg(count(lit(1)).as("n_probes"),
+            avg(col("margin")).cast("float").as("mean_margin"),
+            (sum(when(col("margin") < 0, 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("neg_margin_rate"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val cos = OracleSql.cosine("e.embedding", "p.pemb")
+        s"""WITH p AS (
+           |  SELECT vec_id AS pid, label AS plabel, embedding AS pemb
+           |  FROM embeddings ORDER BY vec_id LIMIT 50),
+           |scored AS (
+           |  SELECT p.pid, p.plabel, e.label, $cos AS cos
+           |  FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.pid),
+           |per AS (
+           |  SELECT pid, plabel,
+           |    max(CASE WHEN label = plabel THEN cos END) AS best_same,
+           |    max(CASE WHEN label <> plabel THEN cos END) AS best_diff
+           |  FROM scored GROUP BY 1, 2)
+           |SELECT plabel AS label, CAST(count(*) AS BIGINT) AS n_probes,
+           |  CAST(avg(best_same - best_diff) AS REAL) AS mean_margin,
+           |  sum(CASE WHEN best_same - best_diff < 0 THEN 1 ELSE 0 END)
+           |    ::DOUBLE / count(*) AS neg_margin_rate
+           |FROM per GROUP BY plabel ORDER BY label""".stripMargin
+      }),
+
+    // Token entropy BY POSITION (1..10): template-heavy corpora collapse
+    // early-position entropy (every doc opens with the same boilerplate)
+    // long before whole-document statistics notice — the quantitative
+    // twin of q311's template heads. Exact counts per (position, token);
+    // ln → float32.
+    Entry("q316_positional_entropy",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), Fns.tokens(col("text")).as("t"))
+        val at = toks
+          .select(explode(sequence(lit(1), lit(10))).as("pos"), col("t"))
+          .filter(size(col("t")) >= col("pos"))
+          .select(col("pos"), element_at(col("t"), col("pos")).as("w"))
+        val g = at.groupBy(col("pos"), col("w")).agg(count(lit(1)).as("c"))
+        val tot = g.groupBy(col("pos")).agg(sum(col("c")).as("n"),
+          count(lit(1)).as("vocab"))
+        val p = col("c").cast("double") / col("n")
+        g.join(broadcast(tot), "pos")
+          .groupBy(col("pos"))
+          .agg(max(col("n")).as("n_docs"), max(col("vocab")).as("vocab"),
+            sum(-p * log(p)).cast("float").as("entropy"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH at AS (
+             |  SELECT i AS pos, t[i] AS w FROM (
+             |    SELECT string_split(lower(text), ' ') AS t FROM documents),
+             |    unnest(generate_series(1, 10)) AS s(i)
+             |  WHERE len(t) >= i),
+             |g AS (SELECT pos, w, CAST(count(*) AS BIGINT) AS c
+             |      FROM at GROUP BY 1, 2),
+             |tot AS (SELECT pos, CAST(sum(c) AS BIGINT) AS n,
+             |        CAST(count(*) AS BIGINT) AS vocab FROM g GROUP BY pos)
+             |SELECT pos, max(n) AS n_docs, max(vocab) AS vocab,
+             |  CAST(sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS REAL)
+             |    AS entropy
+             |FROM g JOIN tot USING (pos) GROUP BY pos ORDER BY pos""".stripMargin)),
+
+    // Two-feature OLS via the closed-form normal equations: quality ~
+    // ln(chars) + type-token ratio — how much of the composite is
+    // reconstructable from length plus lexical diversity (q295 fits
+    // length alone)? One scan of power sums, a 2×2 solve in closed form;
+    // coefficient/R² outputs are engine-ordered double sums → float32.
+    // (The second feature must VARY: a constant regressor makes the
+    // normal-equation determinant exactly 0 — ANSI Spark raises where
+    // DuckDB would emit NaN.)
+    Entry("q317_two_feature_ols",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val ttr = size(array_distinct(filter(Fns.tokens(col("text")),
+            t => length(t) > 0))).cast("double") /
+          size(filter(Fns.tokens(col("text")), t => length(t) > 0))
+        val feats = TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality").as("y"))
+          .join(docs.select(col("doc_id"), log(col("n_chars")).as("x1"),
+            ttr.as("x2")), "doc_id")
+        val a = feats.agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+        val n = col("n").cast("double")
+        val c11 = col("s11") - col("s1") * col("s1") / n
+        val c22 = col("s22") - col("s2") * col("s2") / n
+        val c12 = col("s12") - col("s1") * col("s2") / n
+        val c1y = col("s1y") - col("s1") * col("sy") / n
+        val c2y = col("s2y") - col("s2") * col("sy") / n
+        val cyy = col("syy") - col("sy") * col("sy") / n
+        val det = c11 * c22 - c12 * c12
+        val b1 = (c1y * c22 - c2y * c12) / det
+        val b2 = (c2y * c11 - c1y * c12) / det
+        a.select(col("n"),
+          b1.cast("float").as("beta_len"),
+          b2.cast("float").as("beta_punct"),
+          ((col("sy") / n) - b1 * (col("s1") / n) - b2 * (col("s2") / n))
+            .cast("float").as("intercept"),
+          ((b1 * c1y + b2 * c2y) / cyy).cast("float").as("r2"))
+      },
+      Some {
+        val stop = graft.ops.TextAnalysis.langMarkers.values.flatten.toSeq
+          .distinct.sorted.map(m => s"'$m'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, n_chars, text,
+           |    string_split(lower(text), ' ') AS toks
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, n_chars, text,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(toks, x -> list_contains([$stop], x)))
+           |      AS BIGINT) AS n_stop,
+           |    CAST(len(list_filter(toks, x -> length(x) > 0)) AS BIGINT)
+           |      AS nz_tokens,
+           |    CAST(len(list_distinct(list_filter(toks, x -> length(x) > 0)))
+           |      AS BIGINT) AS nz_distinct
+           |  FROM t),
+           |feats AS (
+           |  SELECT
+           |    0.4 * least(1.0, n_tokens / 64.0)
+           |      + 0.3 * (n_distinct::DOUBLE / n_tokens)
+           |      + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens) AS y,
+           |    ln(n_chars) AS x1,
+           |    nz_distinct::DOUBLE / nz_tokens AS x2
+           |  FROM f),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+           |    sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+           |    sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+           |    sum(x2 * y) AS s2y, sum(y * y) AS syy
+           |  FROM feats)
+           |SELECT n,
+           |  CAST(((s1y - s1 * sy / n) * (s22 - s2 * s2 / n)
+           |      - (s2y - s2 * sy / n) * (s12 - s1 * s2 / n))
+           |    / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+           |      - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) AS REAL)
+           |    AS beta_len,
+           |  CAST(((s2y - s2 * sy / n) * (s11 - s1 * s1 / n)
+           |      - (s1y - s1 * sy / n) * (s12 - s1 * s2 / n))
+           |    / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+           |      - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)) AS REAL)
+           |    AS beta_punct,
+           |  CAST(sy / n
+           |    - (((s1y - s1 * sy / n) * (s22 - s2 * s2 / n)
+           |        - (s2y - s2 * sy / n) * (s12 - s1 * s2 / n))
+           |      / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+           |        - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))) * (s1 / n)
+           |    - (((s2y - s2 * sy / n) * (s11 - s1 * s1 / n)
+           |        - (s1y - s1 * sy / n) * (s12 - s1 * s2 / n))
+           |      / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+           |        - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n))) * (s2 / n)
+           |    AS REAL) AS intercept,
+           |  CAST(((((s1y - s1 * sy / n) * (s22 - s2 * s2 / n)
+           |        - (s2y - s2 * sy / n) * (s12 - s1 * s2 / n))
+           |      / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+           |        - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)))
+           |      * (s1y - s1 * sy / n)
+           |    + (((s2y - s2 * sy / n) * (s11 - s1 * s1 / n)
+           |        - (s1y - s1 * sy / n) * (s12 - s1 * s2 / n))
+           |      / ((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)
+           |        - (s12 - s1 * s2 / n) * (s12 - s1 * s2 / n)))
+           |      * (s2y - s2 * sy / n))
+           |    / (syy - sy * sy / n) AS REAL) AS r2
+           |FROM a""".stripMargin
+      }),
+
+    // One round of neighborhood mean-aggregation (the GNN message-passing
+    // primitive) over the co-purchase graph, scored by Dirichlet energy:
+    // how much smoother does the price signal get after one propagation?
+    // Neighbor means clamp to float32 (absorbing per-node sum order)
+    // before the energy sums, which emit float32 themselves. Joins only —
+    // Σ deg work, never vertices².
+    Entry("q318_feature_propagation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // feeds both energies + the propagation
+        val f = Tables.part(s, d)
+          .select(col("p_partkey").as("id"), col("p_retailprice").as("x"))
+        val directed = edges
+          .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val prop = directed
+          .join(f.select(col("id").as("dst"), col("x").as("xn")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(avg(col("xn")).cast("float").as("px"))
+        def energy(feat: org.apache.spark.sql.DataFrame, c: String) = edges
+          .join(feat.select(col("id").as("src"), col(c).as("fa")), "src")
+          .join(feat.select(col("id").as("dst"), col(c).as("fb")), "dst")
+          .agg(count(lit(1)).as("m"),
+            sum((col("fa") - col("fb")) * (col("fa") - col("fb"))).as("e"))
+        val before = energy(f.withColumn("x0", col("x").cast("float")), "x0")
+          .select(col("m").as("n_edges"), col("e").as("e_before"))
+        val after = energy(prop, "px").select(col("e").as("e_after"))
+        before.crossJoin(after)
+          .select(col("n_edges"),
+            col("e_before").cast("float").as("energy_before"),
+            col("e_after").cast("float").as("energy_after"),
+            (col("e_after") / col("e_before")).cast("float")
+              .as("smoothing_ratio"))
+      },
+      Some("""WITH e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT x.l_partkey AS src, y.l_partkey AS dst,
+             |      count(*) AS n_co
+             |    FROM lineitem x JOIN lineitem y
+             |      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |    GROUP BY 1, 2) WHERE n_co >= 2),
+             |f AS (SELECT p_partkey AS id, p_retailprice AS x FROM part),
+             |directed AS (
+             |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+             |prop AS (
+             |  SELECT directed.src AS id, CAST(avg(fn.x) AS REAL) AS px
+             |  FROM directed JOIN f fn ON fn.id = directed.dst
+             |  GROUP BY directed.src),
+             |before_e AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             |    sum((CAST(fa.x AS REAL) - CAST(fb.x AS REAL))
+             |      * (CAST(fa.x AS REAL) - CAST(fb.x AS REAL))) AS e_before
+             |  FROM e JOIN f fa ON fa.id = e.src JOIN f fb ON fb.id = e.dst),
+             |after_e AS (
+             |  SELECT sum((pa.px - pb.px) * (pa.px - pb.px)) AS e_after
+             |  FROM e JOIN prop pa ON pa.id = e.src
+             |  JOIN prop pb ON pb.id = e.dst)
+             |SELECT n_edges, CAST(e_before AS REAL) AS energy_before,
+             |  CAST(e_after AS REAL) AS energy_after,
+             |  CAST(e_after / e_before AS REAL) AS smoothing_ratio
+             |FROM before_e CROSS JOIN after_e""".stripMargin))
   )
 }
