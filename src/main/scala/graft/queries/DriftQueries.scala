@@ -2306,6 +2306,244 @@ object DriftQueries {
              |SELECT n_edges, CAST(e_before AS REAL) AS energy_before,
              |  CAST(e_after AS REAL) AS energy_after,
              |  CAST(e_after / e_before AS REAL) AS smoothing_ratio
-             |FROM before_e CROSS JOIN after_e""".stripMargin))
+             |FROM before_e CROSS JOIN after_e""".stripMargin)),
+
+    // Score-band monotonicity audit: the outcome rate should fall (or
+    // rise) MONOTONICALLY across activity deciles for the score to be
+    // rankable at all — each adjacent inversion (rate going the wrong way
+    // between neighboring deciles) is a calibration defect the WoE table
+    // (q289) can't see. Deciles via the BSP ntile; the adjacency join is
+    // on the 10-row decile relation. Exact rationals.
+    Entry("q319_rate_monotonicity",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("score"),
+            (sum(when(col("event_type") === "error", 1L).otherwise(0L)) * 5 >
+              count(lit(1))).as("pos"))
+        val g = PrefixSum.globalNtile(users, 10,
+            Seq(desc("score"), col("user_id")), "decile")
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("rate", col("n_pos").cast("double") / col("n"))
+        val nxt = g.select((col("decile") - 1).as("decile"),
+          col("rate").as("next_rate"))
+        g.join(nxt, Seq("decile"), "left")
+          .withColumn("inversion",
+            col("next_rate").isNotNull && col("next_rate") > col("rate"))
+          .select(col("decile"), col("n"), col("n_pos"), col("rate"),
+            col("inversion"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, count(*) AS score,
+             |    5 * count(CASE WHEN event_type = 'error' THEN 1 END)
+             |      > count(*) AS pos
+             |  FROM events GROUP BY user_id),
+             |g AS (
+             |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_pos
+             |  FROM (SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id)
+             |          AS decile FROM users)
+             |  GROUP BY decile),
+             |r AS (SELECT *, n_pos::DOUBLE / n AS rate FROM g)
+             |SELECT a.decile, a.n, a.n_pos, a.rate,
+             |  b.rate IS NOT NULL AND b.rate > a.rate AS inversion
+             |FROM r a LEFT JOIN r b ON b.decile = a.decile + 1
+             |ORDER BY a.decile""".stripMargin)),
+
+    // Seasonality strength per event type: the share of hourly-count
+    // variance explained by the (hour-of-day × day-of-week) profile —
+    // R² of the seasonal means. Near 1 = a periodic signal worth
+    // gap-filling around; near 0 = noise. Exact counts feed power sums;
+    // the variance ratio sums engine-ordered doubles → float32.
+    Entry("q320_seasonality_strength",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("hod", hour(col("h")))
+          .withColumn("dow", dayofweek(col("h")) - 1)
+        val cell = hourly.groupBy(col("event_type"), col("hod"), col("dow"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+          .withColumn("cell_mean", col("sx").cast("double") / col("cn"))
+        val joined = hourly.join(cell, Seq("event_type", "hod", "dow"))
+        val tot = hourly.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("st"), count(lit(1)).as("nt"))
+          .withColumn("gmean", col("st").cast("double") / col("nt"))
+        joined.join(broadcast(tot), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("nt")).as("n_hours"),
+            (lit(1.0) -
+              sum((col("x") - col("cell_mean")) * (col("x") - col("cell_mean"))) /
+                sum((col("x") - col("gmean")) * (col("x") - col("gmean"))))
+              .cast("float").as("seasonality_r2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |k AS (
+             |  SELECT *, hour(h) AS hod, dayofweek(h) AS dow FROM hourly),
+             |cell AS (
+             |  SELECT event_type, hod, dow,
+             |    sum(x)::DOUBLE / count(*) AS cell_mean
+             |  FROM k GROUP BY 1, 2, 3),
+             |tot AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |    sum(x)::DOUBLE / count(*) AS gmean
+             |  FROM k GROUP BY 1)
+             |SELECT event_type, max(n_hours) AS n_hours,
+             |  CAST(1.0 - sum((x - cell_mean) * (x - cell_mean))
+             |    / sum((x - gmean) * (x - gmean)) AS REAL)
+             |    AS seasonality_r2
+             |FROM k JOIN cell USING (event_type, hod, dow)
+             |JOIN tot USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bigram conditional entropy per source: H(w₂|w₁) = H(bigram) −
+    // H(unigram) — the compressibility proxy (low conditional entropy =
+    // predictable, template-like text; the per-source slice of what
+    // q149's surprise scores per document). Map-side count aggs; ln →
+    // float32.
+    Entry("q321_bigram_cond_entropy",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), Fns.tokens(col("text")).as("t"))
+        def ent(df: org.apache.spark.sql.DataFrame) = {
+          val g = df.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+          val t = g.groupBy(col("source")).agg(sum(col("c")).as("n"))
+          val p = col("c").cast("double") / col("n")
+          g.join(broadcast(t), "source")
+            .groupBy(col("source")).agg(sum(-p * log(p)).as("h"))
+        }
+        val uni = ent(toks.select(col("source"),
+          explode(Fns.shingles(col("t"), 1)).as("g")))
+          .withColumnRenamed("h", "h1")
+        val bi = ent(toks.select(col("source"),
+          explode(Fns.shingles(col("t"), 2)).as("g")))
+          .withColumnRenamed("h", "h2")
+        uni.join(bi, "source")
+          .select(col("source"), col("h1").cast("float").as("h_unigram"),
+            col("h2").cast("float").as("h_bigram"),
+            (col("h2") - col("h1")).cast("float").as("h_cond"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |uni AS (
+             |  SELECT source, w AS g FROM (
+             |    SELECT source, unnest(t) AS w FROM t)),
+             |bi AS (
+             |  SELECT source, unnest(list_transform(
+             |    generate_series(1, greatest(len(t) - 1, 0)),
+             |    i -> t[i] || ' ' || t[i+1])) AS g
+             |  FROM t),
+             |h1 AS (
+             |  SELECT source, sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h1
+             |  FROM (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+             |        FROM uni GROUP BY 1, 2) x
+             |  JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |        FROM uni GROUP BY 1) y USING (source)
+             |  GROUP BY source),
+             |h2 AS (
+             |  SELECT source, sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS h2
+             |  FROM (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+             |        FROM bi GROUP BY 1, 2) x
+             |  JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |        FROM bi GROUP BY 1) y USING (source)
+             |  GROUP BY source)
+             |SELECT source, CAST(h1 AS REAL) AS h_unigram,
+             |  CAST(h2 AS REAL) AS h_bigram,
+             |  CAST(h2 - h1 AS REAL) AS h_cond
+             |FROM h1 JOIN h2 USING (source) ORDER BY source""".stripMargin)),
+
+    // Day-over-day active-user stickiness: Jaccard of consecutive days'
+    // active sets — the short-horizon retention series (WAU7 in q297
+    // smooths exactly this signal away). One day+1 self-join of the
+    // distinct (day, user) relation; exact counts.
+    Entry("q322_dau_stickiness",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct().localCheckpoint(true) // both join legs + sizes
+        val sizes = du.groupBy(col("day")).agg(count(lit(1)).as("n"))
+        val inter = du.select(col("day"), col("user_id"))
+          .join(du.select(date_sub(col("day"), 1).as("day"), col("user_id")),
+            Seq("day", "user_id"))
+          .groupBy(col("day")).agg(count(lit(1)).as("inter"))
+        sizes
+          .join(sizes.select(date_sub(col("day"), 1).as("day"),
+            col("n").as("n_next")), Seq("day"))
+          .join(inter, Seq("day"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .select(col("day"), col("n").as("dau"), col("n_next").as("dau_next"),
+            col("inter"),
+            (col("inter").cast("double") /
+              (col("n") + col("n_next") - col("inter"))).as("jaccard"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |sizes AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+             |          FROM du GROUP BY day),
+             |inter AS (
+             |  SELECT a.day, CAST(count(*) AS BIGINT) AS inter
+             |  FROM du a JOIN du b
+             |    ON b.day = a.day + 1 AND b.user_id = a.user_id
+             |  GROUP BY a.day)
+             |SELECT a.day, a.n AS dau, b.n AS dau_next,
+             |  coalesce(i.inter, 0) AS inter,
+             |  coalesce(i.inter, 0)::DOUBLE
+             |    / (a.n + b.n - coalesce(i.inter, 0)) AS jaccard
+             |FROM sizes a JOIN sizes b ON b.day = a.day + 1
+             |LEFT JOIN inter i ON i.day = a.day
+             |ORDER BY a.day""".stripMargin)),
+
+    // Discount elasticity: mean quantity per discount level plus the OLS
+    // slope of that response curve — does a deeper discount actually move
+    // volume? Level means are exact decimal rationals; the 11-point
+    // regression is a closed-form slope over engine-identical doubles —
+    // the slope emits float32 (level-mean sums are engine-ordered).
+    Entry("q323_discount_elasticity",
+      (s, d) => {
+        val g = Tables.lineitem(s, d)
+          .select(col("l_discount").cast("decimal(4,2)").as("disc"),
+            col("l_quantity").cast("decimal(12,2)").as("q"))
+          .groupBy(col("disc"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("q")).cast("double") / count(lit(1))).as("mean_qty"))
+        val x = col("disc").cast("double")
+        val a = g.agg(count(lit(1)).as("k"),
+          sum(x).as("sx"), sum(col("mean_qty")).as("sy"),
+          sum(x * col("mean_qty")).as("sxy"), sum(x * x).as("sxx"))
+        val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+        g.crossJoin(broadcast(a.select(slope.cast("float").as("slope"))))
+          .select(col("disc").cast("double").as("discount"), col("n"),
+            col("mean_qty"), col("slope"))
+          .orderBy(col("discount"))
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(l_discount AS DECIMAL(4,2)) AS disc,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    sum(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE / count(*)
+             |      AS mean_qty
+             |  FROM lineitem GROUP BY 1),
+             |a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    sum(disc::DOUBLE) AS sx, sum(mean_qty) AS sy,
+             |    sum(disc::DOUBLE * mean_qty) AS sxy,
+             |    sum(disc::DOUBLE * disc::DOUBLE) AS sxx
+             |  FROM g)
+             |SELECT disc::DOUBLE AS discount, n, mean_qty,
+             |  CAST((k * sxy - sx * sy) / (k * sxx - sx * sx) AS REAL)
+             |    AS slope
+             |FROM g CROSS JOIN a ORDER BY discount""".stripMargin))
   )
 }
