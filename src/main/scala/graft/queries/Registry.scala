@@ -19,7 +19,8 @@ object Registry {
         DomainPipelineQueries.entries ++ StatsQueries.entries ++
         BreadthQueries.entries ++ SchemaQueries.entries ++ HybridQueries.entries ++
         CurationQueries.entries ++ RefinementQueries.entries ++
-        PipelineQueries.entries ++ EvalQueries.entries ++ DriftQueries.entries
+        PipelineQueries.entries ++ EvalQueries.entries ++ DriftQueries.entries ++
+        AugQueries.entries
     val dups = entries.groupBy(_.name).filter(_._2.length > 1).keys
     require(dups.isEmpty,
       s"duplicate query names (last-wins maps would silently drop one): ${dups.mkString(", ")}")
