@@ -320,6 +320,155 @@ object AugQueries {
              |  s1::DOUBLE / n / 1000000.0 AS mean_gap_s,
              |  CAST(sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1))
              |    / (s1::DOUBLE / n) AS REAL) AS cv
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Global transitivity summary of the co-purchase graph: wedges from
+    // the degree profile, triangles from the degree-ordered orientation
+    // (q80's machinery), transitivity = 3T / wedges, plus the mean local
+    // clustering coefficient over deg ≥ 2 vertices — the one-row
+    // graph-health card next to q173's per-vertex features. Counts exact;
+    // transitivity is one exact division (full double), the local-cc mean
+    // sums rationals → float32.
+    Entry("q329_transitivity",
+      (s, d) => {
+        import graft.ops.GraphAnalytics
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // degrees + triangle machinery
+        val deg = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val tri = GraphAnalytics.triangleCounts(edges)
+        val j = deg.join(tri, Seq("id"), "left")
+          .withColumn("t", coalesce(col("triangles"), lit(0L)))
+        j.agg(count(lit(1)).as("n_vertices"),
+            sum(expr("deg * (deg - 1) div 2")).as("wedges"),
+            sum(col("t")).as("tri3"),
+            avg(when(col("deg") >= 2,
+              col("t").cast("double") * 2 / (col("deg") * (col("deg") - 1))))
+              .cast("float").as("mean_local_cc"))
+          .select(col("n_vertices"), col("wedges"),
+            expr("tri3 div 3").as("triangles"),
+            (col("tri3").cast("double") / col("wedges")).as("transitivity"),
+            col("mean_local_cc"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey
+             |  WHERE l1.l_partkey < l2.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |tri AS (
+             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |  FROM pairs e1
+             |  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |tv AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+             |    SELECT u AS id FROM tri
+             |    UNION ALL SELECT v FROM tri
+             |    UNION ALL SELECT w FROM tri)
+             |  GROUP BY id),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+             |  GROUP BY id),
+             |j AS (
+             |  SELECT deg.id, deg.deg, coalesce(tv.t, 0) AS t
+             |  FROM deg LEFT JOIN tv ON tv.id = deg.id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+             |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges,
+             |  CAST(sum(t) // 3 AS BIGINT) AS triangles,
+             |  sum(t)::DOUBLE / sum(deg * (deg - 1) // 2) AS transitivity,
+             |  CAST(avg(CASE WHEN deg >= 2
+             |    THEN t::DOUBLE * 2 / (deg * (deg - 1)) END) AS REAL)
+             |    AS mean_local_cc
+             |FROM j""".stripMargin)),
+
+    // Post-hoc minimum detectable effect for the A/B activity metric at
+    // α = 0.05 / 80% power: MDE = (z_{α/2} + z_{power})·SE with the
+    // standard 2.8016 multiplier — "was this experiment even capable of
+    // seeing the lift we hoped for?". Integer power sums → bit-identical
+    // doubles end to end.
+    Entry("q331_posthoc_mde",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("y"))
+          .withColumn("arm",
+            pmod(ascii(substring(md5(col("user_id").cast("string")), 1, 1)),
+              lit(2)))
+        val g = users.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+            sum(col("y") * col("y")).as("s2"))
+        val v = (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - 1)
+        val w = g.select(col("arm"), col("n"), col("s1"), v.as("v"))
+        val a = w.filter(col("arm") === 0)
+          .select(col("n").as("n_a"), col("s1").as("s_a"), col("v").as("v_a"))
+        val b = w.filter(col("arm") === 1)
+          .select(col("n").as("n_b"), col("v").as("v_b"))
+        a.crossJoin(b)
+          .withColumn("se", sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+          .withColumn("baseline_mean", col("s_a").cast("double") / col("n_a"))
+          .select(col("n_a"), col("n_b"), col("baseline_mean"), col("se"),
+            (lit(2.8015852186) * col("se")).as("mde_abs"),
+            (lit(2.8015852186) * col("se") /
+              (col("s_a").cast("double") / col("n_a"))).as("mde_rel"))
+      },
+      Some("""WITH users AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS y,
+             |    ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm
+             |  FROM events GROUP BY user_id),
+             |g AS (
+             |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS s1,
+             |    CAST(sum(y * y) AS BIGINT) AS s2
+             |  FROM users GROUP BY arm),
+             |w AS (
+             |  SELECT arm, n, s1,
+             |    (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1) AS v
+             |  FROM g)
+             |SELECT a.n AS n_a, b.n AS n_b,
+             |  a.s1::DOUBLE / a.n AS baseline_mean,
+             |  sqrt(a.v / a.n + b.v / b.n) AS se,
+             |  2.8015852186 * sqrt(a.v / a.n + b.v / b.n) AS mde_abs,
+             |  2.8015852186 * sqrt(a.v / a.n + b.v / b.n)
+             |    / (a.s1::DOUBLE / a.n) AS mde_rel
+             |FROM (SELECT * FROM w WHERE arm = 0) a
+             |CROSS JOIN (SELECT * FROM w WHERE arm = 1) b""".stripMargin)),
+
+    // New-vs-returning split per day: each day's actives partitioned by
+    // whether this is their FIRST day ever — the acquisition/retention
+    // decomposition of the q297 DAU series. First-seen via one min-day
+    // agg; exact counts and one division.
+    Entry("q332_new_user_rate",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct().localCheckpoint(true) // first-seen agg + the day join
+        val first = du.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+        du.join(first, "user_id")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"),
+            sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"))
+          .withColumn("new_rate", col("n_new").cast("double") / col("dau"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |f AS (SELECT user_id, min(day) AS fday FROM du GROUP BY 1)
+             |SELECT day, CAST(count(*) AS BIGINT) AS dau,
+             |  CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_new,
+             |  sum(CASE WHEN day = fday THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             |    AS new_rate
+             |FROM du JOIN f USING (user_id)
+             |GROUP BY day ORDER BY day""".stripMargin))
   )
 }
