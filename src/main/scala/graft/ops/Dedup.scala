@@ -315,10 +315,15 @@ object Dedup {
     * pin the routing on uniform vs stop-shingle corpora. */
   private[graft] def invertedIndexIsCheap(sh: DataFrame,
                                           factor: Double): Boolean = {
+    // Σ df² in double, not Long: a single corpus-stopword shingle with
+    // df ~ 1e9 contributes 1e18 and a few such terms overflow Long —
+    // exactly the skewed corpus this gate must route away. The gate only
+    // needs a ratio, so double precision is fine.
     val st = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .agg(sum(col("df")).as("rows"), sum(col("df") * col("df")).as("sq"))
+      .agg(sum(col("df")).as("rows"),
+        sum(col("df").cast("double") * col("df")).as("sq"))
       .head()
-    !st.isNullAt(0) && st.getLong(1) <= factor * st.getLong(0)
+    !st.isNullAt(0) && st.getDouble(1) <= factor * st.getLong(0)
   }
 
   /** SimHash fingerprint (`bits` ≤ 32): per token-hash, bit j votes +1/-1;

@@ -390,6 +390,73 @@ object AugQueries {
              |    AS mean_local_cc
              |FROM j""".stripMargin)),
 
+    // Rich-club coefficient of the q329 co-purchase graph: for each
+    // degree threshold k, the edge density among nodes of degree > k —
+    // φ(k) → 1 means the hubs form a near-clique (the structure that
+    // makes hub-aware partitioning and dedup chain-merging matter),
+    // complementary to q312's assortativity (a correlation, not a
+    // density). The threshold grid is a broadcast literal; club sizes
+    // and in-club edge counts are exact integers, one division each.
+    Entry("q330_rich_club",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true) // reused for degrees + both endpoint joins
+        val deg = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val ks = Seq(1, 2, 4, 8, 16).toDF("k")
+        val club = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_club"))
+        val ed = edges
+          .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
+          .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+          .crossJoin(broadcast(ks))
+          .filter(col("ds") > col("k") && col("dd") > col("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("e_club"))
+        club.join(ed, Seq("k"), "left")
+          .select(col("k"), col("n_club"),
+            coalesce(col("e_club"), lit(0L)).as("e_club"),
+            when(col("n_club") >= 2,
+              coalesce(col("e_club"), lit(0L)).cast("double") * 2 /
+                (col("n_club").cast("double") * (col("n_club") - 1)))
+              .as("phi"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+             |  FROM lineitem l1 JOIN lineitem l2
+             |    ON l1.l_orderkey = l2.l_orderkey
+             |  WHERE l1.l_partkey < l2.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS (
+             |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+             |  GROUP BY id),
+             |ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+             |club AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS n_club
+             |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY k),
+             |ed AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS e_club
+             |  FROM pairs
+             |  JOIN deg da ON da.id = pairs.a
+             |  JOIN deg db ON db.id = pairs.b
+             |  CROSS JOIN ks
+             |  WHERE da.deg > k AND db.deg > k GROUP BY k)
+             |SELECT club.k, n_club, coalesce(e_club, 0) AS e_club,
+             |  CASE WHEN n_club >= 2 THEN
+             |    coalesce(e_club, 0)::DOUBLE * 2
+             |      / (n_club::DOUBLE * (n_club - 1)) END AS phi
+             |FROM club LEFT JOIN ed ON ed.k = club.k
+             |ORDER BY club.k""".stripMargin)),
+
     // Post-hoc minimum detectable effect for the A/B activity metric at
     // α = 0.05 / 80% power: MDE = (z_{α/2} + z_{power})·SE with the
     // standard 2.8016 multiplier — "was this experiment even capable of

@@ -645,7 +645,13 @@ object DriftQueries {
           .withColumn("n_risk",
             col("n_total") - col("running").cast("long") + col("ct"))
           .withColumn("ln_term",
-            log(lit(1.0) - col("d_events").cast("double") / col("n_risk")))
+            // Clamp away from 0: a terminal bucket where every at-risk
+            // user dies (d == n) would be ln(0) = -Inf, which the
+            // decimal(30,15) running-sum cast rejects under ANSI. The
+            // clamp maps that bucket to survival ≈ 0 (exp(-27.6))
+            // instead of a data-dependent runtime failure.
+            log(greatest(lit(1e-12),
+              lit(1.0) - col("d_events").cast("double") / col("n_risk"))))
         PrefixSum.globalRunningSum(cum.drop("running"), Seq(col("dur_d")),
             col("ln_term").cast("decimal(30,15)"))
           .withColumn("survival", exp(col("running").cast("double")).cast("float"))
@@ -677,7 +683,8 @@ object DriftQueries {
              |  FROM byd),
              |surv AS (
              |  SELECT *,
-             |    CAST(exp(sum(CAST(ln(1.0 - d_events::DOUBLE / n_risk)
+             |    CAST(exp(sum(CAST(ln(greatest(1e-12,
+             |        1.0 - d_events::DOUBLE / n_risk))
              |        AS DECIMAL(30,15))) OVER (ORDER BY dur_d)) AS REAL)
              |      AS survival
              |  FROM risk)
