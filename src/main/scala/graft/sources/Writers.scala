@@ -40,6 +40,140 @@ object Writers {
     existing.join(incoming.select(col(key)), Seq(key), "left_anti")
       .unionByName(incoming)
 
+  /** Partition-scoped upsert: MERGE whose write amplification scales with
+    * the BATCH, not the table. `upsert` + `swapWrite` rewrite the whole
+    * table per batch — correct, but at the 100 TB north star a 1 GB ingest
+    * rewrites 100 TB and doubles peak storage during the swap. Here only
+    * the Hive partitions `incoming` touches are read (static partition
+    * pruning via an IN-filter over the batch's distinct partition tuples —
+    * bounded by the batch, typically a handful of tenant/day dirs), merged
+    * (anti-join ∪ incoming: the same `MERGE WHEN MATCHED` shape as
+    * `upsert`), and atomically swapped directory-by-directory with the
+    * same retire→promote rename discipline as `swapWrite` (reference bar:
+    * S4 point-upsert semantics, `memory_graph.py:13814`
+    * `batch_upsert_qdrant_points`; SURVEY §2.1 maps it to Delta MERGE).
+    *
+    * Mechanics that make it safe:
+    *  - the merged rows are written to a sibling `path + ".upsert.tmp"`
+    *    WITH `partitionBy`, and the set of directories to swap is read
+    *    back from what Spark actually wrote — so Hive path escaping of
+    *    partition values is Spark's problem, never re-derived here;
+    *  - retired copies live under `path + ".upsert.retired"`, a SIBLING of
+    *    the table root: a `k=v.swap.old` dir INSIDE the root would be
+    *    parsed by readers as partition value "v.swap.old";
+    *  - every rename is checked (Hadoop reports failure by returning
+    *    false) and the retired copy is deleted only after its replacement
+    *    is promoted — per partition, the `swapWrite` discipline verbatim;
+    *  - a crash between retire and promote leaves that partition's last
+    *    complete data under the retired root; `healPartitions` (run first
+    *    on every call) promotes such orphans back before anything else.
+    *
+    * CONTRACT (same as Delta's partition-pruned MERGE): a key must not
+    * migrate across partitions — the anti-join only sees the partitions
+    * `incoming` touches, so a row whose key reappears with a DIFFERENT
+    * partition value would survive in its old directory. Holds by
+    * construction for tenant/creation-day layouts where the partition
+    * columns are immutable attributes of the key.
+    *
+    * Returns the table-relative paths of the swapped partition
+    * directories (what a caller audits to confirm rewrite scope). */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        incoming: DataFrame, key: String,
+                        partitionCols: Seq[String]): Seq[String] = {
+    require(partitionCols.nonEmpty, "upsertPartitioned needs partition columns; use upsert+swapWrite for unpartitioned tables")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmpRoot = path + ".upsert.tmp"
+    val retiredRoot = path + ".upsert.retired"
+
+    healPartitions(spark, path)
+    if (fs.exists(p(tmpRoot))) fs.delete(p(tmpRoot), true)
+
+    val merged =
+      if (!fs.exists(root)) incoming
+      else {
+        // bounded collect: the batch's distinct partition tuples (a few
+        // tenant/day combinations, never table-proportional)
+        val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
+        val touchedPred = touched.map { r =>
+          partitionCols.zipWithIndex.map { case (c, i) =>
+            if (r.isNullAt(i)) col(c).isNull else col(c) <=> lit(r.get(i))
+          }.reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        // Read with incoming's schema pinned: partition-value inference
+        // would otherwise read a string tenant "0" back as int, breaking
+        // the union AND turning touchedPred into a cast-wrapped predicate
+        // that can't statically prune. With the declared schema the filter
+        // is a literal predicate on the raw partition column → only the
+        // touched directories are scanned.
+        spark.read.schema(incoming.schema).parquet(path).filter(touchedPred)
+          .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(incoming)
+      }
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmpRoot)
+
+    // swap set = the k=v directory chains Spark materialized in tmp
+    def leafDirs(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      if (depth == 0) Seq("")
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leafDirs(st.getPath, depth - 1)
+          .map(rest => if (rest.isEmpty) st.getPath.getName else st.getPath.getName + "/" + rest))
+    val rels = leafDirs(p(tmpRoot), partitionCols.length)
+
+    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"upsertPartitioned: rename $from -> $to failed")
+    fs.mkdirs(root)
+    rels.foreach { rel =>
+      val main = p(path + "/" + rel)
+      val tmp = p(tmpRoot + "/" + rel)
+      val retired = p(retiredRoot + "/" + rel)
+      if (fs.exists(retired)) fs.delete(retired, true)
+      fs.mkdirs(retired.getParent)
+      if (fs.exists(main)) mustRename(main, retired)
+      fs.mkdirs(main.getParent)
+      mustRename(tmp, main)
+      fs.delete(retired, true)
+    }
+    fs.delete(p(tmpRoot), true)
+    if (fs.exists(p(retiredRoot))) fs.delete(p(retiredRoot), true)
+    rels
+  }
+
+  /** Promote any partition directories orphaned by a crash between
+    * `upsertPartitioned`'s retire and promote renames: a retired copy
+    * whose main directory is missing IS that partition's last complete
+    * snapshot. Safe to run any time (no-op when no crash happened);
+    * `upsertPartitioned` runs it first on every call. */
+  def healPartitions(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val retiredRoot = p(path + ".upsert.retired")
+    if (!fs.exists(retiredRoot)) return
+    // walk the k=v chain, carrying table-relative names (listStatus returns
+    // scheme-qualified paths, so string-stripping the root would not match)
+    def walk(dir: org.apache.hadoop.fs.Path, rel: String): Seq[String] = {
+      val subs = fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      subs.flatMap { st =>
+        val childRel = if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName
+        val deeper = walk(st.getPath, childRel)
+        if (deeper.isEmpty) Seq(childRel) else deeper
+      }
+    }
+    walk(retiredRoot, "").foreach { rel =>
+      val retired = p(path + ".upsert.retired/" + rel)
+      val main = p(path + "/" + rel)
+      if (!fs.exists(main)) {
+        fs.mkdirs(main.getParent)
+        require(fs.rename(retired, main), s"healPartitions: rename $retired -> $main failed")
+      }
+    }
+  }
+
   /** Clustered layout: partition directories by low-cardinality tenant/date
     * columns, sort within files by high-cardinality keys (the Z-ORDER-lite
     * that makes parquet min/max stats selective — SURVEY §7.4.6's "Z-ORDER

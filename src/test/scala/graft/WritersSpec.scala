@@ -52,6 +52,109 @@ class WritersSpec extends SparkSpec {
     assert(Writers.readSnapshot(spark, dir + "_nope", schema).isEmpty)
   }
 
+  test("upsertPartitioned matches full upsert and rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertp").toString + "/t"
+    val base = spark.range(0, 300).select(
+      concat(lit("t"), (col("id") % 3).cast("string")).as("tenant"),
+      col("id").as("k"), (col("id") * 7).as("v"))
+    base.write.partitionBy("tenant").parquet(dir)
+
+    // snapshot the untouched partitions' physical files before the upsert
+    def files(rel: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(dir, rel)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val t1Before = files("tenant=t1")
+    val t2Before = files("tenant=t2")
+
+    // batch: updates 5 keys in t0, inserts 3 new keys in t0 and a brand-new
+    // tenant t9 — t1/t2 untouched
+    val incoming = Seq(
+      ("t0", 0L, -1L), ("t0", 3L, -2L), ("t0", 6L, -3L), ("t0", 9L, -4L), ("t0", 12L, -5L),
+      ("t0", 1000L, 1L), ("t0", 1001L, 2L), ("t9", 2000L, 3L)
+    ).toDF("tenant", "k", "v")
+
+    val expected = Writers.upsert(spark.read.parquet(dir)
+        .select(col("tenant").cast("string"), col("k"), col("v")), incoming, "k")
+      .collect()
+      .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+
+    val swapped = Writers.upsertPartitioned(spark, dir, incoming, "k", Seq("tenant"))
+    assert(swapped.toSet === Set("tenant=t0", "tenant=t9"),
+      s"rewrite scope must be the touched partitions only, got $swapped")
+
+    // (a) bit-identical table vs full upsert
+    val got = spark.read.parquet(dir)
+      .select(col("tenant").cast("string"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+    assert(got === expected)
+
+    // (b) untouched partition dirs byte-identical (same files, sizes, mtimes)
+    assert(files("tenant=t1") === t1Before, "tenant=t1 was rewritten")
+    assert(files("tenant=t2") === t2Before, "tenant=t2 was rewritten")
+
+    // no scratch roots left behind
+    assert(!new java.io.File(dir + ".upsert.tmp").exists())
+    assert(!new java.io.File(dir + ".upsert.retired").exists())
+  }
+
+  test("upsertPartitioned on a missing table is a plain first write") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertp0").toString + "/t"
+    val incoming = Seq(("t0", 1L, 10L), ("t1", 2L, 20L)).toDF("tenant", "k", "v")
+    val swapped = Writers.upsertPartitioned(spark, dir, incoming, "k", Seq("tenant"))
+    assert(swapped.toSet === Set("tenant=t0", "tenant=t1"))
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("upsertPartitioned crash between retire and promote: healPartitions recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertph").toString + "/t"
+    Seq(("t0", 1L, 10L), ("t1", 2L, 20L)).toDF("tenant", "k", "v")
+      .write.partitionBy("tenant").parquet(dir)
+    // simulate the crash window: t0 retired, its replacement never promoted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".upsert.retired"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/tenant=t0"),
+      new org.apache.hadoop.fs.Path(dir + ".upsert.retired/tenant=t0")))
+    // a reader healing explicitly gets the full table back
+    Writers.healPartitions(spark, dir)
+    assert(spark.read.parquet(dir).select(sum(col("v"))).collect().head.getLong(0) === 30L)
+    // and the next upsert (which heals first) proceeds normally
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".upsert.retired"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/tenant=t1"),
+      new org.apache.hadoop.fs.Path(dir + ".upsert.retired/tenant=t1")))
+    val swapped = Writers.upsertPartitioned(spark,
+      dir, Seq(("t1", 2L, 99L)).toDF("tenant", "k", "v"), "k", Seq("tenant"))
+    assert(swapped === Seq("tenant=t1"))
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(back === Map(1L -> 10L, 2L -> 99L))
+    assert(!new java.io.File(dir + ".upsert.retired").exists())
+  }
+
+  test("upsertPartitioned with nested partition columns swaps leaf dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("upsertpn").toString + "/t"
+    val base = Seq(("t0", "2026-01-01", 1L, 10L), ("t0", "2026-01-02", 2L, 20L),
+      ("t1", "2026-01-01", 3L, 30L)).toDF("tenant", "day", "k", "v")
+    base.write.partitionBy("tenant", "day").parquet(dir)
+    val day2Before = new java.io.File(dir, "tenant=t0/day=2026-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val swapped = Writers.upsertPartitioned(spark,
+      dir, Seq(("t0", "2026-01-01", 1L, 99L)).toDF("tenant", "day", "k", "v"),
+      "k", Seq("tenant", "day"))
+    assert(swapped === Seq("tenant=t0/day=2026-01-01"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(got === Map(1L -> 99L, 2L -> 20L, 3L -> 30L))
+    val day2After = new java.io.File(dir, "tenant=t0/day=2026-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    assert(day2After === day2Before, "sibling day partition was rewritten")
+  }
+
   test("versioned snapshots: publish, time travel, diff as changelog, prune") {
     import graft.ops.Snapshots
     val path = java.nio.file.Files.createTempDirectory("versioned").toString + "/t"
