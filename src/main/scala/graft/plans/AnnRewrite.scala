@@ -127,13 +127,51 @@ object AnnRewrite {
         !session.conf.get("spark.graft.ann.enabled", "true").toBoolean) return plan
     val threshold = session.conf.get("spark.graft.ann.fullScanThreshold", "10000").toLong
     val nProbe = session.conf.get("spark.graft.ann.nProbe", "4").toInt
+    val maxBoost = session.conf.get("spark.graft.ann.maxFilterBoost", "4").toDouble
     plan.transformDown {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_, child)) =>
         sortUnder(child).flatMap { case (s, rebuildAbove) =>
-          rewriteSort(s, idx, threshold, nProbe)
+          rewriteSort(s, idx, threshold, nProbe, maxBoost)
             .map(ns => gl.copy(child = ll.copy(child = rebuildAbove(ns))))
         }.getOrElse(gl)
     }
+  }
+
+  /** Estimated fraction of corpus rows surviving the plan's filters — the
+    * probe-escalation signal for FILTERED KNN (the reference's flagship
+    * shape: ACL/tenant predicate + vector top-k, where Qdrant widens
+    * `hnsw_ef` for headroom, `memory_graph.py:8047-8160`). A top-k that
+    * probes nProbe clusters sized for the unfiltered corpus starves under a
+    * selective predicate: if only ~10% of rows pass the ACL, the probed
+    * clusters hold ~10% of the candidates the caller asked for.
+    *
+    * Deterministic textbook heuristics (no stats, no jobs): equality 0.1,
+    * IN 0.1/element, array-membership 0.33; AND multiplies, OR
+    * inclusion-excludes; everything else — range predicates, UDFs — claims
+    * nothing (1.0). Only predicates whose attributes originate at LEAF
+    * relations count: engine-internal filters on derived columns (the
+    * `rn = 1` nearest-centroid pick above a Window, score thresholds on the
+    * computed cosine) are plumbing, not user selectivity. Over-escalation
+    * is benign (more recall, less pruning); the cap keeps it bounded. */
+  private[plans] def estimateSelectivity(plan: LogicalPlan): Double = {
+    val leafAttrs = AttributeSet(plan.collectLeaves().flatMap(_.output))
+    def sel(e: Expression): Double = e match {
+      case And(l, r) => sel(l) * sel(r)
+      case Or(l, r) =>
+        val (a, b) = (sel(l), sel(r)); math.min(1.0, a + b - a * b)
+      case Not(c) => math.max(0.1, 1.0 - sel(c))
+      case _ if !e.references.subsetOf(leafAttrs) => 1.0
+      case EqualTo(_: AttributeReference, _: Literal) => 0.1
+      case EqualTo(_: Literal, _: AttributeReference) => 0.1
+      case EqualNullSafe(_: AttributeReference, _: Literal) => 0.1
+      case EqualNullSafe(_: Literal, _: AttributeReference) => 0.1
+      case In(_: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        math.min(1.0, 0.1 * list.length)
+      case _: ArrayContains => 0.33
+      case ArraysOverlap(_, _) => 0.33
+      case _ => 1.0
+    }
+    plan.collect { case Filter(cond, _) => sel(cond) }.product
   }
 
   /** Find the Sort under a limit, looking through renaming/pruning Projects
@@ -163,7 +201,7 @@ object AnnRewrite {
   }
 
   private def rewriteSort(s: Sort, idx: TrieMap[String, RegisteredIndex],
-      threshold: Long, nProbe: Int): Option[Sort] = s.order match {
+      threshold: Long, nProbe: Int, maxBoost: Double): Option[Sort] = s.order match {
     case Seq(SortOrder(key, Descending, _, _), _*) =>
       // resolve the sort key to the scoring expression (usually an alias in
       // the Project below the sort, possibly under score-threshold Filters)
@@ -186,9 +224,9 @@ object AnnRewrite {
       }
       unwrapped.flatMap {
         case CosineSimilarity(emb: AttributeReference, q: Literal) =>
-          prune(s, emb, q, idx, threshold, nProbe)
+          prune(s, emb, q, idx, threshold, nProbe, maxBoost)
         case CosineSimilarity(q: Literal, emb: AttributeReference) =>
-          prune(s, emb, q, idx, threshold, nProbe)
+          prune(s, emb, q, idx, threshold, nProbe, maxBoost)
         case _ => None
       }
     case _ => None
@@ -202,13 +240,23 @@ object AnnRewrite {
 
   private def prune(s: Sort, emb: AttributeReference, q: Literal,
       idx: TrieMap[String, RegisteredIndex],
-      threshold: Long, nProbe: Int): Option[Sort] = {
+      threshold: Long, nProbe: Int, maxBoost: Double): Option[Sort] = {
+    // Selectivity-aware probe escalation: a predicate keeping ~sel of the
+    // corpus needs ~nProbe/sel probed clusters for the same candidate
+    // headroom, capped at maxBoost×. If escalation would cover every
+    // cluster, the guard below declines the rewrite — a full probe IS the
+    // exact scan, minus the benefit.
+    val sel = estimateSelectivity(s.child)
+    val effProbe =
+      if (sel >= 1.0) nProbe
+      else math.max(nProbe,
+        math.min(math.ceil(nProbe / sel), nProbe * maxBoost).toInt)
     for {
       meta <- idx.get(emb.name)
       if meta.rows > threshold
       qv <- literalVec(q)
       if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length
-      probed = probeIds(meta.centroids, qv, nProbe)
+      probed = probeIds(meta.centroids, qv, effProbe)
       if probed.length < meta.centroids.length // pruning must actually prune
       rewritten <- injectFilter(s, meta.clusterCol, probed)
     } yield rewritten

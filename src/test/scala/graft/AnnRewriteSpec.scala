@@ -202,6 +202,11 @@ class AnnRewriteSpec extends SparkSpec {
     try {
       spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
       spark.conf.set("spark.graft.ann.nProbe", "1")
+      // the search pipeline's ACL predicates would trigger filter-aware
+      // probe escalation and widen the probe set past the single cluster
+      // this test's decoy geometry depends on — pin it off here (the
+      // escalation behavior has its own test)
+      spark.conf.set("spark.graft.ann.maxFilterBoost", "1")
       val full = fused()   // rule not registered yet: full scan sees the decoy
       assert(full.contains("m9999"), s"full scan missed the planted top-1: $full")
 
@@ -221,6 +226,82 @@ class AnnRewriteSpec extends SparkSpec {
       AnnRewrite.clear()
       spark.conf.unset("spark.graft.ann.fullScanThreshold")
       spark.conf.unset("spark.graft.ann.nProbe")
+      spark.conf.unset("spark.graft.ann.maxFilterBoost")
+    }
+  }
+
+  test("selective filter escalates the probe count; filtered top-k survives " +
+    "(k rows, exact-equal) where the unescalated probe starves") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // hand-built 8-axis index (centroid_id = axis + 1) so probe order under
+    // the mixed query vector is fully deterministic: q loads axes
+    // 2 > 0 > 1 > 3 > (rest), so 4 probes = centroids {3, 1, 2, 4}.
+    // grp = "x" rows exist ONLY in axes 0..3 — cluster 3 (the top probe)
+    // holds just TWO of them, so nProbe=1 starves a k=5 filtered top-k;
+    // escalation to 4 probes covers every x row and recovers the exact
+    // filtered answer.
+    val mixedQ: Array[Float] = {
+      val q = Array.fill(8)(0.0f)
+      q(2) = 1.0f; q(0) = 0.3f; q(1) = 0.2f; q(3) = 0.1f; q
+    }
+    val rows = (0 until 400).map { i =>
+      val axis = i % 8
+      val emb = { val b = Array.fill(8)(0.01f); b(axis) = 1.0f + (i / 8) * 0.001f; b }
+      val isX =
+        if (axis == 2) (i / 8) < 2            // two x rows in the top cluster
+        else if (axis <= 3) (i / 8) % 10 == 0 // five per other near cluster
+        else false
+      (i.toLong, emb, if (isX) "x" else "y", axis + 1)
+    }
+    val local = rows.toDF("id", "emb", "grp", "centroid_id")
+    // RDD-backed leaf (a LocalRelation would constant-fold before the rule)
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(local.collect().toSeq, 4), local.schema)
+    val centroids = (0 until 8).map { a =>
+      val v = Array.fill(8)(0.0f); v(a) = 1.0f; (a + 1, v)
+    }.toDF("centroid_id", "cvec")
+    val idx = IvfIndex.Index(centroids, corpus)
+
+    def filteredTopK(): DataFrame = corpus
+      .filter(col("grp") === "x")
+      .withColumn("score", cosineSim(col("emb"), lit(mixedQ)))
+      .orderBy(desc("score"), col("id"))
+      .limit(5)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      val exact = filteredTopK().select("id").as[Long].collect().toSeq
+      assert(exact.length === 5)
+
+      AnnRewrite.register(spark, idx, "emb", rows = 400)
+      // default maxFilterBoost=4: eq-predicate sel 0.1 → ceil(1/0.1)=10,
+      // capped at 4 probes of 8 clusters
+      val escalated = filteredTopK()
+      val inList = escalated.queryExecution.optimizedPlan.collectFirst {
+        case LFilter(In(a: AttributeReference, list), _) if a.name == "centroid_id" =>
+          list.map(_.toString.toInt).toSet
+      }
+      assert(inList.contains(Set(3, 1, 2, 4)),
+        s"expected escalation to probes {3,1,2,4}, got $inList")
+      assert(escalated.select("id").as[Long].collect().toSeq === exact,
+        "escalated filtered ANN diverged from exact filtered top-k")
+
+      // boost pinned off: single probe starves the filtered top-k
+      spark.conf.set("spark.graft.ann.maxFilterBoost", "1")
+      val starved = filteredTopK()
+      val starvedIn = starved.queryExecution.optimizedPlan.collectFirst {
+        case LFilter(In(a: AttributeReference, list), _) if a.name == "centroid_id" =>
+          list.length
+      }
+      assert(starvedIn.contains(1), s"expected 1 probe with boost off, got $starvedIn")
+      assert(starved.count() === 2,
+        "single-probe filtered top-k should surface only the 2 in-cluster x rows")
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+      spark.conf.unset("spark.graft.ann.maxFilterBoost")
     }
   }
 
