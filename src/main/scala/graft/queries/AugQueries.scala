@@ -13,6 +13,27 @@ import graft.functions.Fns
   */
 object AugQueries {
 
+  /** Co-purchase similarity graph shared by q329/q330 (both oracles mirror
+    * it as their `pairs` CTE): parts co-occurring in ≥ 2 orders, undirected
+    * with src < dst, plus the degree profile. localCheckpoint'd — each
+    * consumer re-reads the materialized edge list for degrees, triangle
+    * machinery, and endpoint joins instead of recomputing the self-join. */
+  private def coPurchaseGraph(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val deg = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    (edges, deg)
+  }
+
   def entries: Seq[Entry] = Seq(
 
     // CUPED variance reduction for the A/B activity metric: use each
@@ -332,17 +353,7 @@ object AugQueries {
     Entry("q329_transitivity",
       (s, d) => {
         import graft.ops.GraphAnalytics
-        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("src"), col("dst"))
-          .localCheckpoint(true) // degrees + triangle machinery
-        val deg = edges.select(col("src").as("id"))
-          .union(edges.select(col("dst").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val (edges, deg) = coPurchaseGraph(s, d)
         val tri = GraphAnalytics.triangleCounts(edges)
         val j = deg.join(tri, Seq("id"), "left")
           .withColumn("t", coalesce(col("triangles"), lit(0L)))
@@ -400,17 +411,7 @@ object AugQueries {
     Entry("q330_rich_club",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
-          .select(col("src"), col("dst"))
-          .localCheckpoint(true) // reused for degrees + both endpoint joins
-        val deg = edges.select(col("src").as("id"))
-          .union(edges.select(col("dst").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        val (edges, deg) = coPurchaseGraph(s, d)
         val ks = Seq(1, 2, 4, 8, 16).toDF("k")
         val club = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
           .groupBy(col("k")).agg(count(lit(1)).as("n_club"))

@@ -648,13 +648,17 @@ object DriftQueries {
             // Clamp away from 0: a terminal bucket where every at-risk
             // user dies (d == n) would be ln(0) = -Inf, which the
             // decimal(30,15) running-sum cast rejects under ANSI. The
-            // clamp maps that bucket to survival ≈ 0 (exp(-27.6))
-            // instead of a data-dependent runtime failure.
+            // clamped product is then OVERRIDDEN to an exact 0 below —
+            // d == n can only happen at the terminal bucket (nobody
+            // survives past it to populate a later one), so the override
+            // never propagates into other rows' running product.
             log(greatest(lit(1e-12),
               lit(1.0) - col("d_events").cast("double") / col("n_risk"))))
         PrefixSum.globalRunningSum(cum.drop("running"), Seq(col("dur_d")),
             col("ln_term").cast("decimal(30,15)"))
-          .withColumn("survival", exp(col("running").cast("double")).cast("float"))
+          .withColumn("survival",
+            when(col("d_events") === col("n_risk"), lit(0.0f))
+              .otherwise(exp(col("running").cast("double")).cast("float")))
           .filter(col("d_events") > 0)
           .select(col("dur_d"), col("n_risk"), col("d_events"),
             col("c_censored"), col("survival"))
@@ -683,10 +687,11 @@ object DriftQueries {
              |  FROM byd),
              |surv AS (
              |  SELECT *,
-             |    CAST(exp(sum(CAST(ln(greatest(1e-12,
+             |    CASE WHEN d_events = n_risk THEN CAST(0 AS REAL)
+             |    ELSE CAST(exp(sum(CAST(ln(greatest(1e-12,
              |        1.0 - d_events::DOUBLE / n_risk))
              |        AS DECIMAL(30,15))) OVER (ORDER BY dur_d)) AS REAL)
-             |      AS survival
+             |    END AS survival
              |  FROM risk)
              |SELECT dur_d, n_risk, d_events, c_censored, survival
              |FROM surv WHERE d_events > 0 ORDER BY dur_d""".stripMargin)),
