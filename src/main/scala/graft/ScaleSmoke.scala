@@ -842,18 +842,27 @@ object ScaleSmoke {
     }
 
     // ---- Streaming counters tier (T5 at state pressure): 10⁶ keys, two
-    // micro-batches, half the keys' second event arriving LATE (event time
-    // before the stored lastTs — the cross-batch disorder the fold must
-    // absorb). The streamed decay-at-update state must equal the batch
-    // decay-at-read recompute per key: hit counts exactly, EMAs to fp
+    // logical event waves, half the keys' second event arriving LATE
+    // (event time before the stored lastTs — the cross-batch disorder the
+    // fold must absorb). The streamed decay-at-update state must equal the
+    // batch decay-at-read recompute per key: hit counts exactly, EMAs to fp
     // tolerance (same math, different pow association). Pins the
     // decay-at-update contract under 10⁶-key state, not 5-row fixtures.
+    // Driver-footprint discipline: a MemoryStream batch rides inside the
+    // task binary, so each wave is fed in 100k-row chunks (~12 MiB each,
+    // generated on the fly and not retained) instead of one 10⁶-row seq
+    // (~122 MiB broadcast, OOMs the 8 GB driver); splitting a wave across
+    // micro-batches is MORE adversarial for the fold, not less, since the
+    // state now threads extra micro-batch boundaries. The batch recompute
+    // reconstructs the same events distributedly from spark.range — no
+    // 2×10⁶-row driver-side LocalRelation.
     {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.domain.Schemas.AccessEvent
       import graft.streaming.Counters
       import spark.implicits._
       val nKeys = 1000000
+      val chunk = 100000
       val base = 1700000000000L
       def ev(k: Int, batch: Int): AccessEvent = {
         val t1 = base + (k % 97).toLong * 3600000L
@@ -863,8 +872,6 @@ object ScaleSmoke {
         AccessEvent(s"e$batch-$k", f"m$k%07d", "u", "retrieval",
           0.5, (k % 10) / 10.0, new java.sql.Timestamp(ts))
       }
-      val batch0 = (0 until nKeys).map(ev(_, 0))
-      val batch1 = (0 until nKeys).map(ev(_, 1))
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[AccessEvent]
       val query = Counters.counterStream(spark, input.toDS())
@@ -872,8 +879,10 @@ object ScaleSmoke {
         .outputMode("update").start()
       val t = System.nanoTime()
       try {
-        input.addData(batch0); query.processAllAvailable()
-        input.addData(batch1); query.processAllAvailable()
+        for (b <- 0 to 1; lo <- 0 until nKeys by chunk) {
+          input.addData((lo until math.min(lo + chunk, nKeys)).map(ev(_, b)))
+          query.processAllAvailable()
+        }
       } finally query.stop()
       val strSecs = (System.nanoTime() - t) / 1e9
       // final state per key = the update with the max hit_total (hit counts
@@ -885,10 +894,18 @@ object ScaleSmoke {
         .select(col("memory_id"), col("s.hit_total").as("hit_s"),
           col("s.ema_30d").as("ema_s"),
           col("s.conf_weighted_30d").as("conf_s"))
-      // batch decay-at-read recompute over the SAME events
-      val evDf = (batch0 ++ batch1).toDF()
-        .select(col("memory_id"), col("confidence"),
-          unix_millis(col("ts")).as("ms"))
+      // batch decay-at-read recompute over the SAME events, reconstructed
+      // distributedly (same arithmetic as ev(), k = id % nKeys, wave =
+      // id / nKeys) — the double math matches bit-for-bit: (k%10)/10.0 is
+      // the same IEEE divide either way
+      val kC = col("id") % nKeys
+      val t1C = lit(base) + (kC % 97) * lit(3600000L)
+      val evDf = spark.range(0, 2L * nKeys).select(
+          format_string("m%07d", kC).as("memory_id"),
+          ((kC % 10).cast("double") / lit(10.0)).as("confidence"),
+          when(col("id") < nKeys, t1C)
+            .when(kC % 2 === 0, t1C + lit(5L * 86400000L))
+            .otherwise(t1C - lit(3L * 86400000L)).as("ms"))
       val lastTs = evDf.groupBy(col("memory_id")).agg(max(col("ms")).as("last_ms"))
       val dec = pow(lit(0.5),
         (col("last_ms") - col("ms")) / lit(86400000.0) / lit(Counters.HalfLifeDays))
