@@ -36,21 +36,7 @@ object Sinks {
   def keyedUpsert(path: String, key: String, versionCol: Option[String] = None)
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val incoming = versionCol match {
-      case Some(v) =>
-        // content-hash tiebreaker: two rows sharing (key, version) would
-        // otherwise be ordered by partition layout, and a post-failure
-        // replay could pick the OTHER row — same data must always yield
-        // the same snapshot for the exactly-once argument to hold.
-        // Hash only hashable columns (xxhash64 rejects MapType — the
-        // metadata-map crash Skew.rowSalt guards against identically).
-        val contentHash = xxhash64(
-          graft.functions.Fns.hashableCols(batch).map(col): _*)
-        val w = Window.partitionBy(col(key)).orderBy(desc(v), contentHash)
-        batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      case None => batch.dropDuplicates(Seq(key))
-    }
+    val incoming = dedupBatch(batch, key, versionCol)
     val existing = Writers.readSnapshot(spark, path, batch.schema)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
@@ -58,6 +44,51 @@ object Sinks {
     // BEFORE touching `path`, so read-then-replace is safe.
     Writers.swapWrite(Writers.upsert(existing, incoming, key), path)
   }
+
+  /** [[keyedUpsert]] for a Hive-partitioned snapshot: merges the
+    * micro-batch via `Writers.upsertPartitioned`, so each batch reads and
+    * rewrites ONLY the partition directories it touches — write
+    * amplification per micro-batch scales with the batch, not the standing
+    * table. This is the variant to wire when the snapshot is the big one
+    * (the 100 TB ingest target): `keyedUpsert`'s full-snapshot swap costs
+    * |table| per micro-batch, which a streaming cadence multiplies.
+    *
+    * Same idempotence argument as `keyedUpsert` (replaying a batch
+    * re-merges identical rows onto the same keys — a no-op — and
+    * `versionCol` makes the per-key pick deterministic), plus
+    * `upsertPartitioned`'s per-partition retire→promote discipline: a crash
+    * mid-swap leaves every partition at either its old or new complete
+    * contents, and the next call heals orphans before merging.
+    *
+    * Inherits `upsertPartitioned`'s contract: a key must never migrate
+    * across partitions (partition columns are immutable attributes of the
+    * key — tenant, creation day). The batch must carry `partitionCols`. */
+  def keyedUpsertPartitioned(path: String, key: String,
+                             partitionCols: Seq[String],
+                             versionCol: Option[String] = None)
+                            (batch: DataFrame, batchId: Long): Unit = {
+    Writers.upsertPartitioned(batch.sparkSession, path,
+      dedupBatch(batch, key, versionCol), key, partitionCols)
+    ()
+  }
+
+  /** One row per key from a micro-batch, deterministically: the highest
+    * `versionCol` wins with a content-hash tiebreaker, so a post-failure
+    * replay of the same rows always picks the same row — two rows sharing
+    * (key, version) would otherwise be ordered by partition layout.
+    * Hashes only hashable columns (xxhash64 rejects MapType — the
+    * metadata-map crash Skew.rowSalt guards against identically). */
+  private def dedupBatch(batch: DataFrame, key: String,
+                         versionCol: Option[String]): DataFrame =
+    versionCol match {
+      case Some(v) =>
+        val contentHash = xxhash64(
+          graft.functions.Fns.hashableCols(batch).map(col): _*)
+        val w = Window.partitionBy(col(key)).orderBy(desc(v), contentHash)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch.dropDuplicates(Seq(key))
+    }
 
   /** foreachBatch body: fold closed streaming windows into the mergeable
     * rollup at `path` — the MATERIALIZED-VIEW refresh as a stream sink.

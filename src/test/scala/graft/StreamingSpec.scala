@@ -463,6 +463,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch partition-scoped upsert sink: merges like keyedUpsert, " +
+    "leaves untouched partition files byte-identical, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sinkp").toFile
+    val path = new java.io.File(dir, "snapshot").getPath
+    val input = MemoryStream[(String, String, Long)]
+    val query = input.toDS().toDF("tenant", "k", "v")
+      .writeStream
+      .foreachBatch(
+        graft.streaming.Sinks.keyedUpsertPartitioned(path, "k", Seq("tenant")) _)
+      .outputMode(OutputMode.Append).start()
+    def snap() = spark.read.parquet(path).select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def files(rel: String) = new java.io.File(path, rel).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    try {
+      input.addData(("t0", "a", 1L), ("t1", "b", 2L))
+      query.processAllAvailable()
+      val t0Before = files("tenant=t0")
+      // second micro-batch touches ONLY tenant=t1: b updated, c inserted
+      input.addData(("t1", "b", 20L), ("t1", "c", 3L))
+      query.processAllAvailable()
+      assert(snap() === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+      assert(files("tenant=t0") === t0Before,
+        "micro-batch that never touched tenant=t0 rewrote its files")
+      // at-least-once redelivery of the last micro-batch converges
+      val replay = Seq(("t1", "b", 20L), ("t1", "c", 3L)).toDF("tenant", "k", "v")
+      graft.streaming.Sinks.keyedUpsertPartitioned(path, "k", Seq("tenant"))(
+        replay, batchId = 1L)
+      assert(snap() === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+      assert(files("tenant=t0") === t0Before)
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("stream-static enrichment via foreachBatch picks up a swapped dimension without restart") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dim").toFile
