@@ -981,6 +981,40 @@ object ScaleSmoke {
       // for file-count layout differences in the rewritten dirs)
       assert(frac < 0.08,
         f"rewrite amplification $frac%.2f — write path not partition-scoped")
+
+      // ---- Partition-scoped delete (S7 at the same table): erase 100 keys
+      // from p005/p006 — only those partitions' bytes may change, and a
+      // full-tenant erasure (every p007 row) must REMOVE the directory.
+      val beforeDel = fileSig()
+      val delTotal = beforeDel.values.map(_._1).sum
+      val victims = spark.range(0, 100).select(
+        concat(lit("p"), lpad((pmod(col("id"), lit(2)) + 5).cast("string"), 3, "0"))
+          .as("part"),
+        (pmod(col("id"), lit(2)) + 5 + col("id") * nParts).as("k"))
+      val td = System.nanoTime()
+      val delTouched = graft.sources.Writers.deletePartitioned(
+        spark, dir, victims, "k", Seq("part"))
+      val delSecs = (System.nanoTime() - td) / 1e9
+      val afterDel = fileSig()
+      val delRewritten = afterDel.collect {
+        case (path, sig) if !beforeDel.get(path).contains(sig) => sig._1 }.sum
+      val delFrac = delRewritten.toDouble / delTotal
+      val rowsAfterDel = spark.read.parquet(dir).count()
+      println(f"[scale-smoke] delete-partitioned: touched=${delTouched.length} " +
+        f"rewrittenBytes=$delRewritten/$delTotal (${delFrac * 100}%.1f%%) " +
+        f"rows=$rowsAfterDel deleteSeconds=$delSecs%.1f")
+      assert(delTouched.length == 2, s"expected 2 touched partitions, got $delTouched")
+      assert(rowsAfterDel == 2000030L - 100L,
+        s"expected ${2000030L - 100L} rows after delete, got $rowsAfterDel")
+      assert(delFrac < 0.06,
+        f"delete amplification $delFrac%.2f — delete path not partition-scoped")
+      // full-partition erasure drops the directory
+      val gone = spark.read.parquet(dir).filter(col("part") === "p007")
+        .select(col("part"), col("k"))
+      graft.sources.Writers.deletePartitioned(
+        spark, dir, gone, "k", Seq("part"))
+      assert(!new java.io.File(dir, "part=p007").exists(),
+        "fully-erased partition directory must be removed")
     }
 
     println("[scale-smoke] PASS")

@@ -81,4 +81,28 @@ object IncrementalAgg {
       .getOrElse(newState)
     graft.sources.Writers.swapWrite(next, aggPath)
   }
+
+  /** [[refreshPartial]] for a Hive-partitioned rollup: when the rollup is
+    * partitioned by a key subset with bounded churn (the natural layout —
+    * day or tenant×day — since a watermarked stream only emits windows
+    * near the watermark), each refresh reads, merges and swaps ONLY the
+    * partitions the batch touches. `refreshPartial`'s full-snapshot swap
+    * costs O(|rollup|) per batch; at a year of hourly×user state that is
+    * thousands of days rewritten to fold in today's rows. Scoping,
+    * per-directory atomicity and crash healing are
+    * [[graft.sources.Writers.mergePartitioned]]'s (shared with the
+    * upsert/delete sinks); the same refresh-split invariant holds because
+    * the merge monoid is applied per partition and partitions are disjoint
+    * by construction. `partitionCols` must be a prefix-independent subset
+    * of `keys` (every state row carries them). */
+  def refreshPartialPartitioned(spark: SparkSession, aggPath: String,
+                                newState: DataFrame, keys: Seq[String],
+                                partitionCols: Seq[String]): Seq[String] = {
+    require(partitionCols.forall(keys.contains),
+      s"partition columns $partitionCols must be grouping keys ($keys)")
+    graft.sources.Writers.mergePartitioned(
+      spark, aggPath, newState, partitionCols, newState.schema) { scoped =>
+      merge(scoped, newState, keys)
+    }
+  }
 }

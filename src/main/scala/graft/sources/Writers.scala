@@ -53,20 +53,10 @@ object Writers {
     * S4 point-upsert semantics, `memory_graph.py:13814`
     * `batch_upsert_qdrant_points`; SURVEY §2.1 maps it to Delta MERGE).
     *
-    * Mechanics that make it safe:
-    *  - the merged rows are written to a sibling `path + ".upsert.tmp"`
-    *    WITH `partitionBy`, and the set of directories to swap is read
-    *    back from what Spark actually wrote — so Hive path escaping of
-    *    partition values is Spark's problem, never re-derived here;
-    *  - retired copies live under `path + ".upsert.retired"`, a SIBLING of
-    *    the table root: a `k=v.swap.old` dir INSIDE the root would be
-    *    parsed by readers as partition value "v.swap.old";
-    *  - every rename is checked (Hadoop reports failure by returning
-    *    false) and the retired copy is deleted only after its replacement
-    *    is promoted — per partition, the `swapWrite` discipline verbatim;
-    *  - a crash between retire and promote leaves that partition's last
-    *    complete data under the retired root; `healPartitions` (run first
-    *    on every call) promotes such orphans back before anything else.
+    * Scoping, atomic per-directory swap and crash healing live in
+    * [[mergePartitioned]] (shared with [[deletePartitioned]] and the
+    * rollup refresh); this wrapper contributes only the MERGE semantics
+    * (anti-join ∪ incoming).
     *
     * CONTRACT (same as Delta's partition-pruned MERGE): a key must not
     * migrate across partitions — the anti-join only sees the partitions
@@ -79,74 +69,162 @@ object Writers {
     * directories (what a caller audits to confirm rewrite scope). */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         incoming: DataFrame, key: String,
-                        partitionCols: Seq[String]): Seq[String] = {
-    require(partitionCols.nonEmpty, "upsertPartitioned needs partition columns; use upsert+swapWrite for unpartitioned tables")
+                        partitionCols: Seq[String]): Seq[String] =
+    mergePartitioned(spark, path, incoming, partitionCols, incoming.schema) {
+      scoped =>
+        scoped.join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(incoming)
+    }
+
+  /** The shared partition-scoped rewrite core under [[upsertPartitioned]],
+    * [[deletePartitioned]] and
+    * [[graft.ops.IncrementalAgg.refreshPartialPartitioned]]: scope the
+    * table to the partitions `scopeFrom` touches, hand those rows to
+    * `mergeFn`, and atomically swap ONLY the touched directories.
+    *
+    * Mechanics that make it safe:
+    *  - the touched-partition set is the batch's distinct partition tuples
+    *    (a bounded collect — a few tenant/day combinations, never
+    *    table-proportional), turned into a literal IN-style predicate that
+    *    statically prunes the read to those directories. `readSchema` pins
+    *    the partition-column types: inference would read a string tenant
+    *    "0" back as int, breaking downstream unions AND cast-wrapping the
+    *    predicate so it can't prune;
+    *  - `mergeFn(scoped)` is written `partitionBy` to a sibling
+    *    `path + ".merge.tmp"`; the batch's distinct tuples are also
+    *    written `partitionBy` to `path + ".merge.touch"`, so the
+    *    Hive-ESCAPED directory names of every touched partition — even one
+    *    whose merged output is EMPTY — come from Spark itself and are
+    *    never re-derived here;
+    *  - per touched directory: retire main → promote tmp (or, when the
+    *    merge emptied the partition, nothing — the retire IS the delete) →
+    *    drop the retired copy. Every rename is checked (Hadoop reports
+    *    failure by returning false). Retired copies live under
+    *    `path + ".upsert.retired"`, a SIBLING of the table root (a
+    *    `k=v.old` dir inside the root would parse as a partition value),
+    *    and [[healPartitions]] — run first on every call — promotes
+    *    orphans from a prior crash back before anything else;
+    *  - a crash at any point leaves every partition at either its old or
+    *    its new complete contents (or its old contents under the retired
+    *    root, which heal restores); an at-least-once re-run converges.
+    *
+    * Returns the table-relative touched directory names (what a caller
+    * audits to confirm rewrite scope). */
+  def mergePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                       scopeFrom: DataFrame, partitionCols: Seq[String],
+                       readSchema: org.apache.spark.sql.types.StructType)
+                      (mergeFn: DataFrame => DataFrame): Seq[String] = {
+    require(partitionCols.nonEmpty, "mergePartitioned needs partition columns; compute the merge and swapWrite for unpartitioned tables")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val tmpRoot = path + ".upsert.tmp"
+    val tmpRoot = path + ".merge.tmp"
+    val touchRoot = path + ".merge.touch"
     val retiredRoot = path + ".upsert.retired"
 
     healPartitions(spark, path)
-    if (fs.exists(p(tmpRoot))) fs.delete(p(tmpRoot), true)
+    Seq(tmpRoot, touchRoot).foreach(d => if (fs.exists(p(d))) fs.delete(p(d), true))
 
-    val merged =
-      if (!fs.exists(root)) incoming
-      else {
-        // bounded collect: the batch's distinct partition tuples (a few
-        // tenant/day combinations, never table-proportional)
-        val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
-        val touchedPred = touched.map { r =>
-          partitionCols.zipWithIndex.map { case (c, i) =>
-            if (r.isNullAt(i)) col(c).isNull else col(c) <=> lit(r.get(i))
-          }.reduce(_ && _)
-        }.reduceOption(_ || _).getOrElse(lit(false))
-        // Read with incoming's schema pinned: partition-value inference
-        // would otherwise read a string tenant "0" back as int, breaking
-        // the union AND turning touchedPred into a cast-wrapped predicate
-        // that can't statically prune. With the declared schema the filter
-        // is a literal predicate on the raw partition column → only the
-        // touched directories are scanned.
-        spark.read.schema(incoming.schema).parquet(path).filter(touchedPred)
-          .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
-          .unionByName(incoming)
-      }
-    merged.write.mode(SaveMode.Overwrite)
+    val touched = scopeFrom.select(partitionCols.map(col): _*).distinct()
+    val touchedRows = touched.collect()
+    if (touchedRows.isEmpty) return Nil
+    val touchedPred = touchedRows.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) <=> lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val scoped =
+      if (!fs.exists(root))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      else spark.read.schema(readSchema).parquet(path).filter(touchedPred)
+
+    // both reads of `path` (scoped rows and any reads inside mergeFn)
+    // happen during these two writes — strictly before any rename below
+    mergeFn(scoped).write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmpRoot)
+    touched.withColumn("__t", lit(1)).write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(touchRoot)
 
-    // swap set = the k=v directory chains Spark materialized in tmp
     def leafDirs(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
       if (depth == 0) Seq("")
       else fs.listStatus(dir).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .flatMap(st => leafDirs(st.getPath, depth - 1)
           .map(rest => if (rest.isEmpty) st.getPath.getName else st.getPath.getName + "/" + rest))
-    val rels = leafDirs(p(tmpRoot), partitionCols.length)
+    val relsAll = leafDirs(p(touchRoot), partitionCols.length)
+    val relsNew = leafDirs(p(tmpRoot), partitionCols.length).toSet
 
     def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      require(fs.rename(from, to), s"upsertPartitioned: rename $from -> $to failed")
+      require(fs.rename(from, to), s"mergePartitioned: rename $from -> $to failed")
     fs.mkdirs(root)
-    rels.foreach { rel =>
+    relsAll.foreach { rel =>
       val main = p(path + "/" + rel)
       val tmp = p(tmpRoot + "/" + rel)
       val retired = p(retiredRoot + "/" + rel)
       if (fs.exists(retired)) fs.delete(retired, true)
       fs.mkdirs(retired.getParent)
       if (fs.exists(main)) mustRename(main, retired)
-      fs.mkdirs(main.getParent)
-      mustRename(tmp, main)
+      if (relsNew.contains(rel)) {
+        fs.mkdirs(main.getParent)
+        mustRename(tmp, main)
+      }
       fs.delete(retired, true)
     }
-    fs.delete(p(tmpRoot), true)
-    if (fs.exists(p(retiredRoot))) fs.delete(p(retiredRoot), true)
-    rels
+    Seq(tmpRoot, touchRoot, retiredRoot)
+      .foreach(d => if (fs.exists(p(d))) fs.delete(p(d), true))
+    relsAll
   }
 
-  /** Promote any partition directories orphaned by a crash between
-    * `upsertPartitioned`'s retire and promote renames: a retired copy
+  /** Partition-scoped DELETE by id: the S7 path with write amplification
+    * ∝ the victim set's partitions, not the table. `deleteByIds` +
+    * `swapWrite` rewrite the whole table to drop a handful of rows — the
+    * GDPR-cascade shape (reference: `delete_memory_item` fan-out) made
+    * 100 TB-viable the same way [[upsertPartitioned]] fixes MERGE.
+    * `victims` must carry `key` + `partitionCols` (a GDPR delete knows
+    * the tenant; a chunk delete knows the parent's partition).
+    *
+    * Only the partitions `victims` touches are read and anti-joined
+    * ([[mergePartitioned]] owns the scoping, the per-directory swap and
+    * the crash heal). A partition whose every row is deleted is REMOVED —
+    * the core's touch-marker write names every touched directory even
+    * when its merged output is empty, so the retire-without-promote IS
+    * the directory drop.
+    *
+    * Crash contract (shared with upsert): an orphaned retired copy is that
+    * partition's last complete pre-delete data; `healPartitions` promotes
+    * it back and an at-least-once re-run of the delete converges. Same
+    * key-doesn't-migrate contract as `upsertPartitioned`.
+    *
+    * Returns the table-relative touched partition directories. */
+  def deletePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        victims: DataFrame, key: String,
+                        partitionCols: Seq[String]): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healPartitions(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return Nil
+    // pin the partition columns to the victims' types (inference would
+    // read a string tenant "0" back as int, cast-wrapping the scope
+    // predicate so it can't statically prune)
+    val vTypes = victims.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pinned = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(path).schema.map(f =>
+        if (partitionCols.contains(f.name) && vTypes.contains(f.name))
+          f.copy(dataType = vTypes(f.name))
+        else f))
+    mergePartitioned(spark, path, victims, partitionCols, pinned) { scoped =>
+      scoped.join(victims.select(col(key)).distinct(), Seq(key), "left_anti")
+    }
+  }
+
+  /** Promote any partition directories orphaned by a crash between a
+    * retire and promote rename in [[upsertPartitioned]] or
+    * [[deletePartitioned]] (they share the retired root): a retired copy
     * whose main directory is missing IS that partition's last complete
-    * snapshot. Safe to run any time (no-op when no crash happened);
-    * `upsertPartitioned` runs it first on every call. */
+    * snapshot. Safe to run any time (no-op when no crash happened); both
+    * writers run it first on every call. After healing, re-running the
+    * interrupted upsert/delete converges (at-least-once discipline). */
   def healPartitions(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

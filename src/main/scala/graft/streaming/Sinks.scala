@@ -132,6 +132,29 @@ object Sinks {
     graft.ops.IncrementalAgg.refreshPartial(spark, path, fresh, keys)
   }
 
+  /** [[rollupRefresh]] for a Hive-partitioned rollup (partitioned by a key
+    * subset with bounded churn — day, tenant×day): both the replay
+    * anti-join and the monoid merge read ONLY the partitions the batch
+    * touches, and only those directories are swapped. `rollupRefresh`
+    * re-reads and rewrites the whole rollup every micro-batch — O(|rollup|)
+    * per batch, where a watermarked stream's batches only ever touch
+    * windows near the watermark. Same idempotence argument (append mode
+    * emits each (window, keys) row exactly once, so a key already in the
+    * snapshot is a replay — and a replayed key is necessarily in a touched
+    * partition, so the SCOPED anti-join sees it). */
+  def rollupRefreshPartitioned(path: String, keys: Seq[String],
+                               partitionCols: Seq[String])
+                              (batch: DataFrame, batchId: Long): Unit = {
+    graft.sources.Writers.mergePartitioned(
+      batch.sparkSession, path, batch, partitionCols, batch.schema) { scoped =>
+      val fresh = batch.join(
+        scoped.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        keys, "left_anti")
+      graft.ops.IncrementalAgg.merge(scoped, fresh, keys)
+    }
+    ()
+  }
+
   /** foreachBatch body: fold newly-ingested embedding rows into the
     * standing IVF assignment snapshot at `path` — ANN index MAINTENANCE as
     * a stream sink (the reference's ingest adds points to its live vector

@@ -57,6 +57,39 @@ class IncrementalAggSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("sm")) === 9.0)
   }
 
+  test("refreshPartialPartitioned == refreshPartial result; untouched day " +
+    "partitions byte-identical") {
+    import spark.implicits._
+    val flat = Files.createTempDirectory("incrpflat").toString + "/rollup"
+    val part = Files.createTempDirectory("incrppart").toString + "/rollup"
+    val keys = Seq("day", "k")
+    val b1 = Seq(("d1", "a", 1.0), ("d1", "a", 3.0), ("d2", "b", 2.0),
+      ("d3", "c", 7.0)).toDF("day", "k", "v")
+    val b2 = Seq(("d3", "c", 5.0), ("d3", "d", 1.0)).toDF("day", "k", "v") // d3 only
+    def state(b: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.partial(b, keys, "v")
+    IncrementalAgg.refreshPartial(spark, flat, state(b1), keys)
+    IncrementalAgg.refreshPartialPartitioned(spark, part, state(b1), keys, Seq("day"))
+    def files(rel: String) = new java.io.File(part, rel).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val d1Before = files("day=d1")
+    val d2Before = files("day=d2")
+    IncrementalAgg.refreshPartial(spark, flat, state(b2), keys)
+    val touched = IncrementalAgg.refreshPartialPartitioned(
+      spark, part, state(b2), keys, Seq("day"))
+    assert(touched === Seq("day=d3"), s"only day=d3 may be rewritten, got $touched")
+    assert(files("day=d1") === d1Before, "day=d1 was rewritten")
+    assert(files("day=d2") === d2Before, "day=d2 was rewritten")
+    def snap(p: String) = spark.read.parquet(p)
+      .select(col("day").cast("string"), col("k"), col("cnt"), col("sm"),
+        col("mn"), col("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(snap(part) === snap(flat),
+      "partition-scoped refresh diverged from the full refresh")
+  }
+
   test("refresh batches in any order — state is a commutative monoid") {
     import spark.implicits._
     val d1 = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")

@@ -96,7 +96,8 @@ class WritersSpec extends SparkSpec {
     assert(files("tenant=t2") === t2Before, "tenant=t2 was rewritten")
 
     // no scratch roots left behind
-    assert(!new java.io.File(dir + ".upsert.tmp").exists())
+    assert(!new java.io.File(dir + ".merge.tmp").exists())
+    assert(!new java.io.File(dir + ".merge.touch").exists())
     assert(!new java.io.File(dir + ".upsert.retired").exists())
   }
 
@@ -153,6 +154,85 @@ class WritersSpec extends SparkSpec {
       .listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => (f.getName, f.length(), f.lastModified())).toSet
     assert(day2After === day2Before, "sibling day partition was rewritten")
+  }
+
+  test("deletePartitioned matches full deleteByIds and rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("delp").toString + "/t"
+    val base = spark.range(0, 300).select(
+      concat(lit("t"), (col("id") % 3).cast("string")).as("tenant"),
+      col("id").as("k"), (col("id") * 7).as("v"))
+    base.write.partitionBy("tenant").parquet(dir)
+    def files(rel: String): Set[(String, Long, Long)] = {
+      val d = new java.io.File(dir, rel)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val t1Before = files("tenant=t1")
+    val t2Before = files("tenant=t2")
+
+    // victims: 4 keys in t0 (+1 id that doesn't exist — deletes are
+    // idempotent over missing keys), t1/t2 untouched
+    val victims = Seq(("t0", 0L), ("t0", 3L), ("t0", 6L), ("t0", 9L), ("t0", 777777L))
+      .toDF("tenant", "k")
+    val expected = Writers.deleteByIds(spark.read.parquet(dir)
+        .select(col("tenant").cast("string"), col("k"), col("v")), victims, "k")
+      .collect()
+      .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+
+    val touched = Writers.deletePartitioned(spark, dir, victims, "k", Seq("tenant"))
+    assert(touched === Seq("tenant=t0"),
+      s"rewrite scope must be the touched partitions only, got $touched")
+    val got = spark.read.parquet(dir)
+      .select(col("tenant").cast("string"), col("k"), col("v"))
+      .collect()
+      .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("k"), r.getAs[Long]("v"))).toSet
+    assert(got === expected)
+    assert(files("tenant=t1") === t1Before, "tenant=t1 was rewritten")
+    assert(files("tenant=t2") === t2Before, "tenant=t2 was rewritten")
+    assert(!new java.io.File(dir + ".merge.tmp").exists())
+    assert(!new java.io.File(dir + ".merge.touch").exists())
+    assert(!new java.io.File(dir + ".upsert.retired").exists())
+  }
+
+  test("deletePartitioned removes a fully-emptied partition directory") {
+    val dir = java.nio.file.Files.createTempDirectory("delp0").toString + "/t"
+    Seq(("t0", 1L, 10L), ("t0", 2L, 20L), ("t1", 3L, 30L))
+      .toDF("tenant", "k", "v").write.partitionBy("tenant").parquet(dir)
+    // GDPR-style tenant erasure: every t0 row is a victim
+    val touched = Writers.deletePartitioned(spark, dir,
+      Seq(("t0", 1L), ("t0", 2L)).toDF("tenant", "k"), "k", Seq("tenant"))
+    assert(touched === Seq("tenant=t0"))
+    assert(!new java.io.File(dir, "tenant=t0").exists(),
+      "fully-emptied partition directory must be removed, not left stale")
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(back === Map(3L -> 30L))
+    // replaying the same delete converges (at-least-once): victims now hit
+    // a partition that no longer exists
+    val replay = Writers.deletePartitioned(spark, dir,
+      Seq(("t0", 1L), ("t0", 2L)).toDF("tenant", "k"), "k", Seq("tenant"))
+    assert(replay === Seq("tenant=t0"))
+    assert(spark.read.parquet(dir).count() === 1)
+  }
+
+  test("deletePartitioned crash orphan heals, then a replayed delete converges") {
+    val dir = java.nio.file.Files.createTempDirectory("delph").toString + "/t"
+    Seq(("t0", 1L, 10L), ("t0", 2L, 20L), ("t1", 3L, 30L))
+      .toDF("tenant", "k", "v").write.partitionBy("tenant").parquet(dir)
+    // simulate the crash window: t0 retired, neither promoted nor dropped
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".upsert.retired"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/tenant=t0"),
+      new org.apache.hadoop.fs.Path(dir + ".upsert.retired/tenant=t0")))
+    // the replayed delete heals first (pre-delete data restored), then
+    // re-applies: k=1 gone, k=2 survives in a rewritten t0
+    val touched = Writers.deletePartitioned(spark, dir,
+      Seq(("t0", 1L)).toDF("tenant", "k"), "k", Seq("tenant"))
+    assert(touched === Seq("tenant=t0"))
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(back === Map(2L -> 20L, 3L -> 30L))
   }
 
   test("versioned snapshots: publish, time travel, diff as changelog, prune") {
