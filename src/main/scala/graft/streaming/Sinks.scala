@@ -172,6 +172,18 @@ object Sinks {
     keyedUpsert(path, idCol)(
       graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
 
+  /** [[indexAppend]] for a Hive-partitioned assignment table (partitioned
+    * by tenant/ingest-day carried on the batch — `ivfAssign` preserves the
+    * batch's columns): each micro-batch rewrites only the partitions it
+    * touches instead of swapping the corpus-sized standing assignment.
+    * NOT partitioned by `centroid_id` — a diverse batch touches every
+    * centroid, which would defeat the scoping. */
+  def indexAppendPartitioned(path: String, centroids: DataFrame, idCol: String,
+                             vecCol: String, partitionCols: Seq[String])
+                            (batch: DataFrame, batchId: Long): Unit =
+    keyedUpsertPartitioned(path, idCol, partitionCols)(
+      graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
+
   /** foreachBatch body: maintain the standing MinHash-LSH band table at
     * `path` — streaming-ingest DEDUP maintenance, the near-dup twin of
     * [[indexAppend]]'s ANN path. Each micro-batch shingles and hashes only
@@ -206,6 +218,51 @@ object Sinks {
       // collision-free pair key: JSON quoting keeps ("a|b","c") and
       // ("a","b|c") distinct for ANY id content — a delimiter concat would
       // silently merge them and dropDuplicates would discard a real pair
+      val pairs = delta.withColumn("pair_key",
+        to_json(struct(col("doc_a"), col("doc_b"))))
+      keyedUpsert(pp, "pair_key")(pairs, batchId)
+    }
+  }
+
+  /** [[lshIndexAppend]] for a Hive-partitioned band table: the state fold
+    * rewrites only the partitions the batch's docs live in instead of
+    * swapping the whole corpus×numBands table every micro-batch. The batch
+    * must carry `partitionCols` (tenant, ingest day — immutable attributes
+    * of the doc id, per `upsertPartitioned`'s contract); they are attached
+    * to the batch's band rows, and the doc-keyed scoped upsert replaces a
+    * re-ingested doc's whole band GROUP (the anti-join drops every
+    * standing row with its id) — same replace-not-accumulate and replay
+    * semantics as `lshIndexAppend`, spec-pinned for parity.
+    *
+    * The candidate-pair DELTA is unchanged in cost class: the batch's
+    * bands join the standing table on (band_idx, band_key) — new×all, a
+    * READ of the standing table, never a rewrite. Reading AFTER the fold
+    * reproduces `appendLshBands`' delta exactly (its `all` is the
+    * post-replace state, so same-batch pairs are included). */
+  def lshIndexAppendPartitioned(path: String, idCol: String, textCol: String,
+                                shingleK: Int, numHashes: Int, numBands: Int,
+                                partitionCols: Seq[String],
+                                pairsPath: Option[String] = None)
+                               (batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val newBands = Dedup.bands(Dedup.minhashSignatures(
+        Dedup.shingleRaw(batch, idCol, textCol, shingleK), numHashes),
+        numHashes, numBands)
+      .join(batch.select(col(idCol).as("doc_id") +:
+        partitionCols.map(col): _*).dropDuplicates(Seq("doc_id")), Seq("doc_id"))
+      .localCheckpoint(true)
+    Writers.upsertPartitioned(spark, path, newBands, "doc_id", partitionCols)
+    val standing = spark.read.schema(newBands.schema).parquet(path)
+    val delta = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
+      .join(standing.select(col("doc_id").as("y"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+              greatest(col("x"), col("y")).as("doc_b"))
+      .distinct()
+      .localCheckpoint(true) // pairs upsert below re-reads it; never `path` mid-write
+    pairsPath.foreach { pp =>
       val pairs = delta.withColumn("pair_key",
         to_json(struct(col("doc_a"), col("doc_b"))))
       keyedUpsert(pp, "pair_key")(pairs, batchId)

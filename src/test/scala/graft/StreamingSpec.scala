@@ -373,6 +373,48 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === pairs)
   }
 
+  test("partitioned LSH band sink: parity with the unpartitioned sink; " +
+    "fold rewrites only the batch's tenant partitions") {
+    val base = java.nio.file.Files.createTempDirectory("lshp").toString
+    val (flatB, flatP) = (base + "/bandsF", base + "/pairsF")
+    val (partB, partP) = (base + "/bandsP", base + "/pairsP")
+    // tenant is an immutable attribute of the doc id (upsert contract)
+    val corpus = Seq(
+      ("tA", 1L, "the quick brown fox jumps over the lazy dog"),
+      ("tA", 2L, "the quick brown fox jumps over the lazy cat"),
+      ("tB", 3L, "completely different words entirely here now"),
+      ("tA", 4L, "the quick brown fox jumps over the lazy dog"))
+    val flatSink = graft.streaming.Sinks.lshIndexAppend(flatB,
+      "doc_id", "text", 3, 16, 4, Some(flatP)) _
+    val partSink = graft.streaming.Sinks.lshIndexAppendPartitioned(partB,
+      "doc_id", "text", 3, 16, 4, Seq("tenant"), Some(partP)) _
+    def b(rows: Seq[(String, Long, String)]) = rows.toDF("tenant", "doc_id", "text")
+    // batch 1: tA+tB docs; batch 2: tA only — tB's partition must not move
+    flatSink(b(corpus.take(3)).drop("tenant"), 0L); flatSink(b(corpus.drop(3)).drop("tenant"), 1L)
+    partSink(b(corpus.take(3)), 0L)
+    def files(rel: String) = new java.io.File(partB, rel).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val tBBefore = files("tenant=tB")
+    partSink(b(corpus.drop(3)), 1L)
+    assert(files("tenant=tB") === tBBefore,
+      "batch that never touched tenant=tB rewrote its band partition")
+    def bandRows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "band_idx", "band_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def pairRows(p: String) = spark.read.parquet(p).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandRows(partB) === bandRows(flatB),
+      "partitioned band table diverged from the unpartitioned sink")
+    assert(pairRows(partP) === pairRows(flatP),
+      "partitioned pair feed diverged from the unpartitioned sink")
+    assert(pairRows(partP).contains((1L, 2L)) && pairRows(partP).contains((1L, 4L)))
+    // replay of batch 2 is a no-op on both snapshots
+    partSink(b(corpus.drop(3)), 1L)
+    assert(bandRows(partB) === bandRows(flatB))
+    assert(pairRows(partP) === pairRows(flatP))
+  }
+
   test("streaming dedup: replayed event ids are dropped within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AccessEvent]
@@ -632,6 +674,44 @@ class StreamingSpec extends SparkSpec {
       centroids.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
+  }
+
+  test("partitioned index-append sink: parity with indexAppend; untouched " +
+    "tenant partition not rewritten") {
+    val n = 40
+    val corpus = (0 until n).map { i =>
+      val v = Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat)
+      (if (i % 2 == 0) "tA" else "tB", i.toLong, v)
+    }
+    val centroids = (0 until 4).map { a =>
+      val v = Array.fill(4)(0.5f); v(a) = 9.0f; (a + 1, v)
+    }.toDF("centroid_id", "cvec")
+    val base = java.nio.file.Files.createTempDirectory("idxp").toString
+    val (flat, part) = (base + "/flat", base + "/part")
+    def b(rows: Seq[(String, Long, Array[Float])]) =
+      rows.toDF("tenant", "vec_id", "embedding")
+    val flatSink = graft.streaming.Sinks.indexAppend(
+      flat, centroids, "vec_id", "embedding") _
+    val partSink = graft.streaming.Sinks.indexAppendPartitioned(
+      part, centroids, "vec_id", "embedding", Seq("tenant")) _
+    val (b1, b2) = corpus.splitAt(n / 2)
+    val b2aOnly = b2.filter(_._1 == "tA") // second batch touches only tA
+    flatSink(b(b1), 0L); flatSink(b(b2aOnly), 1L)
+    partSink(b(b1), 0L)
+    def files(rel: String) = new java.io.File(part, rel).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val tBBefore = files("tenant=tB")
+    partSink(b(b2aOnly), 1L)
+    assert(files("tenant=tB") === tBBefore,
+      "tA-only batch rewrote the tenant=tB assignment partition")
+    def snap(p: String) = spark.read.parquet(p)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(snap(part) === snap(flat),
+      "partitioned assignment diverged from the unpartitioned sink")
+    partSink(b(b2aOnly), 1L) // replay converges
+    assert(snap(part) === snap(flat))
   }
 
   test("counter fold is incremental: two folds equal one") {
