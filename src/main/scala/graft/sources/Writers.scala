@@ -386,6 +386,38 @@ object Writers {
     (before.length, dataFiles().length)
   }
 
+  /** Partition-scoped compaction — the maintenance pass that pairs with
+    * [[upsertPartitioned]]/[[deletePartitioned]]: every scoped merge lands
+    * at least one new file in each touched partition, so a streaming
+    * cadence accretes per-partition small files. [[compact]] fixes that by
+    * rewriting the WHOLE table; here only partitions holding more than
+    * `maxFilesPerPartition` data files are rewritten (each collapsing to
+    * one file — the hash-repartition on the partition columns puts a
+    * partition's rows in exactly one task), everything else stays
+    * byte-identical on disk. Candidates are found with one column-pruned
+    * scan grouped by the partition columns counting distinct
+    * `input_file_name()` — typed partition tuples straight from the data,
+    * never parsed back out of directory names. Atomicity and crash healing
+    * are [[mergePartitioned]]'s. Partitions whose data exceeds a sane
+    * single file (many GB) should use [[compact]]'s size-targeted global
+    * rewrite instead. Returns the rewritten partition directories. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        partitionCols: Seq[String],
+                        maxFilesPerPartition: Int = 1): Seq[String] = {
+    val df = spark.read.parquet(path)
+    // input_file_name() is nondeterministic, so it must be projected before
+    // aggregation (Spark rejects it inside an aggregate function)
+    val candidates = df
+      .select(partitionCols.map(col) :+ input_file_name().as("__f"): _*)
+      .distinct()
+      .groupBy(partitionCols.map(col): _*).agg(count(lit(1)).as("__nf"))
+      .filter(col("__nf") > maxFilesPerPartition)
+      .drop("__nf")
+    mergePartitioned(spark, path, candidates, partitionCols, df.schema) {
+      scoped => scoped.repartition(partitionCols.map(col): _*)
+    }
+  }
+
   /** Versioned snapshot table — poor-man's time travel on plain parquet:
     * every publish lands a complete new `v=N` directory, then flips the
     * `_LATEST` pointer. Readers resolve the pointer (or pin an explicit

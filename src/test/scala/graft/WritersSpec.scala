@@ -235,6 +235,37 @@ class WritersSpec extends SparkSpec {
     assert(back === Map(2L -> 20L, 3L -> 30L))
   }
 
+  test("compactPartitions: only the many-file partition is rewritten to one file") {
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    // t0 accretes 3 files across appends (the scoped-upsert small-file
+    // pattern); t1 gets exactly one
+    Seq(("t0", 1L, 10L)).toDF("tenant", "k", "v")
+      .coalesce(1).write.partitionBy("tenant").parquet(dir)
+    Seq(("t0", 2L, 20L), ("t1", 9L, 90L)).toDF("tenant", "k", "v")
+      .coalesce(1).write.mode("append").partitionBy("tenant").parquet(dir)
+    Seq(("t0", 3L, 30L)).toDF("tenant", "k", "v")
+      .coalesce(1).write.mode("append").partitionBy("tenant").parquet(dir)
+    def files(rel: String) = new java.io.File(dir, rel).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    assert(files("tenant=t0").size === 3)
+    val t1Before = files("tenant=t1")
+    val before = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+
+    val rewritten = graft.sources.Writers.compactPartitions(
+      spark, dir, Seq("tenant"), maxFilesPerPartition = 1)
+    assert(rewritten === Seq("tenant=t0"), s"only t0 needed compaction: $rewritten")
+    assert(files("tenant=t0").size === 1, "t0 must collapse to one file")
+    assert(files("tenant=t1") === t1Before, "single-file t1 was rewritten")
+    val after = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(after === before, "compaction changed the data")
+    // second pass is a no-op: nothing exceeds the file budget any more
+    assert(graft.sources.Writers.compactPartitions(
+      spark, dir, Seq("tenant"), maxFilesPerPartition = 1) === Nil)
+  }
+
   test("versioned snapshots: publish, time travel, diff as changelog, prune") {
     import graft.ops.Snapshots
     val path = java.nio.file.Files.createTempDirectory("versioned").toString + "/t"
