@@ -199,6 +199,53 @@ object Bench {
       System.err.println("[bench] shared-scan results written to BENCH_SHARED.json")
     }
 
+    // Materialized-signature experiment (opt-in,
+    // SPARK_GRAFT_BENCH_MATERIALIZED=1): the shared-scan experiment showed
+    // base-table caching buys the shingle family only 3–19% because the
+    // cost is the DERIVED relation — so measure the other strategy: build
+    // the MinHash band table once (what a corpus snapshot would persist,
+    // q20's exact parameters), then time the q20 tail (banded candidates +
+    // exact-Jaccard verify over candidate docs) against the standing table.
+    // This is the amortization a production dedup pipeline actually runs:
+    // build once per snapshot, query many times (and the delta path,
+    // q194/appendLshBands, maintains the same table incrementally).
+    if (sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZED").contains("1")) {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      import graft.ops.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bench-mat").toString
+      val bandsPath = tmp + "/bands"
+      def secs(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tBuild = secs {
+        Dedup.bands(Dedup.minhashSignatures(
+            Dedup.shingleRaw(docs, "doc_id", "text", 3), 16), 16, 4)
+          .write.mode("overwrite").parquet(bandsPath)
+      }
+      def tail(): Unit = { // minhashLsh's verification, from the standing table
+        val cand = Dedup.candidatePairs(spark.read.parquet(bandsPath)).persist()
+        val candDocs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val candTexts = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        val sh = Dedup.shingleSets(candTexts, "doc_id", "text", 3).persist()
+        Dedup.jaccardVerify(cand, sh, 0.5).count()
+        cand.unpersist(); sh.unpersist()
+      }
+      val tTail = median((1 to reps).map(_ => secs(tail())))
+      val cold = { // main-loop median, or time the full pipeline directly
+        val m = median(samples("q20_minhash_lsh"))
+        if (m > 0) m
+        else median((1 to reps).map(_ => secs {
+          Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5).count()
+        }))
+      }
+      writeFile("BENCH_MATERIALIZED.json",
+        s"""{\n  "q20_cold_full_pipeline": ${r3(cold)},\n  "band_table_build_once": ${r3(tBuild)},\n  "q20_tail_vs_standing_table": ${r3(tTail)},\n  "tail_speedup_vs_cold": ${r3(cold / math.max(tTail, 1e-9))}\n}\n""")
+      System.err.println("[bench] materialized results written to BENCH_MATERIALIZED.json")
+    }
+
     println(summaryLine(maxReps))
     System.out.flush()
     spark.stop()
