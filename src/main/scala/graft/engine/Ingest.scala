@@ -294,7 +294,10 @@ object Ingest {
   /** MERGE-style upsert: new rows win over existing on the key (the Delta
     * `MERGE WHEN MATCHED` analog over plain parquet — compute the merged
     * snapshot; the writer owns atomic swap semantics). Delegates to the
-    * single implementation in `Writers` so the semantics cannot drift. */
+    * single implementation in `Writers` so the semantics cannot drift.
+    * When the target is a Hive-partitioned table, prefer writing through
+    * `Writers.upsertPartitioned` — it rewrites only the partitions the
+    * batch touches instead of the whole snapshot. */
   def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
     graft.sources.Writers.upsert(existing, incoming, key)
 }
