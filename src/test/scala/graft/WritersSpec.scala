@@ -235,6 +235,63 @@ class WritersSpec extends SparkSpec {
     assert(back === Map(2L -> 20L, 3L -> 30L))
   }
 
+  test("mergePartitioned's scoped read statically PRUNES: the table scan " +
+    "touches only the batch's partitions' files") {
+    // the read-side half of the scale claim (rewrite-bytes tiers pin the
+    // write side): the IN-predicate over literal partition tuples must
+    // reach the scan as a partition filter, so untouched directories are
+    // never even read. Observed via the executed scans' numFiles metric.
+    val dir = java.nio.file.Files.createTempDirectory("upsertprune").toString + "/t"
+    val base = spark.range(0, 300).select(
+      concat(lit("t"), (col("id") % 3).cast("string")).as("tenant"),
+      col("id").as("k"), (col("id") * 7).as("v"))
+    base.repartition(col("tenant")).write.partitionBy("tenant").parquet(dir)
+    val perPart = new java.io.File(dir, "tenant=t0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val totalFiles = Seq("t0", "t1", "t2").map(t =>
+      new java.io.File(dir, s"tenant=$t").listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+
+    val scanned = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      // collect() does not descend into AdaptiveSparkPlanExec (its final
+      // plan is a field, not a child) — walk it explicitly
+      private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val n = scans(qe.executedPlan).collect {
+          case s if s.metadata.get("Location").exists(_.contains("upsertprune")) &&
+                    !s.metadata.get("Location").exists(_.contains(".merge.")) =>
+            s.metrics.get("numFiles").map(_.value).getOrElse(0L)
+        }.sum
+        if (n > 0) scanned.set(math.max(scanned.get, n))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val incoming = Seq(("t0", 0L, -1L), ("t0", 1000L, -2L)).toDF("tenant", "k", "v")
+      graft.sources.Writers.upsertPartitioned(spark, dir, incoming, "k", Seq("tenant"))
+      // listener events are delivered asynchronously: wait for the first
+      // qualifying scan, then a grace window for any later (bigger) one
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (scanned.get < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(1000)
+      assert(scanned.get === perPart.toLong,
+        s"scoped merge scanned ${scanned.get} files; expected only tenant=t0's " +
+          s"$perPart (table has $totalFiles) — partition pruning regressed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("compactPartitions: only the many-file partition is rewritten to one file") {
     val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
     // t0 accretes 3 files across appends (the scoped-upsert small-file
