@@ -54,6 +54,12 @@ object Bench {
     graft.util.Logs.quietKBoundedWindowWarnings()
 
     val outDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", ".")
+    // Subset mode (SPARK_GRAFT_BENCH_ONLY=q20_minhash_lsh,q64_...): time just
+    // the named queries while iterating on an operator. Artifacts divert to
+    // BENCH_SUBSET.json so a partial run can never clobber the committed
+    // full-run band (BENCH_FULL.json) or its drift adjudication.
+    val onlySubset: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Prior per-query medians (committed BENCH_FULL.json) — read BEFORE the
     // run overwrites the file. This is the historical band for the drift
     // check; a missing file (first run) just disables adjudication.
@@ -69,7 +75,11 @@ object Bench {
     if (warmPath == sfDir)
       System.err.println(s"[bench] WARNING: no sf0.001 sibling dir — warming at " +
         s"full measurement scale $sfDir (bench wall time roughly doubles)")
-    SparkEntry.queries.keys.foreach { q =>
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      onlySubset.fold(all)(s => all.filter(s))
+    }
+    names.foreach { q =>
       try SparkEntry.queries(q)(spark, warmPath).count()
       catch { case _: Throwable => }
     }
@@ -83,7 +93,6 @@ object Bench {
     // stall contaminates one pass, not all reps of one query. The shingle
     // family gets `heavyReps` (extra late passes): its multi-second queries
     // have shown ±30% same-code swings that median-of-3 can't adjudicate.
-    val names = SparkEntry.queries.keys.toSeq.sorted
     val targetReps: Map[String, Int] =
       names.map(n => n -> (if (shingleFamily.contains(n)) heavyReps else reps)).toMap
     val maxReps = targetReps.values.max
@@ -138,7 +147,11 @@ object Bench {
     // at the end: a run killed by a wall-clock cap still leaves a real
     // artifact from its finished passes.
     def writeArtifacts(repsDone: Int): Unit =
-      try {
+      try if (onlySubset.isDefined) {
+        val full = names.map(n => s"""  "$n": ${r3(median(samples(n)))}""")
+          .mkString("{\n", ",\n", "\n}\n")
+        writeFile("BENCH_SUBSET.json", full)
+      } else {
         writeFile("BENCH.json", summaryLine(repsDone) + "\n")
         val full = names.map(n => s"""  "$n": ${r3(median(samples(n)))}""")
           .mkString("{\n", ",\n", "\n}\n")

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
 
 /** Column helpers shared by the operator library.
@@ -13,16 +14,33 @@ import org.apache.spark.sql.types.LongType
   */
 object Fns {
 
-  /** Deterministic 60-bit hash of a string column, engine-portable. */
+  /** Deterministic 60-bit hash of a string column, engine-portable.
+    * Definition: `conv(substring(md5(c),1,15),16,10)` — computed by the
+    * native [[Hash60]] kernel (identical value straight from the digest
+    * bytes; no hex string, no radix parse). [[FnsSpec]] pins the parity
+    * against the builtin-composed formula. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    ColumnBridge.column(Hash60(ColumnBridge.expression(c)))
+
+  /** hash60 of every k-shingle of a token array in one call — the shingle
+    * string is never materialized (element i == hash60 of the i-th shingle
+    * of [[shingles]]). Feed [[tokens]] output; see [[ShingleHash60]]. */
+  def shingleHashes(toks: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHash60(ColumnBridge.expression(toks), k))
+
+  /** Per-doc SimHash signature over hash60(token) votes; see [[Simhash]]. */
+  def simhashSig(toks: Column, bits: Int): Column =
+    ColumnBridge.column(Simhash(ColumnBridge.expression(toks), bits))
 
   /** Seeded variant for minhash families: h_i(s) = hash60(s || '#' || i). */
   def hash60Seeded(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#"), lit(seed.toString)))
 
-  /** Lowercased whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Lowercased whitespace tokens. Definition: `split(lower(text), " ")` —
+    * computed by the native [[SpaceTokens]] kernel (one lowercase + byte
+    * scan, no per-row regex; TextHashSpec pins the parity). */
+  def tokens(text: Column): Column =
+    ColumnBridge.column(SpaceTokens(ColumnBridge.expression(text)))
 
   /** Word k-shingles (k consecutive tokens joined by a space).
     * Empty array when the document has fewer than k tokens.
@@ -30,13 +48,15 @@ object Fns {
     * shingling generalizes that to near-duplicate detection for corpus-scale
     * dedup (BASELINE.json north star).
     */
-  def shingles(toks: Column, k: Int): Column = {
-    // guard: sequence(1, 0) is DESCENDING [1,0] in Spark, not empty — short
-    // docs must short-circuit to an empty array before element_at runs.
-    val body = transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
-    when(size(toks) >= k, body).otherwise(array().cast("array<string>"))
-  }
+  def shingles(toks: Column, k: Int): Column =
+    // native kernel (ShingleStrings): byte-identical strings to the builtin
+    // `transform(sequence(1, size-k+1), i -> concat_ws(" ", element_at...))`
+    // formulation it replaces (TextHashSpec pins the parity), without the
+    // interpreted higher-order lambda. The builtin form returned an EMPTY
+    // array for null toks (its size()>=k guard fell through to otherwise),
+    // so coalesce preserves that: shingles never returns null.
+    coalesce(ColumnBridge.column(ShingleStrings(ColumnBridge.expression(toks), k)),
+      array().cast("array<string>"))
 
   /** strip the reference's `_N` chunk suffix → base id (memory_graph.py:6065). */
   def baseId(chunkId: Column): Column = regexp_replace(chunkId, "_[0-9]+$", "")

@@ -139,9 +139,10 @@ object Curation {
                             k: Int, w: Int): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"),
       filter(tokens(col(textCol)), x => length(x) > 0).as("tk"))
+    // native kernel emits the hashes directly — no shingle strings, and the
+    // posexplode carries 8-byte longs instead of k-token strings
     val sh = t.select(col("doc_id"),
-        posexplode(shingles(col("tk"), k)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), hash60(col("sh")).as("h"))
+      posexplode(shingleHashes(col("tk"), k)).as(Seq("pos", "h")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     sh.withColumn("minh", min(col("h")).over(win))

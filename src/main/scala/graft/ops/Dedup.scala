@@ -42,13 +42,31 @@ object Dedup {
     // regex splits per doc (higher-order funcs are interpreted, no CSE).
     // CollapseProject keeps the boundary because split is non-cheap and
     // referenced multiple times.
-    spread.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"), k)).as("shingle"))
+    // (the old builtin formulation needed `toks` materialized in its own
+    // projection so the interpreted transform-lambda wouldn't re-run split
+    // per element_at; the native ShingleStrings kernel evaluates its child
+    // exactly once, so the boundary is gone)
+    spread.select(col(idCol).as("doc_id"),
+      explode(shingles(tokens(col(textCol)), k)).as("shingle"))
   }
 
   /** Distinct (doc_id, shingle) pairs — the substrate for exact jaccard. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingleRaw(docs, idCol, textCol, k).distinct()
+
+  /** Hashed twin of [[shingleRaw]]: raw exploded (doc_id, shingle-hash)
+    * rows via the native [[graft.functions.ShingleHash60]] kernel. The
+    * shingle string is never materialized — token bytes stream straight
+    * into the digest — and the explode emits 8-byte longs instead of
+    * k-token strings. Element parity with `hash60(shingleRaw.shingle)` is
+    * spec-pinned (TextHashSpec), which is what keeps every downstream
+    * min-hash value, and so every oracle hash, unchanged. */
+  def shingleHashRaw(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(tokens(col(textCol)), k)).as("sh_h"))
+  }
 
   /** MinHash hash family: ONE md5 per shingle reduced mod P, then affine
     * variants h_i = (a_i·h + b_i) mod P — 16× fewer digest computations than
@@ -62,11 +80,19 @@ object Dedup {
     * over the exploded shingles (map-side partial min → tiny shuffle).
     * Duplicate shingles are harmless — `min` is idempotent — so callers can
     * feed the raw (non-distinct) explode and skip a full-corpus shuffle. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val base = hash60(col("shingle")) % MinhashP
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    minhashAggs(sh, hash60(col("shingle")) % MinhashP, numHashes)
+
+  /** Signatures from PRE-HASHED shingles ([[shingleHashRaw]]) — identical
+    * values to [[minhashSignatures]] over the string shingles, with the
+    * hashing fused into the scan-side projection. */
+  def minhashSignaturesHashed(shh: DataFrame, numHashes: Int): DataFrame =
+    minhashAggs(shh, col("sh_h") % MinhashP, numHashes)
+
+  private def minhashAggs(df: DataFrame, base: Column, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min((lit(minhashA(i)) * base + lit(minhashB(i))) % MinhashP).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    df.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: hash r consecutive signature slots per band; docs sharing
@@ -135,7 +161,7 @@ object Dedup {
     // cached or shuffled (the explode is the biggest intermediate in the
     // whole pipeline; persisting it costs more than one extra pass).
     val cand = candidatePairs(
-      bands(minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK),
+      bands(minhashSignaturesHashed(shingleHashRaw(docs, idCol, textCol, shingleK),
         numHashes), numHashes, numBands)).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -165,7 +191,7 @@ object Dedup {
   def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
                          shingleK: Int, numHashes: Int,
                          numBands: Int): DataFrame = {
-    val sig = minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK),
+    val sig = minhashSignaturesHashed(shingleHashRaw(docs, idCol, textCol, shingleK),
       numHashes).persist()
     val cand = candidatePairs(bands(sig, numHashes, numBands)).persist()
     val renameA = (0 until numHashes).foldLeft(
@@ -226,7 +252,7 @@ object Dedup {
                      textCol: String, shingleK: Int, numHashes: Int,
                      numBands: Int): (DataFrame, DataFrame) = {
     val newBands = bands(
-      minhashSignatures(shingleRaw(docs, idCol, textCol, shingleK), numHashes),
+      minhashSignaturesHashed(shingleHashRaw(docs, idCol, textCol, shingleK), numHashes),
       numHashes, numBands).localCheckpoint(true)
     val all = state
       .join(newBands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
@@ -326,23 +352,20 @@ object Dedup {
     !st.isNullAt(0) && st.getDouble(1) <= factor * st.getLong(0)
   }
 
-  /** SimHash fingerprint (`bits` ≤ 32): per token-hash, bit j votes +1/-1;
+  /** SimHash fingerprint (`bits` ≤ 64): per token-hash, bit j votes +1/-1;
     * the sign of the vote sum is bit j of the fingerprint. Near-dups have
-    * hamming-close fingerprints. One explode + one groupBy. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("token"))
-      .withColumn("h", hash60(col("token")))
-    val bitVotes = tok.select(col("doc_id"),
-      explode(sequence(lit(0), lit(bits - 1))).as("bit"),
-      col("h"))
-      .withColumn("vote", when(expr("shiftright(h, bit) % 2") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("votes"))
-    bitVotes
-      .withColumn("bitval", when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("simhash"))
+    * hamming-close fingerprints. Zero shuffles — the whole signature is
+    * computed per row by the native kernel. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
+    // one projection per doc (native Simhash kernel: per-token hash60 votes
+    // folded in-row) — replaces a tokens×bits explode through two shuffled
+    // aggregations. The null-text filter mirrors the exploded formulation
+    // (explode of a null token array emitted no rows → doc absent);
+    // TextHashSpec pins value parity against that formulation.
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        simhashSig(tokens(col(textCol)), bits).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   /** SimHash near-dup pairs: hamming distance (popcount of xor) ≤ maxDist.
     *

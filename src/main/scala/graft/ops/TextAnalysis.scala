@@ -784,7 +784,9 @@ object TextAnalysis {
       .select(
         col(idCol).as("doc_id"),
         sha2(col(textCol), 256).as("content_sha"),
-        array_min(transform(col("sh"), s => hash60(s))).as("min_shingle_hash"),
+        // native kernel: same values as transform(sh, hash60) without the
+        // per-shingle interpreted lambda + hex/parse round-trip
+        array_min(shingleHashes(col("toks"), shingleK)).as("min_shingle_hash"),
         size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 }
