@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, Int8CosineSim, Int8Quantize, Int8Scale, L2Squared}
+import graft.functions.{CosineSimilarity, DotProduct, Hash60, Int8CosineSim, Int8Quantize, Int8Scale, L2Squared, ShingleHash60, ShingleStrings, Simhash, SpaceTokens}
 
 /** SQL registration of the engine's Catalyst expressions, so
   * `spark.sql("SELECT vec_cosine(a, b) ...")` works next to the Column API.
@@ -52,7 +52,34 @@ object GraftExtensions {
       (args: Seq[Expression]) => Int8Scale(args(0))),
     (FunctionIdentifier("vec_int8_cosine"),
       info("vec_int8_cosine", "vec_int8_cosine(a, b) - cosine similarity of two packed-INT8 binary vectors"),
-      (args: Seq[Expression]) => Int8CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => Int8CosineSim(args(0), args(1))),
+    (FunctionIdentifier("hash60"),
+      info("hash60", "hash60(s) - engine-portable 60-bit md5-prefix hash of a string"),
+      (args: Seq[Expression]) => Hash60(args(0))),
+    (FunctionIdentifier("space_tokens"),
+      info("space_tokens", "space_tokens(s) - split(lower(s), ' ') as one native pass"),
+      (args: Seq[Expression]) => SpaceTokens(args(0))),
+    (FunctionIdentifier("shingle_strings"),
+      info("shingle_strings", "shingle_strings(toks, k) - the k-token shingles of a token array"),
+      (args: Seq[Expression]) => ShingleStrings(args(0), intLit(args, 1, "shingle_strings"))),
+    (FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60", "shingle_hash60(toks, k) - hash60 of every k-token shingle, no string materialization"),
+      (args: Seq[Expression]) => ShingleHash60(args(0), intLit(args, 1, "shingle_hash60"))),
+    (FunctionIdentifier("simhash"),
+      info("simhash", "simhash(toks, bits) - per-document SimHash signature over hash60(token) votes"),
+      (args: Seq[Expression]) => Simhash(args(0), intLit(args, 1, "simhash"))))
+
+  /** The width/bits arguments parameterize generated code, so they must be
+    * literals at registration-build time. */
+  private def intLit(args: Seq[Expression], i: Int, fn: String): Int = {
+    require(args.length > i && args(i).foldable,
+      s"$fn: argument ${i + 1} must be a literal integer")
+    args(i).eval() match {
+      case n: java.lang.Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a literal integer, got $other")
+    }
+  }
 
   /** Register on a live session (FunctionRegistry is private[sql] — goes
     * through the bridge). */

@@ -26,6 +26,30 @@ class ExtensionsSpec extends SparkSpec {
       "vec_int8_quantize", "vec_int8_scale", "vec_int8_cosine"))
   }
 
+  test("text kernels callable from SQL; widths must be literals") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  hash60('hello world') AS h,
+        |  space_tokens('A  b c') AS t,
+        |  shingle_strings(space_tokens('a b c d'), 2) AS sh,
+        |  shingle_hash60(space_tokens('a b c d'), 2) AS shh,
+        |  simhash(space_tokens('a b c'), 16) AS sig
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) ===
+      graft.functions.TextHash.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(r.getSeq[String](1) === Seq("a", "", "b", "c"))
+    assert(r.getSeq[String](2) === Seq("a b", "b c", "c d"))
+    assert(r.getSeq[Long](3).length === 3)
+    assert(r.getLong(4) >= 0L && r.getLong(4) < (1L << 16))
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash(space_tokens(text), n_chars) " +
+        s"FROM parquet.`$sfDir/documents.parquet`").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("type mismatch is rejected at analysis, not at runtime") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
