@@ -50,9 +50,22 @@ object Dedup {
       explode(shingles(tokens(col(textCol)), k)).as("shingle"))
   }
 
-  /** Distinct (doc_id, shingle) pairs — the substrate for exact jaccard. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingleRaw(docs, idCol, textCol, k).distinct()
+  /** Distinct (doc_id, shingle) pairs — the substrate for exact jaccard.
+    *
+    * Per-doc `array_distinct` BEFORE the explode, not a corpus-wide
+    * `.distinct()` after it: distinctness here is per-document set
+    * semantics (the key is (doc_id, shingle)), so dedup can happen inside
+    * the row — zero shuffle, doc-contiguous output — where the relational
+    * distinct would exchange the entire corpus shingle relation by
+    * (doc_id, shingle) before every consumer. Row-set identical; at the
+    * 100 TB north star the removed exchange IS the dominant cost of every
+    * exact-Jaccard pipeline built on this substrate. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), k))).as("shingle"))
+  }
 
   /** Hashed twin of [[shingleRaw]]: raw exploded (doc_id, shingle-hash)
     * rows via the native [[graft.functions.ShingleHash60]] kernel. The

@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     assert(sh.filter($"doc_id" === 5L).count() === 0)
   }
 
+  test("shingleSets: per-doc array_distinct == relational distinct, ZERO exchanges") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(8) // pre-spread so the parallelism guard is a no-op
+    val a = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    val b = Dedup.shingleRaw(corpus, "doc_id", "text", 3).distinct()
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+    // the whole substrate must be shuffle-free: distinctness is per-doc set
+    // semantics, so no exchange of the corpus shingle relation may exist
+    val exchanges = a.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"shingleSets shuffled:\n${a.queryExecution.executedPlan}")
+  }
+
   test("simhashPairs: banded LSH path returns exactly the all-pairs result") {
     // 40 docs drawn from overlapping token pools so hamming-close pairs exist
     val corpus = (1L to 40L).map { i =>
