@@ -13,6 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Block until the shared listener bus has delivered every queued event
+    * (QueryExecutionListener events ride this bus) — the hook that lets a
+    * per-query audit attribute executions to the query that ran them
+    * instead of racing the asynchronous delivery. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   def registerFunctions(
       spark: SparkSession,
       fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)]): Unit = {

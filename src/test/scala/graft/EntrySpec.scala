@@ -90,16 +90,25 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every declared query executes at sf0.001; every unpartitioned window " +
-    "stays k-bounded") {
+    "stays k-bounded; no query exceeds its committed plan budget") {
     val MaxUnpartitionedRows = 500L
     val current = new java.util.concurrent.atomic.AtomicReference[String]("")
+    // plan-budget ratchet (PlanAudit): count executed shuffles/cartesians/
+    // global sorts per query during the SAME gate run, against the
+    // committed PLAN_BUDGET.json — a new exchange can't slip in unnoticed.
+    val audit = PlanAudit.start(spark, () => current.get())
     val seen = watchUnpartitionedWindows(current) {
       // Drive the REAL Verify dump path (not a bare count) so the spec also
       // pins the round-3 failure mode: a query that throws must surface as
       // a failures entry AND the dumped-dir count must equal the declared
       // query count — absence can never masquerade as omission again.
       val outDir = Files.createTempDirectory("graft-verify-gate").toString
-      val failures = Verify.run(spark, sfDir, outDir, onEach = current.set)
+      val failures = Verify.run(spark, sfDir, outDir, onEach = { n =>
+        // exact attribution: flush the previous query's execution events
+        // under its own label before switching
+        org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
+        current.set(n)
+      })
       assert(failures.isEmpty,
         failures.map { case (n, e) => s"$n: ${e.take(160)}" }.mkString("\n"))
       val dumped = new java.io.File(outDir).listFiles()
@@ -121,6 +130,21 @@ class EntrySpec extends SparkSpec {
     // the guard must actually be watching: the suite is known to contain
     // k-bounded unpartitioned windows (IVF seed picks, RRF)
     assert(seen.nonEmpty, "listener saw no unpartitioned windows — guard is blind")
+
+    val measured = audit.stop()
+    val budget = PlanAudit.read("PLAN_BUDGET.json")
+    val missing = SparkEntry.queries.keySet.diff(budget.keySet)
+    assert(missing.isEmpty,
+      s"PLAN_BUDGET.json lacks budgets for: ${missing.toSeq.sorted.mkString(", ")} " +
+        "— regenerate deliberately: sbt \"runMain graft.PlanBudget\"")
+    val over = measured.toSeq.collect {
+      case (q, c) if budget.get(q).exists(b => !c.fitsIn(b)) => (q, c, budget(q))
+    }
+    assert(over.isEmpty, "plan-budget regressions (query, measured, budget) — a new " +
+      "shuffle/cartesian/global-sort appeared; fix the plan or regen the budget " +
+      s"deliberately:\n${over.mkString("\n")}")
+    // the audit must actually be watching: the surface is known to shuffle
+    assert(measured.values.map(_.exchanges).sum > 0, "plan audit saw no exchanges — blind")
   }
 
   test("ranked-statistics family keeps every unpartitioned window k-bounded " +
