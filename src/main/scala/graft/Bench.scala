@@ -42,7 +42,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val heavyReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_REPS", "5").toInt)
     val sharedMode = sys.env.get("SPARK_GRAFT_BENCH_SHARED").contains("1")
-    val spark = SparkSession.builder()
+    val spark = graft.util.EngineConf.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

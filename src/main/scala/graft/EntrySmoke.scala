@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.EntrySmoke". */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.util.EngineConf.tuned(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

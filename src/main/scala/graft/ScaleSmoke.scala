@@ -18,7 +18,7 @@ import graft.ops.GraphAnalytics
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val nRandom = args.headOption.map(_.toLong).getOrElse(500000L)
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.util.EngineConf.tuned(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -295,11 +295,32 @@ object Dedup {
     out
   }
 
+  /** Ordered co-occurrence pairs of a (key, id) relation — the inverted-
+    * index "pairs sharing a key" step, WITHOUT a self-join. Posting lists
+    * build in ONE hash-agg shuffle of the relation (a self-join shuffles
+    * BOTH legs and sort-merges on long k-gram string keys); each list then
+    * emits its pairs in place — position i against every later position,
+    * (least, greatest) ordering the pair. Ids must be unique per key on
+    * input (true of every call site: per-doc-distinct shingle relations),
+    * so the output is exactly the `a < b` co-occurrence multiset of the
+    * join formulation. Per-row fan-out stays df(key)-bounded (no flattened
+    * df² array is ever materialized); the Σ df² blowup is governed by the
+    * callers' cost gates / stop-key filters. Posting lists of pathological
+    * keys fall back to the aggregator's sort-based spill path. */
+  private[ops] def postingPairs(rel: DataFrame, keyCol: String,
+                                idCol: String): DataFrame =
+    rel.groupBy(col(keyCol))
+      .agg(collect_list(col(idCol)).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+
   private def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val inter = postingPairs(sh, "shingle", "doc_id")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -503,7 +524,6 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
       .select(col("doc_id"), col("shingle"), col("n"), col("rn"))
-      .persist() // tiny (≤ (1−t)·corpus shingles); read by both join legs
     // POSITIONAL filter (the PPJoin refinement): a shared prefix shingle at
     // frequency-ranks (rna, rnb) bounds the overlap by 1 + min(na−rna,
     // nb−rnb) — every other common shingle sorts after it on both sides.
@@ -511,20 +531,29 @@ object Dedup {
     // shingle of a qualifying pair always sits inside both prefixes with a
     // passing bound, so dropping failing occurrences loses nothing (classic
     // PPJoin argument) while cutting candidates ~50× on near-miss pairs.
-    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("shingle"),
-        col("n").as("na"), col("rn").as("rna"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("shingle"),
-        col("n").as("nb"), col("rn").as("rnb")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
-      .filter(lit(1) + least(col("na") - col("rna"), col("nb") - col("rnb")) >= alpha)
-      .select("doc_a", "doc_b").distinct()
+    // Candidate generation uses the posting-list shape (one hash-agg
+    // shuffle of the prefix relation, pairs emitted in place — see
+    // [[postingPairs]]) instead of a string-keyed self-join; the (n, rn)
+    // payload rides in the struct, and the pair is ordered by doc id
+    // before the filters, exactly as the `doc_a < doc_b` join condition
+    // ordered it.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.n") + col("y.n")))
+    val cand = pref.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("n"), col("rn"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("pb"))
+      .select(
+        when(col("pa.doc_id") < col("pb.doc_id"), col("pa")).otherwise(col("pb")).as("x"),
+        when(col("pa.doc_id") < col("pb.doc_id"), col("pb")).otherwise(col("pa")).as("y"))
+      .filter(least(col("x.n"), col("y.n")) >= lit(threshold) * greatest(col("x.n"), col("y.n")))
+      .filter(lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn")) >= alpha)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
       // near-dup-population-sized, not corpus-sized: collapse partitions so
       // the verify stages don't pay 32 task launches per tiny relation
       .coalesce(math.max(1, sh.sparkSession.sessionState.conf.numShufflePartitions / 8))
-      .localCheckpoint(true) // materialize, then release the prefix cache
-    pref.unpersist()
+      .localCheckpoint(true)
     cand
   }
 

@@ -86,8 +86,16 @@ object Similarity {
                vecCol: String, qIdCol: String, qVecCol: String,
                k: Int): DataFrame = {
     val top = TopK.topK(k)
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("__score", cosineSim(col(vecCol), col(qVecCol)))
+    // Norms are factored out of the pair loop: cosine = dot/(√na·√nb), and
+    // the fused kernel accumulates na/nb in the exact same index order as
+    // dot(v,v), so precomputing √norm once per corpus row (and once per
+    // broadcast query row) is BIT-identical to cosineSim per pair while
+    // cutting the dominant O(|corpus|·|queries|·dim) flops by 3×.
+    corpus.withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(
+        queries.withColumn("__qnorm", sqrt(dot(col(qVecCol), col(qVecCol))))))
+      .withColumn("__score",
+        dot(col(vecCol), col(qVecCol)) / (col("__norm") * col("__qnorm")))
       .groupBy(col(qIdCol))
       .agg(top(col("__score"), col(idCol)).as("top"))
       .select(col(qIdCol), posexplode(col("top")).as(Seq("rank0", "s")))
@@ -108,9 +116,13 @@ object Similarity {
                     qVecCol: String, qLabelCol: String, k: Int,
                     maxSim: Double = 1.0): DataFrame = {
     val top = TopK.topK(k)
-    corpus.crossJoin(broadcast(anchors))
+    // Same norm factoring as [[knnBatch]] — bit-identical to cosineSim.
+    corpus.withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(
+        anchors.withColumn("__qnorm", sqrt(dot(col(qVecCol), col(qVecCol))))))
       .filter(col(labelCol) =!= col(qLabelCol))
-      .withColumn("__score", cosineSim(col(vecCol), col(qVecCol)))
+      .withColumn("__score",
+        dot(col(vecCol), col(qVecCol)) / (col("__norm") * col("__qnorm")))
       .filter(col("__score") <= maxSim)
       .groupBy(col(qIdCol))
       .agg(top(col("__score"), col(idCol)).as("top"))
@@ -158,15 +170,51 @@ object Similarity {
       .select(col(idCol), col("centroid_id").as("cluster"))
   }
 
+  /** Centroid tables small enough to inline into the assignment expression
+    * itself (the common IVF coarse-quantizer sizes here). Above this, the
+    * expression chain stops being codegen-friendly (k separate distance
+    * loops per row) and the broadcast-join shape wins. */
+  private[graft] val InlineCentroidMax = 128
+
+  /** Nearest-centroid assignment. Corpus ids are assumed unique per row
+    * (true of every call site: chunk ids, vec ids, batch keys after the
+    * upsert anti-join).
+    *
+    * Small centroid tables (≤ [[InlineCentroidMax]] — every IVF/k-means
+    * shape in this engine) are collected (k rows, the same bounded-collect
+    * discipline as the PrefixSum partition offsets) and inlined as literal
+    * vectors, making assignment a ZERO-SHUFFLE map: `array_min` over
+    * k (dist, centroid_id) structs — built from the very same
+    * `round(l2sq, 6)` expressions as the join formulation, so every
+    * distance, tie-break, and therefore every downstream oracle hash is
+    * unchanged, while the N×k crossJoin rows and the id-partitioned
+    * window sort disappear. At 100 TB this is the difference between an
+    * embarrassingly parallel scan and shuffling k copies of the corpus.
+    * Large centroid tables keep the broadcast crossJoin + windowed argmin
+    * shape. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("dist", round(l2sq(col(vecCol), col("cvec")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "dist", "cvec")
+    val centCols = centroids.select(col("centroid_id"), col("cvec"))
+    val cidType = centCols.schema("centroid_id").dataType
+    val rows = centCols.limit(InlineCentroidMax + 1).collect()
+    require(rows.nonEmpty, "ivfAssign: empty centroid table")
+    if (rows.length <= InlineCentroidMax) {
+      val structs = rows.map { r =>
+        val cv = r.getSeq[Float](1).toArray
+        struct(round(l2sq(col(vecCol), typedLit(cv)), 6).as("dist"),
+          lit(r.get(0)).cast(cidType).as("centroid_id"))
+      }
+      corpus.withColumn("centroid_id",
+        array_min(array(structs.toIndexedSeq: _*)).getField("centroid_id"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
+      corpus.crossJoin(broadcast(centroids))
+        .withColumn("dist", round(l2sq(col(vecCol), col("cvec")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "dist", "cvec")
+    }
   }
 
   /** IVF probe: search only the query's cluster (single-probe). */

@@ -547,11 +547,10 @@ object TextAnalysis {
     val kept = sh.join(informative, Seq("shingle"))
       .localCheckpoint(true) // read by sizes + both sides of the self-join
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = kept.as("a")
-      .join(kept.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting-list pair generation — one shuffle of `kept`, no string-keyed
+    // self-join; see Dedup.postingPairs
+    val inter = Dedup.postingPairs(kept, "shingle", "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")

@@ -59,7 +59,14 @@ object AnnRewrite {
       embCol: String,
       clusterCol: String,
       centroids: Array[(Int, Array[Double])],
-      rows: Long)
+      rows: Long,
+      /** The original float32 centroid vectors — needed to SYNTHESIZE the
+        * assignment expression (`Similarity.ivfAssign`'s argmin, same
+        * catalyst nodes) when a query's projection pruned the cluster
+        * column out of the plan: `l2sq` is typed array<float>, and the
+        * synthesized distances must be bit-identical to the stored
+        * assignment's. */
+      centroidsF: Array[(Int, Array[Float])])
 
   /** Registry scoped PER SESSION (weak keys — dropping the session drops its
     * indexes), keyed by embedding column name within it. The column name is
@@ -77,19 +84,20 @@ object AnnRewrite {
   /** Register an IVF index for `embCol` and arm the rule on the session. */
   def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
                rows: Long, clusterCol: String = "centroid_id"): Unit = {
-    val cents = index.centroids.collect().map { r =>
+    val centsF = index.centroids.collect().map { r =>
       val id = r.get(0) match {
         case i: Int => i
         case l: Long => l.toInt
         case other => other.toString.toInt
       }
-      val vec = r.getSeq[Any](1).map(toD).toArray
+      val vec = r.getSeq[Any](1).map(v => toD(v).toFloat).toArray
       (id, vec)
     }
+    val cents = centsF.map { case (id, v) => (id, v.map(_.toDouble)) }
     indexes.synchronized {
       var m = indexes.get(spark)
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
-      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows))
+      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows, centsF))
     }
     // newSession()/cloneSession copy extraOptimizations, so a rule bound to
     // ANOTHER session may sit in this session's list. It would run first,
@@ -258,7 +266,7 @@ object AnnRewrite {
       if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length
       probed = probeIds(meta.centroids, qv, effProbe)
       if probed.length < meta.centroids.length // pruning must actually prune
-      rewritten <- injectFilter(s, meta.clusterCol, probed)
+      rewritten <- injectFilter(s, emb, meta, probed)
     } yield rewritten
   }
 
@@ -277,22 +285,71 @@ object AnnRewrite {
   /** Place `clusterCol IN probed` below the scoring Project (where the
     * cluster column is still in scope), rebuilding any Filter layers between
     * it and the sort. No-op if an identical pruning filter is already
-    * present (keeps the rule idempotent under the fixed-point batch). */
-  private def injectFilter(s: Sort, clusterCol: String, probed: Array[Int]): Option[Sort] = {
+    * present (keeps the rule idempotent under the fixed-point batch).
+    *
+    * Three placements, best-first:
+    *  1. the cluster column is a REAL column of the child (stored
+    *     assignment table) → filter on it there — at 100 TB, with the
+    *     table partitioned by cluster, this IS partition pruning;
+    *  2. the column is an alias defined in the scoring Project (map-only
+    *     assignment collapsed into the projection) → filter between sort
+    *     and projection;
+    *  3. the column was projection-pruned out of the plan entirely → the
+    *     rule SYNTHESIZES the assignment argmin over the embedding column
+    *     from its registered centroids — the index lives outside the
+    *     plan, the way a real ANN index does. Same catalyst nodes as
+    *     `Similarity.ivfAssign` (Round∘L2Squared over float32 literals,
+    *     ArrayMin tie-break on centroid id), so the synthesized decision
+    *     is bit-identical to the stored assignment's. */
+  private def injectFilter(s: Sort, emb: AttributeReference,
+      meta: RegisteredIndex, probed: Array[Int]): Option[Sort] = {
+    val clusterCol = meta.clusterCol
+    def prunesCluster(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == clusterCol
+      case g: GetStructField => g.name.contains(clusterCol)
+      case _ => false
+    }
     def alreadyPruned(p: LogicalPlan): Boolean = p.collectFirst {
-      case Filter(In(a: Attribute, _), _) if a.name == clusterCol => true
+      case Filter(In(e, _), _) if prunesCluster(e) => true
     }.nonEmpty
 
+    val probedLits = probed.toSeq.map(i => Literal(i))
     def filtered(child: LogicalPlan): Option[LogicalPlan] =
       child.output.find(_.name == clusterCol).map { attr =>
-        Filter(In(attr, probed.toSeq.map(i => Literal(i))), child)
+        Filter(In(attr, probedLits), child)
+      }
+    def synthesized(child: LogicalPlan): Option[LogicalPlan] =
+      child.output.find(_.exprId == emb.exprId).map { _ =>
+        Filter(In(assignExpr(emb, meta.centroidsF, clusterCol), probedLits), child)
       }
 
     if (alreadyPruned(s)) None
     else projectUnder(s.child) match {
       case Some((pr, rebuild)) =>
         filtered(pr.child).map(f => s.copy(child = rebuild(pr.copy(child = f))))
-      case None => filtered(s.child).map(f => s.copy(child = f))
+          .orElse(pr.output.find(_.name == clusterCol).map { attr =>
+            s.copy(child = rebuild(Filter(In(attr, probedLits), pr)))
+          })
+          .orElse(synthesized(pr.child).map(f =>
+            s.copy(child = rebuild(pr.copy(child = f)))))
+      case None =>
+        filtered(s.child).orElse(synthesized(s.child))
+          .map(f => s.copy(child = f))
     }
+  }
+
+  /** `Similarity.ivfAssign`'s inline argmin as a catalyst tree:
+    * min over (round(l2sq(emb, c_i), 6), id_i) structs, field-2 extract.
+    * Identical node classes (and therefore identical arithmetic, rounding
+    * and tie-break) to what the Column-API formulation analyzes into. */
+  private def assignExpr(emb: AttributeReference,
+      centroids: Array[(Int, Array[Float])], clusterCol: String): Expression = {
+    val structs = centroids.map { case (cid, cv) =>
+      val cvLit = Literal.create(cv, ArrayType(FloatType, containsNull = false))
+      CreateNamedStruct(Seq(
+        Literal("dist"), Round(graft.functions.L2Squared(emb, cvLit), Literal(6)),
+        Literal(clusterCol), Literal(cid)))
+    }
+    GetStructField(ArrayMin(CreateArray(structs.toIndexedSeq)), 1, Some(clusterCol))
   }
 }

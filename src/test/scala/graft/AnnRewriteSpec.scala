@@ -13,7 +13,11 @@ class AnnRewriteSpec extends SparkSpec {
   import spark.implicits._
 
   /** Corpus with 4 well-separated clusters on distinct axes, so ANN top-k ==
-    * exact top-k and the probe choice is unambiguous. */
+    * exact top-k and the probe choice is unambiguous. Materialized
+    * (localCheckpoint → LogicalRDD) like the stored tables the rule targets
+    * in production — a bare LocalRelation would let the optimizer constant-
+    * fold the whole assignment + scoring projection away before the rule
+    * ever sees a Sort to rewrite. */
   private def corpus(): DataFrame = {
     val rows = (0 until 400).map { i =>
       val axis = i % 4
@@ -21,7 +25,7 @@ class AnnRewriteSpec extends SparkSpec {
       base(axis) = 1.0f + (i / 4) * 0.001f // slight spread within a cluster
       (i.toLong, base)
     }
-    rows.toDF("id", "emb")
+    rows.toDF("id", "emb").localCheckpoint(true)
   }
 
   private def topK(assigned: DataFrame, q: Array[Float], k: Int): DataFrame =

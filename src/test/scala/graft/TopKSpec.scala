@@ -46,6 +46,40 @@ class TopKSpec extends SparkSpec {
     assert(all === Seq((2.0, 99L), (1.0, 10L), (1.0, 20L), (1.0, 30L)))
   }
 
+  test("native buffer: random streams + NaN + ties match a reference sort; " +
+    "serde round-trips; merge order-independent") {
+    import graft.ops.TopK.{Buffer, TopKAggregate}
+    val rnd = new scala.util.Random(42)
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, i) => (-s, i)
+    }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    for (trial <- 1 to 50) {
+      val k = 1 + rnd.nextInt(12)
+      val n = rnd.nextInt(60)
+      // heavy tie mass + NaN injections: scores drawn from 5 values
+      val xs = Seq.fill(n)((
+        if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(5).toDouble,
+        rnd.nextInt(30).toLong))
+      val expected = xs.sorted(ord).take(k)
+      val b = new Buffer(k)
+      xs.foreach { case (s, i) => b.insert(s, i) }
+      def drain(x: Buffer): Seq[(Double, Long)] =
+        (0 until x.n).map(j => (x.scores(j), x.ids(j)))
+      assert(drain(b).map(_.toString) === expected.map(_.toString), s"trial $trial insert")
+      // split-merge in both orders == sequential
+      val (l, r) = xs.splitAt(rnd.nextInt(n + 1))
+      val bl = new Buffer(k); l.foreach { case (s, i) => bl.insert(s, i) }
+      val br = new Buffer(k); r.foreach { case (s, i) => br.insert(s, i) }
+      val agg = TopKAggregate(
+        org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+      // serde round-trip on one side, then merge
+      val blRt = agg.deserialize(agg.serialize(bl))
+      blRt.mergeFrom(br)
+      assert(drain(blRt).map(_.toString) === expected.map(_.toString), s"trial $trial merge")
+    }
+  }
+
   test("partial aggregation bounds the buffer (reduce fast-path exactness)") {
     // 10k rows, one group, k=4 — result must be the global top 4 regardless
     // of partitioning/merge order
