@@ -37,6 +37,32 @@ object GraphAnalytics {
     (if (target < cap) df.coalesce(target) else df).localCheckpoint(true)
   }
 
+  /** Co-occurrence graph from a (container, item) relation — the
+    * transactions→graph front-end (co-purchase, co-citation, co-session):
+    * undirected edges (src < dst) between items sharing at least
+    * `minCount` containers, with the support count kept as `n_co`.
+    *
+    * Plan shape: containers aggregate to item lists in ONE hash-agg
+    * shuffle — the self-join formulation shuffles the relation twice and
+    * sort-merges on the container key — then each list emits its
+    * occurrence pairs in place (basket-size-bounded fan-out) and the pair
+    * counts reduce map-side. Items may repeat within a container; each
+    * occurrence pair counts once, exactly as in the `src < dst` self-join
+    * (self-pairs dropped), so every consumer's oracle — which spells out
+    * the join form in SQL — hash-matches unchanged. */
+  def coOccurrenceEdges(rel: DataFrame, containerCol: String, itemCol: String,
+                        minCount: Long): DataFrame =
+    rel.groupBy(col(containerCol)).agg(collect_list(col(itemCol)).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCount)
+
   /** Undirected connected components; returns (id, component) where
     * component = min vertex id reachable. Only vertices present in edges.
     *

@@ -21,11 +21,7 @@ object AugQueries {
   private def coPurchaseGraph(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-      .filter(col("src") < col("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    val edges = graft.ops.GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
       .select(col("src"), col("dst"))
       .localCheckpoint(true)
     val deg = edges.select(col("src").as("id"))

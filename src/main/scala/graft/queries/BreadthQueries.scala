@@ -27,11 +27,7 @@ object BreadthQueries {
     Entry("q80_triangle_counts",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
         GraphAnalytics.triangleCounts(edges).orderBy(col("id"))
       },
@@ -59,11 +55,7 @@ object BreadthQueries {
     Entry("q173_graph_features",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
           .localCheckpoint(true) // degree agg + triangle machinery
         val deg = edges.select(col("src").as("id"))
@@ -829,11 +821,7 @@ object BreadthQueries {
     Entry("q92_kcore",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
         GraphAnalytics.kCore(edges, k = 3).orderBy(col("id"))
       },
@@ -878,11 +866,7 @@ object BreadthQueries {
     Entry("q131_label_prop",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
         GraphAnalytics.labelPropagation(edges, rounds = 4).orderBy(col("id"))
       },
@@ -1162,11 +1146,7 @@ object BreadthQueries {
     Entry("q139_link_prediction",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
         GraphAnalytics.linkPrediction(edges, topN = 25)
       },
@@ -1206,11 +1186,7 @@ object BreadthQueries {
         // materialize the co-purchase build ONCE — both the starts pick and
         // the walk rounds read it (cache lookup is exact-plan, so without
         // this the lineitem self-join would run twice)
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
         val starts = edges.select(col("src").as("id"))
@@ -1261,11 +1237,7 @@ object BreadthQueries {
     Entry("q144_modularity",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
           .localCheckpoint(true) // read by both the LPA rounds and the scorer
         val labels = GraphAnalytics.labelPropagation(edges, rounds = 4)

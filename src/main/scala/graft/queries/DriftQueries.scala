@@ -1871,11 +1871,7 @@ object DriftQueries {
     Entry("q312_assortativity",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = graft.ops.GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
           .localCheckpoint(true) // feeds degrees AND the directed expansion
         val deg = edges.select(col("src").as("id"))
@@ -2262,11 +2258,7 @@ object DriftQueries {
     Entry("q318_feature_propagation",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = graft.ops.GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
           .localCheckpoint(true) // feeds both energies + the propagation
         val f = Tables.part(s, d)

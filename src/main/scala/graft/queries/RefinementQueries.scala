@@ -1030,11 +1030,7 @@ object RefinementQueries {
     Entry("q216_degree_powerlaw",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
         val deg = edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -1719,11 +1715,7 @@ object RefinementQueries {
     Entry("q199_walk_pmi",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
-          .filter(col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        val edges = GraphAnalytics.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 2)
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
         val starts = edges.select(col("src").as("id"))
