@@ -507,23 +507,30 @@ object Dedup {
     * the inverted-index co-occurrence pair count jaccardPairs verifies. */
   private[graft] def prefixCandidates(sh: DataFrame,
                                       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Document frequency via groupBy + join, NOT a shingle-partitioned
     // window: the groupBy is map-side combined (shuffle = vocab-size
     // partials, not the corpus shingle relation) and AQE picks a
     // broadcast join when the df table is small — a window would force a
     // full shuffle of every shingle row at every scale (measured: the
-    // window form cost the q190/q215 family ~3 s each at sf0.1). Set
-    // size n and the frequency rank then share ONE doc-partitioned
-    // exchange.
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val w = wDoc.orderBy(col("df"), col("shingle"))
+    // window form cost the q190/q215 family ~3 s each at sf0.1).
+    // The per-doc frequency order and prefix cut then come from ONE
+    // doc-keyed hash aggregation — sort_array over the doc's own
+    // (df, shingle) pairs (doc-bounded, cache-local) replaces the
+    // previous doc-PARTITIONED sort window, and the prefix keeps only
+    // the first n − ceil(n·t) + 1 positions, sliced before the explode.
+    // Same (df, shingle) ascending order, same rank, same cut — a doc
+    // never repeats a shingle, so the sort is tie-free and the rank
+    // assignment deterministic, exactly as row_number over the window.
     val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val pref = sh.join(dfCounts, "shingle")
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceil(col("n") * lit(threshold)) + lit(1))
-      .select(col("doc_id"), col("shingle"), col("n"), col("rn"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("fs"))
+      .select(col("doc_id"), col("fs"), size(col("fs")).as("n"))
+      .select(col("doc_id"), col("n"), posexplode(slice(col("fs"), lit(1),
+        (col("n") - ceil(col("n") * lit(threshold)) + lit(1)).cast("int")))
+        .as(Seq("rn0", "s")))
+      .select(col("doc_id"), col("s.shingle").as("shingle"), col("n"),
+        (col("rn0") + 1).cast("int").as("rn"))
     // POSITIONAL filter (the PPJoin refinement): a shared prefix shingle at
     // frequency-ranks (rna, rnb) bounds the overlap by 1 + min(na−rna,
     // nb−rnb) — every other common shingle sorts after it on both sides.
