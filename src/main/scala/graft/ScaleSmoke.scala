@@ -1017,6 +1017,78 @@ object ScaleSmoke {
         "fully-erased partition directory must be removed")
     }
 
+    // ---- Posting-list pair generation at size: coOccurrenceEdges must
+    // equal the self-join formulation EXACTLY (same src/dst/n_co multiset)
+    // on a 2M-row basket relation with duplicates and a skewed container,
+    // and the whole run must stay hash-aggregated (the raised object-agg
+    // fallback) — the sort-based path would still be correct, so the
+    // invariant pinned here is equality + wall-clock sanity, while the
+    // plan shape (one exchange, no join) is pinned by PLAN_BUDGET.
+    {
+      val baskets = spark.range(0, 2000000).select(
+        pmod(xxhash64(col("id")), lit(300000)).as("container"),
+        pmod(xxhash64(col("id") * 7 + 3), lit(50000)).as("item"))
+        // one pathological container with 2000 items (2M occurrence pairs)
+        .union(spark.range(0, 2000).select(lit(-1L).as("container"),
+          col("id").as("item")))
+        .localCheckpoint(true)
+      val tpl = System.nanoTime()
+      val pl = GraphAnalytics.coOccurrenceEdges(
+          baskets, "container", "item", minCount = 2)
+        .localCheckpoint(true)
+      val plEdges = pl.count()
+      val plSecs = (System.nanoTime() - tpl) / 1e9
+      val joined = baskets.select(col("container"), col("item").as("src"))
+        .join(baskets.select(col("container"), col("item").as("dst")), "container")
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      val diff = pl.unionAll(joined)
+        .groupBy(col("src"), col("dst"), col("n_co"))
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      println(f"[scale-smoke] posting-pairs: edges=$plEdges seconds=$plSecs%.1f " +
+        f"joinDiff=$diff")
+      assert(diff == 0, "posting-list pairs differ from the self-join formulation")
+      assert(plEdges > 0, "co-occurrence generator produced nothing")
+    }
+
+    // ---- Bounded top-k at size: 8M scored rows × 20k groups through the
+    // TopK aggregate — the buffer is k-bounded so the shuffle ships
+    // ≤ partitions × groups × k rows; invariant checked distributedly:
+    // per group exactly k rows, ranks 1..k, scores non-increasing, and
+    // every kept score ≥ the group's true kth score from a window pass.
+    {
+      val k = 10
+      val scored = spark.range(0, 8000000).select(
+        pmod(xxhash64(col("id") * 31 + 1), lit(20000)).as("g"),
+        (pmod(xxhash64(col("id") + 9), lit(1000000)) / lit(1000.0)).as("score"),
+        col("id"))
+      val top = graft.ops.TopK.topK(k)
+      val tk0 = System.nanoTime()
+      val kept = scored.groupBy(col("g"))
+        .agg(top(col("score"), col("id")).as("t"))
+        .select(col("g"), posexplode(col("t")).as(Seq("r0", "s")))
+        .select(col("g"), col("s.score").as("score"), col("s.id").as("id"))
+        .localCheckpoint(true)
+      val keptRows = kept.count()
+      val tkSecs = (System.nanoTime() - tk0) / 1e9
+      val badGroups = kept.groupBy(col("g")).agg(
+          count(lit(1)).as("n"), min(col("score")).as("worst"))
+        .filter(col("n") =!= k).count()
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(desc("score"), col("id"))
+      val missed = scored
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+        .select(col("g"), col("score"), col("id"))
+        .unionAll(kept)
+        .groupBy(col("g"), col("score"), col("id"))
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      println(f"[scale-smoke] topk-agg: rows=$keptRows seconds=$tkSecs%.1f " +
+        f"badGroups=$badGroups windowDiff=$missed")
+      assert(badGroups == 0, "a group did not keep exactly k rows")
+      assert(missed == 0, "TopK result differs from the window ground truth")
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }
