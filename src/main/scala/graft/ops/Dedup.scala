@@ -126,14 +126,14 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
   }
 
-  /** Candidate pairs from shared bands (a < b, distinct). */
-  def candidatePairs(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-    val b = bandsDf.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+  /** Candidate pairs from shared bands (a < b, distinct). Posting-list
+    * pair generation per bucket ([[postingPairs]]) — one hash-agg shuffle
+    * of the band relation instead of a self-join's two legs; a doc sits
+    * in a bucket at most once by construction, so the pair set is
+    * identical. */
+  def candidatePairs(bandsDf: DataFrame): DataFrame =
+    postingPairs(bandsDf, Seq("band_idx", "band_key"), "doc_id")
       .select("doc_a", "doc_b").distinct()
-  }
 
   /** Exact Jaccard for given candidate pairs. The intersection is computed
     * by expanding the CANDIDATE pairs through the shingle index (two joins
@@ -309,7 +309,12 @@ object Dedup {
     * keys fall back to the aggregator's sort-based spill path. */
   private[ops] def postingPairs(rel: DataFrame, keyCol: String,
                                 idCol: String): DataFrame =
-    rel.groupBy(col(keyCol))
+    postingPairs(rel, Seq(keyCol), idCol)
+
+  /** Multi-column-key variant (LSH band buckets key on (band, key)). */
+  private[ops] def postingPairs(rel: DataFrame, keyCols: Seq[String],
+                                idCol: String): DataFrame =
+    rel.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))

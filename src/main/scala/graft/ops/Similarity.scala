@@ -313,11 +313,9 @@ object Similarity {
         struct(lit(b).as("band"), key.as("key"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
-    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
-      .join(banded.select(col(idCol).as("id_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // posting-list pair generation per bucket — see Dedup.postingPairs
+    val cand = Dedup.postingPairs(banded, Seq("band", "key"), idCol)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")).distinct()
     val a = signed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = signed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
     val out = cand.join(a, "id_a").join(b, "id_b")

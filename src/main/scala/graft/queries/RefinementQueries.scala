@@ -1122,11 +1122,9 @@ object RefinementQueries {
         val nBaskets = li.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val itemN = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-        val pairs = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
-          .filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 3)
+        val pairs = graft.ops.GraphAnalytics
+          .coOccurrenceEdges(li, "l_orderkey", "l_partkey", minCount = 3)
+          .select(col("src").as("a"), col("dst").as("b"), col("n_co").as("n_ab"))
         pairs
           .join(itemN.select(col("l_partkey").as("a"), col("n_item").as("n_a")), "a")
           .join(itemN.select(col("l_partkey").as("b"), col("n_item").as("n_b")), "b")
