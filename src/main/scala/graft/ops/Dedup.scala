@@ -314,8 +314,12 @@ object Dedup {
   /** Multi-column-key variant (LSH band buckets key on (band, key)). */
   private[ops] def postingPairs(rel: DataFrame, keyCols: Seq[String],
                                 idCol: String): DataFrame =
-    rel.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ds"))
+    pairsFromPostings(rel.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ds")))
+
+  /** The in-place pair emit over already-built posting lists (`ds`). */
+  private[ops] def pairsFromPostings(posting: DataFrame): DataFrame =
+    posting
       .filter(size(col("ds")) >= 2)
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("a"),
@@ -323,9 +327,18 @@ object Dedup {
       .select(least(col("a"), col("b")).as("doc_a"),
         greatest(col("a"), col("b")).as("doc_b"))
 
-  private def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame =
+    invertedIndexPairsFromPosting(
+      sh.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ds")),
+      sh, threshold)
+
+  /** Inverted-index pairs from ALREADY-BUILT posting lists — lets
+    * [[exactJaccardPairs]] reuse the single corpus-sized aggregation its
+    * cost gate measured, instead of regrouping the shingle relation. */
+  private def invertedIndexPairsFromPosting(posting: DataFrame, sh: DataFrame,
+                                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = postingPairs(sh, "shingle", "doc_id")
+    val inter = pairsFromPostings(posting)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -360,9 +373,24 @@ object Dedup {
                         shingleK: Int, threshold: Double,
                         dfBlowupFactor: Double = 64.0): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
+    // The posting lists double as the gate's measurement AND the inverted
+    // path's pair substrate — one corpus-sized aggregation instead of a
+    // dedicated Σ df² pass followed by a regroup. The gate read stays a
+    // single-row driver read (two sums over the vocab-sized list table).
+    val posting = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ds")).persist()
+    val st = posting.agg(
+        sum(size(col("ds")).cast("long")).as("rows"),
+        sum(size(col("ds")).cast("double") * size(col("ds"))).as("sq"))
+      .head()
+    val cheap = !st.isNullAt(0) && st.getDouble(1) <= dfBlowupFactor * st.getLong(0)
     val out =
-      if (invertedIndexIsCheap(sh, dfBlowupFactor)) invertedIndexPairs(sh, threshold)
-      else {
+      if (cheap) {
+        val o = invertedIndexPairsFromPosting(posting, sh, threshold)
+        posting.unpersist()
+        o
+      } else {
+        posting.unpersist()
         val cand = prefixCandidates(sh, threshold)
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -377,7 +405,10 @@ object Dedup {
     * co-occurrence volume Σ df² stays within `factor` × the shingle-row
     * count (i.e. the mean squared document frequency is bounded), so the
     * inverted-index join cannot blow up. Package-visible so the spec can
-    * pin the routing on uniform vs stop-shingle corpora. */
+    * pin the routing on uniform vs stop-shingle corpora; the production
+    * gate inside [[exactJaccardPairs]] computes the identical ratio from
+    * its posting-list lengths (Σ size(ds) = Σ df, Σ size(ds)² = Σ df²)
+    * so the measurement shares the aggregation the cheap path consumes. */
   private[graft] def invertedIndexIsCheap(sh: DataFrame,
                                           factor: Double): Boolean = {
     // Σ df² in double, not Long: a single corpus-stopword shingle with
