@@ -164,9 +164,11 @@ object Curation {
       .filter(col("df") <= maxFpDf)
       .select(col("fp"))
     val kept = fps.join(informative, Seq("fp"))
-    kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting-list pair generation per fingerprint bucket — one hash-agg
+    // shuffle of `kept` instead of a self-join's two legs; fingerprints
+    // are distinct per doc, so the pair multiset is identical
+    Dedup.postingPairs(kept, "fp", "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

@@ -481,13 +481,20 @@ object Dedup {
           .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("band"))
           .select(col("doc_id"), col("simhash"),
             col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-        val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-          col("band_idx"), col("band_val"))
-        val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-          col("band_idx"), col("band_val"))
-        a.join(b, Seq("band_idx", "band_val"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        // posting-list pair generation per bucket (one hash-agg shuffle,
+        // no self-join legs) with the signature riding in the struct; a
+        // doc sits in a bucket at most once, so the pair set is identical
+        banded.groupBy(col("band_idx"), col("band_val"))
+          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(col("ds"), posexplode(col("ds")).as(Seq("i", "pa")))
+          .select(col("pa"), explode(
+            slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("pb"))
+          .select(
+            when(col("pa.doc_id") < col("pb.doc_id"), col("pa")).otherwise(col("pb")).as("x"),
+            when(col("pa.doc_id") < col("pb.doc_id"), col("pb")).otherwise(col("pa")).as("y"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
           .distinct() // a pair may share several bands
           .withColumn("hamming",
             bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
