@@ -194,11 +194,30 @@ object Similarity {
     * shape. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
-    val centCols = centroids.select(col("centroid_id"), col("cvec"))
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // The engine's vector kernels are float32-native (l2sq reads floats);
+    // array<double> centroid tables are normalized up front so both paths
+    // compute the identical float32 distances. Anything else fails loudly
+    // here rather than deep inside analysis.
+    val cents = centroids.schema("cvec").dataType match {
+      case ArrayType(FloatType, _) => centroids
+      case ArrayType(DoubleType, _) =>
+        centroids.withColumn("cvec", col("cvec").cast(ArrayType(FloatType)))
+      case other => throw new IllegalArgumentException(
+        s"ivfAssign: cvec must be array<float> (or array<double>), got $other")
+    }
+    val centCols = cents.select(col("centroid_id"), col("cvec"))
     val cidType = centCols.schema("centroid_id").dataType
-    val rows = centCols.limit(InlineCentroidMax + 1).collect()
-    require(rows.nonEmpty, "ivfAssign: empty centroid table")
-    if (rows.length <= InlineCentroidMax) {
+    // The inline path narrows the general contract, so it is GUARDED and
+    // the broadcast-join shape remains the semantic baseline: it drops
+    // centroid-table columns beyond (centroid_id, cvec) that the crossJoin
+    // would carry through, and a collect of an EMPTY table must yield the
+    // join path's empty assignment, not a failure.
+    val inlineEligible = cents.columns.length == 2
+    val rows =
+      if (inlineEligible) centCols.limit(InlineCentroidMax + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (rows.nonEmpty && rows.length <= InlineCentroidMax) {
       val structs = rows.map { r =>
         val cv = r.getSeq[Float](1).toArray
         struct(round(l2sq(col(vecCol), typedLit(cv)), 6).as("dist"),
@@ -209,7 +228,7 @@ object Similarity {
     } else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
-      corpus.crossJoin(broadcast(centroids))
+      corpus.crossJoin(broadcast(cents))
         .withColumn("dist", round(l2sq(col(vecCol), col("cvec")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -744,7 +744,21 @@ object TextAnalysis {
     * inverted-index self-join + one pair-keyed aggregation — every
     * intermediate is bounded by (docs × informative tokens); no cartesian
     * anywhere. Output `sim` is float32 (idf's ln + partition-order sums
-    * make double low bits nondeterministic). */
+    * make double low bits nondeterministic).
+    *
+    * DECISION (pinned, do not re-litigate): this self-join deliberately
+    * stays a join rather than converting to the posting-list pair shape
+    * every count-based consumer uses ([[graft.ops.Dedup.postingPairs]]).
+    * The pair aggregate here SUMS FLOATING-POINT products, and the posting
+    * rewrite reorders which (pair, token) contributions meet in which
+    * partial buffer — at float32 emit precision that is usually safe, but
+    * q150's oracle hash sits on sums of near-cancelling products where a
+    * reorder can flip the last bit. The join costs 0.9 s at sf0.1 and its
+    * keys are already df-capped (`maxTokenDf`), so the conversion buys one
+    * exchange on a non-headline query against a real hash-stability risk.
+    * Revisit only with an order-stable summation (sort each pair's
+    * contributions before the fold, as the oracle effectively does) AND a
+    * re-pinned oracle. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        maxTokenDf: Long, threshold: Double): DataFrame = {
     val tk = docs.select(col(idCol).as("doc_id"),

@@ -154,6 +154,16 @@ object Writers {
           .map(rest => if (rest.isEmpty) st.getPath.getName else st.getPath.getName + "/" + rest))
     val relsAll = leafDirs(p(touchRoot), partitionCols.length)
     val relsNew = leafDirs(p(tmpRoot), partitionCols.length).toSet
+    // Contract: mergeFn must not MOVE rows across partitions — the swap
+    // below only promotes directories named by the touch markers, so output
+    // rows landing in an untouched partition tuple would be silently
+    // deleted with tmpRoot. All shipped callers preserve the partition
+    // columns (anti-join ∪ incoming, anti-join, repartition); fail loudly
+    // on a future mergeFn that rewrites a partition value.
+    require(relsNew.subsetOf(relsAll.toSet),
+      s"mergePartitioned: mergeFn emitted rows outside the touched partition set " +
+        s"(${relsNew.diff(relsAll.toSet).take(3).mkString(", ")} …) — " +
+        "partition values must be immutable under the merge")
 
     def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
       require(fs.rename(from, to), s"mergePartitioned: rename $from -> $to failed")

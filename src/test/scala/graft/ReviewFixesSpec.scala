@@ -260,4 +260,50 @@ class ReviewFixesSpec extends SparkSpec {
     assert(first === second, "tie-break must not depend on input order")
     assert(first.count(_._1 == "k1") === 1)
   }
+
+  test("ivfAssign: empty centroid table yields an empty assignment, not a failure") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val empty = corpus.filter(lit(false))
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+    val out = graft.ops.Similarity.ivfAssign(corpus, empty, "id", "vec")
+    assert(out.count() === 0)
+    assert(out.columns.contains("centroid_id"))
+  }
+
+  test("ivfAssign: array<double> centroids and extra centroid columns take the join path") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    // double-typed centroid vectors: the inline path's getSeq[Float] would
+    // ClassCastException — must route to the (implicit-casting) join shape
+    val dblCents = Seq((1, Array(0.9, 0.1)), (2, Array(0.1, 0.9)))
+      .toDF("centroid_id", "cvec")
+    val a = graft.ops.Similarity.ivfAssign(corpus, dblCents, "id", "vec")
+      .select("id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(a === Map(1L -> 1, 2L -> 2))
+    // extra centroid column: crossJoin carries it through, as before r8
+    val extraCents = Seq((1, Array(0.9f, 0.1f), "n1"), (2, Array(0.1f, 0.9f), "n2"))
+      .toDF("centroid_id", "cvec", "label")
+    val b = graft.ops.Similarity.ivfAssign(corpus, extraCents, "id", "vec")
+    assert(b.columns.contains("label"))
+    assert(b.select("id", "centroid_id").as[(Long, Int)].collect().toMap
+      === Map(1L -> 1, 2L -> 2))
+  }
+
+  test("mergePartitioned fails loudly when mergeFn moves rows across partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("merge-contract").toString + "/t"
+    val base = Seq(("p1", 1L), ("p2", 2L)).toDF("part", "k")
+    base.write.partitionBy("part").parquet(dir)
+    val incoming = Seq(("p1", 10L)).toDF("part", "k")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Writers.mergePartitioned(spark, dir, incoming,
+        Seq("part"), incoming.schema) { scoped =>
+        // contract violation: rewrites the partition value to an untouched tuple
+        scoped.unionByName(incoming).withColumn("part", lit("p9"))
+      }
+    }
+    assert(e.getMessage.contains("outside the touched partition set"))
+    // table unchanged: the violation aborted before any rename
+    assert(spark.read.parquet(dir).count() === 2)
+  }
 }
