@@ -1052,6 +1052,48 @@ object ScaleSmoke {
       assert(plEdges > 0, "co-occurrence generator produced nothing")
     }
 
+    // ---- Adversarial hot bucket: 10⁵ docs share ONE LSH band bucket
+    // among 2M rows (the boilerplate-corpus attack on banded dedup).
+    // Uncapped, that bucket alone buffers a 10⁵-element posting array in
+    // one aggregation buffer and emits ~5×10⁹ pairs from ONE task;
+    // the bounded posting aggregate (StopBucketDf = 2¹⁶) saturates at
+    // cap+1 elements and drops it as a stop-bucket, so the run must
+    // finish in seconds and emit exactly the healthy buckets' pairs.
+    {
+      import graft.ops.Dedup
+      val healthy = spark.range(0, 2000000).select(
+        lit(0).as("band_idx"),
+        concat(lit("b"), pmod(xxhash64(col("id")), lit(900000)).cast("string"))
+          .as("band_key"),
+        col("id").as("doc_id"))
+      val bands = healthy
+        .union(spark.range(10000000, 10100000).select(lit(1).as("band_idx"),
+          lit("HOT").as("band_key"), col("id").as("doc_id")))
+        .localCheckpoint(true)
+      val th = System.nanoTime()
+      val capped = Dedup.candidatePairs(bands).localCheckpoint(true)
+      val nCapped = capped.count()
+      val hotSecs = (System.nanoTime() - th) / 1e9
+      // ground truth for the healthy buckets only (small df everywhere:
+      // the self-join is safe there)
+      val expect = healthy.select(col("band_idx"), col("band_key"), col("doc_id").as("x"))
+        .join(healthy.select(col("band_idx"), col("band_key"), col("doc_id").as("y")),
+          Seq("band_idx", "band_key"))
+        .filter(col("x") < col("y"))
+        .select(col("x").as("doc_a"), col("y").as("doc_b")).distinct()
+      val hotDiff = capped.unionAll(expect)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      val hotTouched = capped
+        .filter(col("doc_a") >= 10000000L || col("doc_b") >= 10000000L).count()
+      println(f"[scale-smoke] hot-bucket: pairs=$nCapped seconds=$hotSecs%.1f " +
+        f"healthyDiff=$hotDiff hotPairs=$hotTouched")
+      assert(hotTouched == 0, "stop-bucket pairs leaked through the cap")
+      assert(hotDiff == 0, "capped pairs differ from healthy-only ground truth")
+      assert(hotSecs < 120,
+        f"hot-bucket tier took $hotSecs%.1f s — the df cap is not bounding work")
+    }
+
     // ---- Bounded top-k at size: 8M scored rows × 20k groups through the
     // TopK aggregate — the buffer is k-bounded so the shuffle ships
     // ≤ partitions × groups × k rows; invariant checked distributedly:

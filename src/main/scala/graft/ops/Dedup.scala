@@ -59,7 +59,14 @@ object Dedup {
     * distinct would exchange the entire corpus shingle relation by
     * (doc_id, shingle) before every consumer. Row-set identical; at the
     * 100 TB north star the removed exchange IS the dominant cost of every
-    * exact-Jaccard pipeline built on this substrate. */
+    * exact-Jaccard pipeline built on this substrate.
+    *
+    * PRECONDITION (same id-uniqueness contract as [[postingPairs]]):
+    * `idCol` must be unique per input row — true of every call site (the
+    * `documents` table keys on doc_id). Feeding duplicate doc rows (an
+    * un-deduped raw ingest) would duplicate (doc_id, shingle) pairs and
+    * inflate exact-Jaccard intersection counts; run [[exact]] dedup or
+    * `dropDuplicates(idCol)` upstream first. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
@@ -126,13 +133,31 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
   }
 
+  /** Default hot-bucket bound for posting-list pair generation: buckets
+    * with more than 2¹⁶ members are dropped as stop-buckets. Far above any
+    * genuine near-dup bucket (already 2³¹ pairs from one key) and above
+    * every fixture df, so oracle results are unchanged; low enough that one
+    * adversarial key (10⁵ boilerplate docs hashing to a single LSH band)
+    * can no longer concentrate an unbounded buffer + df² pair explosion in
+    * a single task. */
+  val StopBucketDf: Int = 1 << 16
+
   /** Candidate pairs from shared bands (a < b, distinct). Posting-list
     * pair generation per bucket ([[postingPairs]]) — one hash-agg shuffle
     * of the band relation instead of a self-join's two legs; a doc sits
     * in a bucket at most once by construction, so the pair set is
-    * identical. */
-  def candidatePairs(bandsDf: DataFrame): DataFrame =
-    postingPairs(bandsDf, Seq("band_idx", "band_key"), "doc_id")
+    * identical.
+    *
+    * Buckets with more than `maxDf` docs are dropped as STOP-BUCKETS
+    * (bounded aggregation buffer — see [[BoundedCollect]]): a band shared
+    * by that many documents vouches for nothing (it would pair everything
+    * with everything — the blow-up LSH exists to avoid). Recall trade: a
+    * true near-dup pair whose ONLY shared band is a stop-bucket is lost;
+    * with ≥ 2 bands any pair above the similarity threshold almost surely
+    * shares a second, non-degenerate band, and exact pipelines
+    * ([[prefixFilterJoin]]) remain the no-false-negative path. */
+  def candidatePairs(bandsDf: DataFrame, maxDf: Int = StopBucketDf): DataFrame =
+    postingPairs(bandsDf, Seq("band_idx", "band_key"), "doc_id", maxDf)
       .select("doc_a", "doc_b").distinct()
 
   /** Exact Jaccard for given candidate pairs. The intersection is computed
@@ -304,23 +329,33 @@ object Dedup {
     * input (true of every call site: per-doc-distinct shingle relations),
     * so the output is exactly the `a < b` co-occurrence multiset of the
     * join formulation. Per-row fan-out stays df(key)-bounded (no flattened
-    * df² array is ever materialized); the Σ df² blowup is governed by the
-    * callers' cost gates / stop-key filters. Posting lists of pathological
-    * keys fall back to the aggregator's sort-based spill path. */
+    * df² array is ever materialized), and the per-key buffer is bounded by
+    * construction: lists aggregate through
+    * [[BoundedCollect.boundedCollectList]], so a key with df > `maxDf`
+    * saturates at maxDf + 1 buffered elements and is dropped as a
+    * stop-key (null list, filtered in [[pairsFromPostings]]) — one
+    * adversarial hot key can no longer hold an unbounded array in one
+    * task's aggregation buffer nor emit df² pairs from one row. Callers on
+    * EXACT paths must route around the cap with their own cost gates
+    * ([[exactJaccardPairs]]) or guarantee bounded df by construction
+    * ([[prefixCandidates]]' rarest-shingle prefixes). */
   private[ops] def postingPairs(rel: DataFrame, keyCol: String,
                                 idCol: String): DataFrame =
     postingPairs(rel, Seq(keyCol), idCol)
 
   /** Multi-column-key variant (LSH band buckets key on (band, key)). */
   private[ops] def postingPairs(rel: DataFrame, keyCols: Seq[String],
-                                idCol: String): DataFrame =
+                                idCol: String,
+                                maxDf: Int = StopBucketDf): DataFrame =
     pairsFromPostings(rel.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ds")))
+      .agg(BoundedCollect.boundedCollectList(col(idCol), maxDf).as("ds")))
 
-  /** The in-place pair emit over already-built posting lists (`ds`). */
+  /** The in-place pair emit over already-built posting lists (`ds`).
+    * A null list is a saturated stop-bucket (see [[postingPairs]]) —
+    * dropped here, the same filter step that drops singletons. */
   private[ops] def pairsFromPostings(posting: DataFrame): DataFrame =
     posting
-      .filter(size(col("ds")) >= 2)
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("a"),
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
@@ -373,24 +408,24 @@ object Dedup {
                         shingleK: Int, threshold: Double,
                         dfBlowupFactor: Double = 64.0): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
-    // The posting lists double as the gate's measurement AND the inverted
-    // path's pair substrate — one corpus-sized aggregation instead of a
-    // dedicated Σ df² pass followed by a regroup. The gate read stays a
-    // single-row driver read (two sums over the vocab-sized list table).
-    val posting = sh.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ds")).persist()
-    val st = posting.agg(
-        sum(size(col("ds")).cast("long")).as("rows"),
-        sum(size(col("ds")).cast("double") * size(col("ds"))).as("sq"))
-      .head()
-    val cheap = !st.isNullAt(0) && st.getDouble(1) <= dfBlowupFactor * st.getLong(0)
+    // The gate measures Σ df / Σ df² from a COUNT aggregation (long
+    // partials, map-side combined) — never from materialized posting
+    // lists: building collect_list arrays just to measure them would hold
+    // one giant in-memory buffer per corpus-stopword key on EXACTLY the
+    // skewed corpora the gate exists to route away (executor OOM / 2 GB
+    // array risk; the sort-based spill fallback spills across keys, not
+    // within one key's buffer). The cheap branch then pays one (vocab-
+    // keyed, tiny-partial) regroup to build the lists it consumes — small
+    // next to the skew exposure of measuring on them, and the lists it
+    // does build are bounded by the gate's own math: every df ≤
+    // √(Σ df²) ≤ √(factor · |shingle rows|).
+    val cheap = invertedIndexIsCheap(sh, dfBlowupFactor)
     val out =
       if (cheap) {
-        val o = invertedIndexPairsFromPosting(posting, sh, threshold)
-        posting.unpersist()
-        o
+        val posting = sh.groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+        invertedIndexPairsFromPosting(posting, sh, threshold)
       } else {
-        posting.unpersist()
         val cand = prefixCandidates(sh, threshold)
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -405,10 +440,11 @@ object Dedup {
     * co-occurrence volume Σ df² stays within `factor` × the shingle-row
     * count (i.e. the mean squared document frequency is bounded), so the
     * inverted-index join cannot blow up. Package-visible so the spec can
-    * pin the routing on uniform vs stop-shingle corpora; the production
-    * gate inside [[exactJaccardPairs]] computes the identical ratio from
-    * its posting-list lengths (Σ size(ds) = Σ df, Σ size(ds)² = Σ df²)
-    * so the measurement shares the aggregation the cheap path consumes. */
+    * pin the routing on uniform vs stop-shingle corpora; THIS is the
+    * production gate [[exactJaccardPairs]] runs — a count aggregation
+    * whose per-key state is one long, deliberately NOT the posting-list
+    * lengths (measuring on materialized lists would buffer a giant array
+    * per hot key on the very corpora being routed away). */
   private[graft] def invertedIndexIsCheap(sh: DataFrame,
                                           factor: Double): Boolean = {
     // Σ df² in double, not Long: a single corpus-stopword shingle with
@@ -483,10 +519,15 @@ object Dedup {
             col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
         // posting-list pair generation per bucket (one hash-agg shuffle,
         // no self-join legs) with the signature riding in the struct; a
-        // doc sits in a bucket at most once, so the pair set is identical
+        // doc sits in a bucket at most once, so the pair set is identical.
+        // Hot buckets (df > StopBucketDf) drop as stop-buckets — bounded
+        // buffer, same trade as candidatePairs: a bit-band shared by 10⁵
+        // docs is degenerate (near-constant documents) and pairing inside
+        // it is the n² blow-up banding exists to avoid.
         banded.groupBy(col("band_idx"), col("band_val"))
-          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
+          .agg(BoundedCollect.boundedCollectList(
+            struct(col("doc_id"), col("simhash")), StopBucketDf).as("ds"))
+          .filter(col("ds").isNotNull && size(col("ds")) >= 2)
           .select(col("ds"), posexplode(col("ds")).as(Seq("i", "pa")))
           .select(col("pa"), explode(
             slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("pb"))
@@ -587,6 +628,14 @@ object Dedup {
     // payload rides in the struct, and the pair is ordered by doc id
     // before the filters, exactly as the `doc_a < doc_b` join condition
     // ordered it.
+    // Deliberately UNCAPPED (plain collect_list, no stop-bucket drop):
+    // this is the exact-recall path — dropping a bucket would lose true
+    // pairs. Prefix keys are each doc's RAREST shingles, so a bucket only
+    // grows hot when that shingle is rare-yet-shared by a huge doc group —
+    // i.e. a near-identical cluster, where the OUTPUT itself is Θ(df²)
+    // and the buffer is small next to the pairs any exact algorithm must
+    // emit. Corpus stopwords (the non-output-bounded hot keys) sort to the
+    // suffix and never enter the prefix relation by construction.
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("x.n") + col("y.n")))
     val cand = pref.groupBy(col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("n"), col("rn"))).as("ps"))

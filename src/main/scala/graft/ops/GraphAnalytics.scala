@@ -49,11 +49,23 @@ object GraphAnalytics {
     * counts reduce map-side. Items may repeat within a container; each
     * occurrence pair counts once, exactly as in the `src < dst` self-join
     * (self-pairs dropped), so every consumer's oracle — which spells out
-    * the join form in SQL — hash-matches unchanged. */
+    * the join form in SQL — hash-matches unchanged.
+    *
+    * Containers holding more than `maxContainerItems` occurrences are
+    * dropped as stop-containers (bounded aggregation buffer — see
+    * [[graft.ops.BoundedCollect]]): a basket/session that large is a
+    * degenerate container (a crawler session, a catalog-wide order) whose
+    * df² pair mass would concentrate in one task while carrying no
+    * co-occurrence signal — the same move co-occurrence embedding
+    * pipelines make when they cap context windows. The default sits far
+    * above every fixture container (TPC-H orders ≤ 7 items; ScaleSmoke's
+    * skew tier 2 000), so oracle results are unchanged. */
   def coOccurrenceEdges(rel: DataFrame, containerCol: String, itemCol: String,
-                        minCount: Long): DataFrame =
-    rel.groupBy(col(containerCol)).agg(collect_list(col(itemCol)).as("ps"))
-      .filter(size(col("ps")) >= 2)
+                        minCount: Long,
+                        maxContainerItems: Int = Dedup.StopBucketDf): DataFrame =
+    rel.groupBy(col(containerCol))
+      .agg(BoundedCollect.boundedCollectList(col(itemCol), maxContainerItems).as("ps"))
+      .filter(col("ps").isNotNull && size(col("ps")) >= 2)
       .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
       .select(col("a"),
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("b"))
