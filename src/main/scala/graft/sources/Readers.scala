@@ -65,4 +65,28 @@ object Readers {
   def csvFiles(spark: SparkSession, path: String, schema: StructType,
                sep: String = ","): (DataFrame, DataFrame) =
     parseCsvLines(spark.read.text(path), schema, sep)
+
+  /** Read a table maintained by the partition-scoped write path
+    * ([[Writers.upsertPartitioned]] / [[Writers.deletePartitioned]] and
+    * the `mergePartitioned`-core sinks), HEALING first — the read-side
+    * half of that path's crash contract.
+    *
+    * A crash between a partition's retire and promote renames leaves its
+    * last complete contents under the sibling `path + ".upsert.retired"`
+    * root; the WRITERS heal it on their next call, but a plain
+    * `spark.read.parquet(path)` in the crash-to-next-merge window would
+    * silently miss the whole partition. Reading through here promotes
+    * any orphaned partitions first ([[Writers.healPartitions]] — a no-op
+    * unless a crash actually happened, one existence probe otherwise), so
+    * readers always see every partition's last complete snapshot.
+    *
+    * Pass `schema` for tables whose partition-column types matter
+    * (inference reads a string tenant "0" back as int) — same pinning
+    * rule as the writers themselves. */
+  def table(spark: SparkSession, path: String,
+            schema: Option[StructType] = None): DataFrame = {
+    Writers.healPartitions(spark, path)
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).parquet(path)
+  }
 }

@@ -135,6 +135,32 @@ class WritersSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".upsert.retired").exists())
   }
 
+  test("Readers.table heals a crash-orphaned partition a plain read would miss") {
+    val dir = java.nio.file.Files.createTempDirectory("readheal").toString + "/t"
+    Seq(("t0", 1L, 10L), ("t1", 2L, 20L)).toDF("tenant", "k", "v")
+      .write.partitionBy("tenant").parquet(dir)
+    // crash window: t0 retired, replacement never promoted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".upsert.retired"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/tenant=t0"),
+      new org.apache.hadoop.fs.Path(dir + ".upsert.retired/tenant=t0")))
+    // a PLAIN read in the window silently misses the partition — exactly
+    // the contract gap Readers.table closes
+    assert(spark.read.parquet(dir).count() === 1)
+    val healed = graft.sources.Readers.table(spark, dir)
+    assert(healed.count() === 2)
+    assert(healed.select(sum(col("v"))).collect().head.getLong(0) === 30L)
+    // schema pinning variant keeps the tenant a string
+    val pinned = graft.sources.Readers.table(spark, dir,
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tenant", org.apache.spark.sql.types.StringType)))))
+    assert(pinned.schema("tenant").dataType === org.apache.spark.sql.types.StringType)
+    assert(pinned.count() === 2)
+  }
+
   test("upsertPartitioned with nested partition columns swaps leaf dirs") {
     val dir = java.nio.file.Files.createTempDirectory("upsertpn").toString + "/t"
     val base = Seq(("t0", "2026-01-01", 1L, 10L), ("t0", "2026-01-02", 2L, 20L),
