@@ -19,6 +19,62 @@ object IvfIndex {
 
   case class Index(centroids: DataFrame, assigned: DataFrame)
 
+  /** Measured stats for one filter column. For scalar columns `ndv` is the
+    * (approximate) distinct-value count and `avgLen` = 1; for array columns
+    * `ndv` counts distinct ELEMENTS and `avgLen` is the mean array length —
+    * together they give the expected fraction of rows an element-membership
+    * predicate keeps (avgLen / ndv per probed element, uniform model). */
+  case class ColStats(ndv: Long, avgLen: Double)
+
+  /** Corpus-measured statistics carried on a registered index so
+    * [[graft.plans.AnnRewrite]]'s filtered-KNN probe escalation works from
+    * MEASURED selectivities instead of textbook constants — the engine's
+    * analog of the reference's payload indexes, built at ingest precisely
+    * so filtered search knows what a filter keeps
+    * (`memory_graph.py:1232-1290`). `clusterRows` additionally lets the
+    * rule decline a rewrite whose probed clusters cover (nearly) the whole
+    * corpus — row mass, not cluster count, is what pruning saves. */
+  case class IndexStats(rows: Long, clusterRows: Map[Int, Long],
+                        cols: Map[String, ColStats])
+
+  /** Record [[IndexStats]] for `filterCols` from the index's own assignment
+    * table — a handful of column-pruned aggregate scans at BUILD time (the
+    * corpus was just scanned to assign it anyway), never at query time.
+    * Distinct counts use approx_count_distinct: deterministic (HLL over
+    * value hashes), single-pass, and exact at the cardinalities that
+    * matter for selectivity (small NDV); at 100 TB an exact distinct would
+    * cost a corpus shuffle for precision the estimator can't use. */
+  def stats(index: Index, filterCols: Seq[String]): IndexStats = {
+    import org.apache.spark.sql.types.ArrayType
+    val assigned = index.assigned
+    val rows = assigned.count()
+    val clusterRows = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map { r =>
+        val id = r.get(0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => other.toString.toInt
+        }
+        id -> r.getLong(1)
+      }.toMap
+    val colStats = filterCols.map { c =>
+      assigned.schema(c).dataType match {
+        case ArrayType(_, _) =>
+          val avgLen = assigned
+            .agg(avg(coalesce(size(col(c)), lit(0))).as("l")).head().getDouble(0)
+          val ndv = assigned.select(explode(col(c)).as("e"))
+            .agg(approx_count_distinct(col("e")).as("n")).head().getLong(0)
+          c -> ColStats(math.max(ndv, 1L), math.max(avgLen, 0.0))
+        case _ =>
+          val ndv = assigned
+            .agg(approx_count_distinct(col(c)).as("n")).head().getLong(0)
+          c -> ColStats(math.max(ndv, 1L), 1.0)
+      }
+    }.toMap
+    IndexStats(rows, clusterRows, colStats)
+  }
+
   /** Build: pick nCentroids deterministic seeds, assign all rows.
     *
     * Seeds are the nCentroids smallest (hash60(id), id) rows — a

@@ -66,7 +66,13 @@ object AnnRewrite {
         * column out of the plan: `l2sq` is typed array<float>, and the
         * synthesized distances must be bit-identical to the stored
         * assignment's. */
-      centroidsF: Array[(Int, Array[Float])])
+      centroidsF: Array[(Int, Array[Float])],
+      /** Optional corpus-measured stats ([[IvfIndex.stats]]): when present,
+        * filter selectivity comes from measured NDV / array cardinality
+        * instead of the textbook fallback constants, and the
+        * pruning-must-prune guard weighs probed ROW MASS instead of
+        * cluster count. */
+      stats: Option[IvfIndex.IndexStats] = None)
 
   /** Registry scoped PER SESSION (weak keys — dropping the session drops its
     * indexes), keyed by embedding column name within it. The column name is
@@ -81,9 +87,15 @@ object AnnRewrite {
   private def indexesFor(s: SparkSession): Option[TrieMap[String, RegisteredIndex]] =
     indexes.synchronized(Option(indexes.get(s)))
 
-  /** Register an IVF index for `embCol` and arm the rule on the session. */
+  /** Register an IVF index for `embCol` and arm the rule on the session.
+    * Pass `stats = Some(IvfIndex.stats(index, filterCols))` to give the
+    * rule measured selectivities for the named filter columns — without
+    * them the escalation falls back to textbook constants (equality 0.1,
+    * overlap 0.33), which under- or over-probes by however far the real
+    * column cardinalities sit from those guesses. */
   def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
-               rows: Long, clusterCol: String = "centroid_id"): Unit = {
+               rows: Long, clusterCol: String = "centroid_id",
+               stats: Option[IvfIndex.IndexStats] = None): Unit = {
     val centsF = index.centroids.collect().map { r =>
       val id = r.get(0) match {
         case i: Int => i
@@ -97,7 +109,7 @@ object AnnRewrite {
     indexes.synchronized {
       var m = indexes.get(spark)
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
-      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows, centsF))
+      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows, centsF, stats))
     }
     // newSession()/cloneSession copy extraOptimizations, so a rule bound to
     // ANOTHER session may sit in this session's list. It would run first,
@@ -153,30 +165,62 @@ object AnnRewrite {
     * selective predicate: if only ~10% of rows pass the ACL, the probed
     * clusters hold ~10% of the candidates the caller asked for.
     *
-    * Deterministic textbook heuristics (no stats, no jobs): equality 0.1,
-    * IN 0.1/element, array-membership 0.33; AND multiplies, OR
-    * inclusion-excludes; everything else — range predicates, UDFs — claims
-    * nothing (1.0). Only predicates whose attributes originate at LEAF
-    * relations count: engine-internal filters on derived columns (the
-    * `rn = 1` nearest-centroid pick above a Window, score thresholds on the
-    * computed cosine) are plumbing, not user selectivity. Over-escalation
-    * is benign (more recall, less pruning); the cap keeps it bounded. */
-  private[plans] def estimateSelectivity(plan: LogicalPlan): Double = {
+    * With registered [[IvfIndex.IndexStats]] the per-predicate numbers are
+    * MEASURED (the reference's payload-index-aware filtered search,
+    * `memory_graph.py:1232-1290`): equality keeps 1/NDV, IN keeps
+    * |list|/NDV, array membership keeps ≈ probes × avgLen / elemNDV
+    * (uniform-element model). Without stats, deterministic textbook
+    * fallbacks (no jobs): equality 0.1, IN 0.1/element, array-membership
+    * 0.33. AND multiplies, OR inclusion-excludes; everything else — range
+    * predicates, UDFs — claims nothing (1.0). Only predicates whose
+    * attributes originate at LEAF relations count: engine-internal filters
+    * on derived columns (the `rn = 1` nearest-centroid pick above a
+    * Window, score thresholds on the computed cosine) are plumbing, not
+    * user selectivity. Over-escalation is benign (more recall, less
+    * pruning); the cap keeps it bounded. */
+  private[plans] def estimateSelectivity(plan: LogicalPlan,
+      stats: Option[IvfIndex.IndexStats] = None): Double = {
     val leafAttrs = AttributeSet(plan.collectLeaves().flatMap(_.output))
+    def colStats(a: AttributeReference): Option[IvfIndex.ColStats] =
+      stats.flatMap(_.cols.get(a.name))
+    def eqSel(a: AttributeReference): Double =
+      colStats(a).map(cs => math.min(1.0, 1.0 / math.max(cs.ndv, 1L).toDouble))
+        .getOrElse(0.1)
+    def inSel(a: AttributeReference, n: Int): Double =
+      colStats(a).map(cs => math.min(1.0, n.toDouble / math.max(cs.ndv, 1L)))
+        .getOrElse(math.min(1.0, 0.1 * n))
+    // membership probes against an array column: each of `probes` elements
+    // hits a row with ≈ avgLen/elemNDV probability (uniform model)
+    def memberSel(e: Expression, probes: Int): Double = e match {
+      case a: AttributeReference =>
+        colStats(a).map(cs => math.min(1.0,
+          probes * cs.avgLen / math.max(cs.ndv, 1L))).getOrElse(0.33)
+      case _ => 0.33
+    }
+    def litArrayLen(e: Expression): Int = e match {
+      case Literal(a: ArrayData, ArrayType(_, _)) => math.max(a.numElements(), 1)
+      case CreateArray(children, _) => math.max(children.length, 1)
+      case _ => 1
+    }
     def sel(e: Expression): Double = e match {
       case And(l, r) => sel(l) * sel(r)
       case Or(l, r) =>
         val (a, b) = (sel(l), sel(r)); math.min(1.0, a + b - a * b)
       case Not(c) => math.max(0.1, 1.0 - sel(c))
       case _ if !e.references.subsetOf(leafAttrs) => 1.0
-      case EqualTo(_: AttributeReference, _: Literal) => 0.1
-      case EqualTo(_: Literal, _: AttributeReference) => 0.1
-      case EqualNullSafe(_: AttributeReference, _: Literal) => 0.1
-      case EqualNullSafe(_: Literal, _: AttributeReference) => 0.1
-      case In(_: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-        math.min(1.0, 0.1 * list.length)
-      case _: ArrayContains => 0.33
-      case ArraysOverlap(_, _) => 0.33
+      case EqualTo(a: AttributeReference, _: Literal) => eqSel(a)
+      case EqualTo(_: Literal, a: AttributeReference) => eqSel(a)
+      case EqualNullSafe(a: AttributeReference, _: Literal) => eqSel(a)
+      case EqualNullSafe(_: Literal, a: AttributeReference) => eqSel(a)
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inSel(a, list.length)
+      case ArrayContains(arr, _) => memberSel(arr, 1)
+      case ArraysOverlap(l, r) => (l, r) match {
+        // the attribute side is the column, the other the probe list
+        case (a: AttributeReference, probe) => memberSel(a, litArrayLen(probe))
+        case (probe, a: AttributeReference) => memberSel(a, litArrayLen(probe))
+        case _ => 0.33
+      }
       case _ => 1.0
     }
     plan.collect { case Filter(cond, _) => sel(cond) }.product
@@ -249,23 +293,29 @@ object AnnRewrite {
   private def prune(s: Sort, emb: AttributeReference, q: Literal,
       idx: TrieMap[String, RegisteredIndex],
       threshold: Long, nProbe: Int, maxBoost: Double): Option[Sort] = {
-    // Selectivity-aware probe escalation: a predicate keeping ~sel of the
-    // corpus needs ~nProbe/sel probed clusters for the same candidate
-    // headroom, capped at maxBoost×. If escalation would cover every
-    // cluster, the guard below declines the rewrite — a full probe IS the
-    // exact scan, minus the benefit.
-    val sel = estimateSelectivity(s.child)
-    val effProbe =
-      if (sel >= 1.0) nProbe
-      else math.max(nProbe,
-        math.min(math.ceil(nProbe / sel), nProbe * maxBoost).toInt)
     for {
       meta <- idx.get(emb.name)
       if meta.rows > threshold
       qv <- literalVec(q)
       if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length
+      // Selectivity-aware probe escalation: a predicate keeping ~sel of
+      // the corpus needs ~nProbe/sel probed clusters for the same
+      // candidate headroom, capped at maxBoost×. `sel` is MEASURED when
+      // the registration carried IvfIndex.stats, textbook otherwise. If
+      // escalation would cover every cluster (or, with stats, every ROW),
+      // the guard below declines the rewrite — a full probe IS the exact
+      // scan, minus the benefit.
+      sel = estimateSelectivity(s.child, meta.stats)
+      effProbe = if (sel >= 1.0) nProbe
+                 else math.max(nProbe,
+                   math.min(math.ceil(nProbe / sel), nProbe * maxBoost).toInt)
       probed = probeIds(meta.centroids, qv, effProbe)
       if probed.length < meta.centroids.length // pruning must actually prune
+      // with measured cluster sizes, require the pruning to skip row MASS:
+      // skewed clusterings can put ~all rows in the probed clusters even
+      // when some cluster ids are skipped
+      if meta.stats.forall(st => st.clusterRows.isEmpty ||
+        probed.iterator.map(st.clusterRows.getOrElse(_, 0L)).sum < st.rows)
       rewritten <- injectFilter(s, emb, meta, probed)
     } yield rewritten
   }

@@ -309,6 +309,73 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("measured stats drive escalation: low-NDV filter probes fewer clusters " +
+    "than high-NDV; fabricated full-mass clusterRows decline the rewrite") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // deterministic 8-axis geometry (as the constants-escalation test):
+    // q loads axes 2 > 0 > 1 > 3 > rest (ties by id) → probe order
+    // 3, 1, 2, 4, 5, 6, 7, 8.
+    val mixedQ: Array[Float] = {
+      val q = Array.fill(8)(0.0f)
+      q(2) = 1.0f; q(0) = 0.3f; q(1) = 0.2f; q(3) = 0.1f; q
+    }
+    val rows = (0 until 400).map { i =>
+      val axis = i % 8
+      val emb = { val b = Array.fill(8)(0.01f); b(axis) = 1.0f + (i / 8) * 0.001f; b }
+      (i.toLong, emb, if (i % 2 == 0) "x" else "y", s"t${i % 50}", axis + 1)
+    }
+    val local = rows.toDF("id", "emb", "grp", "tag", "centroid_id")
+    val corpus8 = spark.createDataFrame(
+      spark.sparkContext.parallelize(local.collect().toSeq, 4), local.schema)
+    val centroids = (0 until 8).map { a =>
+      val v = Array.fill(8)(0.0f); v(a) = 1.0f; (a + 1, v)
+    }.toDF("centroid_id", "cvec")
+    val idx = IvfIndex.Index(centroids, corpus8)
+
+    val st = IvfIndex.stats(idx, Seq("grp", "tag"))
+    assert(st.rows === 400)
+    assert(st.clusterRows.values.sum === 400L && st.clusterRows.size === 8)
+    assert(st.cols("grp").ndv === 2)
+    assert(st.cols("tag").ndv >= 40, s"tag ndv way off: ${st.cols("tag")}")
+
+    def probesFor(pred: org.apache.spark.sql.Column): Option[Int] = {
+      val df = corpus8.filter(pred)
+        .withColumn("score", cosineSim(col("emb"), lit(mixedQ)))
+        .orderBy(desc("score"), col("id")).limit(5)
+      df.queryExecution.optimizedPlan.collectFirst {
+        case LFilter(In(a: AttributeReference, list), _) if a.name == "centroid_id" =>
+          list.length
+      }
+    }
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      spark.conf.set("spark.graft.ann.maxFilterBoost", "5")
+      AnnRewrite.register(spark, idx, "emb", rows = 400, stats = Some(st))
+      // measured: grp keeps 1/2 → 2 probes; tag keeps 1/50 → capped at 5.
+      // (the constants fallback would give BOTH filters 0.1 → 5 probes)
+      assert(probesFor(col("grp") === "x") === Some(2))
+      assert(probesFor(col("tag") === "t7") === Some(5))
+      // unfiltered: no escalation, base nProbe
+      assert(probesFor(lit(true)) === Some(1))
+
+      // fabricated skew: the 2-probe set {3, 1} would hold EVERY row —
+      // probed row mass == corpus ⇒ the rewrite must decline outright
+      val fullMass = IvfIndex.IndexStats(400,
+        Map(3 -> 300L, 1 -> 100L),
+        Map("grp" -> IvfIndex.ColStats(2, 1.0)))
+      AnnRewrite.register(spark, idx, "emb", rows = 400, stats = Some(fullMass))
+      assert(probesFor(col("grp") === "x") === None,
+        "rewrite must decline when probed clusters cover all rows")
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+      spark.conf.unset("spark.graft.ann.maxFilterBoost")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {
