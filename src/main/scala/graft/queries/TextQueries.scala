@@ -39,7 +39,72 @@ object TextQueries {
        |WHERE ninter::DOUBLE / (na.n + nb.n - ninter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Standing MinHash-LSH band tables, built ONCE per corpus dir through
+    * the streaming maintenance sink (`Sinks.lshIndexAppend` — the exact
+    * foreachBatch body a live ingest runs) and then only READ. This is the
+    * reference's serving architecture — queries probe a prebuilt index,
+    * they never re-derive it per query (`memory_graph.py:8047`) — applied
+    * to the dedup family: q334 answers q20's candidate question from this
+    * table with zero signature recomputation. Keyed by corpus dir so every
+    * scale factor (EntrySpec's sf0.001, the driver's sf0.01, bench's
+    * sf0.1) maintains its own state; per-JVM lifetime, same as a session's
+    * registered ANN index. */
+  private val maintainedBands =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def maintainedBandTable(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String =
+    maintainedBands.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-lsh-state")
+        .toString + "/bands"
+      graft.streaming.Sinks.lshIndexAppend(path, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4)(Tables.documents(s, d), 0L)
+      path
+    })
+
   def entries: Seq[Entry] = Seq(
+
+    // Maintained-index serving: q20's candidate question answered by
+    // PROBING the standing band table the maintenance sink keeps, instead
+    // of re-shingling the corpus (reference bar: probe-a-prebuilt-index,
+    // memory_graph.py:8047). The require() pins the architecture — the
+    // probe's optimized plan must contain no tokenize/shingle/minhash
+    // derivation, only the band-table scan and the posting-list pair emit.
+    // First run per JVM pays the one-time build (the sink write); bench
+    // reps after that amortize to the probe alone — the build-once/
+    // query-many curve next to q20's recompute-every-time cost.
+    Entry("q334_maintained_lsh_probe",
+      (s, d) => {
+        val path = maintainedBandTable(s, d)
+        val out = Dedup.candidatePairs(s.read.parquet(path))
+          .orderBy(col("doc_a"), col("doc_b"))
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
+            !plan.contains("split") && !plan.contains("md5"),
+          "maintained-index probe must not re-derive signatures from text")
+        out
+      },
+      Some {
+        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+        val sigCols = (0 until 16).map(i =>
+          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $shingleCtes,
+           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           | AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
 
     // A3 generalized: exact dedup by content hash, keep-first
     // (memory_graph.py:10325-10393).
