@@ -118,17 +118,38 @@ object Bench {
     // rounds 6→7 swung individual queries ±30% on this box, so a flat ±15%
     // would cry wolf — flag only |log-ratio| beyond ×/÷1.35 AND an absolute
     // move >0.1 s (sub-100 ms queries jitter multiplicatively for free).
-    def driftReport(): (Int, Seq[(String, Double, Double, Double)]) = {
+    //
+    // Each flag then carries a VERDICT (the untouched-control rule —
+    // never adjudicate raw numbers on this box, it drifts +17–30% for
+    // hours at a time): control = median now/prev ratio over the checked,
+    // NON-flagged queries >0.2 s (code untouched between bands moves only
+    // with the box). A flag whose ratio, deflated by the control, falls
+    // back inside the envelope (or whose control-adjusted absolute move is
+    // under 0.1 s) is `box-drift`; a residual move beyond it is a real
+    // `regression` (or `improvement` when faster) and needs a bisect.
+    case class Flag(name: String, prev: Double, now: Double, ratio: Double,
+                    verdict: String)
+    def driftReport(): (Int, Double, Seq[Flag]) = {
       val now = names.map(n => n -> median(samples(n))).toMap
       val checked = names.filter(n => prior.contains(n) && now.getOrElse(n, 0.0) > 0.0)
-      val flagged = checked.flatMap { n =>
-        val (p0, p1) = (prior(n), now(n))
-        val ratio = p1 / math.max(p0, 1e-9)
-        if ((ratio > 1.35 || ratio < 1 / 1.35) && math.abs(p1 - p0) > 0.1)
-          Some((n, r3(p0), r3(p1), math.rint(ratio * 100) / 100))
-        else None
+      def outside(ratio: Double, p0: Double, p1: Double): Boolean =
+        (ratio > 1.35 || ratio < 1 / 1.35) && math.abs(p1 - p0) > 0.1
+      val ratios = checked.map(n => n -> now(n) / math.max(prior(n), 1e-9)).toMap
+      val flaggedNames = checked.filter(n => outside(ratios(n), prior(n), now(n)))
+      val controlSet = checked.filterNot(flaggedNames.toSet)
+        .filter(n => now(n) > 0.2).map(ratios)
+      val control = if (controlSet.isEmpty) 1.0 else median(controlSet)
+      val flagged = flaggedNames.map { n =>
+        val residual = ratios(n) / control
+        val verdict =
+          if ((residual <= 1.35 && residual >= 1 / 1.35) ||
+              math.abs(now(n) - prior(n) * control) <= 0.1) "box-drift"
+          else if (ratios(n) < 1.0) "improvement"
+          else "regression"
+        Flag(n, r3(prior(n)), r3(now(n)),
+          math.rint(ratios(n) * 100) / 100, verdict)
       }
-      (checked.length, flagged)
+      (checked.length, math.rint(control * 1000) / 1000, flagged)
     }
     def summaryLine(repsDone: Int): String = {
       val results = names.map(n => n -> median(samples(n)))
@@ -136,8 +157,9 @@ object Bench {
       val qs = headline.flatMap(q => byName.get(q).map(v => s"\"$q\":${r3(v)}"))
         .mkString("{", ",", "}")
       val medians = results.map(_._2)
-      val (checked, flagged) = driftReport()
-      val drift = s"""{"checked":$checked,"flagged":${flagged.length}}"""
+      val (checked, control, flagged) = driftReport()
+      val nReg = flagged.count(_.verdict == "regression")
+      val drift = s"""{"checked":$checked,"flagged":${flagged.length},"control_ratio":$control,"regressions":$nReg}"""
       s"""{"metric":"total","value":${r3(medians.sum)},"unit":"sec","n":${medians.length},"reps":$repsDone,"median":${r3(median(medians))},"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The durable artifacts: the SAME line goes to BENCH.json in the repo
@@ -156,12 +178,12 @@ object Bench {
         val full = names.map(n => s"""  "$n": ${r3(median(samples(n)))}""")
           .mkString("{\n", ",\n", "\n}\n")
         writeFile("BENCH_FULL.json", full)
-        val (checked, flagged) = driftReport()
-        val flaggedJson = flagged.map { case (n, p0, p1, r) =>
-          s"""    {"query":"$n","prev":$p0,"now":$p1,"ratio":$r}"""
+        val (checked, control, flagged) = driftReport()
+        val flaggedJson = flagged.map { f =>
+          s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
         }.mkString("[\n", ",\n", "\n  ]")
         writeFile("BENCH_DELTAS.json",
-          s"""{\n  "envelope": "flag if now/prev outside x1.35 either way AND |now-prev| > 0.1s",\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n""")
+          s"""{\n  "envelope": "flag if now/prev outside x1.35 either way AND |now-prev| > 0.1s",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of non-flagged queries >0.2s; box-drift when the control-deflated ratio re-enters the envelope (or the control-adjusted move is <0.1s), else regression/improvement",\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n""")
       } catch {
         case e: Throwable => System.err.println(s"[bench] file write failed: $e")
       }
