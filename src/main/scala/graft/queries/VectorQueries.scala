@@ -393,6 +393,88 @@ object VectorQueries {
               |WHERE a.label = 3
               |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
 
+    // q333 with MEASURED stats (the reference's payload-index-aware
+    // filtered search, memory_graph.py:1232-1290): IvfIndex.stats records
+    // NDV(label) = 10 from the corpus at build time, so the equality
+    // filter's selectivity is measured 1/10 — the escalation widens
+    // 1 → min(ceil(10), boost 8) = 8 probes of 16 clusters, require()-
+    // pinned, and the oracle replays exactly that 8-probe pruned
+    // computation. Contrast q333: textbook-constant 0.1 happens to equal
+    // the truth there; HERE the probe count derives from the data, so a
+    // fixture with a different label cardinality would re-plan by itself.
+    Entry("q335_stats_filtered_ann",
+      (s, d) => {
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 0)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 16)
+        val st = IvfIndex.stats(idx, Seq("label"))
+        require(st.cols("label").ndv >= 8,
+          s"fixture label cardinality changed: ${st.cols("label")}")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        AnnRewrite.register(s, idx, "embedding", rows = st.rows, stats = Some(st))
+        val prev = Seq("spark.graft.ann.fullScanThreshold", "spark.graft.ann.nProbe",
+          "spark.graft.ann.maxFilterBoost").map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.graft.ann.fullScanThreshold", "100")
+        s.conf.set("spark.graft.ann.nProbe", "1")
+        s.conf.set("spark.graft.ann.maxFilterBoost", "8")
+        try {
+          val out = idx.assigned
+            .filter(col("label") === 3)
+            .withColumn("score", round(cosineSim(col("embedding"), lit(qv)), 4))
+            .orderBy(desc("score"), col("vec_id"))
+            .limit(5)
+            .select(col("vec_id"), col("centroid_id"), col("score"))
+          val probes = out.queryExecution.optimizedPlan.collectFirst {
+            case LFilter(In(a: AttributeReference, list), _)
+              if a.name == "centroid_id" => list.length
+          }
+          require(probes.contains(8),
+            s"expected measured-NDV escalation to 8 probes, got $probes")
+          val rows = out.collect().toSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+        } finally {
+          AnnRewrite.deregister(s, "embedding")
+          prev.foreach { case (k, v) =>
+            v.fold(s.conf.unset(k))(x => s.conf.set(k, x)) }
+        }
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id > 0),
+              |cent AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+              |    embedding AS cvec FROM (
+              |    SELECT vec_id, embedding,
+              |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+              |    FROM corpus ORDER BY h, vec_id LIMIT 16)),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding, label FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding, c.label,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |probe AS (
+              |  SELECT centroid_id FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        list_sum(list_transform(generate_series(1, len(qvec)),
+              |          i -> (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 8)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
+              |WHERE a.label = 3
+              |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin)),
+
     // INT8 scalar quantization (the reference's Qdrant config,
     // memory_graph.py:1036-1057): candidate top-(4k) over packed bytes,
     // exact float rescore of the survivors. floor(x/scale + 0.5) half-up
