@@ -67,7 +67,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShingleHash60(args(0), intLit(args, 1, "shingle_hash60"))),
     (FunctionIdentifier("simhash"),
       info("simhash", "simhash(toks, bits) - per-document SimHash signature over hash60(token) votes"),
-      (args: Seq[Expression]) => Simhash(args(0), intLit(args, 1, "simhash"))))
+      (args: Seq[Expression]) => Simhash(args(0), intLit(args, 1, "simhash"))),
+    (FunctionIdentifier("bounded_collect_list"),
+      info("bounded_collect_list", "bounded_collect_list(x, cap) - collect_list with a hard per-group " +
+        "buffer bound: groups over cap evaluate to NULL (stop-bucket drop)"),
+      // bare AggregateFunction: the analyzer wraps it in AggregateExpression,
+      // as with Spark's own collect_list registration
+      (args: Seq[Expression]) => graft.ops.BoundedCollect.BoundedCollectList(
+        args(0), intLit(args, 1, "bounded_collect_list"))))
 
   /** The width/bits arguments parameterize generated code, so they must be
     * literals at registration-build time. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.engine.{IvfIndex, PqIndex}
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, l2sq}
 import graft.ops.Similarity
 import graft.plans.AnnRewrite
 
@@ -21,7 +21,94 @@ object VectorQueries {
        |  / (sqrt(list_sum(list_transform($vecA, x -> x::DOUBLE * x::DOUBLE)))
        |   * sqrt(list_sum(list_transform($vecB, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
 
+  /** Standing IVF index (centroids + assignment tables), built ONCE per
+    * corpus dir through the streaming maintenance sink
+    * (`Sinks.indexAppend` — the exact foreachBatch body a live vector
+    * ingest runs) and then only READ. The ANN twin of TextQueries'
+    * maintained band table: the reference keeps its vector collection
+    * maintained at ingest and queries only probe it
+    * (`memory_graph.py:1015-1065`); q336 answers the multiprobe question
+    * from this state with zero assignment recomputation. */
+  private val maintainedIvf =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def maintainedIvfIndex(s: org.apache.spark.sql.SparkSession,
+                                 d: String): (String, String) =
+    maintainedIvf.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft-ivf-state").toString
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") > 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 8)
+      graft.sources.Writers.swapWrite(idx.centroids, base + "/centroids")
+      graft.streaming.Sinks.indexAppend(base + "/assigned",
+        idx.centroids, "vec_id", "embedding")(corpus, 0L)
+      (base + "/assigned", base + "/centroids")
+    })
+
   def entries: Seq[Entry] = Seq(
+
+    // Maintained-index ANN serving: the multiprobe IVF question answered
+    // by PROBING the standing assignment table the maintenance sink keeps
+    // (reference bar: the vector collection is maintained at ingest and
+    // queries only probe it, memory_graph.py:1015-1065). The require()
+    // pins the architecture — the probe's optimized plan must contain no
+    // corpus-assignment derivation (no argmin array_min, no assignment
+    // window), only the standing-table scan, the 8-row probe selection
+    // and the scoring top-k. Contrast q98/q18, which pay the full
+    // assignment on every run — the recompute baselines this amortizes.
+    Entry("q336_maintained_ivf_probe",
+      (s, d) => {
+        val (apath, cpath) = maintainedIvfIndex(s, d)
+        val assigned = s.read.parquet(apath)
+        val centroids = s.read.parquet(cpath)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        val probes = centroids.crossJoin(broadcast(q))
+          .withColumn("dist", round(l2sq(col("cvec"), col("qvec")), 6))
+          .orderBy(col("dist"), col("centroid_id"))
+          .limit(2)
+          .select(col("centroid_id"))
+        val out = assigned.join(broadcast(probes), Seq("centroid_id"))
+          .crossJoin(broadcast(q))
+          .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+          .select(col("vec_id"), col("centroid_id"), col("score"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10)
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("array_min") && !plan.contains("row_number"),
+          "maintained-IVF probe must not re-derive the corpus assignment")
+        out
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id > 0),
+              |cent AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+              |    embedding AS cvec FROM (
+              |    SELECT vec_id, embedding,
+              |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+              |    FROM corpus ORDER BY h, vec_id LIMIT 8)),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |probe AS (
+              |  SELECT centroid_id FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(qvec)),
+              |          i -> (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 2)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
     // V1: exact cosine KNN top-k with score threshold
     // (memory_graph.py:8047-8160; threshold 0.15 per BASELINE).

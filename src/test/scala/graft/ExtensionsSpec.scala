@@ -50,6 +50,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("bounded_collect_list callable from SQL: within-cap groups collect, over-cap null") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("b", 3L))
+      .toDF("k", "v").createOrReplaceTempView("bcl_t")
+    val r = spark.sql(
+      "SELECT k, bounded_collect_list(v, 2) AS bs FROM bcl_t GROUP BY k")
+      .collect().map(row => row.getString(0) ->
+        Option(row.getSeq[Long](1)).map(_.sorted)).toMap
+    assert(r("a") === Some(Seq(1L, 2L)))
+    assert(r("b") === None)
+  }
+
   test("type mismatch is rejected at analysis, not at runtime") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
