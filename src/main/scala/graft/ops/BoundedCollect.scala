@@ -54,15 +54,26 @@ object BoundedCollect {
     override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
       mutable.ArrayBuffer.empty[Any]
 
+    // An imperative aggregate evaluates its input expressions INTERPRETED;
+    // for struct children (the banded-SimHash posting build collects
+    // struct(doc_id, simhash)) that is a per-row interpreted CreateStruct
+    // on a corpus×bands-sized relation. A lazily compiled MutableProjection
+    // keeps the bound input codegen'd inside update() — same device as
+    // TopKAggregate, and the codegen cache amortizes compilation per task.
+    @transient private lazy val inputProj =
+      org.apache.spark.sql.catalyst.expressions.MutableProjection.create(Seq(child))
+
     // cap + 1 is the saturation size: it both marks the overflow (size >
     // cap ⇒ null) and bounds the buffer — updates and merges stop
     // appending once reached (the group's fate is already decided).
     override def update(buf: mutable.ArrayBuffer[Any], input: InternalRow)
         : mutable.ArrayBuffer[Any] = {
       if (buf.size <= cap) {
-        val v = child.eval(input)
-        // values are reused row-buffer views (UTF8String, UnsafeRow) — copy
-        if (v != null) buf += InternalRow.copyValue(v)
+        val r = inputProj(input)
+        if (!r.isNullAt(0)) {
+          // values are reused row-buffer views (UTF8String, rows) — copy
+          buf += InternalRow.copyValue(r.get(0, child.dataType))
+        }
       }
       buf
     }

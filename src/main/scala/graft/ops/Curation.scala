@@ -166,8 +166,13 @@ object Curation {
     val kept = fps.join(informative, Seq("fp"))
     // posting-list pair generation per fingerprint bucket — one hash-agg
     // shuffle of `kept` instead of a self-join's two legs; fingerprints
-    // are distinct per doc, so the pair multiset is identical
-    Dedup.postingPairs(kept, "fp", "doc_id")
+    // are distinct per doc, so the pair multiset is identical. The posting
+    // cap tracks the CALLER's df filter (which already bounds every kept
+    // bucket), so a maxFpDf above the default stop-bucket cap never
+    // silently re-drops keys the informative filter admitted.
+    Dedup.postingPairs(kept, "fp", "doc_id",
+      maxDf = math.max(Dedup.StopBucketDf.toLong, maxFpDf)
+        .min(Int.MaxValue.toLong).toInt)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

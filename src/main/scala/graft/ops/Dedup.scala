@@ -339,9 +339,11 @@ object Dedup {
     * EXACT paths must route around the cap with their own cost gates
     * ([[exactJaccardPairs]]) or guarantee bounded df by construction
     * ([[prefixCandidates]]' rarest-shingle prefixes). */
+  // (no default here — Scala forbids defaults on two overloads; the
+  // multi-key variant below carries the StopBucketDf default)
   private[ops] def postingPairs(rel: DataFrame, keyCol: String,
-                                idCol: String): DataFrame =
-    postingPairs(rel, Seq(keyCol), idCol)
+                                idCol: String, maxDf: Int): DataFrame =
+    postingPairs(rel, Seq(keyCol), idCol, maxDf)
 
   /** Multi-column-key variant (LSH band buckets key on (band, key)). */
   private[ops] def postingPairs(rel: DataFrame, keyCols: Seq[String],

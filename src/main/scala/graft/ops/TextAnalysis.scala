@@ -548,8 +548,12 @@ object TextAnalysis {
       .localCheckpoint(true) // read by sizes + both sides of the self-join
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // posting-list pair generation — one shuffle of `kept`, no string-keyed
-    // self-join; see Dedup.postingPairs
-    val inter = Dedup.postingPairs(kept, "shingle", "doc_id")
+    // self-join; see Dedup.postingPairs. The posting cap tracks the
+    // caller's df filter (maxShingleDf already bounds every kept bucket),
+    // so a cap above the default never silently re-drops admitted keys.
+    val inter = Dedup.postingPairs(kept, "shingle", "doc_id",
+      maxDf = math.max(Dedup.StopBucketDf.toLong, maxShingleDf)
+        .min(Int.MaxValue.toLong).toInt)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
