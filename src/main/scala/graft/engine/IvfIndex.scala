@@ -99,6 +99,34 @@ object IvfIndex {
     Index(centroids, assigned)
   }
 
+  /** Persist [[IndexStats]] next to a stored index (single-row parquet via
+    * the atomic `swapWrite`) so a fresh serving session registers measured
+    * selectivities WITHOUT rescanning the corpus — the stats travel with
+    * the index, exactly as the reference's payload indexes persist with
+    * their collection (`memory_graph.py:1232-1290`). Maps flatten to
+    * parallel sorted arrays (no map-encoder dependency, stable on disk). */
+  def writeStats(spark: SparkSession, path: String, st: IndexStats): Unit = {
+    import spark.implicits._
+    val cids = st.clusterRows.keys.toSeq.sorted
+    val cols = st.cols.keys.toSeq.sorted
+    val df = Seq((st.rows, cids, cids.map(st.clusterRows),
+        cols, cols.map(c => st.cols(c).ndv), cols.map(c => st.cols(c).avgLen)))
+      .toDF("rows", "cluster_ids", "cluster_rows",
+        "col_names", "col_ndv", "col_avg_len")
+    graft.sources.Writers.swapWrite(df, path)
+  }
+
+  /** Reload stats persisted by [[writeStats]]. */
+  def readStats(spark: SparkSession, path: String): IndexStats = {
+    val r = spark.read.parquet(path).head()
+    val names = r.getSeq[String](3)
+    IndexStats(
+      r.getLong(0),
+      r.getSeq[Int](1).zip(r.getSeq[Long](2)).toMap,
+      names.indices.map(i =>
+        names(i) -> ColStats(r.getSeq[Long](4)(i), r.getSeq[Double](5)(i))).toMap)
+  }
+
   /** Probe: the nProbe centroids nearest the query vector (single-row DF
     * with `qvec`), then the caller scans only those clusters. */
   def probeClusters(index: Index, query: DataFrame, nProbe: Int): DataFrame =

@@ -22,6 +22,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.assigned.select("centroid_id").distinct().count() > 1)
   }
 
+  test("stats: measured, persisted and reloaded identically (no corpus rescan to register)") {
+    val withMeta = chunks.withColumn("tenant",
+      concat(lit("t"), pmod(xxhash64(col("chunk_id")), lit(5)).cast("string")))
+    val idx = IvfIndex.build(withMeta, "chunk_id", "embedding", nCentroids = 4)
+    val st = IvfIndex.stats(idx, Seq("tenant"))
+    assert(st.rows === withMeta.count())
+    assert(st.clusterRows.values.sum === st.rows)
+    assert(st.cols("tenant").ndv === 5)
+    assert(st.cols("tenant").avgLen === 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stats").toString + "/stats"
+    IvfIndex.writeStats(spark, dir, st)
+    assert(IvfIndex.readStats(spark, dir) === st)
+  }
+
   test("probe: nProbe nearest clusters, pruned corpus is a subset") {
     val idx = IvfIndex.build(chunks, "chunk_id", "embedding", nCentroids = 8)
     val q = Seq(Tuple1(memsSeq.head.content)).toDF("t")
