@@ -25,6 +25,49 @@ object Bench {
       re.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
+  case class Flag(name: String, prev: Double, now: Double, ratio: Double,
+                  verdict: String)
+
+  /** Drift adjudication vs a committed prior band — pure so the spec can
+    * pin the classification. Envelope: flag only |log-ratio| beyond ×/÷1.35
+    * AND an absolute move >0.1 s (same-code rounds swing individual
+    * queries ±30% on this box; sub-100 ms queries jitter multiplicatively
+    * for free).
+    *
+    * Each flag carries a VERDICT (the untouched-control rule — never
+    * adjudicate raw numbers on this box, it drifts +17–30% for hours at a
+    * time): control = median now/prev ratio over the checked, NON-flagged
+    * queries >0.2 s (code untouched between bands moves only with the
+    * box). A flag whose ratio, deflated by the control, falls back inside
+    * the envelope (or whose control-adjusted absolute move is under 0.1 s)
+    * is `box-drift`; a residual move beyond it is a real `regression` (or
+    * `improvement` when faster) and needs a bisect.
+    *
+    * Returns (checked count, control ratio, flags). */
+  def adjudicate(prior: Map[String, Double], now: Map[String, Double],
+                 names: Seq[String]): (Int, Double, Seq[Flag]) = {
+    val checked = names.filter(n => prior.contains(n) && now.getOrElse(n, 0.0) > 0.0)
+    def outside(ratio: Double, p0: Double, p1: Double): Boolean =
+      (ratio > 1.35 || ratio < 1 / 1.35) && math.abs(p1 - p0) > 0.1
+    val ratios = checked.map(n => n -> now(n) / math.max(prior(n), 1e-9)).toMap
+    val flaggedNames = checked.filter(n => outside(ratios(n), prior(n), now(n)))
+    val controlSet = checked.filterNot(flaggedNames.toSet)
+      .filter(n => now(n) > 0.2).map(ratios)
+    val control = if (controlSet.isEmpty) 1.0 else median(controlSet)
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val flagged = flaggedNames.map { n =>
+      val residual = ratios(n) / control
+      val verdict =
+        if ((residual <= 1.35 && residual >= 1 / 1.35) ||
+            math.abs(now(n) - prior(n) * control) <= 0.1) "box-drift"
+        else if (ratios(n) < 1.0) "improvement"
+        else "regression"
+      Flag(n, r3(prior(n)), r3(now(n)),
+        math.rint(ratios(n) * 100) / 100, verdict)
+    }
+    (checked.length, math.rint(control * 1000) / 1000, flagged)
+  }
+
   /** The corpus-shingle family: the bench's heavy tail (>2 s at sf0.1, all
     * re-deriving shingles from the same documents relation). Heavy queries
     * get median-of-5 instead of median-of-3 — same-code rounds have shown
@@ -114,43 +157,9 @@ object Bench {
       java.nio.file.Files.write(p, content.getBytes("UTF-8"))
     }
 
-    // Drift adjudication vs the committed prior band. Envelope: same-code
-    // rounds 6→7 swung individual queries ±30% on this box, so a flat ±15%
-    // would cry wolf — flag only |log-ratio| beyond ×/÷1.35 AND an absolute
-    // move >0.1 s (sub-100 ms queries jitter multiplicatively for free).
-    //
-    // Each flag then carries a VERDICT (the untouched-control rule —
-    // never adjudicate raw numbers on this box, it drifts +17–30% for
-    // hours at a time): control = median now/prev ratio over the checked,
-    // NON-flagged queries >0.2 s (code untouched between bands moves only
-    // with the box). A flag whose ratio, deflated by the control, falls
-    // back inside the envelope (or whose control-adjusted absolute move is
-    // under 0.1 s) is `box-drift`; a residual move beyond it is a real
-    // `regression` (or `improvement` when faster) and needs a bisect.
-    case class Flag(name: String, prev: Double, now: Double, ratio: Double,
-                    verdict: String)
-    def driftReport(): (Int, Double, Seq[Flag]) = {
-      val now = names.map(n => n -> median(samples(n))).toMap
-      val checked = names.filter(n => prior.contains(n) && now.getOrElse(n, 0.0) > 0.0)
-      def outside(ratio: Double, p0: Double, p1: Double): Boolean =
-        (ratio > 1.35 || ratio < 1 / 1.35) && math.abs(p1 - p0) > 0.1
-      val ratios = checked.map(n => n -> now(n) / math.max(prior(n), 1e-9)).toMap
-      val flaggedNames = checked.filter(n => outside(ratios(n), prior(n), now(n)))
-      val controlSet = checked.filterNot(flaggedNames.toSet)
-        .filter(n => now(n) > 0.2).map(ratios)
-      val control = if (controlSet.isEmpty) 1.0 else median(controlSet)
-      val flagged = flaggedNames.map { n =>
-        val residual = ratios(n) / control
-        val verdict =
-          if ((residual <= 1.35 && residual >= 1 / 1.35) ||
-              math.abs(now(n) - prior(n) * control) <= 0.1) "box-drift"
-          else if (ratios(n) < 1.0) "improvement"
-          else "regression"
-        Flag(n, r3(prior(n)), r3(now(n)),
-          math.rint(ratios(n) * 100) / 100, verdict)
-      }
-      (checked.length, math.rint(control * 1000) / 1000, flagged)
-    }
+    // Drift adjudication vs the committed prior band (see [[adjudicate]]).
+    def driftReport(): (Int, Double, Seq[Flag]) =
+      adjudicate(prior, names.map(n => n -> median(samples(n))).toMap, names)
     def summaryLine(repsDone: Int): String = {
       val results = names.map(n => n -> median(samples(n)))
       val byName = results.toMap
