@@ -408,26 +408,49 @@ object Dedup {
     * their pure shapes as the documented baselines. */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double,
-                        dfBlowupFactor: Double = 64.0): DataFrame = {
+                        dfBlowupFactor: Double = 64.0,
+                        postingCap: Int = StopBucketDf): DataFrame = {
     val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
-    // The gate measures Σ df / Σ df² from a COUNT aggregation (long
-    // partials, map-side combined) — never from materialized posting
-    // lists: building collect_list arrays just to measure them would hold
-    // one giant in-memory buffer per corpus-stopword key on EXACTLY the
-    // skewed corpora the gate exists to route away (executor OOM / 2 GB
-    // array risk; the sort-based spill fallback spills across keys, not
-    // within one key's buffer). The cheap branch then pays one (vocab-
-    // keyed, tiny-partial) regroup to build the lists it consumes — small
-    // next to the skew exposure of measuring on them, and the lists it
-    // does build are bounded by the gate's own math: every df ≤
-    // √(Σ df²) ≤ √(factor · |shingle rows|).
-    val cheap = invertedIndexIsCheap(sh, dfBlowupFactor)
+    // ONE corpus-sized aggregation serves both the gate's measurement and
+    // the cheap path's pair substrate, with every buffer BOUNDED: posting
+    // lists build through bounded_collect_list (a key saturates at
+    // StopBucketDf + 1 elements — max ~0.5 MB, never the 2 GB single-array
+    // exposure an unbounded collect_list measurement had on stop-shingle
+    // corpora), while the exact per-key `df` count rides in the same
+    // aggregation even for saturated keys. Task memory stays ∝ task input
+    // rows (each input row appends at most one bounded-buffer element).
+    // The gate reads Σ df / Σ df² / max df in one single-row pass:
+    //  - cheap ∧ max df ≤ cap → consume the postings DIRECTLY (no key
+    //    saturated, so the lists are complete — exactness verified, not
+    //    assumed; zero regroup);
+    //  - cheap ∧ some key saturated (needs Σ df ≥ cap²/factor ≈ 6.7·10⁷
+    //    shingle rows — corpus scale only) → regroup with plain
+    //    collect_list, safe by the gate's own bound df ≤ √(factor·rows);
+    //  - not cheap → prefix path (the bounded measurement cost no skew
+    //    exposure to take).
+    val posting = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"),
+        BoundedCollect.boundedCollectList(col("doc_id"), postingCap).as("ds"))
+      .persist()
+    val st = posting.agg(
+        sum(col("df")).as("rows"),
+        sum(col("df").cast("double") * col("df")).as("sq"),
+        max(col("df")).as("maxdf"))
+      .head()
+    val cheap = !st.isNullAt(0) && st.getDouble(1) <= dfBlowupFactor * st.getLong(0)
     val out =
-      if (cheap) {
-        val posting = sh.groupBy(col("shingle"))
+      if (cheap && st.getLong(2) <= postingCap) {
+        val o = invertedIndexPairsFromPosting(
+          posting.select(col("shingle"), col("ds")), sh, threshold)
+        posting.unpersist()
+        o
+      } else if (cheap) {
+        posting.unpersist()
+        val full = sh.groupBy(col("shingle"))
           .agg(collect_list(col("doc_id")).as("ds"))
-        invertedIndexPairsFromPosting(posting, sh, threshold)
+        invertedIndexPairsFromPosting(full, sh, threshold)
       } else {
+        posting.unpersist()
         val cand = prefixCandidates(sh, threshold)
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -442,11 +465,12 @@ object Dedup {
     * co-occurrence volume Σ df² stays within `factor` × the shingle-row
     * count (i.e. the mean squared document frequency is bounded), so the
     * inverted-index join cannot blow up. Package-visible so the spec can
-    * pin the routing on uniform vs stop-shingle corpora; THIS is the
-    * production gate [[exactJaccardPairs]] runs — a count aggregation
-    * whose per-key state is one long, deliberately NOT the posting-list
-    * lengths (measuring on materialized lists would buffer a giant array
-    * per hot key on the very corpora being routed away). */
+    * pin the routing on uniform vs stop-shingle corpora. The production
+    * gate inside [[exactJaccardPairs]] computes the identical ratio from
+    * the exact `df` column of its shared posting aggregation — whose list
+    * buffers are BOUNDED (bounded_collect_list), so the measurement
+    * carries none of the per-hot-key array exposure a plain collect_list
+    * measurement would. */
   private[graft] def invertedIndexIsCheap(sh: DataFrame,
                                           factor: Double): Boolean = {
     // Σ df² in double, not Long: a single corpus-stopword shingle with

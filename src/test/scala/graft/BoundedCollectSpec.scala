@@ -83,6 +83,28 @@ class BoundedCollectSpec extends SparkSpec {
     assert(full.count() === 3 + 15) // default cap keeps the 6-item container
   }
 
+  test("exactJaccardPairs: saturated-measurement corner regroups and stays exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val expected = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // postingCap=2: shared shingles have df=3 → the bounded measurement
+    // saturates, the gate still reads exact counts, and the cheap branch
+    // must take the regroup path — output identical to the pure shape
+    val viaRegroup = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        postingCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaRegroup === expected)
+    // default cap: nothing saturates, postings consumed directly
+    val direct = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct === expected)
+  }
+
   test("simhashPairs banded path is unchanged by the stop-bucket cap at fixture scale") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
