@@ -60,7 +60,11 @@ object Bench {
       val verdict =
         if ((residual <= 1.35 && residual >= 1 / 1.35) ||
             math.abs(now(n) - prior(n) * control) <= 0.1) "box-drift"
-        else if (ratios(n) < 1.0) "improvement"
+        // direction from the RESIDUAL, not the raw ratio: relative to the
+        // box a surviving flag may have moved opposite to its raw sign
+        // (possible when borderline sub-0.3s controls push the control
+        // ratio past the envelope)
+        else if (residual < 1.0) "improvement"
         else "regression"
       Flag(n, r3(prior(n)), r3(now(n)),
         math.rint(ratios(n) * 100) / 100, verdict)

@@ -288,7 +288,7 @@ object Dedup {
     * of accumulating both generations. */
   def appendLshBands(state: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, shingleK: Int, numHashes: Int,
-                     numBands: Int): (DataFrame, DataFrame) = {
+                     numBands: Int, maxDf: Int = StopBucketDf): (DataFrame, DataFrame) = {
     val newBands = bands(
       minhashSignaturesHashed(shingleHashRaw(docs, idCol, textCol, shingleK), numHashes),
       numHashes, numBands).localCheckpoint(true)
@@ -296,9 +296,34 @@ object Dedup {
       .join(newBands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .union(newBands)
       .localCheckpoint(true)
-    val a = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
-    val b = all.select(col("doc_id").as("y"), col("band_idx"), col("band_key"))
-    val delta = a.join(b, Seq("band_idx", "band_key"))
+    // Stop-bucket discipline for the delta — the STREAMING twin of
+    // [[candidatePairs]]' cap, without which the boilerplate-corpus attack
+    // the batch path is hardened against would just arrive through the
+    // ingest sink instead: a standing bucket over maxDf members emits df²
+    // delta rows from one batch otherwise. Cost model preserved from the
+    // plain new×all join: the standing bands are SCANNED ONCE, STREAMED
+    // (the broadcast semi-join against the batch's keys shuffles nothing
+    // standing-sized); only the batch-touched rows — new-proportional,
+    // except exactly when a touched bucket is hot — reach the bounded
+    // posting aggregation, whose saturating buffers drop hot buckets as
+    // null lists, so each new band row fans out ≤ maxDf. Parity note: a
+    // bucket CROSSING the cap mid-stream contributed pairs in earlier
+    // deltas that a from-scratch batch run (which drops the whole bucket)
+    // would not emit — the incremental union is a bounded superset exactly
+    // on saturated buckets; below the cap (every fixture) the union is
+    // exact, as the parity spec pins.
+    // no .distinct() on the broadcast side: the semi-join's hash build
+    // dedups for free, and the distinct would cost a (batch-sized) shuffle
+    // per micro-batch
+    val newKeys = newBands.select(col("band_idx"), col("band_key"))
+    val posting = all
+      .join(broadcast(newKeys), Seq("band_idx", "band_key"), "left_semi")
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(BoundedCollect.boundedCollectList(col("doc_id"), maxDf).as("ys"))
+      .filter(col("ys").isNotNull)
+    val delta = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
+      .join(posting, Seq("band_idx", "band_key"))
+      .select(col("x"), explode(col("ys")).as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
               greatest(col("x"), col("y")).as("doc_b"))
@@ -510,9 +535,19 @@ object Dedup {
     *    band_val) is exact, not approximate — the quadratic step touches
     *    only pairs sharing a band bucket. This is the path that holds at
     *    corpus scale (wider signatures → wider bands → sharper buckets).
-    */
+    *
+    * SIZE `bits` TO THE CORPUS (same rule as `Similarity.nearDupPairsLsh`):
+    * a band's key space is 2^(bits/(maxDist+1)) values, and buckets over
+    * `maxDf` drop as stop-buckets — with 16-bit signatures and maxDist 3
+    * that is 4-bit keys, whose buckets ALL saturate once the corpus
+    * passes ~10⁶ docs (the banded path's exactness then degrades to
+    * missed pairs rather than the join exploding). Use 64-bit signatures
+    * at corpus scale so expected bucket membership |corpus| / 2^width
+    * stays well under maxDf; a hot bucket then means near-constant
+    * documents, which is the degeneracy the cap exists to drop. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, bits: Int,
-                   maxDist: Int, broadcastDocs: Long = 100000): DataFrame = {
+                   maxDist: Int, broadcastDocs: Long = 100000,
+                   maxDf: Int = StopBucketDf): DataFrame = {
     val sig = simhash(docs, idCol, textCol, bits).persist()
     val numBands = maxDist + 1
     val out =
@@ -552,7 +587,7 @@ object Dedup {
         // it is the n² blow-up banding exists to avoid.
         banded.groupBy(col("band_idx"), col("band_val"))
           .agg(BoundedCollect.boundedCollectList(
-            struct(col("doc_id"), col("simhash")), StopBucketDf).as("ds"))
+            struct(col("doc_id"), col("simhash")), maxDf).as("ds"))
           .filter(col("ds").isNotNull && size(col("ds")) >= 2)
           .select(col("ds"), posexplode(col("ds")).as(Seq("i", "pa")))
           .select(col("pa"), explode(

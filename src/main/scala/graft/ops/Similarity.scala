@@ -306,10 +306,21 @@ object Similarity {
     * sign(v·h_j), cosine-close vectors collide with prob 1 − θ/π per bit),
     * join within bands, then verify candidates with exact cosine. Output ⊆
     * the exact variant (LSH recall < 1); at 100 TB this replaces the
-    * quadratic broadcast with |corpus|·bands bucket rows. */
+    * quadratic broadcast with |corpus|·bands bucket rows.
+    *
+    * SIZE nBits TO THE CORPUS: a band's key space is only
+    * 2^(nBits/nBands) values (16 with the defaults), so expected bucket
+    * membership is |corpus| / 2^width — buckets over `maxDf` drop as
+    * stop-buckets ([[graft.ops.Dedup.postingPairs]]), and with the default
+    * 4-bit bands that is EVERY bucket once the corpus passes ~10⁶ rows
+    * (recall collapses toward zero rather than the join exploding).
+    * At 10⁸+ rows use nBits ≥ 64 with 4–8 bands (8–16-bit keys), keeping
+    * |corpus| / 2^width comfortably under maxDf; hot buckets then indicate
+    * genuinely degenerate sign patterns, which is what the cap is for. */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nBits: Int = 16,
-                      nBands: Int = 4): DataFrame = {
+                      nBands: Int = 4,
+                      maxDf: Int = graft.ops.Dedup.StopBucketDf): DataFrame = {
     // distribute bits evenly so every band is non-empty: nBands > nBits
     // would give r=0/mask=0 — every row in ONE bucket, the candidate join
     // degenerates to all-pairs; non-divisible configs would silently drop
@@ -333,7 +344,7 @@ object Similarity {
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
     // posting-list pair generation per bucket — see Dedup.postingPairs
-    val cand = Dedup.postingPairs(banded, Seq("band", "key"), idCol)
+    val cand = Dedup.postingPairs(banded, Seq("band", "key"), idCol, maxDf)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")).distinct()
     val a = signed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = signed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))

@@ -179,10 +179,19 @@ object AnnRewrite {
     * user selectivity. Over-escalation is benign (more recall, less
     * pruning); the cap keeps it bounded. */
   private[plans] def estimateSelectivity(plan: LogicalPlan,
-      stats: Option[IvfIndex.IndexStats] = None): Double = {
+      stats: Option[IvfIndex.IndexStats] = None,
+      anchor: Option[ExprId] = None): Double = {
     val leafAttrs = AttributeSet(plan.collectLeaves().flatMap(_.output))
+    // Measured stats describe the INDEX's table only. `anchor` (the
+    // embedding column's ExprId) pins them to the leaf relation that
+    // carries it: a joined dimension table's same-named column must fall
+    // back to the textbook constants, not inherit the index's NDV.
+    val statAttrs: AttributeSet = anchor.flatMap { id =>
+      plan.collectLeaves().find(_.output.exists(_.exprId == id))
+        .map(l => AttributeSet(l.output))
+    }.getOrElse(leafAttrs)
     def colStats(a: AttributeReference): Option[IvfIndex.ColStats] =
-      stats.flatMap(_.cols.get(a.name))
+      if (statAttrs.contains(a)) stats.flatMap(_.cols.get(a.name)) else None
     def eqSel(a: AttributeReference): Double =
       colStats(a).map(cs => math.min(1.0, 1.0 / math.max(cs.ndv, 1L).toDouble))
         .getOrElse(0.1)
@@ -305,7 +314,7 @@ object AnnRewrite {
       // escalation would cover every cluster (or, with stats, every ROW),
       // the guard below declines the rewrite — a full probe IS the exact
       // scan, minus the benefit.
-      sel = estimateSelectivity(s.child, meta.stats)
+      sel = estimateSelectivity(s.child, meta.stats, Some(emb.exprId))
       effProbe = if (sel >= 1.0) nProbe
                  else math.max(nProbe,
                    math.min(math.ceil(nProbe / sel), nProbe * maxBoost).toInt)

@@ -82,7 +82,13 @@ object Readers {
     *
     * Pass `schema` for tables whose partition-column types matter
     * (inference reads a string tenant "0" back as int) — same pinning
-    * rule as the writers themselves. */
+    * rule as the writers themselves.
+    *
+    * CONCURRENCY: inherits the write path's single-writer contract
+    * (`Writers.mergePartitioned`) — do not call while a merge is LIVE on
+    * the same table, since a heal observing the retire-to-promote window
+    * would promote the retired copy back under the writer. Concurrent
+    * readers healing the same crash orphan are safe (tolerant rename). */
   def table(spark: SparkSession, path: String,
             schema: Option[StructType] = None): DataFrame = {
     Writers.healPartitions(spark, path)

@@ -108,6 +108,15 @@ object Writers {
     *    its new complete contents (or its old contents under the retired
     *    root, which heal restores); an at-least-once re-run converges.
     *
+    * CONCURRENCY CONTRACT — single writer per table: two concurrent
+    * merges on one path race each other's tmp/touch/retired directories
+    * (plain parquet has no lock; use a table format for multi-writer).
+    * Likewise, [[healPartitions]] (including via
+    * [[graft.sources.Readers.table]]) must not run concurrently with a
+    * LIVE merge on the same table — a heal observing the retire-to-promote
+    * window would promote the retired copy back under the writer.
+    * Crash-then-heal (no live writer) and concurrent healers are safe.
+    *
     * Returns the table-relative touched directory names (what a caller
     * audits to confirm rewrite scope). */
   def mergePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -257,7 +266,13 @@ object Writers {
       val main = p(path + "/" + rel)
       if (!fs.exists(main)) {
         fs.mkdirs(main.getParent)
-        require(fs.rename(retired, main), s"healPartitions: rename $retired -> $main failed")
+        // tolerant to a concurrent HEALER (two readers healing the same
+        // orphan race this rename; the loser is fine iff the partition is
+        // now in place). Concurrent live WRITERS are outside the contract
+        // — see the single-writer note on [[mergePartitioned]].
+        if (!fs.rename(retired, main))
+          require(fs.exists(main),
+            s"healPartitions: rename $retired -> $main failed and $main still missing")
       }
     }
   }

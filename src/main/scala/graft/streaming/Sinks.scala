@@ -254,9 +254,25 @@ object Sinks {
       .localCheckpoint(true)
     Writers.upsertPartitioned(spark, path, newBands, "doc_id", partitionCols)
     val standing = spark.read.schema(newBands.schema).parquet(path)
+    // same stop-bucket discipline as Dedup.appendLshBands: the standing
+    // bands are scanned once, STREAMED (broadcast semi-join against the
+    // batch's keys — nothing standing-sized shuffles); only the touched
+    // rows reach the bounded posting aggregation, so a boilerplate bucket
+    // over StopBucketDf members drops instead of emitting df² delta rows
+    // from one batch
+    // no .distinct() on the broadcast side: the semi-join's hash build
+    // dedups for free, and the distinct would cost a (batch-sized) shuffle
+    // per micro-batch
+    val newKeys = newBands.select(col("band_idx"), col("band_key"))
+    val posting = standing
+      .join(broadcast(newKeys), Seq("band_idx", "band_key"), "left_semi")
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(graft.ops.BoundedCollect.boundedCollectList(
+        col("doc_id"), graft.ops.Dedup.StopBucketDf).as("ys"))
+      .filter(col("ys").isNotNull)
     val delta = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
-      .join(standing.select(col("doc_id").as("y"), col("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
+      .join(posting, Seq("band_idx", "band_key"))
+      .select(col("x"), explode(col("ys")).as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
               greatest(col("x"), col("y")).as("doc_b"))

@@ -105,6 +105,26 @@ class BoundedCollectSpec extends SparkSpec {
     assert(direct === expected)
   }
 
+  test("appendLshBands delta join drops standing stop-buckets (streaming twin of the cap)") {
+    // four identical docs → every band bucket holds all of them; folding a
+    // fifth copy makes each bucket df=5. With maxDf=3 the delta join must
+    // drop every (saturated) bucket; with the default cap it pairs the new
+    // doc against all four standing docs.
+    val base = (1L to 4L).map(d => (d, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Dedup.bands(Dedup.minhashSignatures(
+        Dedup.shingleRaw(base.limit(0), "doc_id", "text", 3), 16), 16, 4).schema)
+    val (state, _) = Dedup.appendLshBands(empty, base, "doc_id", "text", 3, 16, 4)
+    val newDoc = Seq((99L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (_, capped) = Dedup.appendLshBands(state, newDoc, "doc_id", "text", 3, 16, 4, maxDf = 3)
+    assert(capped.count() === 0, "saturated standing buckets must drop from the delta")
+    val (_, full) = Dedup.appendLshBands(state, newDoc, "doc_id", "text", 3, 16, 4)
+    assert(full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === (1L to 4L).map(d => (d, 99L)).toSet)
+  }
+
   test("simhashPairs banded path is unchanged by the stop-bucket cap at fixture scale") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -54,4 +54,19 @@ class SelectivitySpec extends graft.SparkSpec {
     assert(math.abs(
       sel($"grp" === "x" && $"id" === 7L, stats) - (1.0 / 20) * 0.1) < 1e-12)
   }
+
+  test("anchored stats never leak onto a same-named column from another relation") {
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("did", "grp").localCheckpoint(true)
+    val joined = df.join(dim, df("id") === dim("did"))
+    def plan(c: Column) = joined.filter(c).queryExecution.analyzed
+    def anchorOf(name: String) = plan(lit(true)).collectLeaves()
+      .flatMap(_.output).find(_.name == name).get.exprId
+    val anchor = Some(anchorOf("acl")) // acl lives on the index-side leaf
+    // filter on the INDEX table's grp: measured 1/20
+    assert(AnnRewrite.estimateSelectivity(
+      plan(df("grp") === "x"), stats, anchor) === 1.0 / 20)
+    // filter on the DIM table's same-named grp: textbook 0.1, never 1/20
+    assert(AnnRewrite.estimateSelectivity(
+      plan(dim("grp") === "x"), stats, anchor) === 0.1)
+  }
 }
