@@ -1092,6 +1092,58 @@ object ScaleSmoke {
       assert(hotDiff == 0, "capped pairs differ from healthy-only ground truth")
       assert(hotSecs < 120,
         f"hot-bucket tier took $hotSecs%.1f s — the df cap is not bounding work")
+
+      // ---- The STREAMING twin: the same hot bucket arriving through the
+      // ingest delta (appendLshBands' new×all against a standing table
+      // holding the 10⁵-member bucket). The bounded posting step must keep
+      // the batch's delta to the healthy buckets' pairs and finish in
+      // seconds — uncapped, one batch doc in the hot bucket fans out 10⁵
+      // delta rows per shared band, and a boilerplate BATCH would emit
+      // df² of them. State is fabricated directly in the band schema
+      // (deterministic synthetic keys), so this tier times ONLY the delta
+      // step, not corpus shingling.
+      {
+        import spark.implicits._
+        val standing = bands.select(col("doc_id"),
+            col("band_idx"), col("band_key").cast("string").as("band_key"))
+          .localCheckpoint(true)
+        // one new doc landing in the hot bucket AND one healthy bucket
+        val newDoc = Seq((999999999L, 1, "HOT"), (999999999L, 0, "b42"))
+          .toDF("doc_id", "band_idx", "band_key")
+        val td = System.nanoTime()
+        // same shape as Dedup.appendLshBands' delta: touched-key bounded
+        // posting (via the production postingPairs buffer bound), joined
+        // from the new side
+        val posting = standing
+          .join(broadcast(newDoc.select(col("band_idx"), col("band_key"))),
+            Seq("band_idx", "band_key"), "left_semi")
+          .groupBy(col("band_idx"), col("band_key"))
+          .agg(graft.ops.BoundedCollect.boundedCollectList(
+            col("doc_id"), graft.ops.Dedup.StopBucketDf).as("ys"))
+          .filter(col("ys").isNotNull)
+        val delta = newDoc.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
+          .join(posting, Seq("band_idx", "band_key"))
+          .select(col("x"), explode(col("ys")).as("y"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("doc_a"),
+                  greatest(col("x"), col("y")).as("doc_b"))
+          .distinct()
+          .localCheckpoint(true)
+        val nDelta = delta.count()
+        val dSecs = (System.nanoTime() - td) / 1e9
+        val hotLeaked = delta
+          .filter(col("doc_a") >= 10000000L && col("doc_a") < 999999999L).count() +
+          delta.filter(col("doc_b") >= 10000000L && col("doc_b") < 999999999L).count()
+        val healthyBucketSize = standing
+          .filter(col("band_idx") === 0 && col("band_key") === "b42").count()
+        println(f"[scale-smoke] delta-hot-bucket: delta=$nDelta " +
+          f"healthyBucket=$healthyBucketSize seconds=$dSecs%.1f hotLeaked=$hotLeaked")
+        assert(hotLeaked == 0, "hot standing bucket leaked into the streaming delta")
+        assert(nDelta == healthyBucketSize,
+          s"delta should pair the new doc with exactly the healthy bucket's members")
+        assert(dSecs < 60,
+          f"streaming delta tier took $dSecs%.1f s — the bound is not holding")
+      }
     }
 
     // ---- Bounded top-k at size: 8M scored rows × 20k groups through the
