@@ -31,9 +31,13 @@ import graft.functions.CosineSimilarity
   *  - The rule fires only when: the sort key is `CosineSimilarity` of a
   *    registered embedding column against a LITERAL query vector (dot-product
   *    keys stay exact — MIPS doesn't track L2-centroid proximity), the
-  *    plan below the sort still exposes the index's cluster column, and the
-  *    registered row count exceeds `spark.graft.ann.fullScanThreshold` —
-  *    below that an exact scan is cheaper than it is wrong.
+  *    plan's embedding attribute provably ORIGINATES at the registered
+  *    assignment relation (ExprId lineage, or the same files for re-read
+  *    tables — a same-session table merely sharing the column names is
+  *    left exact), the plan below the sort still exposes the index's
+  *    cluster column, and the registered row count exceeds
+  *    `spark.graft.ann.fullScanThreshold` — below that an exact scan is
+  *    cheaper than it is wrong.
   *  - Probed clusters are chosen driver-side from the registered centroids
   *    (nearest by L2², ties by id — same order as `IvfIndex.probeClusters`),
   *    so optimization never launches a Spark job.
@@ -72,15 +76,30 @@ object AnnRewrite {
         * instead of the textbook fallback constants, and the
         * pruning-must-prune guard weighs probed ROW MASS instead of
         * cluster count. */
-      stats: Option[IvfIndex.IndexStats] = None)
+      stats: Option[IvfIndex.IndexStats] = None,
+      /** The registered assignment relation's own embedding-column ExprId —
+        * the index IDENTITY. The rule fires only on plans whose embedding
+        * attribute is this very attribute (same DataFrame lineage) or, when
+        * the serving session re-read the table from disk (fresh ExprIds),
+        * originates at a file relation reading [[originPaths]]. A
+        * same-session table that merely SHARES the column names can no
+        * longer inherit this index's centroids. */
+      embExprId: Option[ExprId] = None,
+      /** Root paths of the file relations under the registered assignment
+        * plan — the disk-identity fallback for re-read tables. Empty for
+        * purely in-memory assignments (exprId lineage is then the only
+        * accepted identity). */
+      originPaths: Set[String] = Set.empty)
 
   /** Registry scoped PER SESSION (weak keys — dropping the session drops its
-    * indexes), keyed by embedding column name within it. The column name is
-    * the index identity, mirroring the reference's one-collection-per-
-    * embedding-space model (`memory_graph.py:6085-6127`): give each indexed
-    * corpus a distinct embedding column name; two same-session tables
-    * sharing both `embCol` and `clusterCol` names would be indistinguishable
-    * to the rule. */
+    * indexes), keyed by embedding column name within it — the lookup key,
+    * mirroring the reference's one-collection-per-embedding-space model
+    * (`memory_graph.py:6085-6127`). The key is NOT the identity: the rule
+    * additionally requires the plan's embedding attribute to ORIGINATE at
+    * the registered assignment relation (ExprId lineage, or the same file
+    * paths for re-read tables — see [[RegisteredIndex.embExprId]]), so two
+    * same-session tables sharing `embCol`+`clusterCol` names cannot cross-
+    * contaminate: only the registered one's plans are rewritten. */
   private val indexes =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, RegisteredIndex]]()
 
@@ -106,10 +125,17 @@ object AnnRewrite {
       (id, vec)
     }
     val cents = centsF.map { case (id, v) => (id, v.map(_.toDouble)) }
+    // identity capture: the assignment relation's own embedding attribute
+    // (analysis-time, no jobs) plus the file paths under its plan — what
+    // originMatches checks before any plan is rewritten
+    val analyzed = index.assigned.queryExecution.analyzed
+    val embId = analyzed.output.find(_.name == embCol).map(_.exprId)
+    val paths = leafFilePaths(analyzed)
     indexes.synchronized {
       var m = indexes.get(spark)
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
-      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows, centsF, stats))
+      m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows, centsF,
+        stats, embId, paths))
     }
     // newSession()/cloneSession copy extraOptimizations, so a rule bound to
     // ANOTHER session may sit in this session's list. It would run first,
@@ -140,6 +166,48 @@ object AnnRewrite {
     case d: Double => d
     case n: Number => n.doubleValue()
   }
+
+  /** Root paths of every file relation under `plan` (V1 parquet scans —
+    * what every stored assignment table reads through). */
+  private def leafFilePaths(plan: LogicalPlan): Set[String] =
+    plan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.toSet
+
+  /** Does the plan's embedding attribute originate at the REGISTERED
+    * assignment relation? Three accepted proofs, strongest first:
+    *  1. ExprId lineage — the plan composes from the very DataFrame that
+    *     was registered (DataFrame ops preserve attribute ExprIds, so this
+    *     covers every build-then-query flow including the synthesized-
+    *     assignment placement over the build corpus);
+    *  2. disk identity — the attribute's leaf is a file relation reading
+    *     (some of) the same root paths the registered assignment reads: a
+    *     serving session that re-reads the standing table gets fresh
+    *     ExprIds but the same files;
+    *  3. legacy registration (no captured identity) — name-only, the
+    *     pre-identity behavior, kept so hand-rolled RegisteredIndex tests
+    *     and synthesized registrations without an assignment plan still
+    *     work.
+    * Anything else — in particular a same-session table that merely shares
+    * the embedding column NAME — is declined: pruning it with this index's
+    * centroids would silently drop the wrong table's rows. */
+  private def originMatches(emb: AttributeReference, plan: LogicalPlan,
+                            meta: RegisteredIndex): Boolean =
+    meta.embExprId match {
+      case None => true
+      case Some(id) if id == emb.exprId => true
+      case Some(_) =>
+        meta.originPaths.nonEmpty && plan.collectLeaves().exists { l =>
+          l.output.exists(_.exprId == emb.exprId) &&
+            leafFilePaths(l).exists(meta.originPaths.contains)
+        }
+    }
 
   private[plans] def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan = {
     val idx = indexesFor(session).getOrElse(return plan)
@@ -186,10 +254,18 @@ object AnnRewrite {
     // embedding column's ExprId) pins them to the leaf relation that
     // carries it: a joined dimension table's same-named column must fall
     // back to the textbook constants, not inherit the index's NDV.
-    val statAttrs: AttributeSet = anchor.flatMap { id =>
-      plan.collectLeaves().find(_.output.exists(_.exprId == id))
-        .map(l => AttributeSet(l.output))
-    }.getOrElse(leafAttrs)
+    val statAttrs: AttributeSet = anchor match {
+      case None => leafAttrs
+      case Some(id) =>
+        // anchor given but unresolved (the emb column is derived/re-aliased
+        // below the Sort, so no leaf outputs its ExprId): claim NO stats —
+        // falling back to all leaves would let a joined dimension table's
+        // same-named column inherit the index's measured NDV, the exact
+        // leak the anchor exists to prevent. Textbook constants apply.
+        plan.collectLeaves().find(_.output.exists(_.exprId == id))
+          .map(l => AttributeSet(l.output))
+          .getOrElse(AttributeSet.empty)
+    }
     def colStats(a: AttributeReference): Option[IvfIndex.ColStats] =
       if (statAttrs.contains(a)) stats.flatMap(_.cols.get(a.name)) else None
     def eqSel(a: AttributeReference): Double =
@@ -304,6 +380,11 @@ object AnnRewrite {
       threshold: Long, nProbe: Int, maxBoost: Double): Option[Sort] = {
     for {
       meta <- idx.get(emb.name)
+      // the name is only the lookup key — the plan's embedding attribute
+      // must provably originate at the registered relation (ExprId lineage
+      // or disk identity), else a same-named table would be pruned with the
+      // WRONG index's centroids
+      if originMatches(emb, s.child, meta)
       if meta.rows > threshold
       qv <- literalVec(q)
       if meta.centroids.nonEmpty && meta.centroids.head._2.length == qv.length

@@ -376,6 +376,63 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("index identity is relation-bound: a same-session table sharing " +
+    "emb/centroid_id NAMES is left exact; only the registered one is pruned") {
+    val idxA = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    // an unrelated table with IDENTICAL column names (emb, centroid_id) —
+    // before the identity binding the rule would prune ITS scan with A's
+    // centroids, silently dropping rows of the wrong table
+    val idxB = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      AnnRewrite.register(spark, idxA, "emb", rows = 400)
+
+      val onA = topK(idxA.assigned, query, 10).queryExecution.optimizedPlan.toString
+      assert(onA.contains(" IN "), s"registered table lost its rewrite:\n$onA")
+
+      val onB = topK(idxB.assigned, query, 10)
+      assert(!onB.queryExecution.optimizedPlan.toString.contains(" IN "),
+        "unregistered same-named table must stay exact")
+      // and it really is exact: all 10 of cluster-2's best rows, no pruning
+      val exact = topK(idxB.assigned, query, 10).select("id").as[Long].collect().toSet
+      assert(exact.size === 10)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
+  test("disk identity: a FRESH read of the registered table's files (new " +
+    "ExprIds) is still rewritten; a different table at another path is not") {
+    val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ann-identity").toString
+    idx.assigned.write.parquet(dir + "/assigned")
+    idx.assigned.write.parquet(dir + "/other") // same schema, different path
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      // register over one read; query over an INDEPENDENT read — the
+      // serving-session shape (per-query re-reads get fresh ExprIds)
+      val registeredRead = spark.read.parquet(dir + "/assigned")
+      AnnRewrite.register(spark,
+        IvfIndex.Index(idx.centroids, registeredRead), "emb", rows = 400)
+
+      val fresh = topK(spark.read.parquet(dir + "/assigned"), query, 10)
+      assert(fresh.queryExecution.optimizedPlan.toString.contains(" IN "),
+        "re-read of the registered files must keep the rewrite (path identity)")
+
+      val other = topK(spark.read.parquet(dir + "/other"), query, 10)
+      assert(!other.queryExecution.optimizedPlan.toString.contains(" IN "),
+        "a different table at another path must stay exact")
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {

@@ -271,11 +271,12 @@ class ReviewFixesSpec extends SparkSpec {
     assert(out.columns.contains("centroid_id"))
   }
 
-  test("ivfAssign: array<double> centroids and extra centroid columns take the join path") {
+  test("ivfAssign: array<double> centroids cast onto the inline path; extra centroid columns take the join path") {
     val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("id", "vec")
-    // double-typed centroid vectors: the inline path's getSeq[Float] would
-    // ClassCastException — must route to the (implicit-casting) join shape
+    // double-typed centroid vectors: ivfAssign casts them to float up
+    // front, so a 2-column double table takes the INLINE path safely — what
+    // this pins is the assignment MAP (identical distances either way)
     val dblCents = Seq((1, Array(0.9, 0.1)), (2, Array(0.1, 0.9)))
       .toDF("centroid_id", "cvec")
     val a = graft.ops.Similarity.ivfAssign(corpus, dblCents, "id", "vec")
