@@ -1093,6 +1093,22 @@ object ScaleSmoke {
       assert(hotSecs < 120,
         f"hot-bucket tier took $hotSecs%.1f s — the df cap is not bounding work")
 
+      // ---- Drop AUDIT on the same adversarial corpus ("no silent caps"):
+      // the report must count exactly the one saturated bucket and its
+      // 10⁵-row dropped mass — what the capped run above silently skipped
+      // is now a measured, surfaced number.
+      val audit = Dedup.stopBucketAudit(bands,
+        Seq("band_idx", "band_key"), "doc_id").head()
+      println(s"[scale-smoke] drop-audit: buckets=${audit.getLong(0)} " +
+        s"stop=${audit.getLong(1)} dropped=${audit.getLong(2)} " +
+        s"total=${audit.getLong(3)}")
+      assert(audit.getLong(1) == 1L,
+        s"audit must count exactly the HOT bucket, got ${audit.getLong(1)}")
+      assert(audit.getLong(2) == 100000L,
+        s"audit must count the hot bucket's full row mass, got ${audit.getLong(2)}")
+      assert(audit.getLong(3) == 2100000L,
+        s"audit total_rows must cover the whole band relation, got ${audit.getLong(3)}")
+
       // ---- The STREAMING twin: the same hot bucket arriving through the
       // ingest delta (appendLshBands' new×all against a standing table
       // holding the 10⁵-member bucket). The bounded posting step must keep

@@ -44,20 +44,21 @@ object IvfIndex {
     * value hashes), single-pass, and exact at the cardinalities that
     * matter for selectivity (small NDV); at 100 TB an exact distinct would
     * cost a corpus shuffle for precision the estimator can't use. */
-  def stats(index: Index, filterCols: Seq[String]): IndexStats = {
+  def stats(index: Index, filterCols: Seq[String]): IndexStats =
+    stats(index.assigned, filterCols)
+
+  /** [[stats]] straight from an assignment table — what a maintenance pass
+    * that only holds the standing table (no centroid handle) calls. */
+  def stats(assigned: DataFrame, filterCols: Seq[String]): IndexStats = {
     import org.apache.spark.sql.types.ArrayType
-    val assigned = index.assigned
     val rows = assigned.count()
-    val clusterRows = assigned.groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map { r =>
-        val id = r.get(0) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => other.toString.toInt
-        }
-        id -> r.getLong(1)
-      }.toMap
+    // empty assignment (fresh index, or every row deleted): no clusters, no
+    // measurable column stats — ndv=1/avgLen=0 keeps downstream selectivity
+    // math total (1/ndv stays defined) without an avg-over-zero-rows null
+    if (rows == 0L)
+      return IndexStats(0L, Map.empty,
+        filterCols.map(_ -> ColStats(1L, 0.0)).toMap)
+    val clusterRows = clusterMass(assigned)
     val colStats = filterCols.map { c =>
       assigned.schema(c).dataType match {
         case ArrayType(_, _) =>
@@ -114,6 +115,73 @@ object IvfIndex {
       .toDF("rows", "cluster_ids", "cluster_rows",
         "col_names", "col_ndv", "col_avg_len")
     graft.sources.Writers.swapWrite(df, path)
+  }
+
+  /** Per-cluster row mass of an assignment table — ONE column-pruned
+    * aggregation (at 100 TB with the table partitioned by centroid this is
+    * a metadata-cheap scan of one int column), collected driver-side: the
+    * result is nCentroids rows, bounded by construction. */
+  private[graft] def clusterMass(assigned: DataFrame): Map[Int, Long] =
+    assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map { r =>
+        val id = r.get(0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => other.toString.toInt
+        }
+        id -> r.getLong(1)
+      }.toMap
+
+  /** Refresh the PERSISTED stats' cluster-mass half after maintenance
+    * touched the assignment (a delete purge, a large append): rows and
+    * per-cluster mass are recounted from the standing table — one
+    * column-pruned aggregation — while the build-time column NDV/avgLen
+    * are kept (a maintenance batch moves element cardinalities by at most
+    * its own fraction of the corpus; re-measuring them would rescan every
+    * filter column for precision the selectivity estimator can't use —
+    * schedule a full [[stats]] re-measure with the periodic rebuild
+    * instead). Returns the refreshed stats after atomically persisting
+    * them ([[writeStats]]' swapWrite). */
+  def refreshClusterMass(spark: SparkSession, statsPath: String,
+                         assigned: DataFrame): IndexStats = {
+    val old = readStats(spark, statsPath)
+    val mass = clusterMass(assigned)
+    val st = IndexStats(mass.values.sum, mass, old.cols)
+    writeStats(spark, statsPath, st)
+    st
+  }
+
+  /** Rebuild trigger: a drift this large means probe geometry no longer
+    * matches where the rows actually sit — 20% of row mass would have to
+    * move clusters to restore the build-time shape. Below it, frozen
+    * centroids keep serving fine (appends land where probes look). */
+  val DriftRebuildThreshold: Double = 0.2
+
+  /** Centroid-drift signal for the maintained index: total-variation
+    * distance in [0, 1] between the CURRENT assignment's cluster-mass
+    * distribution and the build-time one ([[stats]] / the persisted
+    * [[readStats]]). `appendBatch` assigns new rows to frozen centroids
+    * forever; when ingest's distribution shifts, new mass piles into few
+    * clusters and probe recall decays with no error signal — this makes
+    * "rebuild now" measurable: compare against
+    * [[DriftRebuildThreshold]]. One aggregation of the assignment table
+    * (same scan class as [[refreshClusterMass]]); same-distribution
+    * appends move the TV distance ~0, a shifted batch moves it by the
+    * batch's corpus fraction times how concentrated it lands. */
+  def driftCheck(assigned: DataFrame, buildStats: IndexStats): Double =
+    driftOf(clusterMass(assigned), buildStats.clusterRows)
+
+  private[graft] def driftOf(cur: Map[Int, Long],
+                             build: Map[Int, Long]): Double = {
+    val n1 = cur.values.sum.toDouble
+    val n0 = build.values.sum.toDouble
+    if (n1 == 0.0 || n0 == 0.0) { if (n1 == n0) 0.0 else 1.0 }
+    else {
+      val keys = cur.keySet ++ build.keySet
+      0.5 * keys.iterator.map(k =>
+        math.abs(cur.getOrElse(k, 0L) / n1 - build.getOrElse(k, 0L) / n0)).sum
+    }
   }
 
   /** Reload stats persisted by [[writeStats]]. */

@@ -142,6 +142,35 @@ object Dedup {
     * a single task. */
   val StopBucketDf: Int = 1 << 16
 
+  /** Max materialized batch band rows the incremental-delta semi-join will
+    * BROADCAST. Streaming micro-batches sit far under this and broadcasting
+    * their keys is the right plan (the standing table streams past a tiny
+    * hash set, nothing standing-sized shuffles). Bulk callers — an entire
+    * corpus dir fed through the maintenance sink as ONE batch — would
+    * collect batch-sized keys to the driver and fail at Spark's broadcast
+    * limit right where the job gets big; past this gate the hint is dropped
+    * and the semi-join shuffles both sides, the shape that scales. ~2²⁰
+    * (band_idx, md5 band_key) rows ≈ 50 MB driver-side — comfortably inside
+    * default driver memory, far under the 8 GB broadcast hard cap. */
+  private[graft] val BroadcastBandKeyRows: Long = 1L << 20
+
+  /** Standing band rows whose (band_idx, band_key) a batch touches — the
+    * shared scoping step of both incremental-delta paths
+    * ([[appendLshBands]], `Sinks.lshIndexAppendPartitioned`). The batch's
+    * own MEASURED size picks the join strategy (`newBands` is materialized
+    * by every caller, so the count is a cheap scan, not a recompute); no
+    * `.distinct()` on the broadcast side — the semi-join's hash build
+    * dedups for free, and the distinct would cost a batch-sized shuffle
+    * per micro-batch. */
+  private[graft] def standingTouched(standing: DataFrame,
+                                     newBands: DataFrame): DataFrame = {
+    val newKeys = newBands.select(col("band_idx"), col("band_key"))
+    val keys =
+      if (newBands.count() <= BroadcastBandKeyRows) broadcast(newKeys)
+      else newKeys
+    standing.join(keys, Seq("band_idx", "band_key"), "left_semi")
+  }
+
   /** Candidate pairs from shared bands (a < b, distinct). Posting-list
     * pair generation per bucket ([[postingPairs]]) — one hash-agg shuffle
     * of the band relation instead of a self-join's two legs; a doc sits
@@ -159,6 +188,39 @@ object Dedup {
   def candidatePairs(bandsDf: DataFrame, maxDf: Int = StopBucketDf): DataFrame =
     postingPairs(bandsDf, Seq("band_idx", "band_key"), "doc_id", maxDf)
       .select("doc_a", "doc_b").distinct()
+
+  /** Drop audit for the bounded posting aggregation — "no silent caps"
+    * made a first-class report. Saturated stop-buckets are CORRECT to drop
+    * (see [[candidatePairs]]) but were invisible: a corpus where 30% of
+    * band mass is stop-bucketed reads as "deduped" when recall actually
+    * degraded. One aggregation, single row out:
+    *
+    *   n_buckets · n_stop_buckets · dropped_rows · total_rows
+    *
+    * where `dropped_rows` is the row MASS in saturated buckets (each such
+    * row lost all its pairings through this key). The audit runs the SAME
+    * `bounded_collect_list` the pair generators run — `ds IS NULL` is the
+    * drop signal, with the exact `df` riding beside it in the same buffer-
+    * bounded aggregation (the [[exactJaccardPairs]] gate's device), so
+    * what it counts is what the operator actually dropped, not a parallel
+    * re-derivation that could drift. `ds IS NULL ⇔ df > maxDf` is
+    * oracle-pinned by the declared audit query. Curation reports
+    * (q300-family) surface it next to dedup rates; a ScaleSmoke tier pins
+    * non-zero, correctly-counted drops on the adversarial hot-bucket
+    * corpus. Reference analog: Qdrant surfaces index status/thresholds
+    * explicitly rather than degrading silently
+    * (`memory_graph.py:1036-1057`). */
+  def stopBucketAudit(rel: DataFrame, keyCols: Seq[String], idCol: String,
+                      maxDf: Int = StopBucketDf): DataFrame =
+    rel.groupBy(keyCols.map(col): _*)
+      .agg(count(col(idCol)).as("df"),
+        BoundedCollect.boundedCollectList(col(idCol), maxDf).as("ds"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("ds").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_stop_buckets"),
+        coalesce(sum(when(col("ds").isNull, col("df")).otherwise(0L)), lit(0L))
+          .as("dropped_rows"),
+        coalesce(sum(col("df")), lit(0L)).as("total_rows"))
 
   /** Exact Jaccard for given candidate pairs. The intersection is computed
     * by expanding the CANDIDATE pairs through the shingle index (two joins
@@ -311,13 +373,10 @@ object Dedup {
     // deltas that a from-scratch batch run (which drops the whole bucket)
     // would not emit — the incremental union is a bounded superset exactly
     // on saturated buckets; below the cap (every fixture) the union is
-    // exact, as the parity spec pins.
-    // no .distinct() on the broadcast side: the semi-join's hash build
-    // dedups for free, and the distinct would cost a (batch-sized) shuffle
-    // per micro-batch
-    val newKeys = newBands.select(col("band_idx"), col("band_key"))
-    val posting = all
-      .join(broadcast(newKeys), Seq("band_idx", "band_key"), "left_semi")
+    // exact, as the parity spec pins. standingTouched gates the batch-key
+    // broadcast on the batch's measured size — bulk callers fall back to a
+    // shuffle semi-join instead of a driver-breaking broadcast.
+    val posting = standingTouched(all, newBands)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(BoundedCollect.boundedCollectList(col("doc_id"), maxDf).as("ys"))
       .filter(col("ys").isNotNull)

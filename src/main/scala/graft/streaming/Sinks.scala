@@ -260,12 +260,10 @@ object Sinks {
     // rows reach the bounded posting aggregation, so a boilerplate bucket
     // over StopBucketDf members drops instead of emitting df² delta rows
     // from one batch
-    // no .distinct() on the broadcast side: the semi-join's hash build
-    // dedups for free, and the distinct would cost a (batch-sized) shuffle
-    // per micro-batch
-    val newKeys = newBands.select(col("band_idx"), col("band_key"))
-    val posting = standing
-      .join(broadcast(newKeys), Seq("band_idx", "band_key"), "left_semi")
+    // Dedup.standingTouched gates the batch-key broadcast on the batch's
+    // measured size (bulk callers fall back to a shuffle semi-join) and
+    // skips the per-batch distinct — the semi-join's hash build dedups free
+    val posting = graft.ops.Dedup.standingTouched(standing, newBands)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(graft.ops.BoundedCollect.boundedCollectList(
         col("doc_id"), graft.ops.Dedup.StopBucketDf).as("ys"))
@@ -282,6 +280,87 @@ object Sinks {
       val pairs = delta.withColumn("pair_key",
         to_json(struct(col("doc_a"), col("doc_b"))))
       keyedUpsert(pp, "pair_key")(pairs, batchId)
+    }
+  }
+
+  /** Resolve a standing table's schema through the swap-crash window: the
+    * primary directory, or the retired `.swap.old` copy a crash between
+    * retire and promote left behind ([[Writers.readSnapshot]]'s contract).
+    * None = the table was never written — deletes against it are no-ops. */
+  private def standingSchema(spark: org.apache.spark.sql.SparkSession,
+                             path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(spark.read.parquet(path).schema)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path + ".swap.old")))
+      Some(spark.read.parquet(path + ".swap.old").schema)
+    else None
+  }
+
+  /** DELETE propagation into the standing IVF assignment — the missing
+    * half of [[indexAppend]]'s lifecycle. The reference purges its vector
+    * stores as part of EVERY memory delete (`memory_graph.py:9200-9459`
+    * `delete_memory_item`, `:14079-14213` parallel index deletes) — a doc
+    * removed from the corpus must stop being probe-able immediately, not
+    * at the next periodic rebuild (GDPR, not cosmetics). Mechanics: an
+    * anti-join purge of the assignment snapshot — full-table
+    * [[Writers.swapWrite]] when unpartitioned, the partition-scoped
+    * [[Writers.deletePartitioned]] (write amplification ∝ the victims'
+    * partitions, crash-healed) when `partitionCols` is given, in which
+    * case `victims` must carry them (a GDPR delete knows the tenant).
+    * Idempotent: replaying the same victim set anti-joins nothing new,
+    * so at-least-once delivery converges — usable directly as a
+    * foreachBatch body over a deletion stream.
+    *
+    * When `statsPath` names persisted [[IvfIndex]] stats, their
+    * cluster-mass half is recounted from the post-delete table
+    * ([[IvfIndex.refreshClusterMass]]) so the ANN rule's mass-based
+    * decline guard and the drift signal keep seeing the truth. */
+  def indexDelete(path: String, victims: DataFrame, idCol: String,
+                  partitionCols: Seq[String] = Nil,
+                  statsPath: Option[String] = None): Unit = {
+    val spark = victims.sparkSession
+    standingSchema(spark, path).foreach { schema =>
+      if (partitionCols.nonEmpty)
+        Writers.deletePartitioned(spark, path, victims, idCol, partitionCols)
+      else
+        Writers.swapWrite(
+          Writers.deleteByIds(
+            Writers.readSnapshot(spark, path, schema).get, victims, idCol),
+          path)
+      statsPath.foreach(sp => graft.engine.IvfIndex.refreshClusterMass(
+        spark, sp, graft.sources.Readers.table(spark, path, Some(schema))))
+    }
+  }
+
+  /** DELETE propagation into the standing MinHash-LSH band table — the
+    * dedup twin of [[indexDelete]]. A doc owns `numBands` rows keyed by
+    * its id, so the doc-keyed anti-join removes its whole band group; the
+    * post-delete table is EXACTLY the band table of the survivor corpus
+    * (bands are per-doc functions of the doc's own text), so probes
+    * ([[graft.ops.Dedup.candidatePairs]]) can never surface the deleted
+    * doc again. When `pairsPath` names the standing candidate-pair feed
+    * [[lshIndexAppend]] maintains, pairs touching a victim on EITHER
+    * endpoint are purged too — the delete cascades through the whole
+    * maintained dedup state, as the reference's delete fans out across
+    * all its stores. Same idempotence/crash contract as [[indexDelete]]. */
+  def lshIndexDelete(path: String, victims: DataFrame,
+                     idCol: String = "doc_id",
+                     partitionCols: Seq[String] = Nil,
+                     pairsPath: Option[String] = None): Unit = {
+    val spark = victims.sparkSession
+    indexDelete(path, victims, idCol, partitionCols)
+    pairsPath.foreach { pp =>
+      standingSchema(spark, pp).foreach { schema =>
+        val pairs = Writers.readSnapshot(spark, pp, schema).get
+        val ids = victims.select(col(idCol)).distinct()
+        val kept = pairs
+          .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_anti")
+          .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_anti")
+        Writers.swapWrite(kept, pp)
+      }
     }
   }
 }

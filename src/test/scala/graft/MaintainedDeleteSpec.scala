@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.IvfIndex
+import graft.ops.Dedup
+import graft.sources.{Readers, Writers}
+import graft.streaming.Sinks
+
+/** Round-10 lifecycle work: DELETE propagation into maintained index state
+  * (the reference purges its vector stores on every memory delete,
+  * memory_graph.py:9200-9459), the stop-bucket drop audit, the cluster-mass
+  * stats refresh and the centroid-drift rebuild signal.
+  */
+class MaintainedDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsDf = Seq(
+    ("d1", "alpha beta gamma delta epsilon zeta", "web"),
+    ("d2", "alpha beta gamma delta epsilon zeta", "web"),   // dup of d1
+    ("d3", "alpha beta gamma delta epsilon eta", "web"),    // near-dup
+    ("d4", "one two three four five six seven", "book"),
+    ("d5", "one two three four five six seven", "book"),    // dup of d4
+    ("d6", "totally unrelated content goes here now", "book")
+  ).toDF("doc_id", "text", "source")
+
+  test("lshIndexDelete: purged doc stops being probe-able; standing pairs " +
+    "cascade; replay is a no-op; post-delete state == survivor corpus's") {
+    val base = tmp("lsh-del")
+    val bands = base + "/bands"
+    val pairs = base + "/pairs"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"), pairsPath = Some(pairs))(docsDf, 0L)
+
+    def candidates(): Set[(String, String)] =
+      Dedup.candidatePairs(Readers.table(spark, bands))
+        .as[(String, String)].collect().toSet
+    def standingPairs(): Set[(String, String)] =
+      spark.read.parquet(pairs).select(col("doc_a"), col("doc_b"))
+        .as[(String, String)].collect().toSet
+
+    assert(candidates().contains(("d1", "d2")) &&
+      candidates().contains(("d4", "d5")), s"pre-delete probe broken: ${candidates()}")
+    assert(standingPairs().contains(("d1", "d2")))
+
+    // GDPR delete of d2 (and its partition-mate check: d5 in another source)
+    val victims = Seq(("d2", "web"), ("d5", "book")).toDF("doc_id", "source")
+    Sinks.lshIndexDelete(bands, victims, "doc_id",
+      partitionCols = Seq("source"), pairsPath = Some(pairs))
+
+    val post = candidates()
+    assert(!post.exists(p => p._1 == "d2" || p._2 == "d2" ||
+      p._1 == "d5" || p._2 == "d5"), s"deleted doc still probe-able: $post")
+    val postPairs = standingPairs()
+    assert(!postPairs.exists(p => Set(p._1, p._2).intersect(Set("d2", "d5")).nonEmpty),
+      s"deleted doc survives in the standing pair feed: $postPairs")
+
+    // post-delete band table == the survivor corpus's band table, exactly
+    // (bands are per-doc functions of the doc's own text)
+    val survivorBands = Dedup.bands(Dedup.minhashSignatures(
+      Dedup.shingleRaw(docsDf.filter(!col("doc_id").isin("d2", "d5")),
+        "doc_id", "text", 2), 16), 16, 4)
+    val standing = Readers.table(spark, bands)
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+    val diff = standing.unionAll(survivorBands)
+      .groupBy(col("doc_id"), col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+    assert(diff === 0, "post-delete state diverges from the survivor corpus's bands")
+
+    // at-least-once replay: deleting the same victims again changes nothing
+    Sinks.lshIndexDelete(bands, victims, "doc_id",
+      partitionCols = Seq("source"), pairsPath = Some(pairs))
+    assert(candidates() === post && standingPairs() === postPairs)
+  }
+
+  test("indexDelete: purged vector leaves the assignment; partition-scoped " +
+    "rewrite touches only the victims' partitions; crash heals on read") {
+    val base = tmp("ivf-del")
+    val apath = base + "/assigned"
+    val corpus = (0 until 40).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v, i % 2) // label partitions 0/1
+    }.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"))(corpus, 0L)
+    assert(Readers.table(spark, apath).count() === 40)
+
+    val victims = Seq((6L, 0), (7L, 1)).toDF("vec_id", "label")
+    Sinks.indexDelete(apath, victims, "vec_id", partitionCols = Seq("label"))
+    val left = Readers.table(spark, apath).select("vec_id").as[Long].collect().toSet
+    assert(!left.contains(6L) && !left.contains(7L) && left.size === 38)
+
+    // crash window: a partition retired but never promoted — a bare read
+    // would silently miss it; Readers.table heals first
+    val fs = new org.apache.hadoop.fs.Path(apath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(apath + ".upsert.retired"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(apath + "/label=0"),
+      new org.apache.hadoop.fs.Path(apath + ".upsert.retired/label=0")))
+    assert(Readers.table(spark, apath).count() === 38,
+      "Readers.table must heal the orphaned partition before reading")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(apath + "/label=0")))
+  }
+
+  test("indexDelete refreshes persisted cluster mass; column stats are kept") {
+    val base = tmp("ivf-stats")
+    val apath = base + "/assigned"
+    val spath = base + "/stats"
+    val corpus = (0 until 40).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"))(corpus, 0L)
+    val st0 = IvfIndex.stats(Readers.table(spark, apath), Seq("label"))
+    IvfIndex.writeStats(spark, spath, st0)
+    assert(st0.rows === 40 && st0.clusterRows.values.sum === 40L)
+
+    // delete one whole axis-cluster's rows (all i % 4 == 2 → 10 rows)
+    val victims = corpus.filter(col("vec_id") % 4 === 2)
+      .select(col("vec_id"), col("label"))
+    Sinks.indexDelete(apath, victims, "vec_id", partitionCols = Seq("label"),
+      statsPath = Some(spath))
+
+    val st1 = IvfIndex.readStats(spark, spath)
+    assert(st1.rows === 30, s"refreshed rows wrong: ${st1.rows}")
+    assert(st1.clusterRows.values.sum === 30L)
+    // the emptied cluster is GONE from the mass table (its centroid still
+    // exists — probes that pick it just scan nothing)
+    assert(st1.clusterRows.size === 3,
+      s"emptied cluster should drop from the mass table: ${st1.clusterRows}")
+    // build-time column stats travel unchanged (re-measure rides the rebuild)
+    assert(st1.cols === st0.cols)
+  }
+
+  test("driftCheck: same-distribution appends stay under the threshold; a " +
+    "shifted batch trips it") {
+    val corpus = (0 until 400).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    val build = IvfIndex.stats(idx, Nil)
+    assert(IvfIndex.driftCheck(idx.assigned, build) === 0.0)
+
+    // same distribution: 100 new rows spread over the axes like the corpus
+    val sameBatch = (1000 until 1100).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val same = IvfIndex.appendBatch(idx, sameBatch, "vec_id", "embedding")
+    val dSame = IvfIndex.driftCheck(same.assigned, build)
+    assert(dSame < 0.05, f"same-distribution append drifted $dSame%.3f")
+
+    // shifted: 400 new rows ALL on one axis — half the corpus now sits in
+    // one cluster that held a quarter at build time
+    val shiftBatch = (2000 until 2400).map { i =>
+      val v = Array.fill(4)(0.01f); v(0) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val shifted = IvfIndex.appendBatch(idx, shiftBatch, "vec_id", "embedding")
+    val dShift = IvfIndex.driftCheck(shifted.assigned, build)
+    assert(dShift >= IvfIndex.DriftRebuildThreshold,
+      f"shifted batch must trip the rebuild signal, got $dShift%.3f")
+    // pure-function sanity: TV distance of the exact masses
+    assert(math.abs(IvfIndex.driftOf(
+      Map(1 -> 500L, 2 -> 100L, 3 -> 100L, 4 -> 100L),
+      Map(1 -> 100L, 2 -> 100L, 3 -> 100L, 4 -> 100L)) - 0.375) < 1e-9)
+  }
+
+  test("stopBucketAudit counts exactly what bounded_collect_list drops " +
+    "(ds IS NULL ⇔ df > cap), and zero drops at the production cap") {
+    val rel = Seq(
+      // bucket A: 4 members (saturates at cap=3)
+      ("b0", "kA", "x1"), ("b0", "kA", "x2"), ("b0", "kA", "x3"), ("b0", "kA", "x4"),
+      // bucket B: 2 members
+      ("b0", "kB", "y1"), ("b0", "kB", "y2"),
+      // bucket C: singleton
+      ("b1", "kC", "z1")
+    ).toDF("band_idx", "band_key", "doc_id")
+    val a = Dedup.stopBucketAudit(rel, Seq("band_idx", "band_key"), "doc_id",
+      maxDf = 3).head()
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+      === ((3L, 1L, 4L, 7L)))
+    // equivalence with the operator's own drop decision: the capped pair
+    // generator emits NOTHING from bucket A and everything from B
+    val pairs = Dedup.candidatePairs(rel, maxDf = 3)
+      .as[(String, String)].collect().toSet
+    assert(pairs === Set(("y1", "y2")))
+    // production cap: nothing drops, audit says so
+    val b = Dedup.stopBucketAudit(rel, Seq("band_idx", "band_key"), "doc_id").head()
+    assert(b.getLong(1) === 0L && b.getLong(2) === 0L)
+  }
+
+  test("indexDelete on a never-written table is a no-op; unpartitioned " +
+    "variant swaps the snapshot atomically") {
+    val base = tmp("ivf-del-edge")
+    // no table yet → nothing to do, no exception
+    Sinks.indexDelete(base + "/missing", Seq(1L).toDF("vec_id"), "vec_id")
+
+    val apath = base + "/assigned"
+    val corpus = (0 until 20).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Writers.swapWrite(idx.assigned, apath)
+    Sinks.indexDelete(apath, Seq(3L, 4L).toDF("vec_id"), "vec_id")
+    val left = spark.read.parquet(apath).select("vec_id").as[Long].collect().toSet
+    assert(left.size === 18 && !left.contains(3L) && !left.contains(4L))
+  }
+}
