@@ -56,8 +56,40 @@ object TextQueries {
     maintainedBands.getOrElseUpdate(d, {
       val path = java.nio.file.Files.createTempDirectory("graft-lsh-state")
         .toString + "/bands"
-      graft.streaming.Sinks.lshIndexAppend(path, "doc_id", "text",
-        shingleK = 3, numHashes = 16, numBands = 4)(Tables.documents(s, d), 0L)
+      // the PARTITIONED sink (Hive layout by source): each maintenance
+      // batch rewrites only the partitions it touches — the write-
+      // amplification-bounded path a 100 TB standing table needs, exercised
+      // end-to-end by the declared probe instead of the swap-everything
+      // variant that only holds at fixture scale
+      graft.streaming.Sinks.lshIndexAppendPartitioned(path, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"))(Tables.documents(s, d), 0L)
+      path
+    })
+
+  /** The standing band table + candidate-pair feed AFTER a GDPR delete:
+    * built once per corpus dir by the partitioned maintenance sink, then
+    * `Sinks.lshIndexDelete` purges every doc with `doc_id % 7 = 0` — band
+    * groups anti-joined out of the touched source partitions, standing
+    * pairs dropped on either endpoint. The post-delete band table is
+    * exactly the survivor corpus's (bands are per-doc functions of the
+    * doc's own text), which is what q337's oracle replays. */
+  private val maintainedDelBands =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def maintainedDeletedBandTable(s: org.apache.spark.sql.SparkSession,
+                                         d: String): String =
+    maintainedDelBands.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft-lsh-del").toString
+      val path = base + "/bands"
+      val pairs = base + "/pairs"
+      val docs = Tables.documents(s, d)
+      graft.streaming.Sinks.lshIndexAppendPartitioned(path, "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"), pairsPath = Some(pairs))(docs, 0L)
+      val victims = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), col("source"))
+      graft.streaming.Sinks.lshIndexDelete(path, victims, "doc_id",
+        partitionCols = Seq("source"), pairsPath = Some(pairs))
       path
     })
 
@@ -75,7 +107,10 @@ object TextQueries {
     Entry("q334_maintained_lsh_probe",
       (s, d) => {
         val path = maintainedBandTable(s, d)
-        val out = Dedup.candidatePairs(s.read.parquet(path))
+        // Readers.table, not a bare read: the state is maintained by the
+        // PARTITIONED sink, so serving reads must heal a crash orphaned
+        // between a partition's retire and promote (no-op otherwise)
+        val out = Dedup.candidatePairs(graft.sources.Readers.table(s, path))
           .orderBy(col("doc_a"), col("doc_b"))
         val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
         require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
@@ -104,6 +139,110 @@ object TextQueries {
            |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            | AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // DELETE propagation into the maintained index (S7 × maintained-state
+    // serving): the reference purges its vector stores as part of every
+    // memory delete (memory_graph.py:9200-9459, :14079-14213) — a deleted
+    // doc must stop being probe-able IMMEDIATELY, not at the next rebuild.
+    // The state here was built by the partitioned maintenance sink, then
+    // Sinks.lshIndexDelete purged every doc_id % 7 = 0; the probe is
+    // q334's (zero re-derivation, plan-pinned) and the oracle replays the
+    // FULL pipeline over the survivor corpus — the two agree exactly
+    // because a doc's bands are functions of its own text alone, so the
+    // anti-join purge IS the survivor corpus's band table.
+    Entry("q337_maintained_lsh_delete",
+      (s, d) => {
+        val path = maintainedDeletedBandTable(s, d)
+        val out = Dedup.candidatePairs(graft.sources.Readers.table(s, path))
+          .orderBy(col("doc_a"), col("doc_b"))
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
+            !plan.contains("split") && !plan.contains("md5"),
+          "post-delete probe must not re-derive signatures from text")
+        out
+      },
+      Some {
+        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+        val sigCols = (0 until 16).map(i =>
+          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t
+           |  FROM documents WHERE doc_id % 7 <> 0),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+           |  FROM toks),
+           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           | AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // Stop-bucket drop AUDIT ("no silent caps" as a report row): what the
+    // bounded posting aggregation drops, measured BY that aggregation —
+    // ds IS NULL is the saturation signal, the exact df rides beside it in
+    // the same bounded buffer, and the oracle recomputes the df > cap
+    // predicate independently, pinning ds IS NULL ⇔ df > cap through the
+    // hash compare. Two caps: an artificially tight one (2) showing
+    // non-zero, correctly-counted drops on the fixtures, and the
+    // production StopBucketDf showing the fixtures drop NOTHING at the
+    // shipped setting.
+    Entry("q339_stop_bucket_audit",
+      (s, d) => {
+        val bands = Dedup.bands(Dedup.minhashSignatures(
+            Dedup.shingleRaw(Tables.documents(s, d), "doc_id", "text", 3), 16),
+            16, 4)
+          .localCheckpoint(true) // two audit caps read it; derive once
+        Seq(2, Dedup.StopBucketDf).map { c =>
+          Dedup.stopBucketAudit(bands, Seq("band_idx", "band_key"), "doc_id", c)
+            .withColumn("cap", lit(c))
+        }.reduce(_ unionByName _)
+          .select(col("cap"), col("n_buckets"), col("n_stop_buckets"),
+            col("dropped_rows"), col("total_rows"))
+          .orderBy(col("cap"))
+      },
+      Some {
+        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+        val sigCols = (0 until 16).map(i =>
+          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $shingleCtes,
+           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows),
+           |dfs AS (
+           |  SELECT band_idx, band_key, count(*) AS df
+           |  FROM bands GROUP BY 1, 2),
+           |caps AS (SELECT unnest([2, ${Dedup.StopBucketDf}]) AS cap)
+           |SELECT cap, count(*) AS n_buckets,
+           |  CAST(sum(CASE WHEN df > cap THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_stop_buckets,
+           |  CAST(sum(CASE WHEN df > cap THEN df ELSE 0 END) AS BIGINT)
+           |    AS dropped_rows,
+           |  CAST(sum(df) AS BIGINT) AS total_rows
+           |FROM dfs CROSS JOIN caps
+           |GROUP BY cap ORDER BY cap""".stripMargin
       }),
 
     // A3 generalized: exact dedup by content hash, keep-first

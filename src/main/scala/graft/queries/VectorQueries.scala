@@ -39,8 +39,39 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), col("label"))
       val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 8)
       graft.sources.Writers.swapWrite(idx.centroids, base + "/centroids")
-      graft.streaming.Sinks.indexAppend(base + "/assigned",
-        idx.centroids, "vec_id", "embedding")(corpus, 0L)
+      // the PARTITIONED maintenance sink (Hive layout by label): each batch
+      // rewrites only the partitions it touches — the 100 TB write path,
+      // exercised end-to-end by the declared probe (the unpartitioned
+      // variant swaps the whole standing assignment per batch)
+      graft.streaming.Sinks.indexAppendPartitioned(base + "/assigned",
+        idx.centroids, "vec_id", "embedding", Seq("label"))(corpus, 0L)
+      (base + "/assigned", base + "/centroids")
+    })
+
+  /** The standing IVF state AFTER a delete: built by the partitioned
+    * maintenance sink, measured stats persisted, then `Sinks.indexDelete`
+    * purges every `vec_id % 5 = 0` with the cluster-mass stats refresh —
+    * the reference's delete-purges-the-vector-store semantics
+    * (memory_graph.py:9200-9459). q338 probes it; a deleted vector can
+    * never surface again. */
+  private val maintainedIvfDel =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def maintainedDeletedIvfIndex(s: org.apache.spark.sql.SparkSession,
+                                        d: String): (String, String) =
+    maintainedIvfDel.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") > 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 8)
+      graft.sources.Writers.swapWrite(idx.centroids, base + "/centroids")
+      graft.streaming.Sinks.indexAppendPartitioned(base + "/assigned",
+        idx.centroids, "vec_id", "embedding", Seq("label"))(corpus, 0L)
+      IvfIndex.writeStats(s, base + "/stats", IvfIndex.stats(
+        graft.sources.Readers.table(s, base + "/assigned"), Seq("label")))
+      val victims = corpus.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id"), col("label"))
+      graft.streaming.Sinks.indexDelete(base + "/assigned", victims, "vec_id",
+        partitionCols = Seq("label"), statsPath = Some(base + "/stats"))
       (base + "/assigned", base + "/centroids")
     })
 
@@ -58,8 +89,10 @@ object VectorQueries {
     Entry("q336_maintained_ivf_probe",
       (s, d) => {
         val (apath, cpath) = maintainedIvfIndex(s, d)
-        val assigned = s.read.parquet(apath)
-        val centroids = s.read.parquet(cpath)
+        // Readers.table: serving reads of partitioned-sink state go through
+        // the crash-heal contract (no-op unless a merge actually crashed)
+        val assigned = graft.sources.Readers.table(s, apath)
+        val centroids = graft.sources.Readers.table(s, cpath)
         val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
           .select(col("embedding").as("qvec"))
         val probes = centroids.crossJoin(broadcast(q))
@@ -108,6 +141,72 @@ object VectorQueries {
               |SELECT a.vec_id, a.centroid_id,
               |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
               |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
+
+    // DELETE propagation into the maintained ANN index (S7 × V1 serving):
+    // the standing assignment was purged of every vec_id % 5 = 0 by
+    // Sinks.indexDelete (anti-join through the partition-scoped writer,
+    // cluster-mass stats refreshed) — the reference's delete removes
+    // points from its vector collections as part of every memory delete
+    // (memory_graph.py:9200-9459, :14079-14213). The probe is q336's
+    // (zero assignment re-derivation, plan-pinned); the oracle replays the
+    // full-corpus centroid build with the deleted rows absent from the
+    // assignment — exactly what the purge leaves on disk — so a deleted
+    // vector surfacing again would hash-mismatch immediately.
+    Entry("q338_maintained_ivf_delete",
+      (s, d) => {
+        val (apath, cpath) = maintainedDeletedIvfIndex(s, d)
+        val assigned = graft.sources.Readers.table(s, apath)
+        val centroids = graft.sources.Readers.table(s, cpath)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        val probes = centroids.crossJoin(broadcast(q))
+          .withColumn("dist", round(l2sq(col("cvec"), col("qvec")), 6))
+          .orderBy(col("dist"), col("centroid_id"))
+          .limit(2)
+          .select(col("centroid_id"))
+        val out = assigned.join(broadcast(probes), Seq("centroid_id"))
+          .crossJoin(broadcast(q))
+          .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+          .select(col("vec_id"), col("centroid_id"), col("score"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10)
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("array_min") && !plan.contains("row_number"),
+          "post-delete probe must not re-derive the corpus assignment")
+        out
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id > 0),
+              |cent AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+              |    embedding AS cvec FROM (
+              |    SELECT vec_id, embedding,
+              |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+              |    FROM corpus ORDER BY h, vec_id LIMIT 8)),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |probe AS (
+              |  SELECT centroid_id FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(qvec)),
+              |          i -> (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 2)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
+              |WHERE a.vec_id % 5 <> 0
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
     // V1: exact cosine KNN top-k with score threshold
