@@ -75,7 +75,111 @@ object VectorQueries {
       (base + "/assigned", base + "/centroids")
     })
 
+  /** Lifecycle state for the index-HEALTH report (q340): built by the
+    * partitioned maintenance sink, build-time stats persisted, then a
+    * SKEWED batch (every label-0 row re-ingested under a new id) appended
+    * against the frozen centroids — the drifted-ingest shape whose
+    * cluster-mass divergence the health report must surface. */
+  private val maintainedHealthIvf =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def maintainedHealthIvfIndex(s: org.apache.spark.sql.SparkSession,
+                                       d: String): (String, String) =
+    maintainedHealthIvf.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft-ivf-health").toString
+      val corpus = Tables.embeddings(s, d).filter(col("vec_id") > 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 8)
+      graft.sources.Writers.swapWrite(idx.centroids, base + "/centroids")
+      graft.streaming.Sinks.indexAppendPartitioned(base + "/assigned",
+        idx.centroids, "vec_id", "embedding", Seq("label"))(corpus, 0L)
+      IvfIndex.writeStats(s, base + "/stats", IvfIndex.stats(
+        graft.sources.Readers.table(s, base + "/assigned"), Nil))
+      val batch = corpus.filter(col("label") === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+          col("label"))
+      graft.streaming.Sinks.indexAppendPartitioned(base + "/assigned",
+        idx.centroids, "vec_id", "embedding", Seq("label"))(batch, 1L)
+      (base + "/assigned", base + "/stats")
+    })
+
   def entries: Seq[Entry] = Seq(
+
+    // Index-health report (the reference monitors its vector collections'
+    // status/thresholds explicitly, memory_graph.py:1036-1057): per-cluster
+    // BUILD-vs-NOW row mass from the persisted build stats against the
+    // standing assignment after a skewed maintenance append, plus the
+    // centroid-drift signal (TV distance, IvfIndex.driftCheck's formula in
+    // plan form) every row carries — "rebuild now" as a measured report
+    // row, not a guess. Fractions are single divisions of exact counts
+    // (bit-identical across engines); the drift sum is emitted float32 on
+    // both sides (fp-sum-order ulp). The oracle replays the whole
+    // lifecycle from scratch: centroid build, corpus assignment (= build
+    // mass), corpus+batch assignment (= now mass).
+    Entry("q340_ivf_health",
+      (s, d) => {
+        val (apath, spath) = maintainedHealthIvfIndex(s, d)
+        val build = s.read.parquet(spath)
+          .select(explode(arrays_zip(col("cluster_ids"), col("cluster_rows"))).as("z"))
+          .select(col("z.cluster_ids").as("centroid_id"),
+            col("z.cluster_rows").as("build_rows"))
+        val now = graft.sources.Readers.table(s, apath)
+          .groupBy(col("centroid_id")).agg(count(lit(1)).as("now_rows"))
+        val joined = build.join(now, Seq("centroid_id"), "full_outer")
+          .select(col("centroid_id"),
+            coalesce(col("build_rows"), lit(0L)).as("build_rows"),
+            coalesce(col("now_rows"), lit(0L)).as("now_rows"))
+        val tot = joined.agg(sum(col("build_rows")).as("tb"),
+          sum(col("now_rows")).as("tn"))
+        val fr = joined.crossJoin(broadcast(tot))
+          .withColumn("build_frac", col("build_rows") / col("tb"))
+          .withColumn("now_frac", col("now_rows") / col("tn"))
+        val drift = fr.agg((lit(0.5) * sum(abs(col("now_frac") - col("build_frac"))))
+          .cast("float").as("drift"))
+        fr.crossJoin(broadcast(drift))
+          .select(col("centroid_id"), col("build_rows"), col("now_rows"),
+            col("build_frac"), col("now_frac"), col("drift"))
+          .orderBy(col("centroid_id"))
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id > 0),
+              |cent AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+              |    embedding AS cvec FROM (
+              |    SELECT vec_id, embedding,
+              |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+              |    FROM corpus ORDER BY h, vec_id LIMIT 8)),
+              |batch AS (
+              |  SELECT vec_id + 100000 AS vec_id, embedding, label
+              |  FROM corpus WHERE label = 0),
+              |everything AS (
+              |  SELECT vec_id, embedding, 0 AS is_new FROM corpus
+              |  UNION ALL SELECT vec_id, embedding, 1 FROM batch),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, is_new FROM (
+              |    SELECT e.vec_id, cent.centroid_id, e.is_new,
+              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+              |          i -> (e.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (e.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM everything e CROSS JOIN cent) WHERE rn = 1),
+              |mass AS (
+              |  SELECT centroid_id,
+              |    CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS build_rows,
+              |    count(*) AS now_rows
+              |  FROM assign GROUP BY 1),
+              |fr AS (
+              |  SELECT centroid_id, build_rows, now_rows,
+              |    build_rows / (SELECT CAST(sum(build_rows) AS BIGINT) FROM mass)
+              |      AS build_frac,
+              |    now_rows / (SELECT CAST(sum(now_rows) AS BIGINT) FROM mass)
+              |      AS now_frac
+              |  FROM mass)
+              |SELECT centroid_id, build_rows, now_rows, build_frac, now_frac,
+              |  CAST((SELECT 0.5 * sum(abs(now_frac - build_frac)) FROM fr)
+              |    AS REAL) AS drift
+              |FROM fr ORDER BY centroid_id""".stripMargin)),
 
     // Maintained-index ANN serving: the multiprobe IVF question answered
     // by PROBING the standing assignment table the maintenance sink keeps

@@ -198,6 +198,45 @@ class MaintainedDeleteSpec extends SparkSpec {
     assert(b.getLong(1) === 0L && b.getLong(2) === 0L)
   }
 
+  test("full lifecycle: append batches → delete → compactPartitions → the " +
+    "probe answer never changes and per-partition files collapse") {
+    val base = tmp("lsh-lifecycle")
+    val bands = base + "/bands"
+    // three micro-batches through the partitioned sink: each leaves at
+    // least one new file per touched source partition (small-file accretion
+    // — the operational reason compactPartitions exists)
+    docsDf.filter(col("doc_id").isin("d1", "d4")).collect() // force schema
+    Seq(Seq("d1", "d2"), Seq("d3", "d4"), Seq("d5", "d6")).zipWithIndex
+      .foreach { case (ids, i) =>
+        Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+          shingleK = 2, numHashes = 16, numBands = 4,
+          partitionCols = Seq("source"))(
+          docsDf.filter(col("doc_id").isin(ids: _*)), i.toLong)
+      }
+    Sinks.lshIndexDelete(bands, Seq(("d5", "book")).toDF("doc_id", "source"),
+      "doc_id", partitionCols = Seq("source"))
+    val before = Dedup.candidatePairs(Readers.table(spark, bands))
+      .as[(String, String)].collect().toSet
+    assert(before.contains(("d1", "d2")) && !before.exists(p =>
+      p._1 == "d5" || p._2 == "d5"))
+
+    val rewritten = graft.sources.Writers.compactPartitions(spark, bands,
+      Seq("source"), maxFilesPerPartition = 1)
+    assert(rewritten.nonEmpty, "accreted partitions should need compaction")
+    // compaction is byte-level maintenance: the probe answer is unchanged
+    val after = Dedup.candidatePairs(Readers.table(spark, bands))
+      .as[(String, String)].collect().toSet
+    assert(after === before, "compaction changed the probe answer")
+    // and each compacted partition really is one file now
+    val fs = new org.apache.hadoop.fs.Path(bands)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewritten.foreach { rel =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(bands + "/" + rel))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files === 1, s"$rel still holds $files files")
+    }
+  }
+
   test("indexDelete on a never-written table is a no-op; unpartitioned " +
     "variant swaps the snapshot atomically") {
     val base = tmp("ivf-del-edge")
