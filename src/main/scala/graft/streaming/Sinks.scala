@@ -167,10 +167,24 @@ object Sinks {
     *
     * `IvfIndex.Index(centroids, readSnapshot(path))` is then the live,
     * probe-ready index between refreshes. */
-  def indexAppend(path: String, centroids: DataFrame, idCol: String, vecCol: String)
-                 (batch: DataFrame, batchId: Long): Unit =
+  def indexAppend(path: String, centroids: DataFrame, idCol: String, vecCol: String,
+                  statsPath: Option[String] = None)
+                 (batch: DataFrame, batchId: Long): Unit = {
     keyedUpsert(path, idCol)(
       graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
+    refreshStats(batch.sparkSession, path, statsPath)
+  }
+
+  /** Shared cluster-mass stats refresh after maintenance touched the
+    * standing assignment (append and delete both shift mass): recount
+    * rows/per-cluster mass, keep build-time column NDV
+    * ([[graft.engine.IvfIndex.refreshClusterMass]]) — so the ANN rule's
+    * mass-based decline guard and [[graft.engine.IvfIndex.driftCheck]]
+    * keep seeing the live distribution, not the build-time snapshot. */
+  private def refreshStats(spark: org.apache.spark.sql.SparkSession,
+                           path: String, statsPath: Option[String]): Unit =
+    statsPath.foreach(sp => graft.engine.IvfIndex.refreshClusterMass(
+      spark, sp, graft.sources.Readers.table(spark, path)))
 
   /** [[indexAppend]] for a Hive-partitioned assignment table (partitioned
     * by tenant/ingest-day carried on the batch — `ivfAssign` preserves the
@@ -179,10 +193,13 @@ object Sinks {
     * NOT partitioned by `centroid_id` — a diverse batch touches every
     * centroid, which would defeat the scoping. */
   def indexAppendPartitioned(path: String, centroids: DataFrame, idCol: String,
-                             vecCol: String, partitionCols: Seq[String])
-                            (batch: DataFrame, batchId: Long): Unit =
+                             vecCol: String, partitionCols: Seq[String],
+                             statsPath: Option[String] = None)
+                            (batch: DataFrame, batchId: Long): Unit = {
     keyedUpsertPartitioned(path, idCol, partitionCols)(
       graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
+    refreshStats(batch.sparkSession, path, statsPath)
+  }
 
   /** foreachBatch body: maintain the standing MinHash-LSH band table at
     * `path` — streaming-ingest DEDUP maintenance, the near-dup twin of

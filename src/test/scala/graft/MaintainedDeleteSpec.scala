@@ -137,6 +137,19 @@ class MaintainedDeleteSpec extends SparkSpec {
       s"emptied cluster should drop from the mass table: ${st1.clusterRows}")
     // build-time column stats travel unchanged (re-measure rides the rebuild)
     assert(st1.cols === st0.cols)
+
+    // the APPEND sink refreshes too (both maintenance directions shift
+    // mass): 8 new axis-2 rows revive the emptied cluster in the stats
+    val batch = (100 until 108).map { i =>
+      val v = Array.fill(4)(0.01f); v(2) = 1.0f
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"), statsPath = Some(spath))(batch, 1L)
+    val st2 = IvfIndex.readStats(spark, spath)
+    assert(st2.rows === 38 && st2.clusterRows.size === 4,
+      s"append refresh missed: ${st2.rows} / ${st2.clusterRows}")
+    assert(st2.cols === st0.cols)
   }
 
   test("driftCheck: same-distribution appends stay under the threshold; a " +
@@ -235,6 +248,43 @@ class MaintainedDeleteSpec extends SparkSpec {
         .count(_.getPath.getName.endsWith(".parquet"))
       assert(files === 1, s"$rel still holds $files files")
     }
+  }
+
+  test("streaming GDPR: a deletion stream drives lshIndexDelete through " +
+    "foreachBatch — each micro-batch purges its victims from the standing " +
+    "state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp("lsh-stream-del")
+    val bands = base + "/bands"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    def cands(): Set[(String, String)] =
+      Dedup.candidatePairs(Readers.table(spark, bands))
+        .as[(String, String)].collect().toSet
+    assert(cands().contains(("d1", "d2")) && cands().contains(("d4", "d5")))
+
+    val input = MemoryStream[(String, String)]
+    val q = input.toDS().toDF("doc_id", "source").writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sinks.lshIndexDelete(bands, batch, "doc_id",
+          partitionCols = Seq("source")))
+      .start()
+    try {
+      input.addData(("d2", "web"))
+      q.processAllAvailable()
+      val after1 = cands()
+      assert(!after1.exists(p => p._1 == "d2" || p._2 == "d2"),
+        s"streamed delete of d2 did not propagate: $after1")
+      assert(after1.contains(("d4", "d5")), "unrelated pair lost")
+
+      input.addData(("d5", "book"))
+      q.processAllAvailable()
+      val after2 = cands()
+      assert(!after2.exists(p => p._1 == "d5" || p._2 == "d5"),
+        s"second micro-batch delete did not propagate: $after2")
+    } finally q.stop()
   }
 
   test("indexDelete on a never-written table is a no-op; unpartitioned " +
