@@ -111,7 +111,13 @@ object AnnRewrite {
     * rule measured selectivities for the named filter columns — without
     * them the escalation falls back to textbook constants (equality 0.1,
     * overlap 0.33), which under- or over-probes by however far the real
-    * column cardinalities sit from those guesses. */
+    * column cardinalities sit from those guesses.
+    *
+    * Registration is a SNAPSHOT: after maintenance reshapes the standing
+    * assignment (the delete/append sinks refresh the persisted stats'
+    * cluster mass — `Sinks.indexDelete(statsPath = …)`), re-register with
+    * `IvfIndex.readStats` so the mass-based decline guard sees the live
+    * distribution; rows/centroids only change at a rebuild. */
   def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
                rows: Long, clusterCol: String = "centroid_id",
                stats: Option[IvfIndex.IndexStats] = None): Unit = {
