@@ -1017,6 +1017,74 @@ object ScaleSmoke {
         "fully-erased partition directory must be removed")
     }
 
+    // ---- Maintained-index DELETE at size (round 10, the GDPR cascade
+    // against standing dedup state): a 2M-row standing band table across
+    // 50 source partitions plus a 100k-row standing pair feed.
+    // lshIndexDelete of one source's victims must (a) rewrite only that
+    // source's partition bytes — amplification ∝ the victims' partitions,
+    // the property that makes per-request deletes viable against a 100 TB
+    // standing table — (b) remove every victim band row and every standing
+    // pair touching a victim on either endpoint, and (c) finish in
+    // seconds. (The pair feed itself is near-dup-population-sized, so its
+    // full-swap purge is bounded by that population, not the corpus.)
+    {
+      val base = java.nio.file.Files.createTempDirectory("idx-del-smoke").toString
+      val bandDir = base + "/bands"
+      val pairDir = base + "/pairs"
+      // 500k docs × 4 band rows; source = doc_id % 50
+      val bands = spark.range(0, 2000000).select(
+        (col("id") / 4).cast("long").as("doc_id"),
+        pmod(col("id"), lit(4)).cast("int").as("band_idx"),
+        md5(concat(lit("bk"), pmod(xxhash64(col("id")), lit(400000)).cast("string")))
+          .as("band_key"),
+        concat(lit("s"), pmod((col("id") / 4).cast("long"), lit(50)).cast("string"))
+          .as("source"))
+      bands.write.partitionBy("source").parquet(bandDir)
+      val pairFeed = spark.range(0, 100000).select(
+        col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+        .withColumn("pair_key", to_json(struct(col("doc_a"), col("doc_b"))))
+      graft.sources.Writers.swapWrite(pairFeed, pairDir)
+
+      def sig(d: String): Map[String, (Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+        walk(new java.io.File(d))
+          .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+      }
+      val before = sig(bandDir)
+      val totalBytes = before.values.map(_._1).sum
+      // victims: 1000 docs, all in source s7
+      val victims = spark.range(0, 1000).select(
+        (col("id") * 50L + 7L).as("doc_id"), lit("s7").as("source"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      graft.streaming.Sinks.lshIndexDelete(bandDir, victims, "doc_id",
+        partitionCols = Seq("source"), pairsPath = Some(pairDir))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val after = sig(bandDir)
+      val rewritten = after.collect {
+        case (path, s) if !before.get(path).contains(s) => s._1 }.sum
+      val frac = rewritten.toDouble / totalBytes
+      val standing = spark.read.parquet(bandDir)
+      val victimRows = standing.join(broadcast(victims.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi").count()
+      val rows = standing.count()
+      val pairsLeft = spark.read.parquet(pairDir)
+      val victimPairs = pairsLeft.filter(
+        pmod(col("doc_a"), lit(50)) === 7 && col("doc_a") < 50000L ||
+        pmod(col("doc_b"), lit(50)) === 7 && col("doc_b") < 50000L).count()
+      println(f"[scale-smoke] index-delete: rewrittenBytes=$rewritten/$totalBytes " +
+        f"(${frac * 100}%.1f%%) rows=$rows victimRows=$victimRows " +
+        f"victimPairs=$victimPairs seconds=$secs%.1f")
+      assert(victimRows == 0L, "victim band rows survived the index delete")
+      assert(rows == 2000000L - 4000L, s"expected ${2000000L - 4000L} rows, got $rows")
+      assert(victimPairs == 0L, "standing pairs touching a victim survived")
+      assert(frac < 0.06,
+        f"index-delete amplification $frac%.2f — not partition-scoped")
+      assert(secs < 60, f"index-delete took $secs%.1f s at 2M rows")
+    }
+
     // ---- Posting-list pair generation at size: coOccurrenceEdges must
     // equal the self-join formulation EXACTLY (same src/dst/n_co multiset)
     // on a 2M-row basket relation with duplicates and a skewed container,

@@ -218,7 +218,6 @@ class MaintainedDeleteSpec extends SparkSpec {
     // three micro-batches through the partitioned sink: each leaves at
     // least one new file per touched source partition (small-file accretion
     // — the operational reason compactPartitions exists)
-    docsDf.filter(col("doc_id").isin("d1", "d4")).collect() // force schema
     Seq(Seq("d1", "d2"), Seq("d3", "d4"), Seq("d5", "d6")).zipWithIndex
       .foreach { case (ids, i) =>
         Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
