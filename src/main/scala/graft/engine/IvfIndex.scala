@@ -184,6 +184,42 @@ object IvfIndex {
     }
   }
 
+  /** Act on the drift signal — the data-driven version of the reference's
+    * periodic offline index rebuild (`memory_graph.py:144-157`'s analog on
+    * our side: frozen centroids + "rebuild sometime"). Measures
+    * [[driftCheck]] of the standing assignment at `assignedPath` against
+    * the persisted build stats at `statsPath`; below `threshold` it costs
+    * ONE cluster-mass aggregation and touches nothing. At or above it:
+    * rebuild from the standing rows (fresh deterministic centroids),
+    * atomically swap the centroid and assignment tables (partition layout
+    * preserved when `partitionCols` is given), and re-persist FULL stats —
+    * the column NDV re-measure rides the rebuild, exactly as
+    * [[refreshClusterMass]]'s contract defers it. Returns (measured drift,
+    * whether a rebuild ran).
+    *
+    * Single-writer contract (as all maintenance on these tables): don't
+    * run concurrently with the append/delete sinks on the same paths. */
+  def rebuildIfDrifted(spark: SparkSession, assignedPath: String,
+                       centroidsPath: String, statsPath: String,
+                       idCol: String, vecCol: String, nCentroids: Int,
+                       threshold: Double = DriftRebuildThreshold,
+                       filterCols: Seq[String] = Nil,
+                       partitionCols: Seq[String] = Nil): (Double, Boolean) = {
+    import graft.sources.{Readers, Writers}
+    val assigned = Readers.table(spark, assignedPath)
+    val drift = driftCheck(assigned, readStats(spark, statsPath))
+    if (drift < threshold) (drift, false)
+    else {
+      val corpus = assigned.drop("centroid_id").localCheckpoint(true)
+      val idx = build(corpus, idCol, vecCol, nCentroids)
+      Writers.swapWrite(idx.centroids, centroidsPath)
+      Writers.swapWrite(idx.assigned, assignedPath, partitionBy = partitionCols)
+      writeStats(spark, statsPath,
+        stats(Readers.table(spark, assignedPath), filterCols))
+      (drift, true)
+    }
+  }
+
   /** Reload stats persisted by [[writeStats]]. */
   def readStats(spark: SparkSession, path: String): IndexStats = {
     val r = spark.read.parquet(path).head()

@@ -187,6 +187,52 @@ class MaintainedDeleteSpec extends SparkSpec {
       Map(1 -> 100L, 2 -> 100L, 3 -> 100L, 4 -> 100L)) - 0.375) < 1e-9)
   }
 
+  test("rebuildIfDrifted: below threshold nothing is touched; a drifted " +
+    "state rebuilds atomically and the drift resets to ~0") {
+    val base = tmp("ivf-rebuild")
+    val (apath, cpath, spath) = (base + "/a", base + "/c", base + "/s")
+    val corpus = (0 until 400).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Writers.swapWrite(idx.centroids, cpath)
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"))(corpus, 0L)
+    IvfIndex.writeStats(spark, spath, IvfIndex.stats(
+      Readers.table(spark, apath), Seq("label")))
+
+    // clean state: signal measured, nothing rebuilt, tables byte-unchanged
+    val centsBefore = spark.read.parquet(cpath).collect().toSet
+    val (d0, ran0) = IvfIndex.rebuildIfDrifted(spark, apath, cpath, spath,
+      "vec_id", "embedding", nCentroids = 4, filterCols = Seq("label"),
+      partitionCols = Seq("label"))
+    assert(d0 === 0.0 && !ran0)
+    assert(spark.read.parquet(cpath).collect().toSet === centsBefore)
+
+    // drifted ingest: 600 rows all on axis 0 through the maintenance sink
+    val batch = (2000 until 2600).map { i =>
+      val v = Array.fill(4)(0.01f); v(0) = 1.0f
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"))(batch, 1L)
+    val (d1, ran1) = IvfIndex.rebuildIfDrifted(spark, apath, cpath, spath,
+      "vec_id", "embedding", nCentroids = 4, filterCols = Seq("label"),
+      partitionCols = Seq("label"))
+    assert(ran1, f"drift $d1%.3f should have tripped the rebuild")
+    assert(d1 >= IvfIndex.DriftRebuildThreshold)
+    // post-rebuild: stats re-measured against fresh centroids → no drift,
+    // all 1000 rows still indexed, label NDV re-measured
+    val st = IvfIndex.readStats(spark, spath)
+    assert(st.rows === 1000 && st.cols("label").ndv === 2)
+    assert(IvfIndex.driftCheck(Readers.table(spark, apath), st) === 0.0)
+    val (d2, ran2) = IvfIndex.rebuildIfDrifted(spark, apath, cpath, spath,
+      "vec_id", "embedding", nCentroids = 4, filterCols = Seq("label"),
+      partitionCols = Seq("label"))
+    assert(d2 === 0.0 && !ran2, "rebuild must quiesce the signal")
+  }
+
   test("stopBucketAudit counts exactly what bounded_collect_list drops " +
     "(ds IS NULL ⇔ df > cap), and zero drops at the production cap") {
     val rel = Seq(
