@@ -162,6 +162,29 @@ object AnnRewrite {
       if (armed) keep else keep :+ new AnnRewriteRule(spark)
   }
 
+  /** Serving-session bootstrap: load a PERSISTED index (centroid +
+    * standing-assignment tables, as the maintenance sinks keep them) and
+    * register it — the reference's reconnect-to-collection-on-start, with
+    * zero corpus rescan. Stats come from the persisted [[IvfIndex.stats]]
+    * when `statsPath` is given (row count included — no count job at
+    * all); reads go through `Readers.table`, so a crash orphaned between
+    * a partition's retire and promote heals before the registration
+    * observes the table. The registered identity is the assignment
+    * table's FILES ([[RegisteredIndex.originPaths]]), so every later
+    * re-read of the same table in this session — fresh ExprIds and all —
+    * keeps the rewrite, while same-named other tables stay exact. */
+  def registerFromPaths(spark: SparkSession, centroidsPath: String,
+                        assignedPath: String, embCol: String,
+                        statsPath: Option[String] = None,
+                        clusterCol: String = "centroid_id"): Unit = {
+    val idx = IvfIndex.Index(
+      graft.sources.Readers.table(spark, centroidsPath),
+      graft.sources.Readers.table(spark, assignedPath))
+    val st = statsPath.map(IvfIndex.readStats(spark, _))
+    val rows = st.map(_.rows).getOrElse(idx.assigned.count())
+    register(spark, idx, embCol, rows, clusterCol, st)
+  }
+
   /** Drop ONE session's index for `embCol` — other sessions keep theirs. */
   def deregister(spark: SparkSession, embCol: String): Unit =
     indexes.synchronized(Option(indexes.get(spark)).foreach(_.remove(embCol)))

@@ -433,6 +433,58 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("registerFromPaths: a serving session bootstraps from the persisted " +
+    "index (no rescan) — fresh reads get the rewrite, stats drive escalation") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // 8-axis corpus with a filterable low-NDV column, built + persisted the
+    // way the maintenance sinks keep it
+    val rows = (0 until 400).map { i =>
+      val axis = i % 8
+      val emb = { val b = Array.fill(8)(0.01f); b(axis) = 1.0f + (i / 8) * 0.001f; b }
+      (i.toLong, emb, if (i % 2 == 0) "x" else "y")
+    }
+    val corpus8 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4)).toDF("id", "emb", "grp")
+    val idx = IvfIndex.build(corpus8, "id", "emb", nCentroids = 8)
+    val base = java.nio.file.Files.createTempDirectory("ann-boot").toString
+    graft.sources.Writers.swapWrite(idx.centroids, base + "/centroids")
+    graft.sources.Writers.swapWrite(idx.assigned, base + "/assigned")
+    IvfIndex.writeStats(spark, base + "/stats",
+      IvfIndex.stats(idx.assigned, Seq("grp")))
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      spark.conf.set("spark.graft.ann.maxFilterBoost", "5")
+      // the serving session: registration reads ONLY the persisted state
+      AnnRewrite.registerFromPaths(spark, base + "/centroids",
+        base + "/assigned", "emb", statsPath = Some(base + "/stats"))
+
+      val mixedQ = { val q = Array.fill(8)(0.0f); q(2) = 1.0f; q(0) = 0.3f; q }
+      def plan(pred: org.apache.spark.sql.Column) = spark.read
+        .parquet(base + "/assigned") // a FRESH read — path identity carries it
+        .filter(pred)
+        .withColumn("score", cosineSim(col("emb"), lit(mixedQ)))
+        .orderBy(desc("score"), col("id")).limit(5)
+        .queryExecution.optimizedPlan
+      val probes = plan(col("grp") === "x").collectFirst {
+        case LFilter(In(a: AttributeReference, list), _)
+          if a.name == "centroid_id" => list.length
+      }
+      // persisted NDV(grp)=2 → measured escalation to 2 probes, not the
+      // textbook 0.1 → 5
+      assert(probes === Some(2),
+        s"persisted stats must drive the escalation, got $probes")
+      assert(plan(lit(true)).toString.contains(" IN "),
+        "fresh read of the persisted assignment lost the rewrite")
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+      spark.conf.unset("spark.graft.ann.maxFilterBoost")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {
