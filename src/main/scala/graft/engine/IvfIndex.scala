@@ -197,6 +197,18 @@ object IvfIndex {
     * [[refreshClusterMass]]'s contract defers it. Returns (measured drift,
     * whether a rebuild ran).
     *
+    * CRASH CONTRACT — the rebuild replaces THREE tables whose individual
+    * swaps are each atomic but not jointly: a crash between them leaves
+    * new centroids against the old assignment's centroid_id values, a
+    * silently mis-scoring pair. So the rebuild runs under a pending
+    * marker (`assignedPath + ".rebuild.pending"`): written before the
+    * first swap, removed after the last. On entry, a standing marker
+    * forces the rebuild REGARDLESS of measured drift — the assignment
+    * table is a complete snapshot at every crash point (old or new), and
+    * the rebuild derives centroids, assignment and stats from its rows
+    * alone, so re-running from either snapshot converges to a consistent
+    * triple (at-least-once discipline, spec-pinned).
+    *
     * Single-writer contract (as all maintenance on these tables): don't
     * run concurrently with the append/delete sinks on the same paths. */
   def rebuildIfDrifted(spark: SparkSession, assignedPath: String,
@@ -206,16 +218,32 @@ object IvfIndex {
                        filterCols: Seq[String] = Nil,
                        partitionCols: Seq[String] = Nil): (Double, Boolean) = {
     import graft.sources.{Readers, Writers}
+    val fs = new org.apache.hadoop.fs.Path(assignedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(assignedPath + ".rebuild.pending")
+    val torn = fs.exists(marker)
+    // a torn rebuild can additionally leave any ONE of the three tables in
+    // its own swap-crash window (primary retired, promote never ran) —
+    // heal those before reading (no-ops otherwise)
+    if (torn) Seq(assignedPath, centroidsPath, statsPath)
+      .foreach(Writers.healSwap(spark, _))
     val assigned = Readers.table(spark, assignedPath)
-    val drift = driftCheck(assigned, readStats(spark, statsPath))
-    if (drift < threshold) (drift, false)
+    // a torn rebuild's stats table may itself sit mid-swap — don't read it;
+    // the recovery returns NaN for the (unmeasurable) drift
+    val drift =
+      if (torn) Double.NaN
+      else driftCheck(assigned, readStats(spark, statsPath))
+    if (!torn && drift < threshold) (drift, false)
     else {
+      // corpus materialized BEFORE any swap below touches assignedPath
       val corpus = assigned.drop("centroid_id").localCheckpoint(true)
+      if (!torn) fs.create(marker, true).close()
       val idx = build(corpus, idCol, vecCol, nCentroids)
       Writers.swapWrite(idx.centroids, centroidsPath)
       Writers.swapWrite(idx.assigned, assignedPath, partitionBy = partitionCols)
       writeStats(spark, statsPath,
         stats(Readers.table(spark, assignedPath), filterCols))
+      fs.delete(marker, false)
       (drift, true)
     }
   }

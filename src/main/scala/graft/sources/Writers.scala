@@ -359,6 +359,21 @@ object Writers {
     fs.delete(p(path + ".swap.old"), true)
   }
 
+  /** Promote a `.swap.old` copy orphaned by a [[swapWrite]] crash between
+    * retire and promote (primary missing) back to the primary — the
+    * whole-table twin of [[healPartitions]], for READERS that must observe
+    * a complete snapshot before the next swapWrite would self-heal it.
+    * No-op otherwise. Same single-writer caveat: don't run concurrently
+    * with a LIVE swap on the path. */
+  def healSwap(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(path)) && fs.exists(p(path + ".swap.old")))
+      require(fs.rename(p(path + ".swap.old"), p(path)),
+        s"healSwap: rename ${path}.swap.old -> $path failed")
+  }
+
   /** Small-file compaction — the operational pass a 100 TB table needs
     * after high-cardinality partitioned appends or many small streaming
     * micro-batches: thousands of KB-sized parquet files turn every scan

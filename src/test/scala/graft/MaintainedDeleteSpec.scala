@@ -233,6 +233,54 @@ class MaintainedDeleteSpec extends SparkSpec {
     assert(d2 === 0.0 && !ran2, "rebuild must quiesce the signal")
   }
 
+  test("rebuildIfDrifted crash recovery: a torn rebuild (new centroids, " +
+    "old assignment, pending marker) is forced to completion and the " +
+    "triple comes back consistent") {
+    import graft.ops.Similarity
+    val base = tmp("ivf-torn")
+    val (apath, cpath, spath) = (base + "/a", base + "/c", base + "/s")
+    val corpus = (0 until 400).map { i =>
+      val v = Array.fill(4)(0.01f); v(i % 4) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Writers.swapWrite(idx.centroids, cpath)
+    Writers.swapWrite(idx.assigned, apath)
+    IvfIndex.writeStats(spark, spath, IvfIndex.stats(idx.assigned, Nil))
+
+    // simulate the worst crash point of a prior rebuild: the centroid
+    // table was already swapped to DIFFERENT vectors (a fresh build's
+    // output), the assignment still carries the OLD centroid_id mapping,
+    // and the pending marker stands. Probing this pair mis-scores
+    // silently — recovery must detect the marker and finish the job.
+    val shuffled = idx.centroids.withColumn("cvec", reverse(col("cvec")))
+    Writers.swapWrite(shuffled, cpath)
+    val fs = new org.apache.hadoop.fs.Path(apath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(apath + ".rebuild.pending"), true).close()
+
+    val (d, ran) = IvfIndex.rebuildIfDrifted(spark, apath, cpath, spath,
+      "vec_id", "embedding", nCentroids = 4)
+    assert(ran, "standing marker must force the rebuild")
+    assert(d.isNaN, "torn recovery cannot measure drift against torn stats")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(apath + ".rebuild.pending")))
+    // consistency invariant: every standing row's centroid_id equals the
+    // assignment of its own embedding against the standing centroids
+    val standing = Readers.table(spark, apath)
+    val reassigned = Similarity.ivfAssign(
+      standing.drop("centroid_id"), Readers.table(spark, cpath),
+      "vec_id", "embedding")
+    val diff = standing.select(col("vec_id"), col("centroid_id"))
+      .unionAll(reassigned.select(col("vec_id"), col("centroid_id")))
+      .groupBy(col("vec_id"), col("centroid_id"))
+      .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+    assert(diff === 0, "recovered centroid/assignment pair is inconsistent")
+    // and the stats match the recovered assignment
+    val st = IvfIndex.readStats(spark, spath)
+    assert(st.rows === 400 &&
+      IvfIndex.driftCheck(standing, st) === 0.0)
+  }
+
   test("stopBucketAudit counts exactly what bounded_collect_list drops " +
     "(ds IS NULL ⇔ df > cap), and zero drops at the production cap") {
     val rel = Seq(
