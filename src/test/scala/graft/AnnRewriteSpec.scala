@@ -485,6 +485,48 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("multi-space: two indexes on distinct embedding columns coexist in " +
+    "one session; each sort key is pruned by its own index only") {
+    val idxA = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
+    val corpusB = {
+      val rows = (0 until 400).map { i =>
+        val axis = i % 4
+        val b = Array.fill(8)(0.02f); b(axis) = 2.0f + (i / 4) * 0.001f
+        (i.toLong, b)
+      }
+      rows.toDF("id", "emb2").localCheckpoint(true)
+    }
+    val idxB = IvfIndex.build(corpusB, "id", "emb2", nCentroids = 4)
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      AnnRewrite.register(spark, idxA, "emb", rows = 400)
+      AnnRewrite.register(spark, idxB, "emb2", rows = 400)
+
+      val onA = topK(idxA.assigned, query, 10).queryExecution.optimizedPlan.toString
+      assert(onA.contains(" IN "), s"space A lost its rewrite:\n$onA")
+      val onB = idxB.assigned
+        .withColumn("score", cosineSim(col("emb2"), lit(query)))
+        .orderBy(desc("score"), col("id")).limit(10)
+        .queryExecution.optimizedPlan.toString
+      assert(onB.contains(" IN "), s"space B lost its rewrite:\n$onB")
+
+      // a JOINED plan carrying both embedding columns: the sort key picks
+      // exactly one index; the other space's presence must not interfere
+      val joined = idxA.assigned
+        .join(idxB.assigned.select(col("id"), col("emb2")), "id")
+        .withColumn("score", cosineSim(col("emb"), lit(query)))
+        .orderBy(desc("score"), col("id")).limit(10)
+      val jp = joined.queryExecution.optimizedPlan.toString
+      assert(jp.contains(" IN "), s"joined plan lost space A's rewrite:\n$jp")
+      assert(joined.count() === 10)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
   test("non-literal query vector is left exact (rule needs a driver-known query)") {
     val idx = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)
     try {
