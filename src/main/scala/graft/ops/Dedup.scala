@@ -373,21 +373,53 @@ object Dedup {
     // deltas that a from-scratch batch run (which drops the whole bucket)
     // would not emit — the incremental union is a bounded superset exactly
     // on saturated buckets; below the cap (every fixture) the union is
-    // exact, as the parity spec pins. standingTouched gates the batch-key
-    // broadcast on the batch's measured size — bulk callers fall back to a
-    // shuffle semi-join instead of a driver-breaking broadcast.
-    val posting = standingTouched(all, newBands)
+    // exact, as the parity spec pins.
+    (all, deltaCandidates(all, newBands, maxDf))
+  }
+
+  /** New-side × standing candidate pairs over shared bands — the DELTA
+    * core under [[appendLshBands]], `Sinks.lshIndexAppendPartitioned` and
+    * [[probeNearDups]]. The standing bands are SCANNED ONCE, STREAMED
+    * ([[standingTouched]]'s size-gated semi-join — nothing standing-sized
+    * shuffles for micro-batch/point callers); only the touched rows reach
+    * the bounded posting aggregation, whose saturating buffers drop hot
+    * buckets as stop-buckets, so each new band row fans out ≤ maxDf.
+    * `newBands` must be materialized (localCheckpoint) by the caller. */
+  private[graft] def deltaCandidates(standing: DataFrame, newBands: DataFrame,
+                                     maxDf: Int): DataFrame = {
+    val posting = standingTouched(standing, newBands)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(BoundedCollect.boundedCollectList(col("doc_id"), maxDf).as("ys"))
       .filter(col("ys").isNotNull)
-    val delta = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
+    newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
       .join(posting, Seq("band_idx", "band_key"))
       .select(col("x"), explode(col("ys")).as("y"))
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
               greatest(col("x"), col("y")).as("doc_b"))
       .distinct()
-    (all, delta)
+  }
+
+  /** Point-probe the standing band table for one (or a few) documents'
+    * near-dup candidates — the PER-REQUEST serving shape ("find near-dups
+    * of THIS doc, now") the reference answers from its live index
+    * (`memory_graph.py:8047`), as opposed to q334's whole-corpus report.
+    * The probe docs are shingled/hashed on the spot (query-sized work,
+    * materialized — the returned plan carries no text derivation) and
+    * their handful of band keys BROADCAST against the standing table: one
+    * streamed scan, no standing-sized shuffle, stop-bucket bounded. At
+    * 100 TB with the band table laid out by `clusteredWrite(…,
+    * Seq("band_idx"), Seq("band_key"))`, parquet min/max stats on
+    * band_key turn that scan into file-skipping. Probe docs already in
+    * the standing table pair with everyone EXCEPT themselves (x ≠ y). */
+  def probeNearDups(standing: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleK: Int, numHashes: Int,
+                    numBands: Int, maxDf: Int = StopBucketDf): DataFrame = {
+    val qBands = bands(minhashSignaturesHashed(
+        shingleHashRaw(docs, idCol, textCol, shingleK), numHashes),
+        numHashes, numBands)
+      .localCheckpoint(true)
+    deltaCandidates(standing, qBands, maxDf)
   }
 
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH

@@ -245,6 +245,51 @@ object TextQueries {
            |GROUP BY cap ORDER BY cap""".stripMargin
       }),
 
+    // PER-REQUEST serving probe (the reference's live-index lookup shape,
+    // memory_graph.py:8047, vs q334's whole-corpus report): ONE document's
+    // near-dup candidates answered from the standing band table — the
+    // probe doc is shingled on the spot (query-sized work, materialized),
+    // its handful of band keys broadcast against the standing state, and
+    // the returned plan carries no corpus-side text derivation
+    // (require()-pinned, same contract as q334).
+    Entry("q341_point_probe",
+      (s, d) => {
+        val path = maintainedBandTable(s, d)
+        val probeDoc = Tables.documents(s, d).filter(col("doc_id") === 45)
+        val out = Dedup.probeNearDups(
+            graft.sources.Readers.table(s, path), probeDoc,
+            "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4)
+          .orderBy(col("doc_a"), col("doc_b"))
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
+            !plan.contains("split") && !plan.contains("md5"),
+          "point probe must not re-derive signatures from text")
+        out
+      },
+      Some {
+        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+        val sigCols = (0 until 16).map(i =>
+          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $shingleCtes,
+           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $sigCols
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows)
+           |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+           |  greatest(a.doc_id, b.doc_id) AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           | AND a.doc_id = 45 AND b.doc_id <> 45
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // A3 generalized: exact dedup by content hash, keep-first
     // (memory_graph.py:10325-10393).
     Entry("q19_exact_dedup",

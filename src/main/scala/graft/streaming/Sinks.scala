@@ -271,27 +271,11 @@ object Sinks {
       .localCheckpoint(true)
     Writers.upsertPartitioned(spark, path, newBands, "doc_id", partitionCols)
     val standing = spark.read.schema(newBands.schema).parquet(path)
-    // same stop-bucket discipline as Dedup.appendLshBands: the standing
-    // bands are scanned once, STREAMED (broadcast semi-join against the
-    // batch's keys — nothing standing-sized shuffles); only the touched
-    // rows reach the bounded posting aggregation, so a boilerplate bucket
-    // over StopBucketDf members drops instead of emitting df² delta rows
-    // from one batch
-    // Dedup.standingTouched gates the batch-key broadcast on the batch's
-    // measured size (bulk callers fall back to a shuffle semi-join) and
-    // skips the per-batch distinct — the semi-join's hash build dedups free
-    val posting = graft.ops.Dedup.standingTouched(standing, newBands)
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(graft.ops.BoundedCollect.boundedCollectList(
-        col("doc_id"), graft.ops.Dedup.StopBucketDf).as("ys"))
-      .filter(col("ys").isNotNull)
-    val delta = newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
-      .join(posting, Seq("band_idx", "band_key"))
-      .select(col("x"), explode(col("ys")).as("y"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("doc_a"),
-              greatest(col("x"), col("y")).as("doc_b"))
-      .distinct()
+    // same stop-bucket + size-gated-broadcast discipline as
+    // Dedup.appendLshBands — the shared deltaCandidates core: standing
+    // bands scanned once/streamed, bounded posting on batch-touched
+    // buckets only
+    val delta = Dedup.deltaCandidates(standing, newBands, Dedup.StopBucketDf)
       .localCheckpoint(true) // pairs upsert below re-reads it; never `path` mid-write
     pairsPath.foreach { pp =>
       val pairs = delta.withColumn("pair_key",
