@@ -386,11 +386,19 @@ object Dedup {
     * buckets as stop-buckets, so each new band row fans out ≤ maxDf.
     * `newBands` must be materialized (localCheckpoint) by the caller. */
   private[graft] def deltaCandidates(standing: DataFrame, newBands: DataFrame,
-                                     maxDf: Int): DataFrame = {
-    val posting = standingTouched(standing, newBands)
-      .groupBy(col("band_idx"), col("band_key"))
+                                     maxDf: Int): DataFrame =
+    deltaPairs(newBands,
+      boundedPosting(standingTouched(standing, newBands), maxDf))
+
+  /** The bounded posting aggregation over (already-scoped) standing band
+    * rows — stop-buckets drop as null lists. */
+  private def boundedPosting(touched: DataFrame, maxDf: Int): DataFrame =
+    touched.groupBy(col("band_idx"), col("band_key"))
       .agg(BoundedCollect.boundedCollectList(col("doc_id"), maxDf).as("ys"))
       .filter(col("ys").isNotNull)
+
+  /** New-side × posting pair emit (x ≠ y, least/greatest ordered). */
+  private def deltaPairs(newBands: DataFrame, posting: DataFrame): DataFrame =
     newBands.select(col("doc_id").as("x"), col("band_idx"), col("band_key"))
       .join(posting, Seq("band_idx", "band_key"))
       .select(col("x"), explode(col("ys")).as("y"))
@@ -398,7 +406,6 @@ object Dedup {
       .select(least(col("x"), col("y")).as("doc_a"),
               greatest(col("x"), col("y")).as("doc_b"))
       .distinct()
-  }
 
   /** Point-probe the standing band table for one (or a few) documents'
     * near-dup candidates — the PER-REQUEST serving shape ("find near-dups
@@ -412,6 +419,12 @@ object Dedup {
     * Seq("band_idx"), Seq("band_key"))`, parquet min/max stats on
     * band_key turn that scan into file-skipping. Probe docs already in
     * the standing table pair with everyone EXCEPT themselves (x ≠ y). */
+  /** Max distinct band keys the point probe will inline as a literal scan
+    * predicate — well past any sane per-request probe (a 1000-doc probe ×
+    * 16 bands is 16k keys) and a loud contract check against feeding a
+    * corpus through the point path. */
+  val PointProbeMaxKeys: Int = 1 << 16
+
   def probeNearDups(standing: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleK: Int, numHashes: Int,
                     numBands: Int, maxDf: Int = StopBucketDf): DataFrame = {
@@ -419,7 +432,20 @@ object Dedup {
         shingleHashRaw(docs, idCol, textCol, shingleK), numHashes),
         numHashes, numBands)
       .localCheckpoint(true)
-    deltaCandidates(standing, qBands, maxDf)
+    // query-sized by contract: materialize the probe's band keys
+    // DRIVER-SIDE and push them into the standing scan as a literal IN —
+    // the predicate reaches the parquet reader (PushedFilters on
+    // band_key, min/max file skipping under the clusteredWrite layout),
+    // and unlike the batch path's semi-join there is no per-probe count
+    // or broadcast-build job at all. band_key alone scopes the scan; the
+    // pair join re-matches (band_idx, band_key) exactly.
+    val keys = qBands.select(col("band_key")).distinct()
+      .collect().map(_.getString(0))
+    require(keys.length <= PointProbeMaxKeys,
+      s"probeNearDups is the POINT-probe path (${keys.length} band keys); " +
+        "use appendLshBands/deltaCandidates for batch candidate generation")
+    val touched = standing.filter(col("band_key").isin(keys.toIndexedSeq: _*))
+    deltaPairs(qBands, boundedPosting(touched, maxDf))
   }
 
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH

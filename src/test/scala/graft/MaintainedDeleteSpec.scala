@@ -380,6 +380,30 @@ class MaintainedDeleteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("probeNearDups: equals the full candidate set restricted to the " +
+    "probe doc, and the band keys reach the parquet scan as pushed filters") {
+    val base = tmp("point-probe")
+    val bands = base + "/bands"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    val standing = Readers.table(spark, bands)
+    val probe = Dedup.probeNearDups(standing,
+      docsDf.filter(col("doc_id") === "d1"), "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4)
+    val got = probe.as[(String, String)].collect().toSet
+    val full = Dedup.candidatePairs(standing).as[(String, String)].collect().toSet
+      .filter(p => p._1 == "d1" || p._2 == "d1")
+    assert(got === full, s"point probe diverged: got=$got full=$full")
+    assert(got.contains(("d1", "d2")))
+    // the serving plan: probe keys are LITERALS pushed into the standing
+    // scan (file-skipping under a band_key-clustered layout), not a
+    // semi-join — no per-probe count/broadcast jobs
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [In(band_key"),
+      s"probe keys not pushed into the parquet scan:\n$physical")
+  }
+
   test("indexDelete on a never-written table is a no-op; unpartitioned " +
     "variant swaps the snapshot atomically") {
     val base = tmp("ivf-del-edge")
