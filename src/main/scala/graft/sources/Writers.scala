@@ -65,12 +65,19 @@ object Writers {
     * construction for tenant/creation-day layouts where the partition
     * columns are immutable attributes of the key.
     *
+    * `sortCols`: cluster the rewritten partitions' files by these columns
+    * (see [[mergePartitioned]]) — the serving-layout knob that makes
+    * pushed point-probe predicates skip files/row groups instead of
+    * scanning the standing table.
+    *
     * Returns the table-relative paths of the swapped partition
     * directories (what a caller audits to confirm rewrite scope). */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         incoming: DataFrame, key: String,
-                        partitionCols: Seq[String]): Seq[String] =
-    mergePartitioned(spark, path, incoming, partitionCols, incoming.schema) {
+                        partitionCols: Seq[String],
+                        sortCols: Seq[String] = Nil): Seq[String] =
+    mergePartitioned(spark, path, incoming, partitionCols, incoming.schema,
+      sortCols) {
       scoped =>
         scoped.join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(incoming)
@@ -117,11 +124,28 @@ object Writers {
     * window would promote the retired copy back under the writer.
     * Crash-then-heal (no live writer) and concurrent healers are safe.
     *
+    * `sortCols` — CLUSTERED rewrite layout (the partition-scoped twin of
+    * [[clusteredWrite]]): the merged output is range-partitioned and
+    * sorted by `partitionCols ++ sortCols` before the partitioned write,
+    * so every rewritten file covers a compact `sortCols` range and
+    * parquet min/max stats (row-group and page-level column indexes)
+    * turn a pushed point predicate into file/row-group SKIPPING. This is
+    * what makes the maintained serving tables (LSH bands by band_key,
+    * IVF assignment by centroid_id) answer point probes without scanning
+    * the collection — the touched partitions are fully rewritten anyway,
+    * so sorting them rides the rewrite's existing shuffle budget (one
+    * range exchange of batch-touched rows, never table-sized).
+    * `repartitionByRange` (not `repartition(partitionCols)`) keeps
+    * intra-partition write parallelism: a huge touched partition splits
+    * across tasks into files with DISJOINT sort ranges, each individually
+    * prunable.
+    *
     * Returns the table-relative touched directory names (what a caller
     * audits to confirm rewrite scope). */
   def mergePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                        scopeFrom: DataFrame, partitionCols: Seq[String],
-                       readSchema: org.apache.spark.sql.types.StructType)
+                       readSchema: org.apache.spark.sql.types.StructType,
+                       sortCols: Seq[String] = Nil)
                       (mergeFn: DataFrame => DataFrame): Seq[String] = {
     require(partitionCols.nonEmpty, "mergePartitioned needs partition columns; compute the merge and swapWrite for unpartitioned tables")
     val root = new org.apache.hadoop.fs.Path(path)
@@ -150,7 +174,13 @@ object Writers {
 
     // both reads of `path` (scoped rows and any reads inside mergeFn)
     // happen during these two writes — strictly before any rename below
-    mergeFn(scoped).write.mode(SaveMode.Overwrite)
+    val merged = mergeFn(scoped)
+    val laidOut =
+      if (sortCols.isEmpty) merged
+      else merged
+        .repartitionByRange((partitionCols ++ sortCols).map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    laidOut.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmpRoot)
     touched.withColumn("__t", lit(1)).write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(touchRoot)
@@ -215,10 +245,16 @@ object Writers {
     * it back and an at-least-once re-run of the delete converges. Same
     * key-doesn't-migrate contract as `upsertPartitioned`.
     *
+    * `sortCols` preserves a clustered serving layout through the rewrite
+    * (pass the SAME columns the append sink clusters by — a delete that
+    * rewrote a partition unsorted would silently destroy its
+    * file-skipping property until the next compaction).
+    *
     * Returns the table-relative touched partition directories. */
   def deletePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
                         victims: DataFrame, key: String,
-                        partitionCols: Seq[String]): Seq[String] = {
+                        partitionCols: Seq[String],
+                        sortCols: Seq[String] = Nil): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healPartitions(spark, path)
@@ -232,8 +268,9 @@ object Writers {
         if (partitionCols.contains(f.name) && vTypes.contains(f.name))
           f.copy(dataType = vTypes(f.name))
         else f))
-    mergePartitioned(spark, path, victims, partitionCols, pinned) { scoped =>
-      scoped.join(victims.select(col(key)).distinct(), Seq(key), "left_anti")
+    mergePartitioned(spark, path, victims, partitionCols, pinned, sortCols) {
+      scoped =>
+        scoped.join(victims.select(col(key)).distinct(), Seq(key), "left_anti")
     }
   }
 
@@ -440,10 +477,14 @@ object Writers {
     * never parsed back out of directory names. Atomicity and crash healing
     * are [[mergePartitioned]]'s. Partitions whose data exceeds a sane
     * single file (many GB) should use [[compact]]'s size-targeted global
-    * rewrite instead. Returns the rewritten partition directories. */
+    * rewrite instead. `sortCols` re-establishes a clustered serving
+    * layout while compacting (the maintenance cadence for the maintained
+    * band/assignment tables passes the same columns their sinks cluster
+    * by). Returns the rewritten partition directories. */
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
                         partitionCols: Seq[String],
-                        maxFilesPerPartition: Int = 1): Seq[String] = {
+                        maxFilesPerPartition: Int = 1,
+                        sortCols: Seq[String] = Nil): Seq[String] = {
     val df = spark.read.parquet(path)
     // input_file_name() is nondeterministic, so it must be projected before
     // aggregation (Spark rejects it inside an aggregate function)
@@ -454,7 +495,15 @@ object Writers {
       .filter(col("__nf") > maxFilesPerPartition)
       .drop("__nf")
     mergePartitioned(spark, path, candidates, partitionCols, df.schema) {
-      scoped => scoped.repartition(partitionCols.map(col): _*)
+      // one task per compacted partition (≈1 file each) — deliberately NOT
+      // the core's range layout, which spreads rows back across the
+      // shuffle-partition count and would defeat the compaction; the
+      // within-task sort restores the clustered layout inside the single
+      // output file (page/row-group stats stay selective)
+      scoped =>
+        val one = scoped.repartition(partitionCols.map(col): _*)
+        if (sortCols.isEmpty) one
+        else one.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     }
   }
 

@@ -426,4 +426,47 @@ class WritersSpec extends SparkSpec {
       .map(r => (r.getAs[String]("tenant"), r.getAs[Long]("v"))).toSet
     assert(after === before)
   }
+
+  test("upsertPartitioned sortCols: every rewritten file is sorted and " +
+    "files in one partition dir cover disjoint key ranges") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("clustered-upsert")
+      .toString + "/t"
+    // enough rows that the range layout actually spreads across tasks
+    val incoming = spark.range(0, 20000).select(
+      pmod(col("id"), lit(2)).cast("string").as("part"),
+      col("id").as("k"),
+      concat(lit("k"), lpad(pmod(xxhash64(col("id")), lit(100000))
+        .cast("string"), 6, "0")).as("key"))
+    Writers.upsertPartitioned(spark, dir, incoming, "k", Seq("part"),
+      sortCols = Seq("key"))
+    def files(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    Seq("part=0", "part=1").foreach { part =>
+      val ranges = files(s"$dir/$part").map { f =>
+        val keys = spark.read.parquet(f.getPath)
+          .select("key").collect().map(_.getString(0)).toSeq
+        assert(keys == keys.sorted, s"${f.getName} not sorted by key")
+        (keys.min, keys.max)
+      }.sortBy(_._1)
+      // disjoint [min,max] ranges: each file individually prunable by
+      // parquet min/max stats under a pushed point predicate
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi <= lo, s"overlapping file ranges in $part: $ranges")
+        case _ =>
+      }
+    }
+    // and the rewrite path (a delete) PRESERVES the layout
+    val victims = spark.range(0, 50).select(
+      lit("0").as("part"), (col("id") * 2).as("k"))
+    Writers.deletePartitioned(spark, dir, victims, "k", Seq("part"),
+      sortCols = Seq("key"))
+    files(s"$dir/part=0").foreach { f =>
+      val keys = spark.read.parquet(f.getPath)
+        .select("key").collect().map(_.getString(0)).toSeq
+      assert(keys == keys.sorted, s"delete rewrite unsorted ${f.getName}")
+    }
+  }
 }
