@@ -157,19 +157,36 @@ object Dedup {
   /** Standing band rows whose (band_idx, band_key) a batch touches — the
     * shared scoping step of both incremental-delta paths
     * ([[appendLshBands]], `Sinks.lshIndexAppendPartitioned`). The batch's
-    * own MEASURED size picks the join strategy (`newBands` is materialized
-    * by every caller, so the count is a cheap scan, not a recompute); no
-    * `.distinct()` on the broadcast side — the semi-join's hash build
-    * dedups for free, and the distinct would cost a batch-sized shuffle
-    * per micro-batch. */
+    * own MEASURED size picks the join strategy; no `.distinct()` on the
+    * broadcast side — the semi-join's hash build dedups for free, and the
+    * distinct would cost a batch-sized shuffle per micro-batch.
+    *
+    * The count AND the join both consume `newBands`, so it must be
+    * materialized — ENFORCED here, not just documented (ADVICE r10): an
+    * unmaterialized caller would silently recompute the whole batch
+    * derivation (shingle/minhash/bands) twice per micro-batch, so inputs
+    * that are neither cached nor checkpointed/local get
+    * localCheckpoint'ed on entry. */
   private[graft] def standingTouched(standing: DataFrame,
                                      newBands: DataFrame): DataFrame = {
-    val newKeys = newBands.select(col("band_idx"), col("band_key"))
+    val mat = if (isMaterialized(newBands)) newBands
+              else newBands.localCheckpoint(true)
+    val newKeys = mat.select(col("band_idx"), col("band_key"))
     val keys =
-      if (newBands.count() <= BroadcastBandKeyRows) broadcast(newKeys)
+      if (mat.count() <= BroadcastBandKeyRows) broadcast(newKeys)
       else newKeys
     standing.join(keys, Seq("band_idx", "band_key"), "left_semi")
   }
+
+  /** A DataFrame whose re-consumption is cheap: cached at some storage
+    * level, checkpointed (LogicalRDD — what localCheckpoint leaves), or a
+    * driver-local relation. */
+  private def isMaterialized(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+      df.queryExecution.logical.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD] ||
+      df.queryExecution.logical.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
 
   /** Candidate pairs from shared bands (a < b, distinct). Posting-list
     * pair generation per bucket ([[postingPairs]]) — one hash-agg shuffle
@@ -407,44 +424,143 @@ object Dedup {
               greatest(col("x"), col("y")).as("doc_b"))
       .distinct()
 
+  /** Max probe documents the point path will serve per request — well past
+    * any sane per-request probe, and a loud contract check against feeding
+    * a corpus through the point path (use [[appendLshBands]] /
+    * [[deltaCandidates]] for batch candidate generation). Checked BEFORE
+    * anything is materialized driver-side: the probe fetch is
+    * `limit(PointProbeMaxDocs + 1)`, so an over-limit caller fails fast
+    * without the driver ever allocating a corpus-sized buffer. */
+  val PointProbeMaxDocs: Int = 4096
+
+  /** Max distinct band keys the point probe will inline as a literal scan
+    * predicate (bounded by construction at `PointProbeMaxDocs × numBands`
+    * through the DataFrame entry point; re-checked loudly on the local
+    * one). */
+  val PointProbeMaxKeys: Int = 1 << 16
+
+  /** Driver-side twin of [[bands]] ∘ [[minhashSignaturesHashed]] ∘
+    * [[shingleHashRaw]] for ONE document — microseconds of pure-JVM work
+    * through the SAME native kernels the cluster path runs
+    * ([[graft.functions.TextHash]]: spaceTokens → shingleHashes →
+    * affine min-hash → md5 band key), so the values are bit-identical
+    * (spec-pinned). Empty when the doc has no shingles (fewer than k
+    * tokens, or null text) — mirroring the cluster side, where the
+    * explode emits no rows and the doc gets no bands. */
+  private[graft] def localBandKeys(text: String, shingleK: Int,
+                                   numHashes: Int,
+                                   numBands: Int): Seq[(Int, String)] = {
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of numBands ($numBands)")
+    if (text == null) return Nil
+    val toks = graft.functions.TextHash.spaceTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    val shh = graft.functions.TextHash.shingleHashes(toks, shingleK)
+    val n = shh.numElements()
+    if (n == 0) return Nil
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = shh.getLong(i) % MinhashP
+      var j = 0
+      while (j < numHashes) {
+        val v = (minhashA(j) * base + minhashB(j)) % MinhashP
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val r = numHashes / numBands
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numBands).map { b =>
+      // md5 of the "h0|h1|…" slot string — byte-identical input to the
+      // cluster side's md5(concat_ws("|", …)) (Long.toString == the cast)
+      val slot = (0 until r).map(k => sig(b * r + k).toString).mkString("|")
+      md.reset()
+      val dig = md.digest(slot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      b -> dig.map(x => f"$x%02x").mkString
+    }
+  }
+
   /** Point-probe the standing band table for one (or a few) documents'
     * near-dup candidates — the PER-REQUEST serving shape ("find near-dups
     * of THIS doc, now") the reference answers from its live index
     * (`memory_graph.py:8047`), as opposed to q334's whole-corpus report.
-    * The probe docs are shingled/hashed on the spot (query-sized work,
-    * materialized — the returned plan carries no text derivation) and
-    * their handful of band keys BROADCAST against the standing table: one
-    * streamed scan, no standing-sized shuffle, stop-bucket bounded. At
-    * 100 TB with the band table laid out by `clusteredWrite(…,
-    * Seq("band_idx"), Seq("band_key"))`, parquet min/max stats on
-    * band_key turn that scan into file-skipping. Probe docs already in
-    * the standing table pair with everyone EXCEPT themselves (x ≠ y). */
-  /** Max distinct band keys the point probe will inline as a literal scan
-    * predicate — well past any sane per-request probe (a 1000-doc probe ×
-    * 16 bands is 16k keys) and a loud contract check against feeding a
-    * corpus through the point path. */
-  val PointProbeMaxKeys: Int = 1 << 16
-
+    *
+    * The probe docs' band keys are computed DRIVER-SIDE in plain JVM code
+    * ([[localBandKeys]] — the kernels are pure functions, parity
+    * spec-pinned), so the request costs exactly TWO Spark jobs: the
+    * bounded probe-row fetch and the pushed-filter scan (callers that
+    * already hold the text in memory use [[probeNearDupsLocal]] and pay
+    * ONE). The keys are inlined as a literal IN that reaches the parquet
+    * reader (PushedFilters on band_key); under the maintenance sinks'
+    * (band_idx, band_key)-clustered layout the pushed predicate skips
+    * files/row groups, so the probe never scans the collection. The
+    * touched rows then flow through the bounded posting aggregation
+    * (stop-bucket capped, fan-out ≤ maxDf). Probe docs already in the
+    * standing table pair with everyone EXCEPT themselves (x ≠ y). */
   def probeNearDups(standing: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleK: Int, numHashes: Int,
                     numBands: Int, maxDf: Int = StopBucketDf): DataFrame = {
-    val qBands = bands(minhashSignaturesHashed(
-        shingleHashRaw(docs, idCol, textCol, shingleK), numHashes),
-        numHashes, numBands)
-      .localCheckpoint(true)
-    // query-sized by contract: materialize the probe's band keys
-    // DRIVER-SIDE and push them into the standing scan as a literal IN —
-    // the predicate reaches the parquet reader (PushedFilters on
-    // band_key, min/max file skipping under the clusteredWrite layout),
-    // and unlike the batch path's semi-join there is no per-probe count
-    // or broadcast-build job at all. band_key alone scopes the scan; the
-    // pair join re-matches (band_idx, band_key) exactly.
-    val keys = qBands.select(col("band_key")).distinct()
-      .collect().map(_.getString(0))
+    // the guard binds BEFORE the driver materializes anything: fetch at
+    // most maxDocs+1 rows, then check — feeding a corpus through the
+    // point path fails fast instead of OOMing the driver (ADVICE r10)
+    val rows = docs
+      .select(col(idCol), col(textCol).cast("string"))
+      .limit(PointProbeMaxDocs + 1).collect()
+    require(rows.length <= PointProbeMaxDocs,
+      s"probeNearDups is the POINT-probe path (> $PointProbeMaxDocs probe " +
+        "docs); use appendLshBands/deltaCandidates for batch candidate " +
+        "generation")
+    val probeDocs = rows.toSeq.map(r =>
+      (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+    probeNearDupsLocal(standing, probeDocs, docs.schema(idCol).dataType,
+      shingleK, numHashes, numBands, maxDf)
+  }
+
+  /** [[probeNearDups]] for probe docs already in driver memory — the
+    * in-process serving entry point: the ONLY Spark job is the
+    * pushed-filter scan of the standing table. `docs` is (id, text);
+    * `idType` must match the standing table's `doc_id` column type. */
+  def probeNearDupsLocal(standing: DataFrame, docs: Seq[(Any, String)],
+                         idType: org.apache.spark.sql.types.DataType,
+                         shingleK: Int, numHashes: Int, numBands: Int,
+                         maxDf: Int = StopBucketDf): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    require(docs.length <= PointProbeMaxDocs,
+      s"probeNearDupsLocal is the POINT-probe path (${docs.length} probe docs)")
+    val bandRows = docs.flatMap { case (id, text) =>
+      localBandKeys(text, shingleK, numHashes, numBands)
+        .map { case (b, k) => Row(id, b, k) }
+    }
+    val keys = bandRows.map(_.getString(2)).distinct
     require(keys.length <= PointProbeMaxKeys,
-      s"probeNearDups is the POINT-probe path (${keys.length} band keys); " +
-        "use appendLshBands/deltaCandidates for batch candidate generation")
-    val touched = standing.filter(col("band_key").isin(keys.toIndexedSeq: _*))
+      s"point probe produced ${keys.length} band keys (> $PointProbeMaxKeys)")
+    val spark = standing.sparkSession
+    val qBands = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(bandRows).asJava),
+      StructType(Seq(StructField("doc_id", idType),
+        StructField("band_idx", IntegerType, nullable = false),
+        StructField("band_key", StringType, nullable = false))))
+    // PER-BAND literal scope: OR over numBands conjunctions
+    // (band_idx = b AND band_key IN (that band's keys)) — the whole
+    // predicate reaches the parquet reader (Or/And/In all translate), so
+    // under the sinks' (band_idx, band_key)-sorted layout a row group
+    // only matches when ITS band's keys fall in its range. A bare
+    // band_key IN (all keys) would cross-match every band's key against
+    // every band slice — numBands× more row groups read for nothing
+    // (measured 16% vs 4% of the standing table at the ScaleSmoke tier).
+    // Clause count stays ≤ numBands regardless of probe size.
+    val byBand = bandRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_.getString(2)).distinct }
+    val touched =
+      if (byBand.isEmpty) standing.filter(lit(false))
+      else standing.filter(byBand.map { case (b, ks) =>
+        col("band_idx") === b && col("band_key").isin(ks: _*)
+      }.reduce(_ || _))
     deltaPairs(qBands, boundedPosting(touched, maxDf))
   }
 

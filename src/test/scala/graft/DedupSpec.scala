@@ -130,4 +130,39 @@ class DedupSpec extends SparkSpec {
     assert(rows(stateReplay) === rows(full),
       "replayed batch duplicated band rows in the standing state")
   }
+
+  test("localBandKeys: driver-side band keys are bit-identical to the " +
+    "cluster pipeline's (incl. short/null-text docs getting none)") {
+    val fixture = Seq(
+      ("d1", "alpha beta gamma delta epsilon zeta"),
+      ("d2", "two tokens"),                               // < k → no bands
+      ("d3", null),                                       // null → no bands
+      ("d4", "one two three four five six seven one two"),
+      ("d5", "Alpha BETA gamma delta epsilon zeta"))      // lowercase parity
+    val docs = fixture.toDF("doc_id", "text")
+    val cluster = Dedup.bands(Dedup.minhashSignaturesHashed(
+        Dedup.shingleHashRaw(docs, "doc_id", "text", 3), 16), 16, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val local = fixture.flatMap { case (id, t) =>
+      Dedup.localBandKeys(t, 3, 16, 4).map { case (b, k) => (id, b, k) }
+    }.toSet
+    assert(local === cluster,
+      s"driver-side band derivation diverged from the cluster kernels")
+    assert(!local.exists(r => r._1 == "d2" || r._1 == "d3"))
+    // case-folding parity: d5 is d1 modulo case → identical band keys
+    assert(local.filter(_._1 == "d5").map(r => (r._2, r._3))
+      === local.filter(_._1 == "d1").map(r => (r._2, r._3)))
+  }
+
+  test("probeNearDups guard binds before the driver materializes: an " +
+    "over-limit probe fails fast") {
+    val standing = Seq((1L, 0, "k")).toDF("doc_id", "band_idx", "band_key")
+    val corpus = spark.range(0, Dedup.PointProbeMaxDocs + 1L)
+      .select(col("id").as("doc_id"), lit("a b c d").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeNearDups(standing, corpus, "doc_id", "text",
+        shingleK = 2, numHashes = 16, numBands = 4)
+    }
+    assert(e.getMessage.contains("POINT-probe path"))
+  }
 }
