@@ -145,9 +145,24 @@ object IvfIndex {
     * them ([[writeStats]]' swapWrite). */
   def refreshClusterMass(spark: SparkSession, statsPath: String,
                          assigned: DataFrame): IndexStats = {
-    val old = readStats(spark, statsPath)
+    // heal a swap-crash orphan BEFORE reading: a prior refresh that died
+    // between writeStats' retire and promote leaves only `.swap.old`, and
+    // every later maintenance batch would fail at the read — the one
+    // maintained-stats path that lacked rebuildIfDrifted's discipline
+    // (ADVICE r10). No-op unless a crash actually happened.
+    graft.sources.Writers.healSwap(spark, statsPath)
+    val fs = new org.apache.hadoop.fs.Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mass = clusterMass(assigned)
-    val st = IndexStats(mass.values.sum, mass, old.cols)
+    // fresh pipeline bootstrap: a statsPath-carrying sink call before any
+    // writeStats initializes mass-only stats (no build-time column
+    // NDV/avgLen yet — the full [[stats]] measure rides the first build
+    // or rebuild, per this function's re-measure contract)
+    val oldCols =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statsPath)))
+        readStats(spark, statsPath).cols
+      else Map.empty[String, ColStats]
+    val st = IndexStats(mass.values.sum, mass, oldCols)
     writeStats(spark, statsPath, st)
     st
   }
@@ -216,7 +231,8 @@ object IvfIndex {
                        idCol: String, vecCol: String, nCentroids: Int,
                        threshold: Double = DriftRebuildThreshold,
                        filterCols: Seq[String] = Nil,
-                       partitionCols: Seq[String] = Nil): (Double, Boolean) = {
+                       partitionCols: Seq[String] = Nil,
+                       sortCols: Seq[String] = Seq("centroid_id")): (Double, Boolean) = {
     import graft.sources.{Readers, Writers}
     val fs = new org.apache.hadoop.fs.Path(assignedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -227,7 +243,19 @@ object IvfIndex {
     // heal those before reading (no-ops otherwise)
     if (torn) Seq(assignedPath, centroidsPath, statsPath)
       .foreach(Writers.healSwap(spark, _))
+    // the stats table can sit in its own swap-crash window without a torn
+    // rebuild (a crashed writeStats from any maintenance path) — heal it
+    // before the existence probe / read below (no-op otherwise)
+    Writers.healSwap(spark, statsPath)
     val assigned = Readers.table(spark, assignedPath)
+    // fresh pipeline: no build-time stats exist yet — measure and persist
+    // them NOW (this standing state becomes the drift reference) instead
+    // of failing the first cadence check of a new stream
+    if (!torn && !fs.exists(new org.apache.hadoop.fs.Path(statsPath)) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(statsPath + ".swap.old"))) {
+      writeStats(spark, statsPath, stats(assigned, filterCols))
+      return (0.0, false)
+    }
     // a torn rebuild's stats table may itself sit mid-swap — don't read it;
     // the recovery returns NaN for the (unmeasurable) drift
     val drift =
@@ -235,15 +263,33 @@ object IvfIndex {
       else driftCheck(assigned, readStats(spark, statsPath))
     if (!torn && drift < threshold) (drift, false)
     else {
-      // corpus materialized BEFORE any swap below touches assignedPath
-      val corpus = assigned.drop("centroid_id").localCheckpoint(true)
+      // corpus snapshotted to RELIABLE storage BEFORE any swap below
+      // touches assignedPath — a plain temp parquet dir, not
+      // localCheckpoint: executor block storage is non-reliable, and at
+      // corpus scale an executor loss mid-rebuild would abort the one
+      // unbounded step (correctness survives via the marker, but the
+      // rebuild might never complete on a flaky cluster — ADVICE r10).
+      // A crash mid-snapshot-write just re-writes it on recovery.
+      val snapPath = assignedPath + ".rebuild.snapshot"
+      assigned.drop("centroid_id").write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(snapPath)
+      val corpus = spark.read.parquet(snapPath)
       if (!torn) fs.create(marker, true).close()
       val idx = build(corpus, idCol, vecCol, nCentroids)
       Writers.swapWrite(idx.centroids, centroidsPath)
-      Writers.swapWrite(idx.assigned, assignedPath, partitionBy = partitionCols)
+      // preserve the probe layout through the rebuild: cluster the
+      // assignment by sortCols (range-partitioned, sorted files) exactly
+      // as the maintenance sinks lay it out
+      val laidOut =
+        if (sortCols.isEmpty) idx.assigned
+        else idx.assigned
+          .repartitionByRange((partitionCols ++ sortCols).map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      Writers.swapWrite(laidOut, assignedPath, partitionBy = partitionCols)
       writeStats(spark, statsPath,
         stats(Readers.table(spark, assignedPath), filterCols))
       fs.delete(marker, false)
+      fs.delete(new org.apache.hadoop.fs.Path(snapPath), true)
       (drift, true)
     }
   }
@@ -271,6 +317,36 @@ object IvfIndex {
   /** Pruned corpus for a query: only rows in the probed clusters. */
   def prunedCorpus(index: Index, query: DataFrame, nProbe: Int): DataFrame =
     index.assigned.join(broadcast(probeClusters(index, query, nProbe)), Seq("centroid_id"))
+
+  /** PER-REQUEST point probe against a STANDING assignment table — the
+    * ANN twin of [[graft.ops.Dedup.probeNearDups]] and the serving shape
+    * the reference answers from its resident HNSW without scanning the
+    * collection (`memory_graph.py:1015-1057`, `full_scan_threshold`).
+    * The nProbe nearest centroid ids are collected DRIVER-SIDE (bounded
+    * by construction: the centroid table is nCentroids rows — one tiny
+    * job) and pushed into the standing scan as a literal IN on
+    * `centroid_id`. Unlike [[prunedCorpus]]'s broadcast JOIN — correct,
+    * but partition-pruning-proof — the literal predicate reaches the
+    * parquet reader (PushedFilters), so under the maintenance sinks'
+    * centroid-clustered layout ([[graft.streaming.Sinks.indexAppendPartitioned]])
+    * the probe skips every file/row group outside its clusters: at 4096
+    * centroids × 8 probes that is ~0.2% of rows wanted AND read, not
+    * 0.2% wanted / 100% scanned.
+    *
+    * Distances round to 6 decimals with centroid_id tie-break — the
+    * declared queries' cross-engine-deterministic probe selection.
+    * Returns the probed rows (id, vec, centroid_id, …); score/top-k
+    * composes downstream exactly as with [[prunedCorpus]]. */
+  def probePoint(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+                 nProbe: Int): DataFrame = {
+    val ids = centroids.crossJoin(broadcast(query))
+      .withColumn("dist", round(l2sq(col("cvec"), col("qvec")), 6))
+      .orderBy(col("dist"), col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id"))
+      .collect().map(_.get(0))
+    assigned.filter(col("centroid_id").isin(ids.toIndexedSeq: _*))
+  }
 
   /** Incremental maintenance — the streaming write path of the reference's
     * ingest (vectors upserted into a live collection, never a rebuild:
