@@ -313,6 +313,74 @@ object VectorQueries {
               |WHERE a.vec_id % 5 <> 0
               |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    // PER-REQUEST ANN point probe (the IVF twin of q341, VERDICT r10 #2):
+    // the same multiprobe question as q336 answered by IvfIndex.probePoint
+    // — the nProbe centroid ids are collected driver-side (bounded: the
+    // centroid table is 8 rows) and pushed into the standing assignment
+    // as a LITERAL IN on centroid_id that reaches the parquet reader
+    // (PushedFilters, require()-pinned), where q336's broadcast join is
+    // partition-pruning-proof. Under the maintenance sink's
+    // centroid-clustered layout the pushed predicate skips every file/
+    // row group outside the probed clusters (ScaleSmoke pins the scan
+    // fraction at 2M rows) — the reference bar: the point lookup never
+    // scans the collection (memory_graph.py:1015-1057,
+    // full_scan_threshold). Oracle identical to q336's: same probe
+    // selection (round-6 distance, centroid_id tie-break), same top-10.
+    Entry("q342_ivf_point_probe",
+      (s, d) => {
+        val (apath, cpath) = maintainedIvfIndex(s, d)
+        val assigned = graft.sources.Readers.table(s, apath)
+        val centroids = graft.sources.Readers.table(s, cpath)
+        val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        val pruned = IvfIndex.probePoint(assigned, centroids, q, nProbe = 2)
+        val out = pruned.crossJoin(broadcast(q))
+          .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+          .select(col("vec_id"), col("centroid_id"), col("score"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10)
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("array_min") && !plan.contains("row_number"),
+          "point probe must not re-derive the corpus assignment")
+        val physical = out.queryExecution.executedPlan.toString
+        require(physical.linesIterator.exists(l =>
+            l.contains("PushedFilters:") && l.contains("In(centroid_id")),
+          s"probe centroid ids must reach the parquet reader as a pushed " +
+            s"literal IN:\n$physical")
+        out
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id > 0),
+              |cent AS (
+              |  SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id,
+              |    embedding AS cvec FROM (
+              |    SELECT vec_id, embedding,
+              |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+              |    FROM corpus ORDER BY h, vec_id LIMIT 8)),
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |assign AS (
+              |  SELECT vec_id, centroid_id, embedding FROM (
+              |    SELECT c.vec_id, cent.centroid_id, c.embedding,
+              |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              |          i -> (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (c.embedding[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM corpus c CROSS JOIN cent) WHERE rn = 1),
+              |probe AS (
+              |  SELECT centroid_id FROM (
+              |    SELECT cent.centroid_id,
+              |      row_number() OVER (ORDER BY
+              |        round(list_sum(list_transform(generate_series(1, len(qvec)),
+              |          i -> (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE)
+              |             * (qvec[i]::DOUBLE - cent.cvec[i]::DOUBLE))), 6),
+              |        cent.centroid_id) AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 2)
+              |SELECT a.vec_id, a.centroid_id,
+              |  round(${cosineSql("a.embedding", "qvec")}, 4) AS score
+              |FROM assign a JOIN probe USING (centroid_id) CROSS JOIN q
+              |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin)),
+
     // V1: exact cosine KNN top-k with score threshold
     // (memory_graph.py:8047-8160; threshold 0.15 per BASELINE).
     Entry("q15_knn_cosine",
