@@ -51,4 +51,44 @@ class BenchAdjudicationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(control === 1.0)
     assert(flags.map(_.verdict) === Seq("regression"))
   }
+
+  test("history band: a heavy-tail query swinging inside its own recorded " +
+    "range never flags, even past the fixed ratio envelope") {
+    // the round-10 q191 shape: history 2.28–5.8 s across same-code rounds;
+    // a 2.5x single-round swing is in-band, so no flag at all — where the
+    // fixed envelope cried regression and cost a manual re-adjudication
+    val hist = Map("q01" -> Seq(2.28, 5.8), "q02" -> Seq(1.0, 1.05, 0.98))
+    val prior = Map("q01" -> 2.28, "q02" -> 1.0)
+    val (_, _, flags) = Bench.adjudicate(prior,
+      Map("q01" -> 5.6, "q02" -> 1.0), Seq("q01", "q02"), hist)
+    assert(flags.isEmpty, s"in-band heavy-tail swing flagged: $flags")
+  }
+
+  test("history band: a move beyond the recorded range IS a regression, " +
+    "and the control deflation can still re-enter the band") {
+    val hist = Map("q01" -> Seq(2.28, 5.8))
+    val others = (2 to 8).map(i => f"q$i%02d")
+    val prior = Map("q01" -> 2.28) ++ others.map(_ -> 1.0)
+    // stable box: 9.0 > 5.8*1.35 → real regression
+    val (_, c1, f1) = Bench.adjudicate(prior,
+      Map("q01" -> 9.0) ++ others.map(_ -> 1.0), "q01" +: others, hist)
+    assert(c1 === 1.0 && f1.map(f => f.name -> f.verdict) === Seq("q01" -> "regression"))
+    // inflated box (control 1.3): 9.0/1.3 = 6.9 < 7.83 → box-drift
+    val (_, c2, f2) = Bench.adjudicate(prior,
+      Map("q01" -> 9.0) ++ others.map(_ -> 1.3), "q01" +: others, hist)
+    assert(c2 === 1.3 && f2.map(f => f.name -> f.verdict) === Seq("q01" -> "box-drift"))
+  }
+
+  test("history band: faster than the recorded range verdicts improvement; " +
+    "a single history point falls back to the fixed envelope") {
+    val hist = Map("q01" -> Seq(2.0, 3.0), "q03" -> Seq(5.0))
+    val others = (4 to 8).map(i => f"q$i%02d")
+    val prior = Map("q01" -> 2.5, "q03" -> 1.0) ++ others.map(_ -> 1.0)
+    val now = Map("q01" -> 0.9, "q03" -> 1.2) ++ others.map(_ -> 1.0)
+    val (_, _, flags) = Bench.adjudicate(prior, now,
+      Seq("q01", "q03") ++ others, hist)
+    // q01: 0.9 < 2.0/1.35 = 1.48 → improvement; q03 has ONE history point
+    // → fixed envelope vs prior (1.2/1.0 inside ×1.35) → no flag
+    assert(flags.map(f => f.name -> f.verdict) === Seq("q01" -> "improvement"))
+  }
 }
