@@ -274,9 +274,15 @@ object Sinks {
                              statsPath: Option[String] = None,
                              maintenance: Seq[Maintenance] = Nil)
                             (batch: DataFrame, batchId: Long): Unit = {
+    // materialize the assigned batch once (batch-sized by contract — the
+    // LSH twin does the same): the merge consumes it several times
+    // (per-key dedup, touched-partition scope collect, the range layout's
+    // SAMPLING pass, the write itself), and unmaterialized each pass
+    // would re-run the centroid argmin over the whole batch
+    val assigned = graft.ops.Similarity
+      .ivfAssign(batch, centroids, idCol, vecCol).localCheckpoint(true)
     keyedUpsertPartitioned(path, idCol, partitionCols,
-      sortCols = Seq("centroid_id"))(
-      graft.ops.Similarity.ivfAssign(batch, centroids, idCol, vecCol), batchId)
+      sortCols = Seq("centroid_id"))(assigned, batchId)
     refreshStats(batch.sparkSession, path, statsPath)
     maintenance.foreach(_.maybeRun(batch.sparkSession, batchId))
   }
