@@ -1267,6 +1267,133 @@ object ScaleSmoke {
       assert(missed == 0, "TopK result differs from the window ground truth")
     }
 
+    // ---- Clustered serving layout tier (round 11, VERDICT #1): the
+    // standing band table written through the maintenance sink's
+    // (band_idx, band_key)-clustered layout must answer a point probe
+    // WITHOUT scanning the collection. Pinned by the parquet scan's
+    // numOutputRows — the rows that SURVIVE row-group skipping under the
+    // pushed literal IN — against an unclustered copy of the same table:
+    // same probe, same answer, near-full-scan row count. Files are capped
+    // small so the 2M-row fixture has enough skippable units; at the
+    // 100 TB north star the same granularity comes from row groups and
+    // page column-indexes inside production-sized files.
+    {
+      import graft.ops.Dedup
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val base = java.nio.file.Files.createTempDirectory("clustered-probe").toString
+      val docs = docCorpus(500000L)
+        .withColumn("source", pmod(col("doc_id"), lit(2)).cast("string"))
+        .localCheckpoint(true)
+      val newBands = Dedup.bands(Dedup.minhashSignaturesHashed(
+          Dedup.shingleHashRaw(docs, "doc_id", "text", 3), 16), 16, 4)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .localCheckpoint(true)
+      val total = newBands.count()
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "10000")
+      val tCl = System.nanoTime()
+      graft.sources.Writers.upsertPartitioned(spark, base + "/clustered",
+        newBands, "doc_id", Seq("source"),
+        sortCols = Seq("band_idx", "band_key"))
+      val clSecs = (System.nanoTime() - tCl) / 1e9
+      newBands.write.partitionBy("source").parquet(base + "/unclustered")
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+      // probe doc 12300 has a planted near-dup (12301 shares 39/40 tokens)
+      val probeText = docs.filter(col("doc_id") === 12300L).head().getString(1)
+      def probeScan(path: String): (Set[(Long, Long)], Long) = {
+        val standing = spark.read.parquet(path)
+        val out = Dedup.probeNearDupsLocal(standing, Seq((12300L, probeText)),
+          org.apache.spark.sql.types.LongType, shingleK = 3,
+          numHashes = 16, numBands = 4)
+        val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case o => o +: o.children.flatMap(walk)
+        }
+        val scanned = walk(out.queryExecution.executedPlan)
+          .collect { case f: FileSourceScanExec =>
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(0L) }.sum
+        (pairs, scanned)
+      }
+      val (pairsCl, rowsCl) = probeScan(base + "/clustered")
+      val (pairsUn, rowsUn) = probeScan(base + "/unclustered")
+      println(f"[scale-smoke] clustered-probe: bands=$total " +
+        f"clusteredScanRows=$rowsCl (${rowsCl * 100.0 / total}%.1f%%) " +
+        f"unclusteredScanRows=$rowsUn (${rowsUn * 100.0 / total}%.1f%%) " +
+        f"pairs=${pairsCl.size} writeSeconds=$clSecs%.1f")
+      assert(pairsCl == pairsUn, "layout changed the probe answer")
+      assert(pairsCl.contains((12300L, 12301L)),
+        s"planted near-dup missing from the point probe: $pairsCl")
+      assert(rowsCl < total / 10,
+        f"clustered probe scanned ${rowsCl * 100.0 / total}%.1f%% of the " +
+          "standing table — the pushed filter is not skipping files")
+      assert(rowsUn > total / 2,
+        "control broken: the unclustered copy should be a near-full scan")
+    }
+
+    // ---- IVF point-probe layout twin (round 11, VERDICT #2): the
+    // standing assignment written by the maintenance sink
+    // (label-partitioned, centroid_id-sorted files) must serve
+    // `IvfIndex.probePoint`'s literal IN with row-group skipping — scan
+    // rows ≈ the probed clusters' mass, never the collection. Control:
+    // the same assignment written unsorted reads everything.
+    {
+      import graft.engine.IvfIndex
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val base = java.nio.file.Files.createTempDirectory("ivf-probe-layout").toString
+      val corpus = vecCorpus(2000000L)
+        .select(col("id").as("vec_id"), col("embedding"),
+          pmod(col("id"), lit(2)).cast("int").as("label"))
+        .localCheckpoint(true)
+      val total = corpus.count()
+      val built = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 64)
+      graft.sources.Writers.swapWrite(built.centroids, base + "/centroids")
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "10000")
+      val tAs = System.nanoTime()
+      graft.streaming.Sinks.indexAppendPartitioned(base + "/assigned",
+        spark.read.parquet(base + "/centroids"), "vec_id", "embedding",
+        Seq("label"))(corpus, 0L)
+      val asSecs = (System.nanoTime() - tAs) / 1e9
+      graft.ops.Similarity.ivfAssign(corpus, built.centroids, "vec_id", "embedding")
+        .write.partitionBy("label").parquet(base + "/unclustered")
+      spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      def probeTop(path: String): (Long, Long) = {
+        val assigned = spark.read.parquet(path)
+        val centroids = spark.read.parquet(base + "/centroids")
+        val pruned = IvfIndex.probePoint(assigned, centroids, queryVec, nProbe = 8)
+        val top = graft.ops.Similarity.knnCosine(pruned, queryVec,
+          "vec_id", "embedding", k = 1, threshold = -1.0)
+        val id = top.collect().head.getLong(0)
+        def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case o => o +: o.children.flatMap(walk)
+        }
+        val scanned = walk(top.queryExecution.executedPlan)
+          .collect { case f: FileSourceScanExec =>
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(0L) }.sum
+        (id, scanned)
+      }
+      val (topCl, rowsCl) = probeTop(base + "/assigned")
+      val (topUn, rowsUn) = probeTop(base + "/unclustered")
+      val exactTop = graft.ops.Similarity.knnCosine(corpus, queryVec,
+        "vec_id", "embedding", k = 1, threshold = -1.0).collect().head.getLong(0)
+      println(f"[scale-smoke] ivf-probe-layout: rows=$total " +
+        f"clusteredScanRows=$rowsCl (${rowsCl * 100.0 / total}%.1f%%) " +
+        f"unclusteredScanRows=$rowsUn (${rowsUn * 100.0 / total}%.1f%%) " +
+        f"top1=$topCl sinkSeconds=$asSecs%.1f")
+      assert(topCl == topUn && topCl == exactTop,
+        s"layout changed the probe answer: $topCl / $topUn / exact $exactTop")
+      assert(rowsCl < total / 4,
+        f"clustered IVF probe scanned ${rowsCl * 100.0 / total}%.1f%% — the " +
+          "pushed centroid IN is not skipping row groups")
+      assert(rowsUn > total / 2,
+        "control broken: the unclustered assignment should be a near-full scan")
+    }
+
     println("[scale-smoke] PASS")
     spark.stop()
   }
