@@ -294,8 +294,14 @@ object IvfIndex {
     }
   }
 
-  /** Reload stats persisted by [[writeStats]]. */
+  /** Reload stats persisted by [[writeStats]] — healing a writeStats
+    * swap-crash orphan first (primary missing, only `.swap.old` left), so
+    * EVERY stats reader (serving bootstrap via
+    * `AnnRewrite.registerFromPaths`, maintenance refresh, the drift
+    * cadence) observes a complete snapshot. No-op unless a crash actually
+    * happened; single-writer contract as all maintenance on the table. */
   def readStats(spark: SparkSession, path: String): IndexStats = {
+    graft.sources.Writers.healSwap(spark, path)
     val r = spark.read.parquet(path).head()
     val names = r.getSeq[String](3)
     IndexStats(

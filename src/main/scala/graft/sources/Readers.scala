@@ -92,6 +92,11 @@ object Readers {
   def table(spark: SparkSession, path: String,
             schema: Option[StructType] = None): DataFrame = {
     Writers.healPartitions(spark, path)
+    // swap-maintained (unpartitioned) tables have the analogous crash
+    // window: primary retired to `.swap.old`, promote never ran — heal
+    // that too, so ONE reader entry point covers both write disciplines
+    // (no-op existence probes otherwise)
+    Writers.healSwap(spark, path)
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).parquet(path)
   }
