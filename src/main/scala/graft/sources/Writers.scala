@@ -426,7 +426,8 @@ object Writers {
     * re-writes `partitionBy` them — layout preserved, write parallel.
     * Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -455,7 +456,12 @@ object Writers {
     val partCols = partitionChain(root)
     val df = spark.read.parquet(path)
     val rewritten =
-      if (partCols.isEmpty) df.repartition(nOut)
+      if (sortCols.nonEmpty)
+        // preserve a clustered serving layout through the global rewrite
+        // (range split keeps ~nOut files with disjoint sort ranges)
+        df.repartitionByRange(nOut, (partCols ++ sortCols).map(col): _*)
+          .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      else if (partCols.isEmpty) df.repartition(nOut)
       // hash-repartition on the partition columns so each task writes
       // whole partition dirs (≈1 file per partition per holding task)
       else df.repartition(nOut, partCols.map(col): _*)

@@ -468,5 +468,23 @@ class WritersSpec extends SparkSpec {
         .select("key").collect().map(_.getString(0)).toSeq
       assert(keys == keys.sorted, s"delete rewrite unsorted ${f.getName}")
     }
+    // the GLOBAL compaction path preserves it too
+    // partition-value inference reads the string part "0" back as int on
+    // a fresh scan — normalize through a cast for the comparison
+    def snapshot(): Set[(String, Long, String)] =
+      spark.read.parquet(dir)
+        .select(col("part").cast("string"), col("k"), col("key")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val before = snapshot()
+    Writers.compact(spark, dir, targetFileBytes = 64L * 1024,
+      sortCols = Seq("key"))
+    Seq("part=0", "part=1").foreach { part =>
+      files(s"$dir/$part").foreach { f =>
+        val keys = spark.read.parquet(f.getPath)
+          .select("key").collect().map(_.getString(0)).toSeq
+        assert(keys == keys.sorted, s"compact rewrite unsorted ${f.getName}")
+      }
+    }
+    assert(snapshot() === before, "compact with sortCols changed the data")
   }
 }
