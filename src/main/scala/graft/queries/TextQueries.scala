@@ -93,6 +93,58 @@ object TextQueries {
       path
     })
 
+  /** The full MinHash-LSH + exact-Jaccard-verify oracle (q20's pipeline):
+    * shared by q20 (one-shot) and q343 (the maintained verified table,
+    * which must hash-match the one-shot output exactly). */
+  private lazy val lshVerifiedPairsSql: String = {
+    import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+    val sigCols = (0 until 16).map(i =>
+      s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |$jaccardTail""".stripMargin
+  }
+
+  /** Standing VERIFIED near-dup table (q343): candidate deltas from the
+    * partitioned band sink folded through the exact-Jaccard verifier —
+    * two micro-batches (even/odd doc ids) exercise the incremental path,
+    * including cross-batch pairs whose partner text lives in the
+    * standing corpus. */
+  private val maintainedVerified =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def maintainedVerifiedTable(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String =
+    maintainedVerified.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-lsh-verified").toString
+      val docs = Tables.documents(s, d)
+      Seq(0, 1).foreach { i =>
+        val delta = graft.streaming.Sinks.lshIndexAppendPartitioned(
+          base + "/bands", "doc_id", "text",
+          shingleK = 3, numHashes = 16, numBands = 4,
+          partitionCols = Seq("source"))(
+          docs.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong)
+        graft.streaming.Sinks.verifiedPairsUpsert(base + "/verified", docs,
+          "doc_id", "text", shingleK = 3, threshold = 0.5)(delta, i.toLong)
+      }
+      base + "/verified"
+    })
+
   def entries: Seq[Entry] = Seq(
 
     // Maintained-index serving: q20's candidate question answered by
@@ -303,29 +355,31 @@ object TextQueries {
     Entry("q20_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5),
-      Some {
-        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
-        val sigCols = (0 until 16).map(i =>
-          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
-        val bandRows = (0 until 4).map { b =>
-          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $shingleCtes,
-           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $sigCols
-           |  FROM shh GROUP BY doc_id),
-           |bands AS (
-           |  $bandRows),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id),
-           |$jaccardTail""".stripMargin
-      }),
+      Some(lshVerifiedPairsSql)),
+
+    // The maintained twin of q20 (round 11 — the last step of the dedup
+    // serving lifecycle): a standing VERIFIED near-dup table kept by the
+    // streaming maintenance pair (lshIndexAppendPartitioned delta →
+    // verifiedPairsUpsert exact-Jaccard fold), built here from two
+    // micro-batches (even/odd doc ids) and then only READ. Verification
+    // is a pure function of the two docs' texts and the incremental
+    // candidate deltas union to the full-corpus candidate set
+    // (spec-pinned), so the standing table hash-matches the ONE-SHOT
+    // minhashLsh oracle exactly — q20's SQL verbatim. The probe is a
+    // bare scan: candidates vouched, verified, served.
+    Entry("q343_maintained_verified_pairs",
+      (s, d) => {
+        val path = maintainedVerifiedTable(s, d)
+        val out = graft.sources.Readers.table(s, path)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
+            !plan.contains("split") && !plan.contains("md5"),
+          "maintained verified-pair serving must not re-derive anything from text")
+        out
+      },
+      Some(lshVerifiedPairsSql)),
 
     // Ground truth for the LSH path: exact n-gram Jaccard via the inverted
     // index (no cross product — pairs only materialize on shared shingles).

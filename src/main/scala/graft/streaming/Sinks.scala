@@ -341,13 +341,18 @@ object Sinks {
     * bands join the standing table on (band_idx, band_key) — new×all, a
     * READ of the standing table, never a rewrite. Reading AFTER the fold
     * reproduces `appendLshBands`' delta exactly (its `all` is the
-    * post-replace state, so same-batch pairs are included). */
+    * post-replace state, so same-batch pairs are included).
+    *
+    * Returns the batch's candidate-pair delta (materialized,
+    * batch-proportional) so callers can compose downstream maintenance —
+    * [[verifiedPairsUpsert]] folds it into a standing VERIFIED near-dup
+    * table; foreachBatch callers that don't need it just discard it. */
   def lshIndexAppendPartitioned(path: String, idCol: String, textCol: String,
                                 shingleK: Int, numHashes: Int, numBands: Int,
                                 partitionCols: Seq[String],
                                 pairsPath: Option[String] = None,
                                 maintenance: Seq[Maintenance] = Nil)
-                               (batch: DataFrame, batchId: Long): Unit = {
+                               (batch: DataFrame, batchId: Long): DataFrame = {
     import graft.ops.Dedup
     val spark = batch.sparkSession
     val newBands = Dedup.bands(Dedup.minhashSignatures(
@@ -376,6 +381,46 @@ object Sinks {
       keyedUpsert(pp, "pair_key")(pairs, batchId)
     }
     maintenance.foreach(_.maybeRun(spark, batchId))
+    delta
+  }
+
+  /** Fold a batch's candidate-pair delta into a standing VERIFIED
+    * near-dup table — the missing last step of the maintained dedup
+    * lifecycle: the band table answers "who MIGHT be a near-dup", this
+    * table answers "who IS" (exact n-gram Jaccard ≥ threshold), and both
+    * are maintained by candidate-proportional work, never a corpus
+    * rescan. Verification re-derives shingle sets ONLY for docs the
+    * delta touches (semi-join against `docs` — the usual tiny candidate
+    * population), scores with [[graft.ops.Dedup.jaccardVerify]]'s exact
+    * arithmetic, and upserts under the same collision-free JSON pair key
+    * as the candidate feed. Because verification is a pure function of
+    * the two docs' texts, the union of per-batch verified deltas equals
+    * the one-shot [[graft.ops.Dedup.minhashLsh]] output over the full
+    * corpus (candidate-parity is spec-pinned; verification adds nothing
+    * path-dependent), and at-least-once redelivery re-verifies to
+    * identical rows — a no-op on the state.
+    *
+    * `docs` must be the FULL corpus table (a cross-batch pair needs its
+    * standing partner's text). Compose behind [[lshIndexAppendPartitioned]]:
+    * {{{
+    *   val delta = Sinks.lshIndexAppendPartitioned(bands, …)(batch, id)
+    *   Sinks.verifiedPairsUpsert(verified, corpus, "doc_id", "text",
+    *     shingleK = 3, threshold = 0.5)(delta, id)
+    * }}} */
+  def verifiedPairsUpsert(path: String, docs: DataFrame, idCol: String,
+                          textCol: String, shingleK: Int, threshold: Double)
+                         (delta: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Dedup
+    val cand = delta.select(col("doc_a"), col("doc_b")).distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candTexts = docs.join(broadcast(candDocs),
+      docs(idCol) === candDocs("doc_id"), "left_semi")
+    val sh = Dedup.shingleSets(candTexts, idCol, textCol, shingleK).persist()
+    val verified = Dedup.jaccardVerify(cand, sh, threshold)
+      .withColumn("pair_key", to_json(struct(col("doc_a"), col("doc_b"))))
+    keyedUpsert(path, "pair_key")(verified, batchId)
+    sh.unpersist()
   }
 
   /** Resolve a standing table's schema through the swap-crash window: the
@@ -506,9 +551,20 @@ object Sinks {
     fs.delete(marker, true)
   }
 
+  /** Delete victims from ANY standing (doc_a, doc_b)-keyed pair table —
+    * the candidate feed, the [[verifiedPairsUpsert]] table, or any other
+    * derived pair state: anti-join on either endpoint, atomic swap,
+    * idempotent replay. `victims` must carry `idCol`. The GDPR cascade's
+    * public entry for pair tables beyond the one `lshIndexDelete` owns. */
+  def pairFeedDelete(path: String, victims: DataFrame,
+                     idCol: String = "doc_id"): Unit =
+    purgePairs(victims.sparkSession, path,
+      victims.select(col(idCol).as("doc_id")).distinct())
+
   /** Anti-join victim ids (a `doc_id` column) out of the standing pair
     * feed on EITHER endpoint — the shared pair-purge core of
-    * [[lshIndexDelete]] and [[healPendingPairDelete]]. Idempotent. */
+    * [[lshIndexDelete]], [[healPendingPairDelete]] and
+    * [[pairFeedDelete]]. Idempotent. */
   private def purgePairs(spark: org.apache.spark.sql.SparkSession,
                          pairsPath: String, ids: DataFrame): Unit =
     standingSchema(spark, pairsPath).foreach { schema =>

@@ -397,6 +397,47 @@ class MaintainedDeleteSpec extends SparkSpec {
     Sinks.healPendingPairDelete(spark, pairs)
   }
 
+  test("verifiedPairsUpsert: the incrementally-maintained verified table " +
+    "equals the one-shot minhashLsh output (cross-batch pairs included); " +
+    "pairFeedDelete purges it") {
+    val base = tmp("lsh-verified")
+    val bands = base + "/bands"
+    val verified = base + "/verified"
+    // split so the exact-dup pair (d1, d2) CROSSES batches: its
+    // verification needs the standing partner's text from the corpus
+    Seq(Seq("d1", "d4", "d6"), Seq("d2", "d3", "d5")).zipWithIndex
+      .foreach { case (ids, i) =>
+        val delta = Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+          shingleK = 2, numHashes = 16, numBands = 4,
+          partitionCols = Seq("source"))(
+          docsDf.filter(col("doc_id").isin(ids: _*)), i.toLong)
+        Sinks.verifiedPairsUpsert(verified, docsDf, "doc_id", "text",
+          shingleK = 2, threshold = 0.5)(delta, i.toLong)
+      }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Double)] =
+      df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(String, String, Double)].collect().toSet
+    val got = rows(Readers.table(spark, verified))
+    val oneShot = rows(Dedup.minhashLsh(docsDf, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4, threshold = 0.5))
+    assert(got === oneShot,
+      s"maintained verified table diverged from one-shot: $got vs $oneShot")
+    assert(got.exists(p => p._1 == "d1" && p._2 == "d2" && p._3 == 1.0))
+    // replay: re-folding batch 1's delta changes nothing
+    val replayDelta = Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(
+      docsDf.filter(col("doc_id").isin("d2", "d3", "d5")), 2L)
+    Sinks.verifiedPairsUpsert(verified, docsDf, "doc_id", "text",
+      shingleK = 2, threshold = 0.5)(replayDelta, 2L)
+    assert(rows(Readers.table(spark, verified)) === got)
+    // GDPR: the verified table joins the cascade through pairFeedDelete
+    Sinks.pairFeedDelete(verified, Seq("d2").toDF("doc_id"))
+    val post = rows(Readers.table(spark, verified))
+    assert(!post.exists(p => p._1 == "d2" || p._2 == "d2"))
+    assert(post === got.filterNot(p => p._1 == "d2" || p._2 == "d2"))
+  }
+
   test("maintenance cadence: a drifted append stream triggers exactly one " +
     "rebuild through the sink") {
     val base = tmp("ivf-cadence")
