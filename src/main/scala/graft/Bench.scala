@@ -2,6 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** See [[Bench.readjudicate]]. */
+object BenchReadjudicate {
+  def main(args: Array[String]): Unit = {
+    val priorPath = args(0)
+    val fullPath = if (args.length > 1) args(1) else "BENCH_FULL.json"
+    val histPath = if (args.length > 2) args(2) else "BENCH_HISTORY.json"
+    val json = Bench.readjudicate(priorPath, fullPath, histPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DELTAS.json"),
+      json.getBytes("UTF-8"))
+    println(json.linesIterator.take(7).mkString("\n"))
+  }
+}
+
 object Bench {
 
   /** True median: average the two middle elements for even n (a two-run
@@ -88,8 +101,17 @@ object Bench {
     }
     val ratios = checked.map(n => n -> now(n) / math.max(prior(n), 1e-9)).toMap
     val flaggedNames = checked.filter(n => outside(n, now(n)))
-    val controlSet = checked.filterNot(flaggedNames.toSet)
-      .filter(n => now(n) > 0.2).map(ratios)
+    // Control pool: with a real population, ALL checked queries >0.2 s —
+    // the median is robust to the few genuine regressions, and excluding
+    // flagged queries would BIAS the box estimate exactly when the box
+    // inflates broadly (mass flags → control from the unrepresentative
+    // remainder → every flag mis-verdicts regression). Below 10 checked
+    // queries a median over everything degenerates (a single flagged
+    // query would deflate itself to 1.0), so the small-population rule
+    // stays exclude-flagged.
+    val pool = if (checked.length >= 10) checked
+               else checked.filterNot(flaggedNames.toSet)
+    val controlSet = pool.filter(n => now(n) > 0.2).map(ratios)
     val control = if (controlSet.isEmpty) 1.0 else median(controlSet)
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val flagged = flaggedNames.map { n =>
@@ -114,6 +136,26 @@ object Bench {
         math.rint(ratios(n) * 100) / 100, verdict)
     }
     (checked.length, math.rint(control * 1000) / 1000, flagged)
+  }
+
+  /** Offline re-adjudication of an existing bench run through the
+    * PRODUCTION [[adjudicate]] — for refreshing BENCH_DELTAS.json after an
+    * adjudicator fix without paying a full re-run (the measured medians in
+    * BENCH_FULL.json are unchanged facts; only their classification moved).
+    * Usage: `runMain graft.BenchReadjudicate <priorFull> [fullPath] [histPath]`
+    * — `priorFull` is the PRIOR round's BENCH_FULL (e.g. extracted from
+    * git), the others default to the working-tree artifacts. */
+  private[graft] def readjudicate(priorPath: String, fullPath: String,
+                                  histPath: String): String = {
+    val prior = parsePriorFull(java.nio.file.Paths.get(priorPath))
+    val now = parsePriorFull(java.nio.file.Paths.get(fullPath))
+    val history = parseHistory(java.nio.file.Paths.get(histPath))
+    val names = now.keys.toSeq.sorted
+    val (checked, control, flagged) = adjudicate(prior, now, names, history)
+    val flaggedJson = flagged.map { f =>
+      s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
+    }.mkString("[\n", ",\n", "\n  ]")
+    s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band (or the control-adjusted move is <0.1s), else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n"""
   }
 
   /** The corpus-shingle family: the bench's heavy tail (>2 s at sf0.1, all
@@ -245,7 +287,7 @@ object Bench {
           s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
         }.mkString("[\n", ",\n", "\n  ]")
         writeFile("BENCH_DELTAS.json",
-          s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of non-flagged queries >0.2s; box-drift when the control-deflated measurement re-enters its band (or the control-adjusted move is <0.1s), else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n""")
+          s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band (or the control-adjusted move is <0.1s), else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n""")
       } catch {
         case e: Throwable => System.err.println(s"[bench] file write failed: $e")
       }

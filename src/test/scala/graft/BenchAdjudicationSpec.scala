@@ -46,10 +46,28 @@ class BenchAdjudicationSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("control excludes flagged and sub-0.2s queries; empty control falls back to 1.0") {
     // only one checked query, itself flagged → control 1.0, raw verdict
+    // (small populations exclude flags — a lone flagged query must not
+    // deflate itself to box-drift)
     val (_, control, flags) = Bench.adjudicate(
       Map("q01" -> 1.0), Map("q01" -> 2.0), Seq("q01"))
     assert(control === 1.0)
     assert(flags.map(_.verdict) === Seq("regression"))
+  }
+
+  test("broad box inflation with tight history bands: the control comes " +
+    "from ALL checked queries, so mass flags adjudicate box-drift") {
+    // 12 queries, every history band tight at 1.0; the box inflates
+    // everything 1.5x uniformly. Excluding flagged queries would leave an
+    // empty/biased control and verdict 12 regressions; the all-checked
+    // median reads the box factor (1.5) and every flag deflates home.
+    val names12 = (1 to 12).map(i => f"q$i%02d")
+    val hist = names12.map(_ -> Seq(0.95, 1.0, 1.05)).toMap
+    val prior = names12.map(_ -> 1.0).toMap
+    val now = names12.map(_ -> 1.5).toMap
+    val (_, control, flags) = Bench.adjudicate(prior, now, names12, hist)
+    assert(control === 1.5)
+    assert(flags.nonEmpty && flags.forall(_.verdict === "box-drift"),
+      s"uniform inflation must adjudicate box-drift: $flags")
   }
 
   test("history band: a heavy-tail query swinging inside its own recorded " +
