@@ -564,6 +564,72 @@ object Dedup {
     deltaPairs(qBands, boundedPosting(touched, maxDf))
   }
 
+  /** Per-request VERIFIED near-dup check — the full serving answer to "is
+    * THIS doc a (near-)duplicate, now": [[probeNearDups]]' banded
+    * candidates, then EXACT n-gram Jaccard against the candidates' real
+    * texts. This is the reference's ingest-time duplicate check
+    * (`memory_graph.py:10325` `find_and_delete_duplicates` runs on
+    * writes) generalized to near-dups, and the per-request twin of the
+    * standing verified table (`Sinks.verifiedPairsUpsert`).
+    *
+    * Request-shaped cost: the candidate pairs are materialized
+    * (stop-bucket bounded), the partners' ids collected driver-side and
+    * pushed into the corpus scan as a literal IN on `idCol` — with the
+    * corpus laid out by id (TESTDATA's parquet is; any ingest-ordered
+    * table is), that scan row-group-skips like the band probe. Past
+    * `PointProbeMaxDocs` distinct partners (a probe doc that near-matches
+    * half the corpus), the fetch falls back to a broadcast semi-join —
+    * same rows, scan-heavy, still bounded. The probe docs' OWN texts come
+    * from the request (they need not exist in the corpus — the ingest-
+    * check shape), and on id collision the request's text wins. */
+  def probeNearDupsVerified(standing: DataFrame, corpus: DataFrame,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int, numHashes: Int, numBands: Int,
+                            threshold: Double,
+                            maxDf: Int = StopBucketDf): DataFrame = {
+    val rows = docs.select(col(idCol), col(textCol).cast("string"))
+      .limit(PointProbeMaxDocs + 1).collect()
+    require(rows.length <= PointProbeMaxDocs,
+      s"probeNearDupsVerified is the POINT-probe path (> $PointProbeMaxDocs " +
+        "probe docs); use minhashLsh/exactJaccardPairs for corpus dedup")
+    val probeDocs = rows.toSeq.map(r =>
+      (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val idType = docs.schema(idCol).dataType
+    val spark = standing.sparkSession
+    val cand = probeNearDupsLocal(standing, probeDocs, idType,
+      shingleK, numHashes, numBands, maxDf).localCheckpoint(true)
+    val endpoints = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val partnerIds = endpoints.limit(PointProbeMaxDocs + 1).collect()
+      .map(_.get(0))
+    val probeIdSet = probeDocs.map(_._1)
+    val corpusTexts =
+      (if (partnerIds.length <= PointProbeMaxDocs)
+         // the serving shape: a literal IN that reaches the corpus scan
+         corpus.filter(col(idCol).isin(partnerIds.toIndexedSeq: _*))
+       else corpus.join(broadcast(endpoints),
+         corpus(idCol) === endpoints("doc_id"), "left_semi"))
+        .select(col(idCol), col(textCol).cast("string").as(textCol))
+        // the request's text wins over a stale corpus row for probe ids
+        .filter(!col(idCol).isin(probeIdSet: _*))
+    val probeTexts = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          probeDocs.map { case (id, t) =>
+            org.apache.spark.sql.Row(id, t) }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField(textCol,
+          org.apache.spark.sql.types.StringType))))
+    // deliberately NOT persisted/checkpointed: the shingle substrate is
+    // partner-sized (request-scale), so the verifier's three reads of it
+    // cost microseconds of re-derivation — and the returned LAZY plan
+    // keeps the pushed corpus-scan predicate inspectable by callers
+    val sh = shingleSets(corpusTexts.unionByName(probeTexts),
+      idCol, textCol, shingleK)
+    jaccardVerify(cand, sh, threshold)
+  }
+
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH
     * pipeline: one inverted-index self-join, intersection counts aggregated
     * directly from the co-occurrence rows (single pass, no pair-set

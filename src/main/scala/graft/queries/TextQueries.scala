@@ -94,9 +94,11 @@ object TextQueries {
     })
 
   /** The full MinHash-LSH + exact-Jaccard-verify oracle (q20's pipeline):
-    * shared by q20 (one-shot) and q343 (the maintained verified table,
-    * which must hash-match the one-shot output exactly). */
-  private lazy val lshVerifiedPairsSql: String = {
+    * shared by q20 (one-shot), q343 (the maintained verified table, which
+    * must hash-match the one-shot output exactly) and q344 (the
+    * per-request verified probe — `candExtra` restricts the candidate CTE
+    * to pairs touching the probe doc). */
+  private def lshVerifiedPairsSql(candExtra: String = ""): String = {
     import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
     val sigCols = (0 until 16).map(i =>
       s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
@@ -116,7 +118,7 @@ object TextQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id),
+       |   AND a.doc_id < b.doc_id$candExtra),
        |$jaccardTail""".stripMargin
   }
 
@@ -355,7 +357,7 @@ object TextQueries {
     Entry("q20_minhash_lsh",
       (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5),
-      Some(lshVerifiedPairsSql)),
+      Some(lshVerifiedPairsSql())),
 
     // The maintained twin of q20 (round 11 — the last step of the dedup
     // serving lifecycle): a standing VERIFIED near-dup table kept by the
@@ -379,7 +381,34 @@ object TextQueries {
           "maintained verified-pair serving must not re-derive anything from text")
         out
       },
-      Some(lshVerifiedPairsSql)),
+      Some(lshVerifiedPairsSql())),
+
+    // Per-request VERIFIED probe (round 11): the full serving answer to
+    // "is THIS doc a near-dup, now" — q341's banded candidates VERIFIED
+    // by exact n-gram Jaccard against the partners' real texts, fetched
+    // through a literal IN on doc_id that reaches the corpus scan
+    // (require()-pinned). The reference runs exactly this check at
+    // ingest (memory_graph.py:10325, find_and_delete_duplicates on
+    // writes), generalized to near-dups. Oracle: the q20 pipeline with
+    // candidates restricted to pairs touching the probe doc.
+    Entry("q344_point_verified_probe",
+      (s, d) => {
+        val path = maintainedBandTable(s, d)
+        val corpus = Tables.documents(s, d)
+        val probeDoc = corpus.filter(col("doc_id") === 45)
+        val out = Dedup.probeNearDupsVerified(
+          graft.sources.Readers.table(s, path), corpus, probeDoc,
+          "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
+          threshold = 0.5)
+        val physical = out.queryExecution.executedPlan.toString
+        require(physical.linesIterator.exists(l =>
+            l.contains("PushedFilters:") && l.contains("In(doc_id")),
+          s"partner texts must be fetched through a pushed literal IN on " +
+            s"doc_id:\n$physical")
+        out
+      },
+      Some(lshVerifiedPairsSql(
+        "\n   AND (a.doc_id = 45 OR b.doc_id = 45)"))),
 
     // Ground truth for the LSH path: exact n-gram Jaccard via the inverted
     // index (no cross product — pairs only materialize on shared shingles).

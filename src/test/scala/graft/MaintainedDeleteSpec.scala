@@ -584,6 +584,47 @@ class MaintainedDeleteSpec extends SparkSpec {
       s"probe keys not pushed into the parquet scan:\n$physical")
   }
 
+  test("probeNearDupsVerified: equals the one-shot verified pairs " +
+    "restricted to the probe doc; serves a brand-new doc (ingest check); " +
+    "partner texts fetched via a pushed IN") {
+    val base = tmp("verified-probe")
+    val bands = base + "/bands"
+    val corpusPath = base + "/corpus"
+    docsDf.write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    val standing = Readers.table(spark, bands)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Double)] =
+      df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(String, String, Double)].collect().toSet
+    val probe = Dedup.probeNearDupsVerified(standing, corpus,
+      corpus.filter(col("doc_id") === "d1"), "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4, threshold = 0.5)
+    val expected = rows(Dedup.minhashLsh(docsDf, "doc_id", "text",
+        shingleK = 2, numHashes = 16, numBands = 4, threshold = 0.5))
+      .filter(p => p._1 == "d1" || p._2 == "d1")
+    assert(rows(probe) === expected, s"verified probe diverged")
+    assert(rows(probe).exists(p => p._1 == "d1" && p._2 == "d2" && p._3 == 1.0))
+    // the partner fetch is a literal IN that reaches the corpus scan
+    val physical = probe.queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l =>
+        l.contains("PushedFilters:") && l.contains("In(doc_id")),
+      s"partner texts not fetched through a pushed IN:\n$physical")
+
+    // ingest-check shape: a doc that does NOT exist in the corpus — its
+    // text comes from the request; the standing index still vouches
+    val newDoc = Seq(("zz-new", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fresh = rows(Dedup.probeNearDupsVerified(standing, corpus, newDoc,
+      "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+      threshold = 0.5))
+    assert(fresh.exists(p => p._1 == "d1" && p._2 == "zz-new" && p._3 == 1.0),
+      s"new-doc ingest check missed the exact dup: $fresh")
+  }
+
   test("indexDelete on a never-written table is a no-op; unpartitioned " +
     "variant swaps the snapshot atomically") {
     val base = tmp("ivf-del-edge")
