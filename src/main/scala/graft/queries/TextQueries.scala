@@ -395,20 +395,27 @@ object TextQueries {
       (s, d) => {
         val path = maintainedBandTable(s, d)
         val corpus = Tables.documents(s, d)
-        val probeDoc = corpus.filter(col("doc_id") === 45)
+        // two probe docs so the request has verified matches at EVERY
+        // fixture SF (45 pairs at sf0.001/0.01, 72 at sf0.01/0.1)
+        val probeDocs = corpus.filter(col("doc_id").isin(45, 72))
         val out = Dedup.probeNearDupsVerified(
-          graft.sources.Readers.table(s, path), corpus, probeDoc,
+          graft.sources.Readers.table(s, path), corpus, probeDocs,
           "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
           threshold = 0.5)
+        // pin: IF partner texts are fetched at all, the fetch is a pushed
+        // literal IN on doc_id. With zero candidates (doc 45 has none at
+        // some SFs) the empty IN folds to false and the corpus scan is
+        // pruned AWAY — the maximally-pruned plan, vacuously compliant.
         val physical = out.queryExecution.executedPlan.toString
-        require(physical.linesIterator.exists(l =>
-            l.contains("PushedFilters:") && l.contains("In(doc_id")),
+        require(!physical.contains("Scan parquet") ||
+            physical.linesIterator.exists(l =>
+              l.contains("PushedFilters:") && l.contains("In(doc_id")),
           s"partner texts must be fetched through a pushed literal IN on " +
             s"doc_id:\n$physical")
         out
       },
       Some(lshVerifiedPairsSql(
-        "\n   AND (a.doc_id = 45 OR b.doc_id = 45)"))),
+        "\n   AND (a.doc_id IN (45, 72) OR b.doc_id IN (45, 72))"))),
 
     // Ground truth for the LSH path: exact n-gram Jaccard via the inverted
     // index (no cross product — pairs only materialize on shared shingles).
