@@ -245,7 +245,12 @@ object Bench {
       "q15_knn_cosine", "q20_minhash_lsh", "q47_domain_search",
       "q61_ann_rule", "q62_bm25", "q64_near_dup_lsh", "q66_skew_join",
       "q81_bfs_distances", "q93_maxsim", "q98_ivf_multiprobe",
-      "q115_fused_search")
+      "q115_fused_search",
+      // the maintained-serving family: probe-a-standing-index latencies
+      // next to their recompute baselines above
+      "q334_maintained_lsh_probe", "q341_point_probe",
+      "q342_ivf_point_probe", "q343_maintained_verified_pairs",
+      "q344_point_verified_probe")
     def writeFile(name: String, content: String): Unit = {
       val p = java.nio.file.Paths.get(outDir, name)
       java.nio.file.Files.write(p, content.getBytes("UTF-8"))

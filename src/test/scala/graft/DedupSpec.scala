@@ -154,6 +154,27 @@ class DedupSpec extends SparkSpec {
       === local.filter(_._1 == "d1").map(r => (r._2, r._3)))
   }
 
+  test("localBandKeys: parity with the cluster kernels over randomized " +
+    "texts (vocab sizes, token counts, casing, repeated tokens)") {
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("alpha", "Beta", "GAMMA", "delta", "e", "zz-9", "x")
+    val fixture = (0 until 40).map { i =>
+      val n = rnd.nextInt(9) // 0..8 tokens — includes sub-k docs
+      val text = (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+      (s"r$i", if (i % 13 == 7) null else text)
+    }
+    val docs = fixture.toDF("doc_id", "text")
+    val cluster = Dedup.bands(Dedup.minhashSignaturesHashed(
+        Dedup.shingleHashRaw(docs, "doc_id", "text", 3), 16), 16, 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val local = fixture.flatMap { case (id, t) =>
+      Dedup.localBandKeys(t, 3, 16, 4).map { case (b, k) => (id, b, k) }
+    }.toSet
+    assert(local === cluster,
+      "randomized parity failed between driver-side and cluster band keys")
+  }
+
   test("probeNearDups guard binds before the driver materializes: an " +
     "over-limit probe fails fast") {
     val standing = Seq((1L, 0, "k")).toDF("doc_id", "band_idx", "band_key")
