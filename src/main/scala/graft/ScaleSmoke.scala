@@ -1060,7 +1060,7 @@ object ScaleSmoke {
         .localCheckpoint(true)
       val t0 = System.nanoTime()
       graft.streaming.Sinks.lshIndexDelete(bandDir, victims, "doc_id",
-        partitionCols = Seq("source"), pairsPath = Some(pairDir))
+        partitionCols = Seq("source"), pairTables = Seq(pairDir))
       val secs = (System.nanoTime() - t0) / 1e9
       val after = sig(bandDir)
       val rewritten = after.collect {

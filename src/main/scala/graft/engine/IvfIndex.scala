@@ -294,15 +294,16 @@ object IvfIndex {
     }
   }
 
-  /** Reload stats persisted by [[writeStats]] — healing a writeStats
-    * swap-crash orphan first (primary missing, only `.swap.old` left), so
-    * EVERY stats reader (serving bootstrap via
-    * `AnnRewrite.registerFromPaths`, maintenance refresh, the drift
-    * cadence) observes a complete snapshot. No-op unless a crash actually
-    * happened; single-writer contract as all maintenance on the table. */
+  /** Reload stats persisted by [[writeStats]] — reading through a
+    * writeStats swap-crash orphan (primary missing, only `.swap.old`
+    * left) NON-DESTRUCTIVELY, so EVERY stats reader (serving bootstrap
+    * via `AnnRewrite.registerFromPaths`, maintenance refresh, the drift
+    * cadence) observes a complete snapshot without racing a live swap's
+    * retire→promote window (renames stay with the single writer —
+    * ADVICE r11; `Writers.swapReadPath`). */
   def readStats(spark: SparkSession, path: String): IndexStats = {
-    graft.sources.Writers.healSwap(spark, path)
-    val r = spark.read.parquet(path).head()
+    val r = spark.read
+      .parquet(graft.sources.Writers.swapReadPath(spark, path)).head()
     val names = r.getSeq[String](3)
     IndexStats(
       r.getLong(0),

@@ -16,13 +16,16 @@ object TextQueries {
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
   // Shared oracle CTEs: lowercased tokens and distinct 3-shingles.
-  private val shingleCtes: String =
-    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  // `docsWhere` (e.g. " WHERE doc_id % 7 <> 0") restricts the corpus —
+  // the survivor-corpus replay the post-GDPR-cascade oracles need.
+  private def shingleCtesFiltered(docsWhere: String): String =
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents$docsWhere),
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
        |  FROM toks)""".stripMargin
+  private val shingleCtes: String = shingleCtesFiltered("")
 
   private val jaccardTail: String =
     s"""inter AS (
@@ -89,7 +92,7 @@ object TextQueries {
       val victims = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("doc_id"), col("source"))
       graft.streaming.Sinks.lshIndexDelete(path, victims, "doc_id",
-        partitionCols = Seq("source"), pairsPath = Some(pairs))
+        partitionCols = Seq("source"), pairTables = Seq(pairs))
       path
     })
 
@@ -98,7 +101,8 @@ object TextQueries {
     * must hash-match the one-shot output exactly) and q344 (the
     * per-request verified probe — `candExtra` restricts the candidate CTE
     * to pairs touching the probe doc). */
-  private def lshVerifiedPairsSql(candExtra: String = ""): String = {
+  private def lshVerifiedPairsSql(candExtra: String = "",
+                                  docsWhere: String = ""): String = {
     import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
     val sigCols = (0 until 16).map(i =>
       s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
@@ -106,7 +110,7 @@ object TextQueries {
       val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shingleCtes,
+    s"""WITH ${shingleCtesFiltered(docsWhere)},
        |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
        |sig AS (
        |  SELECT doc_id,
@@ -144,6 +148,39 @@ object TextQueries {
         graft.streaming.Sinks.verifiedPairsUpsert(base + "/verified", docs,
           "doc_id", "text", shingleK = 3, threshold = 0.5)(delta, i.toLong)
       }
+      base + "/verified"
+    })
+
+  /** The whole maintained dedup LINEAGE after a GDPR cascade (q345): band
+    * table + candidate-pair feed + verified near-dup table built by the
+    * maintenance sinks, then ONE `Sinks.lshIndexDelete` call purges every
+    * `doc_id % 7 = 0` from ALL of them — `pairTables` carries both derived
+    * pair tables, so the verified state is covered by the same pending
+    * markers as the candidate feed (the round-11 verdict's by-convention
+    * hole, closed). Post-delete the verified table must equal the one-shot
+    * verified pipeline over the SURVIVOR corpus, which is what q345's
+    * oracle replays — a victim's verified pair resurfacing anywhere in the
+    * lineage is a hash mismatch. */
+  private val maintainedCascade =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cascadeDeletedVerifiedTable(s: org.apache.spark.sql.SparkSession,
+                                          d: String): String =
+    maintainedCascade.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-lsh-cascade").toString
+      val docs = Tables.documents(s, d)
+      val delta = graft.streaming.Sinks.lshIndexAppendPartitioned(
+        base + "/bands", "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"), pairsPath = Some(base + "/pairs"))(
+        docs, 0L)
+      graft.streaming.Sinks.verifiedPairsUpsert(base + "/verified", docs,
+        "doc_id", "text", shingleK = 3, threshold = 0.5)(delta, 0L)
+      val victims = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), col("source"))
+      graft.streaming.Sinks.lshIndexDelete(base + "/bands", victims, "doc_id",
+        partitionCols = Seq("source"),
+        pairTables = Seq(base + "/pairs", base + "/verified"))
       base + "/verified"
     })
 
@@ -382,6 +419,30 @@ object TextQueries {
         out
       },
       Some(lshVerifiedPairsSql())),
+
+    // GDPR cascade across the WHOLE derived lineage (round 12, the r11
+    // verdict's top item): ONE lshIndexDelete purges doc_id % 7 = 0 from
+    // the band table AND every derived pair table (candidate feed +
+    // verified near-dup table) under per-table pending markers — no
+    // caller convention left anywhere in the maintained dedup state
+    // (reference bar: delete fans out across every store,
+    // memory_graph.py:9200-9459, :14079-14213). Serving the post-cascade
+    // verified table must equal the one-shot verified pipeline over the
+    // SURVIVOR corpus — the oracle replays exactly that, so a victim's
+    // verified pair surviving the cascade is an immediate hash mismatch.
+    Entry("q345_cascade_verified_delete",
+      (s, d) => {
+        val path = cascadeDeletedVerifiedTable(s, d)
+        val out = graft.sources.Readers.table(s, path)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
+            !plan.contains("split") && !plan.contains("md5"),
+          "post-cascade verified serving must not re-derive anything from text")
+        out
+      },
+      Some(lshVerifiedPairsSql(docsWhere = " WHERE doc_id % 7 <> 0"))),
 
     // Per-request VERIFIED probe (round 11): the full serving answer to
     // "is THIS doc a near-dup, now" — q341's banded candidates VERIFIED

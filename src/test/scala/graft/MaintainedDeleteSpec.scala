@@ -50,7 +50,7 @@ class MaintainedDeleteSpec extends SparkSpec {
     // GDPR delete of d2 (and its partition-mate check: d5 in another source)
     val victims = Seq(("d2", "web"), ("d5", "book")).toDF("doc_id", "source")
     Sinks.lshIndexDelete(bands, victims, "doc_id",
-      partitionCols = Seq("source"), pairsPath = Some(pairs))
+      partitionCols = Seq("source"), pairTables = Seq(pairs))
 
     val post = candidates()
     assert(!post.exists(p => p._1 == "d2" || p._2 == "d2" ||
@@ -73,7 +73,7 @@ class MaintainedDeleteSpec extends SparkSpec {
 
     // at-least-once replay: deleting the same victims again changes nothing
     Sinks.lshIndexDelete(bands, victims, "doc_id",
-      partitionCols = Seq("source"), pairsPath = Some(pairs))
+      partitionCols = Seq("source"), pairTables = Seq(pairs))
     assert(candidates() === post && standingPairs() === postPairs)
   }
 
@@ -379,7 +379,7 @@ class MaintainedDeleteSpec extends SparkSpec {
     // entry point 1: a LATER delete (different victim) heals the orphan
     // first, then runs its own cascade
     Sinks.lshIndexDelete(bands, Seq(("d5", "book")).toDF("doc_id", "source"),
-      "doc_id", partitionCols = Seq("source"), pairsPath = Some(pairs))
+      "doc_id", partitionCols = Seq("source"), pairTables = Seq(pairs))
     val post = standingPairs()
     assert(!post.exists(p => Set(p._1, p._2).intersect(Set("d2", "d5")).nonEmpty),
       s"torn-cascade victims survive in the pair feed: $post")
@@ -395,6 +395,67 @@ class MaintainedDeleteSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(pairs + ".delete.pending")))
     // heal with no marker: no-op
     Sinks.healPendingPairDelete(spark, pairs)
+  }
+
+  test("lshIndexDelete pairTables: one delete cascades through EVERY " +
+    "derived pair table; a crash between the band purge and the LAST " +
+    "pair purge heals on re-entry") {
+    val base = tmp("lsh-del-multi")
+    val bands = base + "/bands"
+    val pairs = base + "/pairs"
+    val verified = base + "/verified"
+    val delta = Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"), pairsPath = Some(pairs))(docsDf, 0L)
+    Sinks.verifiedPairsUpsert(verified, docsDf, "doc_id", "text",
+      shingleK = 2, threshold = 0.5)(delta, 0L)
+    def pairsOf(path: String): Set[(String, String)] =
+      spark.read.parquet(path).select(col("doc_a"), col("doc_b"))
+        .as[(String, String)].collect().toSet
+    assert(pairsOf(pairs).contains(("d1", "d2")) &&
+      pairsOf(verified).contains(("d1", "d2")))
+
+    // the full cascade: ONE call purges bands + BOTH derived pair tables
+    Sinks.lshIndexDelete(bands, Seq(("d2", "web")).toDF("doc_id", "source"),
+      "doc_id", partitionCols = Seq("source"),
+      pairTables = Seq(pairs, verified))
+    Seq(pairs, verified).foreach { t =>
+      assert(!pairsOf(t).exists(p => p._1 == "d2" || p._2 == "d2"),
+        s"d2 survives the cascade in $t: ${pairsOf(t)}")
+    }
+    val fs = new org.apache.hadoop.fs.Path(bands)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(pairs, verified).foreach { t =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(t + ".delete.pending")),
+        s"completed cascade left a marker on $t")
+    }
+
+    // the r11 verdict's exact crash point: victims snapshotted under BOTH
+    // markers, band purge ran, the FIRST pair table purged and its marker
+    // cleared — killed before the LAST pair purge. Only the verified
+    // table's marker stands; its pairs still carry the victim.
+    Seq("d5").toDF("doc_id").write.parquet(verified + ".delete.pending")
+    Sinks.indexDelete(bands, Seq(("d5", "book")).toDF("doc_id", "source"),
+      "doc_id", partitionCols = Seq("source"),
+      sortCols = Seq("band_idx", "band_key"))
+    Sinks.pairFeedDelete(pairs, Seq("d5").toDF("doc_id"))
+    assert(pairsOf(verified).exists(p => p._1 == "d5" || p._2 == "d5"),
+      "fixture should be torn: last pair table unpurged, marker standing")
+
+    // re-entry (any later cascade) heals the standing marker FIRST
+    Sinks.lshIndexDelete(bands, Seq(("d6", "book")).toDF("doc_id", "source"),
+      "doc_id", partitionCols = Seq("source"),
+      pairTables = Seq(pairs, verified))
+    Seq(pairs, verified).foreach { t =>
+      assert(!pairsOf(t).exists(p =>
+        Set(p._1, p._2).intersect(Set("d5", "d6")).nonEmpty),
+        s"torn-cascade victim survives in $t: ${pairsOf(t)}")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(t + ".delete.pending")))
+    }
+    // and a serving session can heal the last table directly, no cascade
+    Seq("d1").toDF("doc_id").write.parquet(verified + ".delete.pending")
+    Sinks.healPendingPairDelete(spark, verified)
+    assert(!pairsOf(verified).exists(p => p._1 == "d1" || p._2 == "d1"))
   }
 
   test("verifiedPairsUpsert: the incrementally-maintained verified table " +
@@ -641,5 +702,33 @@ class MaintainedDeleteSpec extends SparkSpec {
     Sinks.indexDelete(apath, Seq(3L, 4L).toDF("vec_id"), "vec_id")
     val left = spark.read.parquet(apath).select("vec_id").as[Long].collect().toSet
     assert(left.size === 18 && !left.contains(3L) && !left.contains(4L))
+    // the unpartitioned rewrite restores the clustered layout too (ADVICE
+    // r11): every rewritten file is internally sorted by the probe column
+    new java.io.File(apath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ids = spark.read.parquet(f.getPath)
+          .select("centroid_id").collect().map(_.getInt(0)).toSeq
+        assert(ids == ids.sorted, s"${f.getName} not sorted by centroid_id")
+      }
+  }
+
+  test("verifiedPairsUpsert fails loudly when a candidate doc is missing " +
+    "from the corpus table (silent pair drop would break one-shot parity)") {
+    val base = tmp("verified-coverage")
+    val bands = base + "/bands"
+    val delta = Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    // corpus missing d2: the (d1, d2) candidate can't fetch its partner
+    val holey = docsDf.filter(col("doc_id") =!= "d2")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.verifiedPairsUpsert(base + "/verified", holey, "doc_id", "text",
+        shingleK = 2, threshold = 0.5)(delta, 0L)
+    }
+    assert(e.getMessage.contains("missing"), e.getMessage)
+    // the full corpus sails through
+    Sinks.verifiedPairsUpsert(base + "/verified", docsDf, "doc_id", "text",
+      shingleK = 2, threshold = 0.5)(delta, 0L)
+    assert(spark.read.parquet(base + "/verified").count() > 0)
   }
 }

@@ -52,6 +52,32 @@ class WritersSpec extends SparkSpec {
     assert(Writers.readSnapshot(spark, dir + "_nope", schema).isEmpty)
   }
 
+  test("Readers.table swap fallback is NON-destructive: a crash orphan is " +
+    "served from .swap.old without renaming, so a live writer's promote " +
+    "can never be yanked out from under it") {
+    val dir = java.nio.file.Files.createTempDirectory("swapread").toString + "/t"
+    Writers.swapWrite(Seq(1, 2, 3).toDF("v"), dir)
+    // crash window: primary retired, promote never ran
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+    val got = graft.sources.Readers.table(spark, dir)
+      .collect().map(_.getInt(0)).toSet
+    assert(got === Set(1, 2, 3), "reader must serve the retired snapshot")
+    // the read did NOT heal: renames stay with the single writer (a reader
+    // racing a LIVE swap's retire->promote window would otherwise abort
+    // the writer's promote — ADVICE r11)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      "reader must not promote .swap.old back")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+    // the writer self-heals on its next swap, as before
+    Writers.swapWrite(Seq(9).toDF("v"), dir)
+    assert(graft.sources.Readers.table(spark, dir)
+      .collect().map(_.getInt(0)).toSet === Set(9))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".swap.old")))
+  }
+
   test("upsertPartitioned matches full upsert and rewrites only touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("upsertp").toString + "/t"
     val base = spark.range(0, 300).select(
