@@ -594,7 +594,20 @@ object Dedup {
         "probe docs); use minhashLsh/exactJaccardPairs for corpus dedup")
     val probeDocs = rows.toSeq.map(r =>
       (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
-    val idType = docs.schema(idCol).dataType
+    probeNearDupsVerifiedFresh(standing, corpus, probeDocs,
+      docs.schema(idCol).dataType, idCol, textCol, shingleK, numHashes,
+      numBands, threshold, maxDf)
+  }
+
+  /** The on-the-fly half of the verified probe, for probe docs already in
+    * driver memory — banded candidates then exact verify from texts
+    * (the shared core of [[probeNearDupsVerified]] and the novel-doc
+    * branch of [[probeNearDupsVerifiedServed]]). */
+  private def probeNearDupsVerifiedFresh(standing: DataFrame,
+      corpus: DataFrame, probeDocs: Seq[(Any, String)],
+      idType: org.apache.spark.sql.types.DataType, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int, numBands: Int,
+      threshold: Double, maxDf: Int): DataFrame = {
     val spark = standing.sparkSession
     val cand = probeNearDupsLocal(standing, probeDocs, idType,
       shingleK, numHashes, numBands, maxDf).localCheckpoint(true)
@@ -628,6 +641,75 @@ object Dedup {
     val sh = shingleSets(corpusTexts.unionByName(probeTexts),
       idCol, textCol, shingleK)
     jaccardVerify(cand, sh, threshold)
+  }
+
+  /** [[probeNearDupsVerified]] that consults the MAINTAINED verified table
+    * FIRST (the `Sinks.verifiedPairsUpsert` state): a probe doc that is
+    * already ingested — its id is in `corpus` with the SAME text the
+    * request carries — has its verified pairs sitting in `verified`
+    * already, so its answer is a bare pushed scan (literal IN on
+    * doc_a/doc_b), the q343 cost class; re-deriving candidates and
+    * re-verifying from texts for it is three Spark jobs spent recomputing
+    * a maintained answer (VERDICT r11 #3). Only NOVEL texts — an id absent
+    * from the corpus, or present with different text (a changed doc, whose
+    * maintained pairs are stale for this request) — take the on-the-fly
+    * verify path, the true ingest-check case. The served half excludes
+    * pairs touching any novel probe id (their fresh verification owns
+    * those), so the union is exactly [[probeNearDupsVerified]]'s answer
+    * when the maintained tables cover the corpus (spec-pinned equality).
+    *
+    * Request cost, all probes ingested (the serving common case): ONE
+    * pushed-IN presence check on the corpus + ONE pushed scan of the
+    * verified table — no banding, no shingling, no joins. `verified` /
+    * `standing` must be maintained FROM `corpus` (the usual lineage
+    * contract; the presence check can't see a maintenance lag). */
+  def probeNearDupsVerifiedServed(verified: DataFrame, standing: DataFrame,
+                                  corpus: DataFrame, docs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  shingleK: Int, numHashes: Int,
+                                  numBands: Int, threshold: Double,
+                                  maxDf: Int = StopBucketDf): DataFrame = {
+    val rows = docs.select(col(idCol), col(textCol).cast("string"))
+      .limit(PointProbeMaxDocs + 1).collect()
+    require(rows.length <= PointProbeMaxDocs,
+      s"probeNearDupsVerifiedServed is the POINT-probe path " +
+        s"(> $PointProbeMaxDocs probe docs)")
+    val probeDocs = rows.toSeq.map(r =>
+      (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val probeIds = probeDocs.map(_._1)
+    // ingested-ness: one pushed literal IN on the corpus id column
+    // (id-ordered parquet row-group-skips this) — a probe is SERVED only
+    // when its id exists with bit-identical text, so a stale maintained
+    // answer can never be served for a changed doc
+    val ingested = corpus.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol), col(textCol).cast("string"))
+      .collect().map(r =>
+        (r.get(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val (served, novel) = probeDocs.partition { case (id, t) =>
+      t != null && ingested.get(id).contains(t) }
+    val servedIds = served.map(_._1)
+    val novelIds = novel.map(_._1)
+    val servedDf =
+      if (servedIds.isEmpty)
+        verified.filter(lit(false))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      else {
+        val touch = col("doc_a").isin(servedIds: _*) ||
+          col("doc_b").isin(servedIds: _*)
+        // a maintained pair whose OTHER endpoint is a novel probe id (a
+        // changed doc) is stale for THIS request — the fresh half
+        // re-verifies it with the request's text
+        val excl =
+          if (novelIds.isEmpty) lit(true)
+          else !col("doc_a").isin(novelIds: _*) &&
+            !col("doc_b").isin(novelIds: _*)
+        verified.filter(touch && excl)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      }
+    if (novel.isEmpty) servedDf
+    else servedDf.unionByName(probeNearDupsVerifiedFresh(standing, corpus,
+      novel, docs.schema(idCol).dataType, idCol, textCol, shingleK,
+      numHashes, numBands, threshold, maxDf))
   }
 
   /** Exact all-near-dup pairs by n-gram Jaccard. Ground truth for the LSH

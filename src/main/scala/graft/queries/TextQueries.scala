@@ -126,15 +126,17 @@ object TextQueries {
        |$jaccardTail""".stripMargin
   }
 
-  /** Standing VERIFIED near-dup table (q343): candidate deltas from the
-    * partitioned band sink folded through the exact-Jaccard verifier —
+  /** Standing VERIFIED near-dup table (q343/q344): candidate deltas from
+    * the partitioned band sink folded through the exact-Jaccard verifier —
     * two micro-batches (even/odd doc ids) exercise the incremental path,
     * including cross-batch pairs whose partner text lives in the
-    * standing corpus. */
+    * standing corpus. Returns the fixture BASE: `/bands` is the standing
+    * band table, `/verified` the maintained verified table — q343 serves
+    * the latter whole, q344 point-probes it. */
   private val maintainedVerified =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def maintainedVerifiedTable(s: org.apache.spark.sql.SparkSession,
-                                      d: String): String =
+  private def maintainedVerifiedTables(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String =
     maintainedVerified.getOrElseUpdate(d, {
       val base = java.nio.file.Files
         .createTempDirectory("graft-lsh-verified").toString
@@ -148,7 +150,7 @@ object TextQueries {
         graft.streaming.Sinks.verifiedPairsUpsert(base + "/verified", docs,
           "doc_id", "text", shingleK = 3, threshold = 0.5)(delta, i.toLong)
       }
-      base + "/verified"
+      base
     })
 
   /** The whole maintained dedup LINEAGE after a GDPR cascade (q345): band
@@ -408,7 +410,7 @@ object TextQueries {
     // bare scan: candidates vouched, verified, served.
     Entry("q343_maintained_verified_pairs",
       (s, d) => {
-        val path = maintainedVerifiedTable(s, d)
+        val path = maintainedVerifiedTables(s, d) + "/verified"
         val out = graft.sources.Readers.table(s, path)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -444,35 +446,43 @@ object TextQueries {
       },
       Some(lshVerifiedPairsSql(docsWhere = " WHERE doc_id % 7 <> 0"))),
 
-    // Per-request VERIFIED probe (round 11): the full serving answer to
-    // "is THIS doc a near-dup, now" — q341's banded candidates VERIFIED
-    // by exact n-gram Jaccard against the partners' real texts, fetched
-    // through a literal IN on doc_id that reaches the corpus scan
-    // (require()-pinned). The reference runs exactly this check at
-    // ingest (memory_graph.py:10325, find_and_delete_duplicates on
-    // writes), generalized to near-dups. Oracle: the q20 pipeline with
-    // candidates restricted to pairs touching the probe doc.
+    // Per-request VERIFIED probe (round 11; round 12 consults the
+    // MAINTAINED table first — VERDICT r11 #3): the full serving answer to
+    // "is THIS doc a near-dup, now". Both probe docs are ALREADY INGESTED
+    // (present in the corpus with identical text), so the request is
+    // answered from the standing verified table (q343's state) by a bare
+    // pushed scan — a literal IN on doc_a/doc_b that reaches the parquet
+    // reader, require()-pinned — after one pushed-IN presence check on the
+    // corpus. No banding, no shingling, no verify joins: the q343 cost
+    // class, not three recompute jobs. Novel texts (the true ingest-check
+    // case, reference memory_graph.py:10325) fall back to the on-the-fly
+    // banded-candidates + exact-verify path — spec-pinned equal to the
+    // fresh answer, and exercised by MaintainedDeleteSpec's mixed-request
+    // case. Oracle: the q20 pipeline with candidates restricted to pairs
+    // touching the probe docs — hash-equality here IS the maintained-vs-
+    // fresh parity statement.
     Entry("q344_point_verified_probe",
       (s, d) => {
-        val path = maintainedBandTable(s, d)
+        val base = maintainedVerifiedTables(s, d)
         val corpus = Tables.documents(s, d)
         // two probe docs so the request has verified matches at EVERY
         // fixture SF (45 pairs at sf0.001/0.01, 72 at sf0.01/0.1)
         val probeDocs = corpus.filter(col("doc_id").isin(45, 72))
-        val out = Dedup.probeNearDupsVerified(
-          graft.sources.Readers.table(s, path), corpus, probeDocs,
+        val out = Dedup.probeNearDupsVerifiedServed(
+          graft.sources.Readers.table(s, base + "/verified"),
+          graft.sources.Readers.table(s, base + "/bands"), corpus, probeDocs,
           "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
           threshold = 0.5)
-        // pin: IF partner texts are fetched at all, the fetch is a pushed
-        // literal IN on doc_id. With zero candidates (doc 45 has none at
-        // some SFs) the empty IN folds to false and the corpus scan is
-        // pruned AWAY — the maximally-pruned plan, vacuously compliant.
+        // pin: the served answer is a pushed literal IN on the verified
+        // table's endpoints — the only scan in the returned plan
         val physical = out.queryExecution.executedPlan.toString
-        require(!physical.contains("Scan parquet") ||
-            physical.linesIterator.exists(l =>
-              l.contains("PushedFilters:") && l.contains("In(doc_id")),
-          s"partner texts must be fetched through a pushed literal IN on " +
-            s"doc_id:\n$physical")
+        require(physical.linesIterator.exists(l =>
+            l.contains("PushedFilters:") && l.contains("In(doc_a")),
+          s"the maintained verified answer must be fetched through a " +
+            s"pushed literal IN on doc_a/doc_b:\n$physical")
+        require(!physical.toLowerCase.contains("shingle") &&
+            !physical.toLowerCase.contains("md5"),
+          "an ingested probe's answer must not re-derive anything from text")
         out
       },
       Some(lshVerifiedPairsSql(

@@ -181,15 +181,19 @@ object VectorQueries {
               |    AS REAL) AS drift
               |FROM fr ORDER BY centroid_id""".stripMargin)),
 
-    // Maintained-index ANN serving: the multiprobe IVF question answered
-    // by PROBING the standing assignment table the maintenance sink keeps
-    // (reference bar: the vector collection is maintained at ingest and
-    // queries only probe it, memory_graph.py:1015-1065). The require()
-    // pins the architecture — the probe's optimized plan must contain no
-    // corpus-assignment derivation (no argmin array_min, no assignment
-    // window), only the standing-table scan, the 8-row probe selection
-    // and the scoring top-k. Contrast q98/q18, which pay the full
-    // assignment on every run — the recompute baselines this amortizes.
+    // DOCUMENTED CONTRAST BASELINE (kept the way q20 is kept next to
+    // q334/q343): the multiprobe IVF question answered from the standing
+    // assignment via the SUPERSEDED broadcast-join probe shape —
+    // assigned ⋈ broadcast(probes) is correct and fast at fixture scale
+    // but partition-pruning-proof: a hash join reads every file of the
+    // standing table regardless of the sink's centroid clustering, so at
+    // 100× this shape full-scans. The SERVING path is q342's
+    // IvfIndex.probePoint (pushed literal IN, file-skipping,
+    // require()-pinned there); this entry exists so the bench carries the
+    // broadcast-vs-pushed contrast curve (BENCH_NOTES serving table), NOT
+    // as a recommended probe — new callers route through probePoint.
+    // Still pinned against assignment re-derivation (the q98/q18
+    // recompute class is a separate, third cost tier).
     Entry("q336_maintained_ivf_probe",
       (s, d) => {
         val (apath, cpath) = maintainedIvfIndex(s, d)
@@ -252,11 +256,16 @@ object VectorQueries {
     // Sinks.indexDelete (anti-join through the partition-scoped writer,
     // cluster-mass stats refreshed) — the reference's delete removes
     // points from its vector collections as part of every memory delete
-    // (memory_graph.py:9200-9459, :14079-14213). The probe is q336's
-    // (zero assignment re-derivation, plan-pinned); the oracle replays the
-    // full-corpus centroid build with the deleted rows absent from the
-    // assignment — exactly what the purge leaves on disk — so a deleted
-    // vector surfacing again would hash-mismatch immediately.
+    // (memory_graph.py:9200-9459, :14079-14213). The post-delete probe
+    // routes through IvfIndex.probePoint (round 12 — VERDICT r11 #1: the
+    // point of this entry is the DELETE, so its probe must be the serving
+    // shape, not the superseded broadcast join): the nProbe centroid ids
+    // reach the purged standing table as a pushed literal IN
+    // (require()-pinned), file-skipping under the delete rewrite's
+    // preserved centroid clustering. The oracle replays the full-corpus
+    // centroid build with the deleted rows absent from the assignment —
+    // exactly what the purge leaves on disk — so a deleted vector
+    // surfacing again would hash-mismatch immediately.
     Entry("q338_maintained_ivf_delete",
       (s, d) => {
         val (apath, cpath) = maintainedDeletedIvfIndex(s, d)
@@ -264,13 +273,8 @@ object VectorQueries {
         val centroids = graft.sources.Readers.table(s, cpath)
         val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
           .select(col("embedding").as("qvec"))
-        val probes = centroids.crossJoin(broadcast(q))
-          .withColumn("dist", round(l2sq(col("cvec"), col("qvec")), 6))
-          .orderBy(col("dist"), col("centroid_id"))
-          .limit(2)
-          .select(col("centroid_id"))
-        val out = assigned.join(broadcast(probes), Seq("centroid_id"))
-          .crossJoin(broadcast(q))
+        val pruned = IvfIndex.probePoint(assigned, centroids, q, nProbe = 2)
+        val out = pruned.crossJoin(broadcast(q))
           .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
           .select(col("vec_id"), col("centroid_id"), col("score"))
           .orderBy(desc("score"), col("vec_id"))
@@ -278,6 +282,11 @@ object VectorQueries {
         val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
         require(!plan.contains("array_min") && !plan.contains("row_number"),
           "post-delete probe must not re-derive the corpus assignment")
+        val physical = out.queryExecution.executedPlan.toString
+        require(physical.linesIterator.exists(l =>
+            l.contains("PushedFilters:") && l.contains("In(centroid_id")),
+          s"post-delete probe centroid ids must reach the parquet reader " +
+            s"as a pushed literal IN:\n$physical")
         out
       },
       Some(s"""WITH corpus AS (

@@ -686,6 +686,71 @@ class MaintainedDeleteSpec extends SparkSpec {
       s"new-doc ingest check missed the exact dup: $fresh")
   }
 
+  test("probeNearDupsVerifiedServed: an ingested probe is answered from " +
+    "the maintained verified table (pushed scan, equal to the fresh " +
+    "answer); novel and changed texts fall back to on-the-fly verify") {
+    val base = tmp("served-probe")
+    val bands = base + "/bands"
+    val verified = base + "/verified"
+    val corpusPath = base + "/corpus"
+    docsDf.write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val delta = Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    Sinks.verifiedPairsUpsert(verified, docsDf, "doc_id", "text",
+      shingleK = 2, threshold = 0.5)(delta, 0L)
+    val standing = Readers.table(spark, bands)
+    val vtab = Readers.table(spark, verified)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Double)] =
+      df.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(String, String, Double)].collect().toSet
+    def servedOf(probes: org.apache.spark.sql.DataFrame) =
+      Dedup.probeNearDupsVerifiedServed(vtab, standing, corpus, probes,
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        threshold = 0.5)
+    def freshOf(probes: org.apache.spark.sql.DataFrame) =
+      Dedup.probeNearDupsVerified(standing, corpus, probes,
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        threshold = 0.5)
+
+    // ingested probe: maintained answer == fresh answer, and the plan is a
+    // bare pushed scan of the verified table (no banding, no shingling)
+    val d1 = corpus.filter(col("doc_id") === "d1")
+    val served = servedOf(d1)
+    assert(rows(served) === rows(freshOf(d1)))
+    assert(rows(served).exists(p => p._1 == "d1" && p._2 == "d2" && p._3 == 1.0))
+    val physical = served.queryExecution.executedPlan.toString
+    // a single-id probe folds its IN to EqualTo — both push
+    assert(physical.linesIterator.exists(l => l.contains("PushedFilters:") &&
+        (l.contains("In(doc_a") || l.contains("EqualTo(doc_a"))),
+      s"served answer not a pushed verified-table scan:\n$physical")
+    assert(!physical.toLowerCase.contains("shingle"),
+      "served answer must not re-derive from text")
+
+    // novel probe (id not in the corpus): ingest-check fallback, identical
+    // to the fresh path
+    val newDoc = Seq(("zz-new", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assert(rows(servedOf(newDoc)) === rows(freshOf(newDoc)))
+    assert(rows(servedOf(newDoc)).exists(p =>
+      p._1 == "d1" && p._2 == "zz-new" && p._3 == 1.0))
+
+    // mixed request: d1 unchanged (served) + d4 with CHANGED text (novel —
+    // its maintained pairs are stale for this request and must NOT be
+    // served; its new text matches nothing, so it contributes no pairs)
+    val mixed = d1.unionByName(
+      Seq(("d4", "completely different replacement text now"))
+        .toDF("doc_id", "text").withColumn("source", lit("book"))
+        .select(corpus.columns.map(col).toSeq: _*))
+    val mixedRows = rows(servedOf(mixed))
+    assert(mixedRows === rows(freshOf(mixed)),
+      s"mixed served/fresh diverged: $mixedRows")
+    assert(!mixedRows.exists(p => p._1 == "d4" || p._2 == "d4"),
+      s"stale maintained pair served for a changed doc: $mixedRows")
+    assert(mixedRows.exists(p => p._1 == "d1" && p._2 == "d2"))
+  }
+
   test("indexDelete on a never-written table is a no-op; unpartitioned " +
     "variant swaps the snapshot atomically") {
     val base = tmp("ivf-del-edge")
