@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.engine.{IvfIndex, Serving}
+import graft.ops.Dedup
+import graft.sources.{Readers, Writers}
+import graft.streaming.Sinks
+
+/** Round-12 serving-session plan reuse: a compiled probe template whose
+  * literals are rebound per request must answer EXACTLY like the fresh
+  * path, across different requests through the SAME session, on both
+  * execution tiers (Dataset re-entry and straight-to-physical). */
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsDf = Seq(
+    ("d1", "alpha beta gamma delta epsilon zeta", "web"),
+    ("d2", "alpha beta gamma delta epsilon zeta", "web"),
+    ("d3", "alpha beta gamma delta epsilon eta", "web"),
+    ("d4", "one two three four five six seven", "book"),
+    ("d5", "one two three four five six seven", "book"),
+    ("d6", "totally unrelated content goes here now", "book")
+  ).toDF("doc_id", "text", "source")
+
+  test("LshProbeSession: rebinding the cached plan answers identically to " +
+    "the fresh path across different requests; the rebound scan predicate " +
+    "is pushed; keyless requests fall back") {
+    val bands = tmp("serving-lsh") + "/bands"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    val standing = Readers.table(spark, bands)
+    val session = new Serving.LshProbeSession(standing, StringType,
+      shingleK = 2, numHashes = 16, numBands = 4)
+    val texts = docsDf.select("doc_id", "text").as[(String, String)]
+      .collect().toMap
+
+    // three DIFFERENT requests through ONE session — the actual rebinding
+    Seq(Seq("d1"), Seq("d4"), Seq("d3", "d5")).foreach { ids =>
+      val req: Seq[(Any, String)] = ids.map(i => (i: Any) -> texts(i))
+      val fresh = Dedup.probeNearDupsLocal(standing, req, StringType,
+          shingleK = 2, numHashes = 16, numBands = 4)
+        .as[(String, String)].collect().toSet
+      val viaDf = session.probeDf(req).as[(String, String)].collect().toSet
+      val viaRows = session.probeRows(req)
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(viaDf === fresh, s"probeDf diverged for $ids")
+      assert(viaRows === fresh, s"probeRows diverged for $ids")
+      assert(fresh.nonEmpty, s"fixture should find pairs for $ids")
+    }
+
+    // the rebound predicate reaches the parquet reader (per-band
+    // conjunctions, same layout contract as the fresh path)
+    val physical = session.probeDf(Seq(("d1": Any) -> texts("d1")))
+      .queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l =>
+        l.contains("PushedFilters:") && l.contains("And(EqualTo(band_idx")),
+      s"rebound probe keys not pushed into the standing scan:\n$physical")
+
+    // keyless request (text below shingle length): falls back to the
+    // fresh path's empty answer instead of executing a stale template
+    val keyless: Seq[(Any, String)] = Seq(("zz": Any) -> "one")
+    assert(session.probeDf(keyless).count() === 0)
+    assert(session.probeRows(keyless).isEmpty)
+  }
+
+  test("LshProbeSession composes the request downstream into the template " +
+    "(build) and honors the id type") {
+    val bands = tmp("serving-lsh-long") + "/bands"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta", "web"),
+      (3L, "alpha beta gamma delta epsilon eta", "web")
+    ).toDF("doc_id", "text", "source")
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docs, 0L)
+    val standing = Readers.table(spark, bands)
+    val session = new Serving.LshProbeSession(standing, LongType,
+      shingleK = 2, numHashes = 16, numBands = 4,
+      build = _.orderBy(col("doc_a"), col("doc_b")))
+    val req: Seq[(Any, String)] =
+      Seq((1L: Any) -> "alpha beta gamma delta epsilon zeta")
+    val got = session.probeDf(req).as[(Long, Long)].collect().toSeq
+    assert(got === got.sorted && got.contains((1L, 2L)),
+      s"downstream orderBy lost or answer wrong: $got")
+    assert(session.probeRows(req).map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === got)
+  }
+
+  test("IvfServeSession: driver-side centroid selection is bit-identical " +
+    "to probePoint's; rebound serve equals the fresh probe across " +
+    "different query vectors; centroid ids stay pushed") {
+    val base = tmp("serving-ivf")
+    val (apath, cpath) = (base + "/assigned", base + "/centroids")
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 200).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat())
+      (i.toLong, v, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Writers.swapWrite(idx.centroids, cpath)
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"))(corpus, 0L)
+    val assigned = Readers.table(spark, apath)
+    val centroids = Readers.table(spark, cpath)
+
+    import graft.functions.VectorFunctions.{cosineSim, l2sq}
+    def downstream(pruned: org.apache.spark.sql.DataFrame,
+                   qRel: org.apache.spark.sql.DataFrame) =
+      pruned.crossJoin(broadcast(qRel))
+        .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+        .select(col("vec_id"), col("centroid_id"), col("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    val session = new Serving.IvfServeSession(assigned, centroids, downstream)
+
+    (0 until 4).foreach { t =>
+      val q = Array.fill(8)(rnd.nextFloat())
+      // probe-selection parity with the cluster path (round-6 + tie-break)
+      val qDf = Seq(Tuple1(q)).toDF("qvec")
+      val clusterIds = centroids.crossJoin(broadcast(qDf))
+        .withColumn("dist", round(l2sq(col("cvec"), col("qvec")), 6))
+        .orderBy(col("dist"), col("centroid_id"))
+        .limit(2).select("centroid_id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(session.selectCentroids(q, 2) === clusterIds,
+        s"driver-side probe selection diverged at trial $t")
+      // answer parity, both tiers, fresh probePoint as ground truth
+      val fresh = downstream(
+          IvfIndex.probePoint(assigned, centroids, qDf, nProbe = 2), qDf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val viaDf = session.serveDf(q, 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val viaRows = session.serveRows(q, 2)
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(viaDf === fresh, s"serveDf diverged at trial $t")
+      assert(viaRows === fresh, s"serveRows diverged at trial $t")
+      assert(fresh.nonEmpty)
+    }
+
+    val physical = session.serveDf(Array.fill(8)(0.5f), 2)
+      .queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l =>
+        l.contains("PushedFilters:") && l.contains("In(centroid_id")),
+      s"rebound centroid ids not pushed:\n$physical")
+  }
+
+  test("round6 matches Spark's round(_, 6) on doubles (HALF_UP on the " +
+    "shortest-decimal BigDecimal)") {
+    val rnd = new scala.util.Random(42)
+    val xs = (Seq(0.1234565, 0.1234575, 1.0000005, 123.4567895) ++
+      (0 until 200).map(_ => rnd.nextDouble() * 100)).toSeq
+    val viaSpark = xs.toDF("x").select(round(col("x"), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(xs.map(Serving.round6) === viaSpark)
+  }
+}
