@@ -41,6 +41,59 @@ object Bench {
   case class Flag(name: String, prev: Double, now: Double, ratio: Double,
                   verdict: String)
 
+  /** Control-ratio sanity band. A control outside it means the WHOLE
+    * checked population moved together — either a major box-drift episode
+    * or a UNIFORM code regression, which are indistinguishable in-run on
+    * this box (ADVICE r11: excluding neither, a uniform 1.5× code
+    * regression reads as control 1.5 and zero flags). Such runs raise a
+    * `control_alert` in BENCH_DELTAS and their medians are QUARANTINED
+    * from the history append — otherwise one inflated run widens every
+    * band and the regression becomes in-band and invisible from the next
+    * round on (the one-round ratchet). */
+  val ControlSaneLo = 0.8
+  val ControlSaneHi = 1.25
+
+  /** Whether this run's medians may be appended to BENCH_HISTORY.json.
+    * None = append; Some(reason) = quarantine. Runs with UNRESOLVED
+    * regression-class verdicts are quarantined too: appending a genuinely
+    * regressed median would ratchet its own band outward and launder the
+    * regression into the envelope. */
+  def historyAppendDecision(control: Double,
+                            flags: Seq[Flag]): Option[String] = {
+    val unresolved = flags.count(f =>
+      f.verdict == "regression" || f.verdict == "needs-subset-confirm")
+    if (control < ControlSaneLo || control > ControlSaneHi)
+      Some(s"control_ratio $control outside [$ControlSaneLo, $ControlSaneHi] " +
+        "— broad box drift or a uniform code regression; confirm on a " +
+        "quiet box before trusting this run's medians")
+    else if (unresolved > 0)
+      Some(s"$unresolved unresolved regression-class flag(s) — appending " +
+        "their medians would widen their own bands (one-round ratchet)")
+    else None
+  }
+
+  /** The one-paste cross-run confirmation for regression-class flags (the
+    * r11 q337 lesson: in-run re-times run on the same degraded box stretch
+    * and can re-measure the artifact — only a SEPARATE run adjudicates an
+    * extreme flag). Controls = the two untouched checked queries with the
+    * tightest history bands above 0.2 s: if the suspects re-measure at the
+    * controls' inflation, verdict box-drift. */
+  def confirmCmd(suspects: Seq[String], checked: Seq[String],
+                 flagged: Set[String], history: Map[String, Seq[Double]],
+                 now: Map[String, Double], sfDir: String): String = {
+    val controls = checked.filterNot(flagged)
+      .filter(n => now.getOrElse(n, 0.0) > 0.2)
+      .sortBy { n =>
+        val h = history.getOrElse(n, Nil)
+        val spread = if (h.length >= 2 && h.min > 0) h.max / h.min
+                     else Double.MaxValue
+        (spread, n)
+      }
+      .take(2)
+    s"SPARK_GRAFT_SF_DIR=$sfDir SPARK_GRAFT_BENCH_ONLY=" +
+      (suspects ++ controls).mkString(",") + " sbt 'runMain graft.Bench'"
+  }
+
   /** Parse the `{"name": [m1, m2, …], …}` per-query round-median history
     * Bench maintains in BENCH_HISTORY.json (committed; grows one entry
     * per round, capped at [[HistoryKeep]]). */
@@ -113,29 +166,73 @@ object Bench {
                else checked.filterNot(flaggedNames.toSet)
     val controlSet = pool.filter(n => now(n) > 0.2).map(ratios)
     val control = if (controlSet.isEmpty) 1.0 else median(controlSet)
+    // band-edge tolerance: the control itself is a median ESTIMATE of the
+    // box factor — when the box is visibly off nominal (|control-1| large)
+    // the deflation carries that same uncertainty, so a deflated
+    // measurement a few % past its band edge is measurement noise, not
+    // signal (r11: four "regressions" 4–8% past their maxima under a
+    // 1.135× control, all box state). Capped at 10%; a QUIET box keeps
+    // the strict band.
+    val tol = math.min(0.1, math.abs(control - 1.0))
     def r3(x: Double) = math.rint(x * 1000) / 1000
     val flagged = flaggedNames.map { n =>
       val adjusted = now(n) / control
-      val inBandAdjusted = historyBand(history, n) match {
-        case Some((lo, hi)) => adjusted <= hi && adjusted >= lo
+      val band = historyBand(history, n)
+      val inBandAdjusted = band match {
+        case Some((lo, hi)) =>
+          adjusted <= hi * (1 + tol) && adjusted >= lo / (1 + tol)
         case None =>
           val residual = ratios(n) / control
-          residual <= 1.35 && residual >= 1 / 1.35
+          residual <= 1.35 * (1 + tol) && residual >= 1 / (1.35 * (1 + tol))
       }
+      val envHi = band.map(_._2).getOrElse(prior(n) * 1.35)
       val verdict =
         if (inBandAdjusted ||
             math.abs(now(n) - prior(n) * control) <= 0.1) "box-drift"
         // direction from the control-DEFLATED measurement, not the raw
         // ratio: relative to the box a surviving flag may have moved
         // opposite to its raw sign
-        else if (historyBand(history, n).exists(b => adjusted < b._1) ||
-                 (historyBand(history, n).isEmpty && ratios(n) / control < 1.0))
+        else if (band.exists(b => adjusted < b._1) ||
+                 (band.isEmpty && ratios(n) / control < 1.0))
           "improvement"
+        // a measurement PAST DOUBLE its envelope cannot be confirmed
+        // in-run: the auto re-times run on the same box stretch that
+        // produced it and can re-measure the artifact (r11: q337 flagged
+        // at 13.7×, re-timed twice in-run, still 5.2 s — a clean subset
+        // run read 0.343 s, dead in-band). Such flags need a SEPARATE-run
+        // subset confirm before they count; BENCH_DELTAS carries the
+        // exact command line.
+        else if (now(n) > 2 * envHi) "needs-subset-confirm"
         else "regression"
       Flag(n, r3(prior(n)), r3(now(n)),
         math.rint(ratios(n) * 100) / 100, verdict)
     }
     (checked.length, math.rint(control * 1000) / 1000, flagged)
+  }
+
+  /** The BENCH_DELTAS.json body — shared by the live run and
+    * [[readjudicate]] so both carry the same adjudication surface:
+    * verdicts, the control-sanity alert, the history-append decision, and
+    * the one-paste subset-confirm command for regression-class flags. */
+  private[graft] def deltasJson(checked: Int, control: Double,
+      flagged: Seq[Flag], history: Map[String, Seq[Double]],
+      prior: Map[String, Double], now: Map[String, Double],
+      sfDir: String): String = {
+    val flaggedJson = flagged.map { f =>
+      s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
+    }.mkString("[\n", ",\n", "\n  ]")
+    val suspects = flagged.filter(f =>
+      f.verdict == "regression" || f.verdict == "needs-subset-confirm")
+      .map(_.name)
+    val checkedNames = now.keys.toSeq.sorted.filter(prior.contains)
+    val cmd =
+      if (suspects.isEmpty) ""
+      else confirmCmd(suspects, checkedNames, flagged.map(_.name).toSet,
+        history, now, sfDir)
+    val alert = control < ControlSaneLo || control > ControlSaneHi
+    val append = historyAppendDecision(control, flagged)
+      .fold("appended")(r => s"quarantined: $r")
+    s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band widened by min(10%, |control-1|) (or the control-adjusted move is <0.1s); past DOUBLE the envelope the verdict is needs-subset-confirm (in-run re-times share the box state and cannot confirm an extreme flag — run confirm_cmd in a separate process); else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "control_alert": $alert,\n  "history_append": "$append",\n  "confirm_cmd": "$cmd",\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n"""
   }
 
   /** Offline re-adjudication of an existing bench run through the
@@ -152,10 +249,8 @@ object Bench {
     val history = parseHistory(java.nio.file.Paths.get(histPath))
     val names = now.keys.toSeq.sorted
     val (checked, control, flagged) = adjudicate(prior, now, names, history)
-    val flaggedJson = flagged.map { f =>
-      s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
-    }.mkString("[\n", ",\n", "\n  ]")
-    s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band (or the control-adjusted move is <0.1s), else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n"""
+    deltasJson(checked, control, flagged, history, prior, now,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
   }
 
   /** The corpus-shingle family: the bench's heavy tail (>2 s at sf0.1, all
@@ -288,11 +383,9 @@ object Bench {
           .mkString("{\n", ",\n", "\n}\n")
         writeFile("BENCH_FULL.json", full)
         val (checked, control, flagged) = driftReport()
-        val flaggedJson = flagged.map { f =>
-          s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
-        }.mkString("[\n", ",\n", "\n  ]")
-        writeFile("BENCH_DELTAS.json",
-          s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band (or the control-adjusted move is <0.1s), else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n""")
+        writeFile("BENCH_DELTAS.json", deltasJson(checked, control, flagged,
+          history, prior, names.map(n => n -> median(samples(n))).toMap,
+          sfDir))
       } catch {
         case e: Throwable => System.err.println(s"[bench] file write failed: $e")
       }
@@ -329,13 +422,22 @@ object Bench {
       }
       // Append this run's medians to the committed per-query history band
       // (the envelope future rounds adjudicate against), capped at the
-      // last HistoryKeep rounds.
-      val histJson = names.map { n =>
-        val h = (history.getOrElse(n, Nil) :+ median(samples(n)))
-          .takeRight(HistoryKeep)
-        s"""  "$n": [${h.map(r3).mkString(", ")}]"""
-      }.mkString("{\n", ",\n", "\n}\n")
-      writeFile("BENCH_HISTORY.json", histJson)
+      // last HistoryKeep rounds — UNLESS the run is quarantined: a run
+      // with unresolved regression-class flags or an out-of-band control
+      // would widen the very bands that should catch it next round
+      // (ADVICE r11's one-round ratchet).
+      val (_, finalControl, finalFlags) = driftReport()
+      historyAppendDecision(finalControl, finalFlags) match {
+        case Some(reason) =>
+          System.err.println(s"[bench] history append QUARANTINED: $reason")
+        case None =>
+          val histJson = names.map { n =>
+            val h = (history.getOrElse(n, Nil) :+ median(samples(n)))
+              .takeRight(HistoryKeep)
+            s"""  "$n": [${h.map(r3).mkString(", ")}]"""
+          }.mkString("{\n", ",\n", "\n}\n")
+          writeFile("BENCH_HISTORY.json", histJson)
+      }
     }
 
     // Shared-scan experiment (opt-in, SPARK_GRAFT_BENCH_SHARED=1): re-time

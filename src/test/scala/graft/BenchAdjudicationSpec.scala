@@ -97,6 +97,72 @@ class BenchAdjudicationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c2 === 1.3 && f2.map(f => f.name -> f.verdict) === Seq("q01" -> "box-drift"))
   }
 
+  test("an extreme flag (past DOUBLE its envelope) verdicts " +
+    "needs-subset-confirm, not regression — the r11 q337 replay") {
+    // the driver's r11 run: q337 at 5.168 s vs 0.378 prior (13.7x) under a
+    // 1.135x control, history band 0.363-0.502 — two in-run re-times
+    // "confirmed" it because they ran on the same degraded box stretch; a
+    // clean subset run read 0.343 s. The adjudicator must route such flags
+    // to the separate-run protocol instead of verdicting regression.
+    val others = (1 to 12).map(i => f"c$i%02d")
+    val hist = Map("q337" -> Seq(0.378, 0.49)) ++
+      others.map(_ -> Seq(0.95, 1.0)).toMap
+    val prior = Map("q337" -> 0.378) ++ others.map(_ -> 1.0).toMap
+    val now = Map("q337" -> 5.168) ++ others.map(_ -> 1.135).toMap
+    val (_, control, flags) = Bench.adjudicate(prior, now,
+      "q337" +: others, hist)
+    assert(control === 1.135)
+    assert(flags.map(f => f.name -> f.verdict) ===
+      Seq("q337" -> "needs-subset-confirm"))
+    // and the deltas carry a one-paste separate-run confirmation with two
+    // untouched tight-band controls beside the suspect
+    val cmd = Bench.confirmCmd(Seq("q337"), "q337" +: others,
+      Set("q337"), hist, now, "/sf")
+    assert(cmd.contains("SPARK_GRAFT_BENCH_ONLY=q337,c01,c02"), cmd)
+    assert(cmd.contains("runMain graft.Bench"), cmd)
+  }
+
+  test("band-edge exceedance under an off-nominal control is absorbed as " +
+    "box-drift — the r11 four-band-edge-flags replay") {
+    // r11: four queries landed 4-8% past their history-band maxima after
+    // deflation by a 1.135x control — all box state. The deflation carries
+    // the control's own uncertainty, so the band widens by
+    // min(10%, |control-1|); a QUIET box (control 1.0) keeps it strict.
+    val others = (1 to 12).map(i => f"c$i%02d")
+    val hist = Map("q279" -> Seq(0.30, 0.40)) ++
+      others.map(_ -> Seq(0.95, 1.0)).toMap
+    val prior = Map("q279" -> 0.35) ++ others.map(_ -> 1.0).toMap
+    // hi = 0.40*1.35 = 0.54; deflated 0.65/1.135 = 0.573 — 6% past the
+    // edge, inside the widened band (0.54*1.1 = 0.594) → box-drift
+    val hot = Map("q279" -> 0.65) ++ others.map(_ -> 1.135).toMap
+    val (_, c1, f1) = Bench.adjudicate(prior, hot, "q279" +: others, hist)
+    assert(c1 === 1.135 &&
+      f1.map(f => f.name -> f.verdict) === Seq("q279" -> "box-drift"), f1)
+    // same measurement on a QUIET box: 0.65 > 0.54 strictly → regression
+    val quiet = Map("q279" -> 0.65) ++ others.map(_ -> 1.0).toMap
+    val (_, c2, f2) = Bench.adjudicate(prior, quiet, "q279" +: others, hist)
+    assert(c2 === 1.0 &&
+      f2.map(f => f.name -> f.verdict) === Seq("q279" -> "regression"), f2)
+  }
+
+  test("uniform inflation raises the control alert and quarantines the " +
+    "history append; clean runs append") {
+    // a uniform 1.5x move (code regression OR big box episode — not
+    // distinguishable in-run) yields zero flags by construction; the
+    // control-sanity band catches it and keeps the medians out of the
+    // history so the bands cannot ratchet
+    assert(Bench.historyAppendDecision(1.5, Nil).isDefined)
+    assert(Bench.historyAppendDecision(0.7, Nil).isDefined)
+    assert(Bench.historyAppendDecision(1.1, Nil).isEmpty)
+    // unresolved regression-class flags quarantine too
+    val reg = Bench.Flag("q01", 1.0, 2.0, 2.0, "regression")
+    val confirm = Bench.Flag("q02", 1.0, 5.0, 5.0, "needs-subset-confirm")
+    val drift = Bench.Flag("q03", 1.0, 1.4, 1.4, "box-drift")
+    assert(Bench.historyAppendDecision(1.0, Seq(reg)).isDefined)
+    assert(Bench.historyAppendDecision(1.0, Seq(confirm)).isDefined)
+    assert(Bench.historyAppendDecision(1.0, Seq(drift)).isEmpty)
+  }
+
   test("history band: faster than the recorded range verdicts improvement; " +
     "a single history point falls back to the fixed envelope") {
     val hist = Map("q01" -> Seq(2.0, 3.0), "q03" -> Seq(5.0))
