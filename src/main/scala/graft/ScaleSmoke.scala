@@ -1331,6 +1331,52 @@ object ScaleSmoke {
           "standing table — the pushed filter is not skipping files")
       assert(rowsUn > total / 2,
         "control broken: the unclustered copy should be a near-full scan")
+
+      // ---- Serving-session twin (round 12): the SAME 2M-row standing
+      // table behind a compiled-plan session — the warm per-request path
+      // must hold its latency class at scale (the scan is a few row
+      // groups; the plan is cached), and a GDPR delete through the
+      // cascade must be visible to the LIVE session at its very next
+      // request (generation auto-refresh — no new session, no caller
+      // convention).
+      {
+        import spark.implicits._
+        val standingPath = base + "/clustered"
+        val session = new graft.engine.Serving.LshProbeSession(
+          spark.read.parquet(standingPath),
+          org.apache.spark.sql.types.LongType,
+          shingleK = 3, numHashes = 16, numBands = 4,
+          standingPath = Some(standingPath))
+        val pool = docs.filter(col("doc_id").between(12300L, 12319L))
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => Seq((r.getLong(0): Any, r.getString(1))))
+        // parity with the fresh path on the big table, then warm medians
+        val viaSession = session.probeRows(pool.head)
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(viaSession == pairsCl,
+          "session probe diverged from the fresh path at 2M rows")
+        (0 until 4).foreach(i => session.probeRows(pool(i % pool.length)))
+        val lat = (0 until 20).map { i =>
+          val t0 = System.nanoTime()
+          session.probeRows(pool(i % pool.length))
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val warmMs = lat(lat.length / 2)
+        // GDPR: purge the planted near-dup through the cascade — the live
+        // session must stop serving it at the next request
+        graft.streaming.Sinks.lshIndexDelete(standingPath,
+          Seq((12301L, "1")).toDF("doc_id", "source"),
+          partitionCols = Seq("source"))
+        val after = session.probeRows(pool.head)
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"[scale-smoke] serving-session: warmMs=$warmMs%.0f " +
+          f"pairsBefore=${viaSession.size} pairsAfter=${after.size}")
+        assert(!after.exists(p => p._1 == 12301L || p._2 == 12301L),
+          s"live session served the purged victim at 2M rows: $after")
+        assert(after == viaSession.filterNot(p =>
+            p._1 == 12301L || p._2 == 12301L),
+          "post-delete session answer is not exactly the survivor set")
+      }
     }
 
     // ---- IVF point-probe layout twin (round 11, VERDICT #2): the

@@ -53,6 +53,17 @@ object ServingBench {
     graft.streaming.Sinks.lshIndexAppendPartitioned(tmp + "/bands",
       "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
       partitionCols = Seq("source"))(docs, 0L)
+    // the maintained verified lineage (bands + candidate feed + verified
+    // table), built the way the streaming sinks keep it — q343/q344's state
+    Seq(0, 1).foreach { i =>
+      val delta = graft.streaming.Sinks.lshIndexAppendPartitioned(
+        tmp + "/vbands", "doc_id", "text",
+        shingleK = 3, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"), pairsPath = Some(tmp + "/vpairs"))(
+        docs.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong)
+      graft.streaming.Sinks.verifiedPairsUpsert(tmp + "/verified", docs,
+        "doc_id", "text", shingleK = 3, threshold = 0.5)(delta, i.toLong)
+    }
     val emb = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") > 0)
       .select(col("vec_id"), col("embedding"),
@@ -80,7 +91,10 @@ object ServingBench {
     val lshCompileMs = ms {
       lshSession = new Serving.LshProbeSession(
         Readers.table(spark, tmp + "/bands"), idType,
-        shingleK = 3, numHashes = 16, numBands = 4)
+        shingleK = 3, numHashes = 16, numBands = 4,
+        // warm latencies INCLUDE the per-request generation poll —
+        // the shape a deployed serving tier actually runs
+        standingPath = Some(tmp + "/bands"))
     }
     import graft.functions.VectorFunctions.cosineSim
     var ivfSession: Serving.IvfServeSession = null
@@ -93,7 +107,17 @@ object ServingBench {
             round(cosineSim(col("embedding"), col("qvec")), 4))
           .select(col("vec_id"), col("centroid_id"), col("score"))
           .orderBy(desc("score"), col("vec_id"))
-          .limit(10))
+          .limit(10),
+        statePaths = Some((tmp + "/assigned", tmp + "/centroids")))
+    }
+    var vSession: Serving.VerifiedProbeSession = null
+    val vCompileMs = ms {
+      vSession = new Serving.VerifiedProbeSession(
+        Readers.table(spark, tmp + "/verified"),
+        Readers.table(spark, tmp + "/vbands"), docs,
+        "doc_id", "text", idType,
+        shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5,
+        verifiedPath = Some(tmp + "/verified"))
     }
 
     // ---- per-request paths ----
@@ -116,12 +140,23 @@ object ServingBench {
         .orderBy(desc("score"), col("vec_id"))
         .limit(10).collect()
     }
+    // the pre-session q344 shape: fresh handles + fresh served-branch plans
+    // per request (ingested-ness scan + verified fetch)
+    def vCold(req: Seq[(Any, String)]): Unit =
+      Dedup.probeNearDupsVerifiedServed(
+        Readers.table(spark, tmp + "/verified"),
+        Readers.table(spark, tmp + "/vbands"), docs,
+        docs.filter(col("doc_id").isin(req.map(_._1): _*)),
+        "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
+        threshold = 0.5).collect()
 
     // warm everything once (JIT/codegen/readers), then measure
     lshCold(lshPool.head); lshSession.probeDf(lshPool.head).collect()
     lshSession.probeRows(lshPool.head)
     ivfCold(qPool.head); ivfSession.serveDf(qPool.head, 2).collect()
     ivfSession.serveRows(qPool.head, 2)
+    vCold(lshPool.head); vSession.serveDf(lshPool.head).collect()
+    vSession.serveRows(lshPool.head)
 
     def run(label: String, pool: Int => Unit): Double = {
       val times = (0 until reqs).map(i => ms(pool(i)))
@@ -138,12 +173,19 @@ object ServingBench {
       "ivf_warm_df" -> run("ivf_warm_df",
         i => ivfSession.serveDf(qPool(i % qPool.size), 2).collect()),
       "ivf_warm_rows" -> run("ivf_warm_rows",
-        i => ivfSession.serveRows(qPool(i % qPool.size), 2)))
+        i => ivfSession.serveRows(qPool(i % qPool.size), 2)),
+      "verified_cold" -> run("verified_cold",
+        i => vCold(lshPool(i % lshPool.size))),
+      "verified_warm_df" -> run("verified_warm_df",
+        i => vSession.serveDf(lshPool(i % lshPool.size)).collect()),
+      "verified_warm_rows" -> run("verified_warm_rows",
+        i => vSession.serveRows(lshPool(i % lshPool.size))))
 
     def r1(x: Double) = math.rint(x * 10) / 10
     val body = (results.map { case (k, v) => s"""  "$k": ${r1(v)}""" } ++ Seq(
       s"""  "lsh_session_compile_ms": ${r1(lshCompileMs)}""",
       s"""  "ivf_session_compile_ms": ${r1(ivfCompileMs)}""",
+      s"""  "verified_session_compile_ms": ${r1(vCompileMs)}""",
       s"""  "requests": $reqs""",
       s"""  "sf": "$sfDir""""))
       .mkString("{\n", ",\n", "\n}\n")

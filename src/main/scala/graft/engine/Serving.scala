@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType, S
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ops.Dedup
+import graft.sources.{Readers, Writers}
 
 /** Serving-session compiled-plan reuse for the point-probe family.
   *
@@ -44,9 +45,27 @@ import graft.ops.Dedup
   * relation's file listing happens once per session, not once per request
   * (at 100 TB the listing alone is a job).
   *
-  * Lifetime: a session pins the standing table's file listing at
-  * construction — rebuild/compaction maintenance that REPLACES files
-  * requires a new session (same contract as any cached DataFrame handle).
+  * MAINTENANCE LIFETIME — generation-aware auto-refresh. A cached template
+  * pins the standing table's file listing; every maintenance mutation
+  * (partition merge, GDPR delete cascade, compaction, drift rebuild)
+  * replaces files, so a session that outlived the mutation would throw
+  * FileNotFound or — the unacceptable case — keep serving a purged
+  * victim's rows from retired files. "Open a new session after
+  * maintenance" is a caller convention, and serving-after-delete is
+  * exactly the defect class conventions leak (VERDICT r10/r11 on the pair
+  * cascade). So sessions constructed WITH the standing table's path poll
+  * the table's generation marker ([[Writers.Generation]] — bumped by every
+  * completed mutation) per request: one driver-side filesystem probe, no
+  * Spark job, microseconds against a local FS and one small read against
+  * an object store. On a bump the session recompiles its template from a
+  * NON-DESTRUCTIVE fresh read ([[Readers.servingSnapshot]] — a serving
+  * refresh must never rename; all heals stay with the single writer,
+  * ADVICE r11) — so a GDPR purge is visible to every live session at its
+  * very next request, spec-pinned (ServingSpec "auto-refresh"). The
+  * straight-to-physical tiers additionally retry ONCE through a forced
+  * refresh on a FileNotFound escaping mid-mutation — the residual window
+  * between the poll and the scan. Sessions constructed from a bare
+  * DataFrame (no path) keep the old pin-at-construction behavior.
   */
 object Serving {
 
@@ -85,33 +104,76 @@ object Serving {
         s"table handle (Readers.table), not a derived plan")
   }
 
+  /** True when `t` (or anything in its cause chain) is the stale-listing
+    * failure a maintenance rewrite leaves behind in a pinned plan. */
+  private def isStaleListing(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Compiled-plan session for the MinHash-LSH point probe
     * ([[graft.ops.Dedup.probeNearDupsLocal]]'s shape). `build` appends the
     * request's downstream (ordering, projection) INTO the template so the
-    * whole answer is compiled once; it must be literal-free. */
+    * whole answer is compiled once; it must be literal-free.
+    *
+    * Pass `standingPath` (the maintained band table's root — the same
+    * path `Readers.table` resolved `standing` from) to make the session
+    * generation-aware: maintenance on the table (delete cascade,
+    * compaction, further appends) is picked up at the next request
+    * instead of requiring a new session. */
   final class LshProbeSession(standing: DataFrame, idType: DataType,
                               shingleK: Int, numHashes: Int, numBands: Int,
                               maxDf: Int = Dedup.StopBucketDf,
-                              build: DataFrame => DataFrame = identity) {
+                              build: DataFrame => DataFrame = identity,
+                              standingPath: Option[String] = None) {
     private val spark = standing.sparkSession
+    private val standingSchema = standing.schema
 
-    /** Compiled once: a synthetic single-doc probe (≥ shingleK tokens, so
-      * every band carries a key and the pushed predicate spans all bands).
-      * The placeholder id must be NON-null — a null id constant-folds the
-      * pair emitter's `x ≠ y` to null and the optimizer collapses the
-      * whole template to an empty relation. Every request replaces the
-      * rows and the scan predicate wholesale before anything executes. */
-    private val template: LogicalPlan = {
+    /** Compiled once per standing-table generation: a synthetic single-doc
+      * probe (≥ shingleK tokens, so every band carries a key and the
+      * pushed predicate spans all bands). The placeholder id must be
+      * NON-null — a null id constant-folds the pair emitter's `x ≠ y` to
+      * null and the optimizer collapses the whole template to an empty
+      * relation. Every request replaces the rows and the scan predicate
+      * wholesale before anything executes. */
+    private def compile(st: DataFrame): LogicalPlan = {
       val placeholderText =
         (0 to shingleK).map(i => s"graftservingplaceholder$i").mkString(" ")
       val placeholderId = CatalystTypeConverters
         .createToScalaConverter(idType)(Literal.default(idType).value)
-      val df = build(Dedup.probeNearDupsLocal(standing,
+      val df = build(Dedup.probeNearDupsLocal(st,
         Seq((placeholderId, placeholderText)), idType, shingleK, numHashes,
         numBands, maxDf))
       val plan = df.queryExecution.optimizedPlan
       validate(plan, "LshProbeSession")
       plan
+    }
+
+    @volatile private var standingNow: DataFrame = standing
+    @volatile private var template: LogicalPlan = compile(standing)
+    @volatile private var generation: Long =
+      standingPath.map(Writers.Generation.read(spark, _)).getOrElse(0L)
+
+    /** Recompile from a fresh non-destructive read of the standing path
+      * and record `gen` as the served generation. */
+    private def recompile(gen: Long): Unit = synchronized {
+      standingPath.foreach { p =>
+        standingNow = Readers.servingSnapshot(spark, p, Some(standingSchema))
+        template = compile(standingNow)
+        generation = gen
+      }
+    }
+
+    /** The per-request staleness poll: one driver-side marker read. */
+    private def freshen(): Unit = standingPath.foreach { p =>
+      val g = Writers.Generation.read(spark, p)
+      if (g != generation) recompile(g)
     }
 
     private val idConv = CatalystTypeConverters.createToCatalystConverter(idType)
@@ -155,17 +217,213 @@ object Serving {
     /** Per-request probe as a DataFrame (re-enters through a Dataset —
       * plan pins stay inspectable; analyzer/optimizer re-run, file listing
       * and plan construction don't). */
-    def probeDf(docs: Seq[(Any, String)]): DataFrame = rebound(docs) match {
-      case Some(p) => PlanBridge.ofRows(spark, p)
-      case None => build(Dedup.probeNearDupsLocal(standing, docs, idType,
-        shingleK, numHashes, numBands, maxDf))
+    def probeDf(docs: Seq[(Any, String)]): DataFrame = {
+      freshen()
+      rebound(docs) match {
+        case Some(p) => PlanBridge.ofRows(spark, p)
+        case None => build(Dedup.probeNearDupsLocal(standingNow, docs, idType,
+          shingleK, numHashes, numBands, maxDf))
+      }
     }
 
     /** The warm serving call: rebound plan straight to physical planning
-      * and execute-collect — no analyzer, no optimizer, no Dataset. */
-    def probeRows(docs: Seq[(Any, String)]): Array[Row] = rebound(docs) match {
-      case Some(p) => PlanBridge.collectFromOptimized(spark, p)
-      case None    => probeDf(docs).collect()
+      * and execute-collect — no analyzer, no optimizer, no Dataset. A
+      * stale-listing failure (maintenance landed between the generation
+      * poll and the scan) forces one refresh-and-retry. */
+    def probeRows(docs: Seq[(Any, String)]): Array[Row] = {
+      freshen()
+      def run(): Array[Row] = rebound(docs) match {
+        case Some(p) => PlanBridge.collectFromOptimized(spark, p)
+        case None => build(Dedup.probeNearDupsLocal(standingNow, docs, idType,
+          shingleK, numHashes, numBands, maxDf)).collect()
+      }
+      try run()
+      catch {
+        case t: Throwable if standingPath.isDefined && isStaleListing(t) =>
+          recompile(Writers.Generation.read(spark, standingPath.get))
+          run()
+      }
+    }
+  }
+
+  /** Compiled-plan session for PURE-SCAN point probes — requests that are
+    * one pushed predicate over one standing table and nothing else: the
+    * maintained VERIFIED pair table's per-request fetch, id point-gets
+    * (S3), any "read my rows, now" serving shape. No probe-side relation,
+    * so the template is just `build(standing.filter(…))` compiled once;
+    * each request REBINDS the Filter's condition from a plain Column
+    * predicate (its attributes resolved against the cached relation by
+    * name — an unknown name fails loudly).
+    *
+    * The request predicate is resolved by ONE analyzer pass over a bare
+    * `Filter(pred, standing)` plan (a few ms — resolution and type
+    * coercion only, no optimizer, no physical planning, no file listing),
+    * and the resolved condition is spliced into the cached template by
+    * attribute NAME. Generation auto-refresh and the stale-listing retry
+    * work as in [[LshProbeSession]]. */
+  final class ScanProbeSession(standing: DataFrame, keyCol: String,
+                               build: DataFrame => DataFrame = identity,
+                               standingPath: Option[String] = None) {
+    private val spark = standing.sparkSession
+    private val standingSchema = standing.schema
+
+    private def compile(st: DataFrame): LogicalPlan = {
+      // placeholder predicate on a DATA column — survives optimization as
+      // a Filter node directly over the relation (replaced per request
+      // before anything executes)
+      val keyType = standingSchema(keyCol).dataType
+      val df = build(st.filter(org.apache.spark.sql.graftbridge.ColumnBridge
+        .column(EqualTo(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(keyCol),
+          Literal.default(keyType)))))
+      val plan = df.queryExecution.optimizedPlan
+      val scans = plan.collect { case f @ Filter(_, _: LogicalRelation) => f }
+      val locals = plan.collect { case lr: LocalRelation => lr }
+      require(scans.size == 1 && locals.isEmpty,
+        s"ScanProbeSession: the template must be exactly one Filter over " +
+          s"the standing scan (found ${scans.size} filters / " +
+          s"${locals.size} local relations) — pass a BARE standing table " +
+          s"handle and a literal-free build")
+      plan
+    }
+
+    @volatile private var standingNow: DataFrame = standing
+    @volatile private var template: LogicalPlan = compile(standing)
+    @volatile private var generation: Long =
+      standingPath.map(Writers.Generation.read(spark, _)).getOrElse(0L)
+
+    private def recompile(gen: Long): Unit = synchronized {
+      standingPath.foreach { p =>
+        standingNow = Readers.servingSnapshot(spark, p, Some(standingSchema))
+        template = compile(standingNow)
+        generation = gen
+      }
+    }
+
+    private def freshen(): Unit = standingPath.foreach { p =>
+      val g = Writers.Generation.read(spark, p)
+      if (g != generation) recompile(g)
+    }
+
+    private def rebound(pred: org.apache.spark.sql.Column): LogicalPlan = {
+      // resolve + type-coerce the request predicate with one analyzer
+      // pass over Filter(pred, standing) — no optimizer, no physical
+      // planning, no listing — then splice the resolved condition into
+      // the cached template by attribute name
+      val analyzed = standingNow.filter(pred).queryExecution.analyzed
+      val cond = analyzed.collectFirst { case Filter(c, _) => c }
+        .getOrElse(throw new IllegalArgumentException(
+          "ScanProbeSession: the request predicate analyzed away"))
+      template.transformUp {
+        case Filter(_, rel: LogicalRelation) =>
+          val byName = rel.output.map(a => a.name -> a).toMap
+          val remapped = cond.transformUp {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              byName.getOrElse(a.name, throw new IllegalArgumentException(
+                s"ScanProbeSession: predicate names unknown column " +
+                  s"${a.name} (have ${rel.output.map(_.name).mkString(", ")})"))
+          }
+          Filter(remapped, rel)
+      }
+    }
+
+    /** Per-request read as a DataFrame (plan pins inspectable). */
+    def df(pred: org.apache.spark.sql.Column): DataFrame = {
+      freshen()
+      PlanBridge.ofRows(spark, rebound(pred))
+    }
+
+    /** The warm serving call — straight to physical planning; one forced
+      * refresh-and-retry on a stale listing. */
+    def rows(pred: org.apache.spark.sql.Column): Array[Row] = {
+      freshen()
+      try PlanBridge.collectFromOptimized(spark, rebound(pred))
+      catch {
+        case t: Throwable if standingPath.isDefined && isStaleListing(t) =>
+          recompile(Writers.Generation.read(spark, standingPath.get))
+          PlanBridge.collectFromOptimized(spark, rebound(pred))
+      }
+    }
+  }
+
+  /** Compiled-plan session for the per-request VERIFIED near-dup check —
+    * the warm twin of [[graft.ops.Dedup.probeNearDupsVerifiedServed]]
+    * (q344's shape: the reference's ingest-time duplicate check answered
+    * from the MAINTAINED verified table). Two cached scans per session:
+    *
+    *  - the ingested-ness check (pushed literal IN on the corpus id —
+    *    a probe is SERVED only when its id exists with bit-identical
+    *    text, so a stale maintained answer can never serve a changed doc),
+    *  - the verified fetch (pushed endpoint IN on the pair table, with
+    *    pairs touching novel ids excluded — the fresh half re-verifies
+    *    those with the request's text).
+    *
+    * Novel texts (the true ingest-check case) fall back to the fresh
+    * banded-candidates + exact-verify path — answer-identical to the
+    * sessionless function by construction (spec-pinned), it just pays the
+    * cold plan compile the maintained case no longer does. Generation
+    * auto-refresh rides the underlying [[ScanProbeSession]]s. */
+  final class VerifiedProbeSession(
+      verified: DataFrame, standing: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, idType: DataType,
+      shingleK: Int, numHashes: Int, numBands: Int, threshold: Double,
+      maxDf: Int = Dedup.StopBucketDf,
+      verifiedPath: Option[String] = None,
+      corpusPath: Option[String] = None) {
+
+    private val corpusCheck = new ScanProbeSession(corpus, idCol,
+      build = _.select(col(idCol), col(textCol).cast("string")),
+      standingPath = corpusPath)
+    private val verifiedFetch = new ScanProbeSession(verified, "doc_a",
+      build = _.select(col("doc_a"), col("doc_b"), col("jaccard")),
+      standingPath = verifiedPath)
+
+    /** (served ids, novel docs) for a request — the driver-side split on
+      * the cached ingested-ness check. */
+    private def split(probeDocs: Seq[(Any, String)])
+        : (Seq[(Any, String)], Seq[(Any, String)]) = {
+      require(probeDocs.length <= Dedup.PointProbeMaxDocs,
+        s"VerifiedProbeSession is the POINT-probe path " +
+          s"(${probeDocs.length} probe docs)")
+      val ingested = corpusCheck
+        .rows(col(idCol).isin(probeDocs.map(_._1): _*))
+        .map(r => (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+        .toMap
+      probeDocs.partition { case (id, t) =>
+        t != null && ingested.get(id).contains(t) }
+    }
+
+    private def servedPred(served: Seq[(Any, String)],
+                           novel: Seq[(Any, String)]) = {
+      val sIds = served.map(_._1)
+      val touch = col("doc_a").isin(sIds: _*) || col("doc_b").isin(sIds: _*)
+      if (novel.isEmpty) touch
+      else touch && !col("doc_a").isin(novel.map(_._1): _*) &&
+        !col("doc_b").isin(novel.map(_._1): _*)
+    }
+
+    private def fresh(novel: Seq[(Any, String)]): DataFrame =
+      Dedup.probeNearDupsVerifiedFresh(standing, corpus, novel, idType,
+        idCol, textCol, shingleK, numHashes, numBands, threshold, maxDf)
+
+    /** Per-request answer as a DataFrame (plan pins inspectable). */
+    def serveDf(probeDocs: Seq[(Any, String)]): DataFrame = {
+      val (served, novel) = split(probeDocs)
+      val servedDf =
+        if (served.isEmpty) verifiedFetch.df(lit(false))
+        else verifiedFetch.df(servedPred(served, novel))
+      if (novel.isEmpty) servedDf else servedDf.unionByName(fresh(novel))
+    }
+
+    /** The warm serving call — for an all-ingested request this is two
+      * pushed scans through cached plans, nothing else. */
+    def serveRows(probeDocs: Seq[(Any, String)]): Array[Row] = {
+      val (served, novel) = split(probeDocs)
+      val servedRows =
+        if (served.isEmpty) Array.empty[Row]
+        else verifiedFetch.rows(servedPred(served, novel))
+      if (novel.isEmpty) servedRows
+      else servedRows ++ fresh(novel).collect()
     }
   }
 
@@ -173,34 +431,67 @@ object Serving {
     * ([[graft.engine.IvfIndex.probePoint]]'s shape, with the request's
     * whole scoring/top-k downstream compiled into the template via
     * `build(prunedAssigned, queryRelation)`). The centroid table is
-    * collected ONCE per session (it changes only at rebuild, which
-    * replaces the session) and the per-request nProbe selection runs in
-    * plain JVM arithmetic — bit-identical to the cluster path's round-6 +
-    * centroid_id tie-break (spec-pinned), so a request costs ZERO jobs
-    * beyond the pushed scan of the probed clusters. */
+    * collected ONCE per standing-state generation and the per-request
+    * nProbe selection runs in plain JVM arithmetic — bit-identical to the
+    * cluster path's round-6 + centroid_id tie-break (spec-pinned), so a
+    * request costs ZERO jobs beyond the pushed scan of the probed
+    * clusters.
+    *
+    * Pass `statePaths = Some((assignedPath, centroidsPath))` to make the
+    * session generation-aware: a drift rebuild or delete that replaces
+    * the assignment AND the centroid table is picked up at the next
+    * request (both markers polled; the centroid re-collect is one tiny
+    * job, paid only on an actual bump). */
   final class IvfServeSession(assigned: DataFrame, centroids: DataFrame,
-                              build: (DataFrame, DataFrame) => DataFrame) {
+                              build: (DataFrame, DataFrame) => DataFrame,
+                              statePaths: Option[(String, String)] = None) {
     private val spark = assigned.sparkSession
+    private val assignedSchema = assigned.schema
 
-    private val cents: Array[(Int, Array[Float])] = centroids
-      .select(col("centroid_id").cast("int"), col("cvec"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "IvfServeSession: empty centroid table")
+    private def collectCents(c: DataFrame): Array[(Int, Array[Float])] = {
+      val out = c.select(col("centroid_id").cast("int"), col("cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      require(out.nonEmpty, "IvfServeSession: empty centroid table")
+      out
+    }
 
     private val qSchema = StructType(Seq(
       StructField("qvec", ArrayType(FloatType), nullable = false)))
 
-    private val template: LogicalPlan = {
+    private def compile(a: DataFrame, cs: Array[(Int, Array[Float])]): LogicalPlan = {
       val qRel = spark.createDataFrame(
-        java.util.List.of(Row(cents.head._2.toSeq)), qSchema)
+        java.util.List.of(Row(cs.head._2.toSeq)), qSchema)
       // centroid ids are 1-based (row_number); the placeholders are
       // unreachable and replaced before anything executes
-      val df = build(assigned.filter(col("centroid_id").isin(-1, -2)), qRel)
+      val df = build(a.filter(col("centroid_id").isin(-1, -2)), qRel)
       val plan = df.queryExecution.optimizedPlan
       validate(plan, "IvfServeSession")
       plan
+    }
+
+    @volatile private var cents: Array[(Int, Array[Float])] =
+      collectCents(centroids)
+    @volatile private var template: LogicalPlan = compile(assigned, cents)
+    @volatile private var generation: (Long, Long) = statePaths
+      .map { case (a, c) =>
+        (Writers.Generation.read(spark, a), Writers.Generation.read(spark, c)) }
+      .getOrElse((0L, 0L))
+
+    private def recompile(gen: (Long, Long)): Unit = synchronized {
+      statePaths.foreach { case (apath, cpath) =>
+        cents = collectCents(Readers.servingSnapshot(spark, cpath))
+        template = compile(
+          Readers.servingSnapshot(spark, apath, Some(assignedSchema)), cents)
+        generation = gen
+      }
+    }
+
+    private def freshen(): Unit = statePaths.foreach { case (apath, cpath) =>
+      val g = (Writers.Generation.read(spark, apath),
+               Writers.Generation.read(spark, cpath))
+      if (g != generation) recompile(g)
     }
 
     private val vecConv =
@@ -225,11 +516,23 @@ object Serving {
     }
 
     /** Per-request answer as a DataFrame (plan pins inspectable). */
-    def serveDf(qvec: Array[Float], nProbe: Int): DataFrame =
+    def serveDf(qvec: Array[Float], nProbe: Int): DataFrame = {
+      freshen()
       PlanBridge.ofRows(spark, rebound(qvec, nProbe))
+    }
 
-    /** The warm serving call — straight to physical planning. */
-    def serveRows(qvec: Array[Float], nProbe: Int): Array[Row] =
-      PlanBridge.collectFromOptimized(spark, rebound(qvec, nProbe))
+    /** The warm serving call — straight to physical planning; one forced
+      * refresh-and-retry on a stale listing (see [[LshProbeSession
+      * .probeRows]]). */
+    def serveRows(qvec: Array[Float], nProbe: Int): Array[Row] = {
+      freshen()
+      try PlanBridge.collectFromOptimized(spark, rebound(qvec, nProbe))
+      catch {
+        case t: Throwable if statePaths.isDefined && isStaleListing(t) =>
+          recompile((Writers.Generation.read(spark, statePaths.get._1),
+            Writers.Generation.read(spark, statePaths.get._2)))
+          PlanBridge.collectFromOptimized(spark, rebound(qvec, nProbe))
+      }
+    }
   }
 }

@@ -603,7 +603,7 @@ object Dedup {
     * driver memory — banded candidates then exact verify from texts
     * (the shared core of [[probeNearDupsVerified]] and the novel-doc
     * branch of [[probeNearDupsVerifiedServed]]). */
-  private def probeNearDupsVerifiedFresh(standing: DataFrame,
+  private[graft] def probeNearDupsVerifiedFresh(standing: DataFrame,
       corpus: DataFrame, probeDocs: Seq[(Any, String)],
       idType: org.apache.spark.sql.types.DataType, idCol: String,
       textCol: String, shingleK: Int, numHashes: Int, numBands: Int,

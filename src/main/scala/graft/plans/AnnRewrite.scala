@@ -89,7 +89,22 @@ object AnnRewrite {
         * plan — the disk-identity fallback for re-read tables. Empty for
         * purely in-memory assignments (exprId lineage is then the only
         * accepted identity). */
-      originPaths: Set[String] = Set.empty)
+      originPaths: Set[String] = Set.empty,
+      /** (path → generation-at-registration) pins for the persisted state
+        * this registration SNAPSHOTTED ([[registerFromPaths]]). A drift
+        * rebuild replaces the centroid table; a rule that kept pruning
+        * with the OLD geometry would pick clusters that no longer hold
+        * the query's true neighbors — approximate silently becoming
+        * wrong. So the rule re-checks these pins before every rewrite
+        * (driver-side marker reads, [[graft.sources.Writers.Generation]],
+        * no job) and DECLINES when any is stale: the query falls back to
+        * the exact scan — slower, never wrong — until
+        * [[AnnRewrite.refreshIfStale]] (or a fresh register) re-snapshots.
+        * Empty for in-memory registrations (nothing on disk to drift). */
+      generationPins: Seq[(String, Long)] = Nil,
+      /** The persisted source this registration can re-snapshot itself
+        * from: (centroidsPath, assignedPath, statsPath, clusterCol). */
+      source: Option[(String, String, Option[String], String)] = None)
 
   /** Registry scoped PER SESSION (weak keys — dropping the session drops its
     * indexes), keyed by embedding column name within it — the lookup key,
@@ -120,7 +135,9 @@ object AnnRewrite {
     * distribution; rows/centroids only change at a rebuild. */
   def register(spark: SparkSession, index: IvfIndex.Index, embCol: String,
                rows: Long, clusterCol: String = "centroid_id",
-               stats: Option[IvfIndex.IndexStats] = None): Unit = {
+               stats: Option[IvfIndex.IndexStats] = None,
+               generationPins: Seq[(String, Long)] = Nil,
+               source: Option[(String, String, Option[String], String)] = None): Unit = {
     val centsF = index.centroids.collect().map { r =>
       val id = r.get(0) match {
         case i: Int => i
@@ -141,7 +158,7 @@ object AnnRewrite {
       var m = indexes.get(spark)
       if (m == null) { m = TrieMap.empty; indexes.put(spark, m) }
       m.put(embCol, RegisteredIndex(embCol, clusterCol, cents, rows, centsF,
-        stats, embId, paths))
+        stats, embId, paths, generationPins, source))
     }
     // newSession()/cloneSession copy extraOptimizations, so a rule bound to
     // ANOTHER session may sit in this session's list. It would run first,
@@ -182,8 +199,34 @@ object AnnRewrite {
       graft.sources.Readers.table(spark, assignedPath))
     val st = statsPath.map(IvfIndex.readStats(spark, _))
     val rows = st.map(_.rows).getOrElse(idx.assigned.count())
-    register(spark, idx, embCol, rows, clusterCol, st)
+    // pin the snapshot to the persisted tables' generations — the rule
+    // declines the rewrite the moment maintenance reshapes any of them
+    val pins = (Seq(centroidsPath, assignedPath) ++ statsPath.toSeq)
+      .map(p => p -> graft.sources.Writers.Generation.read(spark, p))
+    register(spark, idx, embCol, rows, clusterCol, st, pins,
+      Some((centroidsPath, assignedPath, statsPath, clusterCol)))
   }
+
+  /** True when any of the registration's generation pins drifted — the
+    * persisted state was rebuilt/merged/purged since the snapshot. */
+  private[plans] def isStale(spark: SparkSession, meta: RegisteredIndex): Boolean =
+    meta.generationPins.exists { case (p, g) =>
+      graft.sources.Writers.Generation.read(spark, p) != g }
+
+  /** Re-snapshot every stale path-sourced registration in this session
+    * (fresh centroids, stats and pins via [[registerFromPaths]]) — the
+    * serving-loop hook that restores the rewrite after maintenance; until
+    * it runs, stale entries simply stop rewriting (exact scans). Returns
+    * the embedding columns refreshed. */
+  def refreshIfStale(spark: SparkSession): Seq[String] =
+    indexesFor(spark).map { m =>
+      m.toSeq.collect {
+        case (embCol, meta) if meta.source.isDefined && isStale(spark, meta) =>
+          val (cp, ap, sp, cc) = meta.source.get
+          registerFromPaths(spark, cp, ap, embCol, sp, cc)
+          embCol
+      }
+    }.getOrElse(Nil)
 
   /** Drop ONE session's index for `embCol` — other sessions keep theirs. */
   def deregister(spark: SparkSession, embCol: String): Unit =
@@ -239,9 +282,21 @@ object AnnRewrite {
     }
 
   private[plans] def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan = {
-    val idx = indexesFor(session).getOrElse(return plan)
-    if (idx.isEmpty ||
+    val idxLive = indexesFor(session).getOrElse(return plan)
+    if (idxLive.isEmpty ||
         !session.conf.get("spark.graft.ann.enabled", "true").toBoolean) return plan
+    // generation pins: a path-sourced registration is honored only while
+    // its persisted state is UNCHANGED — pruning with a rebuilt table's
+    // old centroids would silently drop true neighbors. Stale entries are
+    // masked for this optimization (exact scan) until refreshIfStale /
+    // re-registration; the poll is a driver-side marker read per pinned
+    // path, no job (see RegisteredIndex.generationPins).
+    val idx = {
+      val m = TrieMap.empty[String, RegisteredIndex]
+      idxLive.foreach { case (k, v) => if (!isStale(session, v)) m.put(k, v) }
+      m
+    }
+    if (idx.isEmpty) return plan
     val threshold = session.conf.get("spark.graft.ann.fullScanThreshold", "10000").toLong
     val nProbe = session.conf.get("spark.graft.ann.nProbe", "4").toInt
     val maxBoost = session.conf.get("spark.graft.ann.maxFilterBoost", "4").toDouble

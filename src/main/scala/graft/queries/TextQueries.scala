@@ -400,7 +400,11 @@ object TextQueries {
             graft.sources.Readers.table(s, path),
             docs.schema("doc_id").dataType,
             shingleK = 3, numHashes = 16, numBands = 4,
-            build = _.orderBy(col("doc_a"), col("doc_b"))),
+            build = _.orderBy(col("doc_a"), col("doc_b")),
+            // generation-aware: maintenance on the standing band table
+            // (delete cascade, compaction) refreshes the cached template
+            // at the next request — one driver-side marker poll
+            standingPath = Some(path)),
             rows.toSeq.map(r =>
               (r.get(0), if (r.isNullAt(1)) null else r.getString(1))))
         })

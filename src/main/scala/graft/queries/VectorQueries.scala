@@ -359,7 +359,10 @@ object VectorQueries {
                 round(cosineSim(col("embedding"), col("qvec")), 4))
               .select(col("vec_id"), col("centroid_id"), col("score"))
               .orderBy(desc("score"), col("vec_id"))
-              .limit(10)), qv)
+              .limit(10),
+            // generation-aware: a drift rebuild / delete that replaces
+            // the standing state refreshes the session at the next request
+            statePaths = Some((apath, cpath))), qv)
         })
         val out = session.serveDf(qvec, nProbe = 2)
         val plan = out.queryExecution.optimizedPlan.toString.toLowerCase

@@ -106,4 +106,22 @@ object Readers {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).parquet(resolved)
   }
+
+  /** [[table]] WITHOUT the partition crash-heal — the read a long-lived
+    * SERVING session uses when it refreshes its cached handle on a
+    * generation bump ([[Writers.Generation]]). The heal renames retired
+    * partition directories, which is only safe when no merge is live;
+    * a serving refresh cannot know that, so it must never rename — all
+    * renames stay with the single writer (the same non-destructive
+    * discipline as `swapReadPath`, ADVICE r11). Since refreshes are
+    * triggered by a POST-completion generation bump, the state read here
+    * is a complete promoted snapshot; a crashed writer never bumps, so
+    * the session keeps serving its previous pinned state until recovery
+    * (exactly the last-complete-snapshot contract). */
+  def servingSnapshot(spark: SparkSession, path: String,
+                      schema: Option[StructType] = None): DataFrame = {
+    val resolved = Writers.swapReadPath(spark, path)
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).parquet(resolved)
+  }
 }

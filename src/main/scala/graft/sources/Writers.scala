@@ -21,9 +21,66 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
+  /** Table GENERATION marker — the invalidation signal long-lived serving
+    * handles need. A cached DataFrame (or a compiled serving-session
+    * template, [[graft.engine.Serving]]) pins the table's FILE LISTING at
+    * construction; every maintenance mutation here (append, merge, delete,
+    * compaction, swap rewrite) replaces or adds files, so a pinned handle
+    * either throws FileNotFound or — worse, after a GDPR purge — keeps
+    * serving retired data. The reference's stores version their
+    * collections natively; plain parquet needs the marker.
+    *
+    * The marker is a SIBLING file (`path + ".generation"`), never inside
+    * the table directory — swap/merge renames of the directory leave it
+    * in place, and the parquet reader never lists it. Writers bump it
+    * AFTER a mutation completes (so a reader refreshing on a bump always
+    * sees the promoted state); readers poll it with one driver-side
+    * existence/read probe — no Spark job. A table never written through
+    * these writers simply has no marker (generation 0 forever), which
+    * degrades to the old pin-at-construction behavior. */
+  object Generation {
+    private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    private def fs(spark: org.apache.spark.sql.SparkSession, path: String) =
+      p(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Current generation; 0 when the marker is absent. */
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+      val f = fs(spark, path)
+      val m = p(path + ".generation")
+      if (!f.exists(m)) 0L
+      else {
+        val in = f.open(m)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        } finally in.close()
+      }
+    }
+
+    /** Bump after a completed mutation (write-temp + rename — a reader
+      * polling mid-bump sees either the old or the new value, never a
+      * partial file). Single-writer, like every mutation here. */
+    def bump(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+      val f = fs(spark, path)
+      val next = read(spark, path) + 1L
+      val tmp = p(path + ".generation.tmp")
+      val out = f.create(tmp, true)
+      try out.write(next.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val m = p(path + ".generation")
+      if (f.exists(m)) f.delete(m, false)
+      require(f.rename(tmp, m), s"Generation.bump: rename $tmp -> $m failed")
+      next
+    }
+  }
+
   def append(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    Generation.bump(df.sparkSession, path)
   }
 
   /** DELETE WHERE predicate → the surviving snapshot. */
@@ -222,6 +279,7 @@ object Writers {
     }
     Seq(tmpRoot, touchRoot, retiredRoot)
       .foreach(d => if (fs.exists(p(d))) fs.delete(p(d), true))
+    Generation.bump(spark, path)
     relsAll
   }
 
@@ -394,6 +452,7 @@ object Writers {
     if (fs.exists(p(path))) mustRename(path, path + ".swap.old")
     mustRename(path + ".tmp", path)
     fs.delete(p(path + ".swap.old"), true)
+    Generation.bump(spark, path)
   }
 
   /** Resolve the directory a READER of a swap-maintained table should scan,

@@ -485,6 +485,57 @@ class AnnRewriteSpec extends SparkSpec {
     }
   }
 
+  test("generation pins: maintenance on the persisted state MASKS the " +
+    "rewrite (exact scan — never stale centroids) until refreshIfStale " +
+    "re-snapshots against the new geometry") {
+    val rows = (0 until 400).map { i =>
+      val axis = i % 4
+      val emb = { val b = Array.fill(8)(0.01f); b(axis) = 1.0f + (i / 4) * 0.001f; b }
+      (i.toLong, emb)
+    }
+    val c = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4)).toDF("id", "emb")
+    val idx = IvfIndex.build(c, "id", "emb", nCentroids = 4)
+    val base = java.nio.file.Files.createTempDirectory("ann-gen").toString
+    graft.sources.Writers.swapWrite(idx.centroids, base + "/centroids")
+    graft.sources.Writers.swapWrite(idx.assigned, base + "/assigned")
+    try {
+      spark.conf.set("spark.graft.ann.fullScanThreshold", "100")
+      // nProbe below the centroid count, else the full-probe guard
+      // declines (probing every cluster IS the exact scan)
+      spark.conf.set("spark.graft.ann.nProbe", "1")
+      AnnRewrite.registerFromPaths(spark, base + "/centroids",
+        base + "/assigned", "emb")
+      val q = { val v = Array.fill(8)(0.0f); v(1) = 1.0f; v }
+      def plan() = spark.read.parquet(base + "/assigned")
+        .withColumn("score", cosineSim(col("emb"), lit(q)))
+        .orderBy(desc("score"), col("id")).limit(5)
+        .queryExecution.optimizedPlan.toString
+      assert(plan().contains(" IN "), "rewrite should fire after register")
+
+      // a drift REBUILD replaces both tables (new geometry, new ids) —
+      // pruning with the old registration's centroids would now pick
+      // clusters that don't hold the true neighbors
+      val idx2 = IvfIndex.build(c, "id", "emb", nCentroids = 8)
+      graft.sources.Writers.swapWrite(idx2.centroids, base + "/centroids")
+      graft.sources.Writers.swapWrite(idx2.assigned, base + "/assigned")
+      assert(!plan().contains(" IN "),
+        "stale registration must DECLINE the rewrite, not prune with old centroids")
+
+      val refreshed = AnnRewrite.refreshIfStale(spark)
+      assert(refreshed === Seq("emb"), s"expected a refresh, got $refreshed")
+      assert(plan().contains(" IN "),
+        "rewrite should return after the re-snapshot")
+      // and the refreshed registration is pinned to the NEW state: no
+      // further refresh happens on an unchanged table
+      assert(AnnRewrite.refreshIfStale(spark).isEmpty)
+    } finally {
+      AnnRewrite.clear()
+      spark.conf.unset("spark.graft.ann.fullScanThreshold")
+      spark.conf.unset("spark.graft.ann.nProbe")
+    }
+  }
+
   test("multi-space: two indexes on distinct embedding columns coexist in " +
     "one session; each sort key is pruned by its own index only") {
     val idxA = IvfIndex.build(corpus(), "id", "emb", nCentroids = 4)

@@ -151,6 +151,171 @@ class ServingSpec extends SparkSpec {
       s"rebound centroid ids not pushed:\n$physical")
   }
 
+  test("LshProbeSession auto-refreshes on the generation marker: a later " +
+    "append batch AND a GDPR delete cascade are visible to a LIVE session " +
+    "at its next request, with no new session") {
+    val bands = tmp("serving-lsh-gen") + "/bands"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    val session = new Serving.LshProbeSession(Readers.table(spark, bands),
+      StringType, shingleK = 2, numHashes = 16, numBands = 4,
+      standingPath = Some(bands))
+    val req: Seq[(Any, String)] =
+      Seq(("d1": Any) -> "alpha beta gamma delta epsilon zeta")
+
+    // both tiers, checked against a FRESH read of the current state —
+    // the session must track maintenance exactly
+    def viaBoth(): Set[(String, String)] = {
+      val df = session.probeDf(req).as[(String, String)].collect().toSet
+      val rows = session.probeRows(req)
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(df === rows, "the two execution tiers diverged")
+      val fresh = Dedup.probeNearDupsLocal(Readers.table(spark, bands), req,
+        StringType, shingleK = 2, numHashes = 16, numBands = 4)
+        .as[(String, String)].collect().toSet
+      assert(df === fresh, "live session diverged from the fresh path")
+      df
+    }
+    assert(viaBoth().contains(("d1", "d2")))
+
+    // maintenance 1: a later micro-batch lands d7 (same text as d1) —
+    // the session must see it WITHOUT a rebuild
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(
+      Seq(("d7", "alpha beta gamma delta epsilon zeta", "web"))
+        .toDF("doc_id", "text", "source"), 1L)
+    assert(viaBoth().contains(("d1", "d7")),
+      "live session missed the appended batch")
+
+    // maintenance 2: GDPR cascade purges d2 — a live session serving d2's
+    // pairs past this point is the serving-after-delete defect
+    Sinks.lshIndexDelete(bands,
+      Seq(("d2", "web")).toDF("doc_id", "source"),
+      partitionCols = Seq("source"))
+    val after = viaBoth()
+    assert(!after.exists(p => p._1 == "d2" || p._2 == "d2"),
+      s"live session served a purged victim's pairs: $after")
+    assert(after.contains(("d1", "d7")))
+  }
+
+  test("IvfServeSession auto-refreshes on the generation markers: a delete " +
+    "on the standing assignment is visible to a LIVE session at its next " +
+    "request") {
+    val base = tmp("serving-ivf-gen")
+    val (apath, cpath) = (base + "/assigned", base + "/centroids")
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding", nCentroids = 4)
+    Writers.swapWrite(idx.centroids, cpath)
+    Sinks.indexAppendPartitioned(apath, idx.centroids, "vec_id", "embedding",
+      Seq("label"))(corpus, 0L)
+
+    import graft.functions.VectorFunctions.cosineSim
+    val session = new Serving.IvfServeSession(
+      Readers.table(spark, apath), Readers.table(spark, cpath),
+      (pruned, qRel) => pruned.crossJoin(broadcast(qRel))
+        .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+        .select(col("vec_id"), col("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10),
+      statePaths = Some((apath, cpath)))
+
+    val q = Array.fill(8)(0.5f)
+    val before = session.serveRows(q, 2).map(_.getLong(0)).toSeq
+    assert(before.nonEmpty)
+
+    // purge the session's whole current answer — every one of those ids
+    // must vanish from the next request through the SAME session
+    Sinks.indexDelete(apath,
+      before.toDF("vec_id").withColumn("label", col("vec_id") % 2),
+      "vec_id", partitionCols = Seq("label"))
+    val after = session.serveRows(q, 2).map(_.getLong(0)).toSeq
+    assert(after.toSet.intersect(before.toSet).isEmpty,
+      s"live session served deleted vectors: $after")
+    assert(after === session.serveDf(q, 2).collect().map(_.getLong(0)).toSeq)
+    // parity with the fresh probePoint path on the post-delete state
+    val qDf = Seq(Tuple1(q)).toDF("qvec")
+    val fresh = IvfIndex.probePoint(Readers.table(spark, apath),
+        Readers.table(spark, cpath), qDf, nProbe = 2)
+      .crossJoin(broadcast(qDf))
+      .withColumn("score", round(cosineSim(col("embedding"), col("qvec")), 4))
+      .select(col("vec_id"), col("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === fresh)
+  }
+
+  test("VerifiedProbeSession: served / novel / mixed requests answer " +
+    "identically to the sessionless function on both tiers; a pair-table " +
+    "purge refreshes the live session") {
+    val base = tmp("serving-verified")
+    docsDf.write.parquet(base + "/corpus")
+    val corpus = spark.read.parquet(base + "/corpus")
+    Seq(0, 1).foreach { i =>
+      val delta = Sinks.lshIndexAppendPartitioned(base + "/bands",
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"),
+        pairsPath = Some(base + "/pairs"))(
+        corpus.filter(pmod(substring(col("doc_id"), 2, 1).cast("int"),
+          lit(2)) === i), i.toLong)
+      Sinks.verifiedPairsUpsert(base + "/verified", corpus,
+        "doc_id", "text", shingleK = 2, threshold = 0.5)(delta, i.toLong)
+    }
+    val session = new Serving.VerifiedProbeSession(
+      Readers.table(spark, base + "/verified"),
+      Readers.table(spark, base + "/bands"), corpus,
+      "doc_id", "text", StringType,
+      shingleK = 2, numHashes = 16, numBands = 4, threshold = 0.5,
+      verifiedPath = Some(base + "/verified"))
+    val texts = docsDf.select("doc_id", "text").as[(String, String)]
+      .collect().toMap
+
+    def check(req: Seq[(Any, String)], label: String): Set[(String, String, Double)] = {
+      val fresh = graft.ops.Dedup.probeNearDupsVerifiedServed(
+        Readers.table(spark, base + "/verified"),
+        Readers.table(spark, base + "/bands"), corpus,
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(req.map(r =>
+            org.apache.spark.sql.Row(r._1, r._2))),
+          corpus.select("doc_id", "text").schema),
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        threshold = 0.5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val viaDf = session.serveDf(req)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val viaRows = session.serveRows(req)
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(viaDf === fresh, s"$label: serveDf diverged")
+      assert(viaRows === fresh, s"$label: serveRows diverged")
+      fresh
+    }
+
+    // served: an ingested doc with bit-identical text — answered from the
+    // maintained table (d1=d2 exact dup, jaccard 1.0 is in there)
+    val served = check(Seq(("d1": Any) -> texts("d1")), "served")
+    assert(served.contains(("d1", "d2", 1.0)),
+      s"maintained verified pair missing from the served answer: $served")
+    // novel: an un-ingested text — the true ingest-check case
+    val novel = check(
+      Seq(("zz": Any) -> "alpha beta gamma delta epsilon zeta"), "novel")
+    assert(novel.exists(p => p._1 == "d1" || p._2 == "zz"),
+      s"novel probe should verify against its banded candidates: $novel")
+    // mixed: one of each in a single request
+    check(Seq(("d1": Any) -> texts("d1"),
+      ("zz": Any) -> "alpha beta gamma delta epsilon zeta"), "mixed")
+
+    // maintenance: purge d2 from the verified table — the LIVE session
+    // must stop serving its pairs at the next request
+    Sinks.pairFeedDelete(base + "/verified", Seq("d2").toDF("doc_id"))
+    val after = check(Seq(("d1": Any) -> texts("d1")), "post-purge")
+    assert(!after.exists(p => p._1 == "d2" || p._2 == "d2"),
+      s"live session served a purged victim's verified pairs: $after")
+  }
+
   test("round6 matches Spark's round(_, 6) on doubles (HALF_UP on the " +
     "shortest-decimal BigDecimal)") {
     val rnd = new scala.util.Random(42)

@@ -513,4 +513,39 @@ class WritersSpec extends SparkSpec {
     }
     assert(snapshot() === before, "compact with sortCols changed the data")
   }
+
+  test("Generation marker: absent reads 0; every mutation path bumps it " +
+    "monotonically; the marker survives a swap rewrite of the directory") {
+    val dir = java.nio.file.Files.createTempDirectory("gen").toString + "/t"
+    assert(Writers.Generation.read(spark, dir) === 0L)
+
+    val rows = Seq(("a", 1, "p0"), ("b", 2, "p1")).toDF("id", "v", "part")
+    Writers.append(rows, dir, partitionBy = Seq("part"))
+    val g1 = Writers.Generation.read(spark, dir)
+    assert(g1 === 1L, "append must bump the generation")
+
+    Writers.upsertPartitioned(spark, dir,
+      Seq(("a", 9, "p0")).toDF("id", "v", "part"), "id", Seq("part"))
+    val g2 = Writers.Generation.read(spark, dir)
+    assert(g2 > g1, "partitioned merge must bump the generation")
+
+    Writers.deletePartitioned(spark, dir,
+      Seq(("b", "p1")).toDF("id", "part"), "id", Seq("part"))
+    val g3 = Writers.Generation.read(spark, dir)
+    assert(g3 > g2, "partitioned delete must bump the generation")
+
+    // swapWrite replaces the whole directory — the sibling marker must
+    // survive the rename dance and still bump
+    Writers.swapWrite(spark.read.parquet(dir), dir, partitionBy = Seq("part"))
+    val g4 = Writers.Generation.read(spark, dir)
+    assert(g4 > g3, "swap rewrite must bump the generation")
+
+    // a merge that touches NOTHING (empty scope) must not bump — readers
+    // use the marker as a mutation signal, not a call counter
+    Writers.upsertPartitioned(spark, dir,
+      Seq.empty[(String, Int, String)].toDF("id", "v", "part"),
+      "id", Seq("part"))
+    assert(Writers.Generation.read(spark, dir) === g4,
+      "no-op merge must not bump the generation")
+  }
 }
