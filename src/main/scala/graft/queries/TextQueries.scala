@@ -195,6 +195,11 @@ object TextQueries {
   private val lshServing = scala.collection.concurrent.TrieMap
     .empty[String, (graft.engine.Serving.LshProbeSession, Seq[(Any, String)])]
 
+  /** q344's serving session (the verified probe's compiled-plan cache +
+    * the request payload), keyed by corpus dir. */
+  private val verifiedServing = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.engine.Serving.VerifiedProbeSession, Seq[(Any, String)])]
+
   private val maintainedCascade =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def cascadeDeletedVerifiedTable(s: org.apache.spark.sql.SparkSession,
@@ -503,32 +508,45 @@ object TextQueries {
       Some(lshVerifiedPairsSql(docsWhere = " WHERE doc_id % 7 <> 0"))),
 
     // Per-request VERIFIED probe (round 11; round 12 consults the
-    // MAINTAINED table first — VERDICT r11 #3): the full serving answer to
-    // "is THIS doc a near-dup, now". Both probe docs are ALREADY INGESTED
-    // (present in the corpus with identical text), so the request is
-    // answered from the standing verified table (q343's state) by a bare
-    // pushed scan — a literal IN on doc_a/doc_b that reaches the parquet
-    // reader, require()-pinned — after one pushed-IN presence check on the
-    // corpus. No banding, no shingling, no verify joins: the q343 cost
-    // class, not three recompute jobs. Novel texts (the true ingest-check
-    // case, reference memory_graph.py:10325) fall back to the on-the-fly
-    // banded-candidates + exact-verify path — spec-pinned equal to the
-    // fresh answer, and exercised by MaintainedDeleteSpec's mixed-request
-    // case. Oracle: the q20 pipeline with candidates restricted to pairs
+    // MAINTAINED table first — VERDICT r11 #3 — and serves it through the
+    // compiled-plan session, Serving.VerifiedProbeSession): the full
+    // serving answer to "is THIS doc a near-dup, now". Both probe docs are
+    // ALREADY INGESTED (present in the corpus with identical text), so the
+    // request is answered from the standing verified table (q343's state)
+    // by a bare pushed scan — a literal IN on doc_a/doc_b that reaches the
+    // parquet reader, require()-pinned — after one pushed-IN presence
+    // check on the corpus; both scans run through plans compiled ONCE per
+    // session (the request predicate is resolved by one analyzer pass and
+    // spliced into the cached template). No banding, no shingling, no
+    // verify joins: the q343 cost class, not three recompute jobs. Novel
+    // texts (the true ingest-check case, reference memory_graph.py:10325)
+    // fall back to the on-the-fly banded-candidates + exact-verify path —
+    // spec-pinned equal to the fresh answer (ServingSpec served/novel/
+    // mixed parity; MaintainedDeleteSpec's mixed-request case). The
+    // session polls the verified table's generation marker per request,
+    // so maintenance (a GDPR cascade) is served at the next request.
+    // Oracle: the q20 pipeline with candidates restricted to pairs
     // touching the probe docs — hash-equality here IS the maintained-vs-
     // fresh parity statement.
     Entry("q344_point_verified_probe",
       (s, d) => {
-        val base = maintainedVerifiedTables(s, d)
-        val corpus = Tables.documents(s, d)
-        // two probe docs so the request has verified matches at EVERY
-        // fixture SF (45 pairs at sf0.001/0.01, 72 at sf0.01/0.1)
-        val probeDocs = corpus.filter(col("doc_id").isin(45, 72))
-        val out = Dedup.probeNearDupsVerifiedServed(
-          graft.sources.Readers.table(s, base + "/verified"),
-          graft.sources.Readers.table(s, base + "/bands"), corpus, probeDocs,
-          "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
-          threshold = 0.5)
+        val (session, probeDocs) = verifiedServing.getOrElseUpdate(d, {
+          val base = maintainedVerifiedTables(s, d)
+          val corpus = Tables.documents(s, d)
+          // two probe docs so the request has verified matches at EVERY
+          // fixture SF (45 pairs at sf0.001/0.01, 72 at sf0.01/0.1)
+          val rows = corpus.filter(col("doc_id").isin(45, 72))
+            .select(col("doc_id"), col("text").cast("string")).collect()
+          (new graft.engine.Serving.VerifiedProbeSession(
+            graft.sources.Readers.table(s, base + "/verified"),
+            graft.sources.Readers.table(s, base + "/bands"), corpus,
+            "doc_id", "text", corpus.schema("doc_id").dataType,
+            shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5,
+            verifiedPath = Some(base + "/verified")),
+            rows.toSeq.map(r =>
+              (r.get(0), if (r.isNullAt(1)) null else r.getString(1))))
+        })
+        val out = session.serveDf(probeDocs)
         // pin: the served answer is a pushed literal IN on the verified
         // table's endpoints — the only scan in the returned plan
         val physical = out.queryExecution.executedPlan.toString

@@ -316,6 +316,37 @@ class ServingSpec extends SparkSpec {
       s"live session served a purged victim's verified pairs: $after")
   }
 
+  test("stale-listing retry: a file rewrite that bypassed the generation " +
+    "marker (the mid-mutation race window) is absorbed by one forced " +
+    "refresh inside probeRows, not surfaced to the caller") {
+    val bands = tmp("serving-lsh-retry") + "/bands"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    val session = new Serving.LshProbeSession(Readers.table(spark, bands),
+      StringType, shingleK = 2, numHashes = 16, numBands = 4,
+      standingPath = Some(bands))
+    val req: Seq[(Any, String)] =
+      Seq(("d1": Any) -> "alpha beta gamma delta epsilon zeta")
+    val before = session.probeRows(req)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(before.nonEmpty)
+
+    // rewrite the standing files BEHIND the marker's back (same rows, new
+    // file names) — the cached listing is now stale with NO generation
+    // bump to warn the session: exactly the poll-to-scan race window
+    val snapshot = spark.read.parquet(bands).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(bands)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(bands), true)
+    snapshot.write.partitionBy("source").parquet(bands)
+
+    val after = session.probeRows(req)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after === before,
+      "the forced-refresh retry must answer from the rewritten files")
+  }
+
   test("round6 matches Spark's round(_, 6) on doubles (HALF_UP on the " +
     "shortest-decimal BigDecimal)") {
     val rnd = new scala.util.Random(42)
