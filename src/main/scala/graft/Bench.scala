@@ -345,7 +345,7 @@ object Bench {
       // next to their recompute baselines above
       "q334_maintained_lsh_probe", "q341_point_probe",
       "q342_ivf_point_probe", "q343_maintained_verified_pairs",
-      "q344_point_verified_probe")
+      "q344_point_verified_probe", "q347_live_session_survivor_probe")
     def writeFile(name: String, content: String): Unit = {
       val p = java.nio.file.Paths.get(outDir, name)
       java.nio.file.Files.write(p, content.getBytes("UTF-8"))

@@ -200,6 +200,42 @@ object TextQueries {
   private val verifiedServing = scala.collection.concurrent.TrieMap
     .empty[String, (graft.engine.Serving.VerifiedProbeSession, Seq[(Any, String)])]
 
+  /** q347's fixture: its OWN band table (never shared — this one gets
+    * mutated), a LIVE session that served the pre-delete request, and the
+    * GDPR cascade applied UNDER that session. */
+  private val liveRefreshServing = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.engine.Serving.LshProbeSession, Seq[(Any, String)])]
+
+  /** q341/q347's shared oracle: the point probe's banded candidate pairs
+    * for doc 45, derived from scratch (shingle → sign → band → bucket
+    * self-join restricted to the probe doc). `docsWhere` restricts the
+    * corpus — q347 passes the cascade's survivor predicate, making the
+    * oracle the ground truth for what a LIVE session must serve AFTER the
+    * delete. */
+  private def pointProbeCandidatesSql(docsWhere: String = ""): String = {
+    import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
+    val sigCols = (0 until 16).map(i =>
+      s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleCtesFiltered(docsWhere)},
+       |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       | AND a.doc_id = 45 AND b.doc_id <> 45
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val maintainedCascade =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def cascadeDeletedVerifiedTable(s: org.apache.spark.sql.SparkSession,
@@ -420,29 +456,63 @@ object TextQueries {
           "point probe must not re-derive signatures from text")
         out
       },
-      Some {
-        import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
-        val sigCols = (0 until 16).map(i =>
-          s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
-        val bandRows = (0 until 4).map { b =>
-          val key = (0 until 4).map(i => s"CAST(h${b * 4 + i} AS VARCHAR)").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH $shingleCtes,
-           |shh AS (SELECT doc_id, ${h60("shingle")} % $MinhashP AS hb FROM sh),
-           |sig AS (
-           |  SELECT doc_id,
-           |    $sigCols
-           |  FROM shh GROUP BY doc_id),
-           |bands AS (
-           |  $bandRows)
-           |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
-           |  greatest(a.doc_id, b.doc_id) AS doc_b
-           |FROM bands a JOIN bands b
-           |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           | AND a.doc_id = 45 AND b.doc_id <> 45
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      Some(pointProbeCandidatesSql())),
+
+    // LIVE-SESSION SURVIVOR PROBE (round 12 — the generation-refresh
+    // story lifted into the oracle-checked surface): a serving session
+    // compiles its probe plan against the standing band table and SERVES
+    // A REQUEST; then the GDPR cascade purges every doc_id % 7 = 0 from
+    // that same table; then the SAME LIVE SESSION — no rebuild, no new
+    // handle — serves the probe again. The declared result is that second
+    // answer, and the oracle replays the probe pipeline over the SURVIVOR
+    // corpus only: a victim's pair surfacing from the session's stale
+    // pre-delete file listing is a hash mismatch. This is the
+    // serving-after-delete defect class (VERDICT r10/r11's cascade
+    // conventions) closed at the SESSION layer: the session polls the
+    // table's generation marker per request (one driver-side probe, no
+    // job) and recompiles its cached template from a non-destructive
+    // snapshot read on the bump. Reference bar: deletes are immediately
+    // invisible to the live search path (memory_graph.py:9200-9459 —
+    // the store itself versions; our plain-parquet twin is the marker).
+    Entry("q347_live_session_survivor_probe",
+      (s, d) => {
+        val (session, probeDocs) = liveRefreshServing.getOrElseUpdate(d, {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft-lsh-live").toString
+          val docs = Tables.documents(s, d)
+          graft.streaming.Sinks.lshIndexAppendPartitioned(base + "/bands",
+            "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
+            partitionCols = Seq("source"))(docs, 0L)
+          val rows = docs.filter(col("doc_id") === 45)
+            .select(col("doc_id"), col("text").cast("string")).collect()
+          val probeDocs = rows.toSeq.map(r =>
+            (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+          val sess = new graft.engine.Serving.LshProbeSession(
+            graft.sources.Readers.table(s, base + "/bands"),
+            docs.schema("doc_id").dataType,
+            shingleK = 3, numHashes = 16, numBands = 4,
+            build = _.orderBy(col("doc_a"), col("doc_b")),
+            standingPath = Some(base + "/bands"))
+          // the session goes LIVE: it compiles and serves the pre-delete
+          // request (full-corpus answer) before the cascade runs
+          require(sess.probeRows(probeDocs).nonEmpty,
+            "fixture: the pre-delete probe should find candidates")
+          // the GDPR cascade purges the victims UNDER the live session
+          graft.streaming.Sinks.lshIndexDelete(base + "/bands",
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .select(col("doc_id"), col("source")),
+            partitionCols = Seq("source"))
+          (sess, probeDocs)
+        })
+        val out = session.probeDf(probeDocs)
+        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
+            !plan.contains("split") && !plan.contains("md5"),
+          "the live session must serve from the standing table, not " +
+            "re-derive signatures")
+        out
+      },
+      Some(pointProbeCandidatesSql(" WHERE doc_id % 7 <> 0"))),
 
     // A3 generalized: exact dedup by content hash, keep-first
     // (memory_graph.py:10325-10393).
