@@ -207,12 +207,15 @@ object TextQueries {
     .empty[String, (graft.engine.Serving.LshProbeSession, Seq[(Any, String)])]
 
   /** q341/q347's shared oracle: the point probe's banded candidate pairs
-    * for doc 45, derived from scratch (shingle → sign → band → bucket
-    * self-join restricted to the probe doc). `docsWhere` restricts the
-    * corpus — q347 passes the cascade's survivor predicate, making the
+    * for the probe docs, derived from scratch (shingle → sign → band →
+    * bucket self-join restricted to the probe side). `docsWhere` restricts
+    * the corpus — q347 passes the cascade's survivor predicate, making the
     * oracle the ground truth for what a LIVE session must serve AFTER the
-    * delete. */
-  private def pointProbeCandidatesSql(docsWhere: String = ""): String = {
+    * delete. q347 probes BOTH 45 and 72 (q344's pair: 45 has candidates at
+    * sf0.001/0.01, 72 at sf0.01/0.1 — the union is non-empty at every
+    * fixture SF). */
+  private def pointProbeCandidatesSql(docsWhere: String = "",
+                                      probeIds: Seq[Int] = Seq(45)): String = {
     import graft.ops.Dedup.{MinhashP, minhashA, minhashB}
     val sigCols = (0 until 16).map(i =>
       s"min((${minhashA(i)} * hb + ${minhashB(i)}) % $MinhashP) AS h$i").mkString(",\n    ")
@@ -232,7 +235,7 @@ object TextQueries {
        |  greatest(a.doc_id, b.doc_id) AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       | AND a.doc_id = 45 AND b.doc_id <> 45
+       | AND a.doc_id IN (${probeIds.mkString(", ")}) AND b.doc_id <> a.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -483,7 +486,9 @@ object TextQueries {
           graft.streaming.Sinks.lshIndexAppendPartitioned(base + "/bands",
             "doc_id", "text", shingleK = 3, numHashes = 16, numBands = 4,
             partitionCols = Seq("source"))(docs, 0L)
-          val rows = docs.filter(col("doc_id") === 45)
+          // both q344 probe docs: 45 has candidates at sf0.001/0.01, 72 at
+          // sf0.01/0.1 — the pre-delete request is non-empty at every SF
+          val rows = docs.filter(col("doc_id").isin(45, 72))
             .select(col("doc_id"), col("text").cast("string")).collect()
           val probeDocs = rows.toSeq.map(r =>
             (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
@@ -512,7 +517,7 @@ object TextQueries {
             "re-derive signatures")
         out
       },
-      Some(pointProbeCandidatesSql(" WHERE doc_id % 7 <> 0"))),
+      Some(pointProbeCandidatesSql(" WHERE doc_id % 7 <> 0", Seq(45, 72)))),
 
     // A3 generalized: exact dedup by content hash, keep-first
     // (memory_graph.py:10325-10393).
