@@ -117,6 +117,70 @@ object Serving {
     false
   }
 
+  /** Stale-listing retries per request before the failure surfaces: one
+    * absorbs the poll-to-scan window of a single mutation; back-to-back
+    * maintenance (a delete cascade immediately followed by compaction) can
+    * invalidate the FIRST retry's re-read too, so a couple more attempts
+    * keep a serving request from failing on an unlucky straddle. */
+  private val StaleRetryAttempts = 3
+
+  /** Bound on the wait for an in-flight mutation's completion
+    * ([[settledBuild]]). Local-FS merges complete in milliseconds;
+    * object-store partition swaps in seconds — past this, the writer is
+    * treated as crashed mid-merge and the build proceeds anyway: the
+    * orphan-union read ([[Readers.servingSnapshot]]) still assembles
+    * every partition's last complete snapshot from the stable tree. */
+  private val SettleWaitMs = 10000L
+
+  /** Build a session's cached state CONSISTENTLY against concurrent
+    * maintenance (ADVICE r12: a refresh must never capture a partial
+    * directory tree). Writers bump generation markers only AFTER a
+    * mutation completes, so a marker comparison alone cannot see an
+    * IN-FLIGHT partition rewrite — whose retire-to-promote renames a
+    * file listing could silently straddle, missing a whole partition.
+    * The writer's own crash-contract artifact is the tell: a standing
+    * `.upsert.retired` root spans every rename. So: wait (bounded) while
+    * one stands, run `build` (which performs the file listings), then
+    * re-check — if a marker moved or a rewrite started DURING the build,
+    * the listing may be torn; rebuild. A writer that never settles
+    * (crashed mid-merge) falls through at the deadline to a final build,
+    * which is safe: the tree is stable and the orphan-union read sees
+    * every partition's last complete contents. Returns the generations
+    * the build is consistent with, plus the built state. */
+  private def settledBuild[T](spark: org.apache.spark.sql.SparkSession,
+                              paths: Seq[String])(build: () => T): (Seq[Long], T) = {
+    def gens() = paths.map(Writers.Generation.read(spark, _))
+    def midFlight() = paths.exists(Writers.retiredPartitionsPresent(spark, _))
+    val deadline = System.nanoTime() + SettleWaitMs * 1000000L
+    while (true) {
+      while (midFlight() && System.nanoTime() < deadline) Thread.sleep(25)
+      val g0 = gens()
+      val t = build()
+      if ((gens() == g0 && !midFlight()) || System.nanoTime() >= deadline)
+        return (g0, t)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Run `body` with up to [[StaleRetryAttempts]] forced refresh-and-retry
+    * passes on a stale-listing failure; `recompile` must itself re-read
+    * through [[settledBuild]]. No-op shield when the session has no path
+    * pins (`pinned` false). */
+  private def withStaleRetry[T](pinned: Boolean, recompile: () => Unit)
+                               (body: () => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body()
+      catch {
+        case t: Throwable
+            if pinned && attempt < StaleRetryAttempts && isStaleListing(t) =>
+          attempt += 1
+          recompile()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Compiled-plan session for the MinHash-LSH point probe
     * ([[graft.ops.Dedup.probeNearDupsLocal]]'s shape). `build` appends the
     * request's downstream (ordering, projection) INTO the template so the
@@ -155,25 +219,35 @@ object Serving {
       plan
     }
 
-    @volatile private var standingNow: DataFrame = standing
-    @volatile private var template: LogicalPlan = compile(standing)
-    @volatile private var generation: Long =
-      standingPath.map(Writers.Generation.read(spark, _)).getOrElse(0L)
-
-    /** Recompile from a fresh non-destructive read of the standing path
-      * and record `gen` as the served generation. */
-    private def recompile(gen: Long): Unit = synchronized {
-      standingPath.foreach { p =>
-        standingNow = Readers.servingSnapshot(spark, p, Some(standingSchema))
-        template = compile(standingNow)
-        generation = gen
+    /** (generation, standing handle, compiled template) built through the
+      * settled rebuild: markers are read BEFORE the listing (a mutation
+      * completing in between yields a conservative false-stale, never a
+      * missed one — ADVICE r12) and in-flight partition rewrites are
+      * waited out so the captured listing can't straddle a rename. A
+      * path-less session keeps the old pin-at-construction behavior. One
+      * volatile triple, so every request reads a CONSISTENT state. */
+    private def buildState(): (Long, DataFrame, LogicalPlan) =
+      standingPath match {
+        case Some(p) =>
+          val (gs, (st, tpl)) = Serving.settledBuild(spark, Seq(p)) { () =>
+            val st = Readers.servingSnapshot(spark, p, Some(standingSchema))
+            (st, compile(st))
+          }
+          (gs.head, st, tpl)
+        case None => (0L, standing, compile(standing))
       }
+    @volatile private var state: (Long, DataFrame, LogicalPlan) = buildState()
+    private def standingNow: DataFrame = state._2
+    private def template: LogicalPlan = state._3
+
+    /** Recompile from a fresh settled non-destructive read. */
+    private def recompile(): Unit = synchronized {
+      if (standingPath.isDefined) state = buildState()
     }
 
     /** The per-request staleness poll: one driver-side marker read. */
     private def freshen(): Unit = standingPath.foreach { p =>
-      val g = Writers.Generation.read(spark, p)
-      if (g != generation) recompile(g)
+      if (Writers.Generation.read(spark, p) != state._1) recompile()
     }
 
     private val idConv = CatalystTypeConverters.createToCatalystConverter(idType)
@@ -229,7 +303,8 @@ object Serving {
     /** The warm serving call: rebound plan straight to physical planning
       * and execute-collect — no analyzer, no optimizer, no Dataset. A
       * stale-listing failure (maintenance landed between the generation
-      * poll and the scan) forces one refresh-and-retry. */
+      * poll and the scan) forces a settled refresh-and-retry
+      * ([[Serving.settleGenerations]]). */
     def probeRows(docs: Seq[(Any, String)]): Array[Row] = {
       freshen()
       def run(): Array[Row] = rebound(docs) match {
@@ -237,12 +312,7 @@ object Serving {
         case None => build(Dedup.probeNearDupsLocal(standingNow, docs, idType,
           shingleK, numHashes, numBands, maxDf)).collect()
       }
-      try run()
-      catch {
-        case t: Throwable if standingPath.isDefined && isStaleListing(t) =>
-          recompile(Writers.Generation.read(spark, standingPath.get))
-          run()
-      }
+      withStaleRetry(standingPath.isDefined, () => recompile())(run _)
     }
   }
 
@@ -287,22 +357,27 @@ object Serving {
       plan
     }
 
-    @volatile private var standingNow: DataFrame = standing
-    @volatile private var template: LogicalPlan = compile(standing)
-    @volatile private var generation: Long =
-      standingPath.map(Writers.Generation.read(spark, _)).getOrElse(0L)
-
-    private def recompile(gen: Long): Unit = synchronized {
-      standingPath.foreach { p =>
-        standingNow = Readers.servingSnapshot(spark, p, Some(standingSchema))
-        template = compile(standingNow)
-        generation = gen
+    // settled consistent state — see the notes on [[LshProbeSession]]
+    private def buildState(): (Long, DataFrame, LogicalPlan) =
+      standingPath match {
+        case Some(p) =>
+          val (gs, (st, tpl)) = Serving.settledBuild(spark, Seq(p)) { () =>
+            val st = Readers.servingSnapshot(spark, p, Some(standingSchema))
+            (st, compile(st))
+          }
+          (gs.head, st, tpl)
+        case None => (0L, standing, compile(standing))
       }
+    @volatile private var state: (Long, DataFrame, LogicalPlan) = buildState()
+    private def standingNow: DataFrame = state._2
+    private def template: LogicalPlan = state._3
+
+    private def recompile(): Unit = synchronized {
+      if (standingPath.isDefined) state = buildState()
     }
 
     private def freshen(): Unit = standingPath.foreach { p =>
-      val g = Writers.Generation.read(spark, p)
-      if (g != generation) recompile(g)
+      if (Writers.Generation.read(spark, p) != state._1) recompile()
     }
 
     private def rebound(pred: org.apache.spark.sql.Column): LogicalPlan = {
@@ -333,17 +408,43 @@ object Serving {
       PlanBridge.ofRows(spark, rebound(pred))
     }
 
-    /** The warm serving call — straight to physical planning; one forced
+    /** The warm serving call — straight to physical planning; settled
       * refresh-and-retry on a stale listing. */
     def rows(pred: org.apache.spark.sql.Column): Array[Row] = {
       freshen()
-      try PlanBridge.collectFromOptimized(spark, rebound(pred))
-      catch {
-        case t: Throwable if standingPath.isDefined && isStaleListing(t) =>
-          recompile(Writers.Generation.read(spark, standingPath.get))
-          PlanBridge.collectFromOptimized(spark, rebound(pred))
-      }
+      withStaleRetry(standingPath.isDefined, () => recompile())(
+        () => PlanBridge.collectFromOptimized(spark, rebound(pred)))
     }
+  }
+
+  /** (served docs, novel docs) for a request: a probe is SERVED only when
+    * its id exists in the corpus with bit-identical text — one pushed
+    * literal IN through the cached ingested-ness scan. Shared by the
+    * maintained-table probe sessions. */
+  private def splitIngested(corpusCheck: ScanProbeSession, idCol: String,
+                            who: String, probeDocs: Seq[(Any, String)])
+      : (Seq[(Any, String)], Seq[(Any, String)]) = {
+    require(probeDocs.length <= Dedup.PointProbeMaxDocs,
+      s"$who is the POINT-probe path (${probeDocs.length} probe docs)")
+    val ingested = corpusCheck
+      .rows(col(idCol).isin(probeDocs.map(_._1): _*))
+      .map(r => (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    probeDocs.partition { case (id, t) =>
+      t != null && ingested.get(id).contains(t) }
+  }
+
+  /** Pair-table endpoint predicate for the served half: pairs touching a
+    * served id, EXCLUDING pairs touching any novel probe id (a changed
+    * doc's maintained pairs are stale for this request — the fresh half
+    * re-derives those from the request's text). */
+  private def endpointPred(served: Seq[(Any, String)],
+                           novel: Seq[(Any, String)]) = {
+    val sIds = served.map(_._1)
+    val touch = col("doc_a").isin(sIds: _*) || col("doc_b").isin(sIds: _*)
+    if (novel.isEmpty) touch
+    else touch && !col("doc_a").isin(novel.map(_._1): _*) &&
+      !col("doc_b").isin(novel.map(_._1): _*)
   }
 
   /** Compiled-plan session for the per-request VERIFIED near-dup check —
@@ -361,15 +462,28 @@ object Serving {
     * Novel texts (the true ingest-check case) fall back to the fresh
     * banded-candidates + exact-verify path — answer-identical to the
     * sessionless function by construction (spec-pinned), it just pays the
-    * cold plan compile the maintained case no longer does. Generation
-    * auto-refresh rides the underlying [[ScanProbeSession]]s. */
+    * cold plan compile the maintained case no longer does.
+    *
+    * Generation auto-refresh covers ALL FOUR handles (r12 verdict #1): the
+    * two cached scans ride their [[ScanProbeSession]]s' polls, and the
+    * novel-text fallback's `standing` band table and `corpus` handles are
+    * refreshed from their own `bandsPath`/`corpusPath` markers per novel
+    * request — a GDPR cascade or compaction rewriting the band table under
+    * a live session is served at the very next request on EVERY path, with
+    * the fresh branch's collect wrapped in the same settled stale-listing
+    * retry as the warm tiers. Reference bar: deletes are immediately
+    * invisible on every live search path (`memory_graph.py:9200-9459`). */
   final class VerifiedProbeSession(
       verified: DataFrame, standing: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, idType: DataType,
       shingleK: Int, numHashes: Int, numBands: Int, threshold: Double,
       maxDf: Int = Dedup.StopBucketDf,
       verifiedPath: Option[String] = None,
-      corpusPath: Option[String] = None) {
+      corpusPath: Option[String] = None,
+      bandsPath: Option[String] = None) {
+    private val spark = verified.sparkSession
+    private val standingSchema = standing.schema
+    private val corpusSchema = corpus.schema
 
     private val corpusCheck = new ScanProbeSession(corpus, idCol,
       build = _.select(col(idCol), col(textCol).cast("string")),
@@ -378,32 +492,41 @@ object Serving {
       build = _.select(col("doc_a"), col("doc_b"), col("jaccard")),
       standingPath = verifiedPath)
 
-    /** (served ids, novel docs) for a request — the driver-side split on
-      * the cached ingested-ness check. */
-    private def split(probeDocs: Seq[(Any, String)])
-        : (Seq[(Any, String)], Seq[(Any, String)]) = {
-      require(probeDocs.length <= Dedup.PointProbeMaxDocs,
-        s"VerifiedProbeSession is the POINT-probe path " +
-          s"(${probeDocs.length} probe docs)")
-      val ingested = corpusCheck
-        .rows(col(idCol).isin(probeDocs.map(_._1): _*))
-        .map(r => (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
-        .toMap
-      probeDocs.partition { case (id, t) =>
-        t != null && ingested.get(id).contains(t) }
+    // the fresh branch's own pins, held as one settled consistent triple
+    // (generations, band handle, corpus handle) — see [[LshProbeSession]]
+    private val freshPins: Seq[String] = bandsPath.toSeq ++ corpusPath.toSeq
+    private def buildFresh(): (Seq[Long], DataFrame, DataFrame) =
+      if (freshPins.isEmpty) (Nil, standing, corpus)
+      else {
+        val (gs, (st, co)) = Serving.settledBuild(spark, freshPins) { () =>
+          (bandsPath.map(p =>
+             Readers.servingSnapshot(spark, p, Some(standingSchema)))
+             .getOrElse(standing),
+           corpusPath.map(p =>
+             Readers.servingSnapshot(spark, p, Some(corpusSchema)))
+             .getOrElse(corpus))
+        }
+        (gs, st, co)
+      }
+    @volatile private var freshState: (Seq[Long], DataFrame, DataFrame) =
+      buildFresh()
+    private def standingNow: DataFrame = freshState._2
+    private def corpusNow: DataFrame = freshState._3
+
+    private def refreshFresh(): Unit = synchronized {
+      if (freshPins.nonEmpty) freshState = buildFresh()
     }
 
-    private def servedPred(served: Seq[(Any, String)],
-                           novel: Seq[(Any, String)]) = {
-      val sIds = served.map(_._1)
-      val touch = col("doc_a").isin(sIds: _*) || col("doc_b").isin(sIds: _*)
-      if (novel.isEmpty) touch
-      else touch && !col("doc_a").isin(novel.map(_._1): _*) &&
-        !col("doc_b").isin(novel.map(_._1): _*)
+    private def freshenFresh(): Unit = if (freshPins.nonEmpty) {
+      if (freshPins.map(Writers.Generation.read(spark, _)) != freshState._1)
+        refreshFresh()
     }
+
+    private def split(probeDocs: Seq[(Any, String)]) =
+      splitIngested(corpusCheck, idCol, "VerifiedProbeSession", probeDocs)
 
     private def fresh(novel: Seq[(Any, String)]): DataFrame =
-      Dedup.probeNearDupsVerifiedFresh(standing, corpus, novel, idType,
+      Dedup.probeNearDupsVerifiedFresh(standingNow, corpusNow, novel, idType,
         idCol, textCol, shingleK, numHashes, numBands, threshold, maxDf)
 
     /** Per-request answer as a DataFrame (plan pins inspectable). */
@@ -411,19 +534,92 @@ object Serving {
       val (served, novel) = split(probeDocs)
       val servedDf =
         if (served.isEmpty) verifiedFetch.df(lit(false))
-        else verifiedFetch.df(servedPred(served, novel))
-      if (novel.isEmpty) servedDf else servedDf.unionByName(fresh(novel))
+        else verifiedFetch.df(endpointPred(served, novel))
+      if (novel.isEmpty) servedDf
+      else { freshenFresh(); servedDf.unionByName(fresh(novel)) }
     }
 
     /** The warm serving call — for an all-ingested request this is two
-      * pushed scans through cached plans, nothing else. */
+      * pushed scans through cached plans, nothing else; novel texts run
+      * the fresh branch under the settled stale-listing retry. */
     def serveRows(probeDocs: Seq[(Any, String)]): Array[Row] = {
       val (served, novel) = split(probeDocs)
       val servedRows =
         if (served.isEmpty) Array.empty[Row]
-        else verifiedFetch.rows(servedPred(served, novel))
+        else verifiedFetch.rows(endpointPred(served, novel))
       if (novel.isEmpty) servedRows
-      else servedRows ++ fresh(novel).collect()
+      else {
+        freshenFresh()
+        servedRows ++ withStaleRetry(freshPins.nonEmpty, () => refreshFresh())(
+          () => fresh(novel).collect())
+      }
+    }
+  }
+
+  /** Compiled-plan session for the INGESTED-doc LSH point probe (r12
+    * verdict #2 — the q344 pattern applied to q341): "who collides with
+    * THIS doc" for a doc already in the corpus is sitting in the MAINTAINED
+    * candidate-pair feed (`Sinks.lshIndexAppendPartitioned`'s `pairsPath`
+    * state, q346's table) — the banded posting aggregation + pair join the
+    * fresh probe re-runs per request (the 2-shuffle ~130 ms warm floor) is
+    * recomputing a maintained answer. Here an ingested probe (id present
+    * in the corpus with bit-identical text) is answered by ONE pushed
+    * endpoint-IN scan of the feed through a cached [[ScanProbeSession]]
+    * plan — the verified-probe latency class; novel texts fall back to the
+    * banded probe through a COMPILED [[LshProbeSession]] (not a cold
+    * plan), with pairs touching novel ids excluded from the served half
+    * (their fresh banding owns those — [[endpointPred]]'s contract).
+    *
+    * Parity: the feed is maintained as the union of per-batch candidate
+    * deltas, which equals the from-scratch banded candidate set below the
+    * stop caps (the r11 delta-parity pin; q346's oracle re-proves it every
+    * run), so for an all-ingested request the served answer equals
+    * [[Dedup.probeNearDupsLocal]]'s — spec-pinned. `feed`/`standing` must
+    * be maintained FROM `corpus` (the usual lineage contract). All handles
+    * are generation-aware via their underlying sessions. */
+  final class LshServedProbeSession(
+      feed: DataFrame, standing: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, idType: DataType,
+      shingleK: Int, numHashes: Int, numBands: Int,
+      maxDf: Int = Dedup.StopBucketDf,
+      feedPath: Option[String] = None,
+      corpusPath: Option[String] = None,
+      bandsPath: Option[String] = None) {
+
+    private val corpusCheck = new ScanProbeSession(corpus, idCol,
+      build = _.select(col(idCol), col(textCol).cast("string")),
+      standingPath = corpusPath)
+    private val feedFetch = new ScanProbeSession(feed, "doc_a",
+      build = _.select(col("doc_a"), col("doc_b")),
+      standingPath = feedPath)
+    // novel texts probe the band table through a compiled session — the
+    // warm fallback, itself generation-aware and stale-retry-shielded
+    private val bandProbe = new LshProbeSession(standing, idType, shingleK,
+      numHashes, numBands, maxDf, standingPath = bandsPath)
+
+    private def split(probeDocs: Seq[(Any, String)]) =
+      splitIngested(corpusCheck, idCol, "LshServedProbeSession", probeDocs)
+
+    /** Per-request answer as a DataFrame (plan pins inspectable): for an
+      * all-ingested request this is ONE pushed endpoint-IN feed scan. */
+    def serveDf(probeDocs: Seq[(Any, String)]): DataFrame = {
+      val (served, novel) = split(probeDocs)
+      val servedDf =
+        if (served.isEmpty) feedFetch.df(lit(false))
+        else feedFetch.df(endpointPred(served, novel))
+      if (novel.isEmpty) servedDf
+      else servedDf.unionByName(bandProbe.probeDf(novel))
+    }
+
+    /** The warm serving call — one cached pushed feed scan (plus the
+      * compiled band probe for any novel texts). */
+    def serveRows(probeDocs: Seq[(Any, String)]): Array[Row] = {
+      val (served, novel) = split(probeDocs)
+      val servedRows =
+        if (served.isEmpty) Array.empty[Row]
+        else feedFetch.rows(endpointPred(served, novel))
+      if (novel.isEmpty) servedRows
+      else servedRows ++ bandProbe.probeRows(novel)
     }
   }
 
@@ -471,27 +667,35 @@ object Serving {
       plan
     }
 
-    @volatile private var cents: Array[(Int, Array[Float])] =
-      collectCents(centroids)
-    @volatile private var template: LogicalPlan = compile(assigned, cents)
-    @volatile private var generation: (Long, Long) = statePaths
-      .map { case (a, c) =>
-        (Writers.Generation.read(spark, a), Writers.Generation.read(spark, c)) }
-      .getOrElse((0L, 0L))
-
-    private def recompile(gen: (Long, Long)): Unit = synchronized {
-      statePaths.foreach { case (apath, cpath) =>
-        cents = collectCents(Readers.servingSnapshot(spark, cpath))
-        template = compile(
-          Readers.servingSnapshot(spark, apath, Some(assignedSchema)), cents)
-        generation = gen
+    // settled consistent state — see the notes on [[LshProbeSession]].
+    // The centroid re-collect (one tiny job) is paid only on a bump.
+    private def buildState()
+        : (Seq[Long], Array[(Int, Array[Float])], LogicalPlan) =
+      statePaths match {
+        case Some((apath, cpath)) =>
+          val (gs, (cs, tpl)) =
+            Serving.settledBuild(spark, Seq(apath, cpath)) { () =>
+              val cs = collectCents(Readers.servingSnapshot(spark, cpath))
+              (cs, compile(Readers.servingSnapshot(spark, apath,
+                Some(assignedSchema)), cs))
+            }
+          (gs, cs, tpl)
+        case None =>
+          val cs = collectCents(centroids)
+          (Nil, cs, compile(assigned, cs))
       }
+    @volatile private var state
+        : (Seq[Long], Array[(Int, Array[Float])], LogicalPlan) = buildState()
+    private def cents: Array[(Int, Array[Float])] = state._2
+    private def template: LogicalPlan = state._3
+
+    private def recompile(): Unit = synchronized {
+      if (statePaths.isDefined) state = buildState()
     }
 
     private def freshen(): Unit = statePaths.foreach { case (apath, cpath) =>
-      val g = (Writers.Generation.read(spark, apath),
-               Writers.Generation.read(spark, cpath))
-      if (g != generation) recompile(g)
+      if (Seq(Writers.Generation.read(spark, apath),
+              Writers.Generation.read(spark, cpath)) != state._1) recompile()
     }
 
     private val vecConv =
@@ -521,18 +725,13 @@ object Serving {
       PlanBridge.ofRows(spark, rebound(qvec, nProbe))
     }
 
-    /** The warm serving call — straight to physical planning; one forced
+    /** The warm serving call — straight to physical planning; settled
       * refresh-and-retry on a stale listing (see [[LshProbeSession
       * .probeRows]]). */
     def serveRows(qvec: Array[Float], nProbe: Int): Array[Row] = {
       freshen()
-      try PlanBridge.collectFromOptimized(spark, rebound(qvec, nProbe))
-      catch {
-        case t: Throwable if statePaths.isDefined && isStaleListing(t) =>
-          recompile((Writers.Generation.read(spark, statePaths.get._1),
-            Writers.Generation.read(spark, statePaths.get._2)))
-          PlanBridge.collectFromOptimized(spark, rebound(qvec, nProbe))
-      }
+      withStaleRetry(statePaths.isDefined, () => recompile())(
+        () => PlanBridge.collectFromOptimized(spark, rebound(qvec, nProbe)))
     }
   }
 }

@@ -189,11 +189,12 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** q341's serving session (compiled-plan cache + the request's probe
-    * doc, fetched once per JVM — the request payload a live serving tier
-    * holds in memory), keyed by corpus dir. */
+  /** q341's serving session (round 13: the MAINTAINED-feed probe — q344's
+    * serve-from-the-maintained-table pattern applied to the LSH point
+    * probe, r12 verdict #2 — plus the request payload, fetched once per
+    * JVM as a live serving tier holds it), keyed by corpus dir. */
   private val lshServing = scala.collection.concurrent.TrieMap
-    .empty[String, (graft.engine.Serving.LshProbeSession, Seq[(Any, String)])]
+    .empty[String, (graft.engine.Serving.LshServedProbeSession, Seq[(Any, String)])]
 
   /** q344's serving session (the verified probe's compiled-plan cache +
     * the request payload), keyed by corpus dir. */
@@ -421,42 +422,57 @@ object TextQueries {
 
     // PER-REQUEST serving probe (the reference's live-index lookup shape,
     // memory_graph.py:8047, vs q334's whole-corpus report): ONE document's
-    // near-dup candidates answered from the standing band table. Round 12
-    // (VERDICT r11 #2) serves it through a SESSION with a compiled-plan
-    // cache (graft.engine.Serving.LshProbeSession): the probe shape —
-    // driver-side band keys pushed as per-band literal predicates, the
-    // posting-bounded pair emit, the ordering — is analyzed/optimized ONCE
-    // per session, and each request only REBINDS the literals inside the
-    // cached plan (parity with the fresh path spec-pinned, ServingSpec).
-    // The request payload (the doc's text) arrives driver-side, as the
-    // reference's serving requests do — so a warm request is plan-swap +
-    // the pushed scan, with no probe-fetch job, no re-analysis of a fresh
-    // plan, and no file re-listing. Same pins as before: the plan carries
-    // no corpus-side text derivation.
+    // near-dup candidates. Round 12 compiled the banded probe plan once
+    // per session (LshProbeSession); round 13 (r12 verdict #2) notices the
+    // probe doc is ALREADY INGESTED — its candidate pairs are sitting in
+    // the MAINTAINED candidate feed (q346's standing table), so the banded
+    // posting aggregation + pair join the compiled probe still ran per
+    // request (the 2-shuffle ~130 ms warm floor) recomputes a maintained
+    // answer. Serving.LshServedProbeSession answers it the q344 way: one
+    // pushed ingested-ness check on the corpus (id present with
+    // bit-identical text — a changed doc can never be served stale pairs),
+    // then ONE pushed endpoint-IN scan of the feed through a cached plan —
+    // the verified-probe latency class. Novel texts fall back to the
+    // COMPILED banded probe (LshProbeSession inside the session). Oracle
+    // unchanged: the from-scratch banded candidate set restricted to the
+    // probe — hash-equality IS the feed-vs-fresh parity statement. Pins:
+    // the served answer is a pushed endpoint IN, and the plan carries no
+    // corpus-side text derivation.
     Entry("q341_point_probe",
       (s, d) => {
         val (session, probeDocs) = lshServing.getOrElseUpdate(d, {
-          val path = maintainedBandTable(s, d)
+          val base = maintainedVerifiedTables(s, d)
           val docs = Tables.documents(s, d)
           val rows = docs.filter(col("doc_id") === 45)
             .select(col("doc_id"), col("text").cast("string")).collect()
-          (new graft.engine.Serving.LshProbeSession(
-            graft.sources.Readers.table(s, path),
-            docs.schema("doc_id").dataType,
+          (new graft.engine.Serving.LshServedProbeSession(
+            graft.sources.Readers.table(s, base + "/pairs"),
+            graft.sources.Readers.table(s, base + "/bands"), docs,
+            "doc_id", "text", docs.schema("doc_id").dataType,
             shingleK = 3, numHashes = 16, numBands = 4,
-            build = _.orderBy(col("doc_a"), col("doc_b")),
-            // generation-aware: maintenance on the standing band table
-            // (delete cascade, compaction) refreshes the cached template
-            // at the next request — one driver-side marker poll
-            standingPath = Some(path)),
+            // generation-aware on every handle: maintenance (delete
+            // cascade, compaction) on feed/corpus/bands refreshes the
+            // cached templates at the next request — marker polls only
+            feedPath = Some(base + "/pairs"),
+            corpusPath = Some(d + "/documents.parquet"),
+            bandsPath = Some(base + "/bands")),
             rows.toSeq.map(r =>
               (r.get(0), if (r.isNullAt(1)) null else r.getString(1))))
         })
-        val out = session.probeDf(probeDocs)
-        val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+        val out = session.serveDf(probeDocs)
+          .orderBy(col("doc_a"), col("doc_b"))
+        val physical = out.queryExecution.executedPlan.toString
+        // a single-id request's IN constant-folds to EqualTo — both are
+        // the pushed endpoint predicate
+        require(physical.linesIterator.exists(l =>
+            l.contains("PushedFilters:") &&
+              (l.contains("In(doc_a") || l.contains("EqualTo(doc_a"))),
+          s"the maintained candidate answer must be fetched through a " +
+            s"pushed endpoint IN on doc_a/doc_b:\n$physical")
+        val plan = physical.toLowerCase
         require(!plan.contains("shingle") && !plan.contains("space_tokens") &&
-            !plan.contains("split") && !plan.contains("md5"),
-          "point probe must not re-derive signatures from text")
+            !plan.contains("md5"),
+          "an ingested probe's answer must not re-derive signatures from text")
         out
       },
       Some(pointProbeCandidatesSql())),
@@ -617,7 +633,12 @@ object TextQueries {
             graft.sources.Readers.table(s, base + "/bands"), corpus,
             "doc_id", "text", corpus.schema("doc_id").dataType,
             shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5,
-            verifiedPath = Some(base + "/verified")),
+            verifiedPath = Some(base + "/verified"),
+            // round 13: the novel-text fallback and the ingested-ness
+            // check are generation-aware too — ALL the session's handles
+            // refresh under maintenance, not just the verified fetch
+            corpusPath = Some(d + "/documents.parquet"),
+            bandsPath = Some(base + "/bands")),
             rows.toSeq.map(r =>
               (r.get(0), if (r.isNullAt(1)) null else r.getString(1))))
         })

@@ -68,60 +68,79 @@ object Readers {
 
   /** Read a table maintained by the partition-scoped write path
     * ([[Writers.upsertPartitioned]] / [[Writers.deletePartitioned]] and
-    * the `mergePartitioned`-core sinks), HEALING first — the read-side
-    * half of that path's crash contract.
+    * the `mergePartitioned`-core sinks), covering the crash window
+    * WITHOUT renaming anything — the read-side half of that path's crash
+    * contract, with all renames left to the single writer.
     *
     * A crash between a partition's retire and promote renames leaves its
     * last complete contents under the sibling `path + ".upsert.retired"`
     * root; the WRITERS heal it on their next call, but a plain
     * `spark.read.parquet(path)` in the crash-to-next-merge window would
-    * silently miss the whole partition. Reading through here promotes
-    * any orphaned partitions first ([[Writers.healPartitions]] — a no-op
-    * unless a crash actually happened, one existence probe otherwise), so
-    * readers always see every partition's last complete snapshot.
+    * silently miss the whole partition. Reading through here UNIONS any
+    * orphaned retired partitions in place (basePath-anchored reads of the
+    * orphaned leaf directories — partition values still come from the
+    * `k=v` names), so readers always see every partition's last complete
+    * snapshot. Earlier rounds HEALED here (renamed the orphan back),
+    * which was only safe under a no-live-merge convention: a read racing
+    * a live merge's retire-to-promote window would have promoted the
+    * retired copy back under the writer and aborted its promote (ADVICE
+    * r11 #1's second half) — the union read has no such window. Explicit
+    * recovery stays with [[Writers.healPartitions]]. The no-crash fast
+    * path is one existence probe + a plain read, as before.
     *
     * Pass `schema` for tables whose partition-column types matter
     * (inference reads a string tenant "0" back as int) — same pinning
     * rule as the writers themselves.
     *
-    * CONCURRENCY: the partition heal inherits the write path's
-    * single-writer contract (`Writers.mergePartitioned`) — do not call
-    * while a MERGE is LIVE on the same table, since a heal observing the
-    * retire-to-promote window would promote the retired copy back under
-    * the writer. Concurrent readers healing the same crash orphan are safe
-    * (tolerant rename). The SWAP discipline is handled without renames:
-    * a missing primary falls back to reading the retired `.swap.old`
-    * copy in place (`Writers.swapReadPath`), so a serving session racing
-    * a live swapWrite can never abort the writer's promote (ADVICE r11) —
-    * all swap renames stay with the single writer. */
+    * CONCURRENCY: a plain read racing a LIVE merge on the same table
+    * remains a best-effort snapshot (the per-partition renames land one
+    * directory at a time); long-lived serving sessions get exact
+    * old-or-new semantics from the generation protocol
+    * ([[servingSnapshot]] + `Writers.Generation`) instead. The SWAP
+    * discipline is likewise rename-free on the read side: a missing
+    * primary falls back to reading the retired `.swap.old` copy in place
+    * (`Writers.swapReadPath`), so ONE reader entry point covers both
+    * write disciplines. */
   def table(spark: SparkSession, path: String,
-            schema: Option[StructType] = None): DataFrame = {
-    Writers.healPartitions(spark, path)
-    // swap-maintained (unpartitioned) tables have the analogous crash
-    // window: primary retired to `.swap.old`, promote never ran — read
-    // the retired copy NON-DESTRUCTIVELY (the writer heals on its next
-    // swap), so ONE reader entry point covers both write disciplines
-    // (no-op existence probes otherwise)
+            schema: Option[StructType] = None): DataFrame =
+    crashCoveredRead(spark, path, schema)
+
+  private def crashCoveredRead(spark: SparkSession, path: String,
+                               schema: Option[StructType]): DataFrame = {
+    val orphans = Writers.orphanedRetiredPartitions(spark, path)
     val resolved = Writers.swapReadPath(spark, path)
-    val r = spark.read
-    schema.fold(r)(s => r.schema(s)).parquet(resolved)
+    def read(basePath: String, leafs: Seq[String]): DataFrame = {
+      val r = spark.read.option("basePath", basePath)
+      schema.fold(r)(s => r.schema(s))
+        .parquet(leafs.map(l => basePath + "/" + l): _*)
+    }
+    if (orphans.isEmpty) {
+      val r = spark.read
+      schema.fold(r)(s => r.schema(s)).parquet(resolved)
+    } else {
+      // crash-window union: the primary's leaf listing is pinned HERE
+      // (alongside the orphan check) so a writer completing a promote
+      // between the check and the scan cannot surface a partition twice
+      val primaryLeafs = Writers.partitionLeafDirs(spark, resolved)
+      val sides =
+        (if (primaryLeafs.nonEmpty) Seq(read(resolved, primaryLeafs)) else Nil) :+
+          read(path + ".upsert.retired", orphans)
+      sides.reduce(_ unionByName _)
+    }
   }
 
-  /** [[table]] WITHOUT the partition crash-heal — the read a long-lived
-    * SERVING session uses when it refreshes its cached handle on a
-    * generation bump ([[Writers.Generation]]). The heal renames retired
-    * partition directories, which is only safe when no merge is live;
-    * a serving refresh cannot know that, so it must never rename — all
-    * renames stay with the single writer (the same non-destructive
-    * discipline as `swapReadPath`, ADVICE r11). Since refreshes are
-    * triggered by a POST-completion generation bump, the state read here
-    * is a complete promoted snapshot; a crashed writer never bumps, so
-    * the session keeps serving its previous pinned state until recovery
-    * (exactly the last-complete-snapshot contract). */
+  /** The read a long-lived SERVING session uses when it refreshes its
+    * cached handle on a generation bump ([[Writers.Generation]]) — since
+    * round 13 the SAME non-destructive crash-covered read as [[table]]
+    * (both entry points stopped renaming; the orphan-union covers the
+    * crash window in place, ADVICE r11 fully closed). The name is kept as
+    * the serving-intent entry point: refreshes are triggered by a
+    * POST-completion bump (or routed through `Serving`'s settled rebuild,
+    * which waits out in-flight rewrites), so the state read here is a
+    * complete promoted snapshot — and under a writer CRASHED mid-merge,
+    * the orphan-union still assembles every partition's last complete
+    * contents without touching the writer's recovery state. */
   def servingSnapshot(spark: SparkSession, path: String,
-                      schema: Option[StructType] = None): DataFrame = {
-    val resolved = Writers.swapReadPath(spark, path)
-    val r = spark.read
-    schema.fold(r)(s => r.schema(s)).parquet(resolved)
-  }
+                      schema: Option[StructType] = None): DataFrame =
+    crashCoveredRead(spark, path, schema)
 }

@@ -332,23 +332,17 @@ object Writers {
     }
   }
 
-  /** Promote any partition directories orphaned by a crash between a
-    * retire and promote rename in [[upsertPartitioned]] or
-    * [[deletePartitioned]] (they share the retired root): a retired copy
-    * whose main directory is missing IS that partition's last complete
-    * snapshot. Safe to run any time (no-op when no crash happened); both
-    * writers run it first on every call. After healing, re-running the
-    * interrupted upsert/delete converges (at-least-once discipline). */
-  def healPartitions(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val retiredRoot = p(path + ".upsert.retired")
-    if (!fs.exists(retiredRoot)) return
-    // walk the k=v chain, carrying table-relative names (listStatus returns
-    // scheme-qualified paths, so string-stripping the root would not match)
-    def walk(dir: org.apache.hadoop.fs.Path, rel: String): Seq[String] = {
-      val subs = fs.listStatus(dir).toSeq
+  /** Walk a Hive `k=v` directory chain under `dir`, returning table-
+    * relative leaf partition names (listStatus returns scheme-qualified
+    * paths, so string-stripping the root would not match). Empty when the
+    * root does not exist or holds no `k=v` directories. */
+  private[graft] def partitionLeafDirs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    def walk(d: org.apache.hadoop.fs.Path, rel: String): Seq[String] = {
+      val subs = fs.listStatus(d).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       subs.flatMap { st =>
         val childRel = if (rel.isEmpty) st.getPath.getName else rel + "/" + st.getPath.getName
@@ -356,15 +350,60 @@ object Writers {
         if (deeper.isEmpty) Seq(childRel) else deeper
       }
     }
-    walk(retiredRoot, "").foreach { rel =>
+    walk(root, "")
+  }
+
+  /** True while a partition-scoped rewrite's crash-contract artifacts
+    * stand — [[mergePartitioned]] creates `path + ".upsert.retired"` before
+    * its first retire rename and removes it after the last promote, so a
+    * standing retired root means a rewrite is MID-FLIGHT or crashed. One
+    * driver-side existence probe (the serving retry's in-flight signal). */
+  private[graft] def retiredPartitionsPresent(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path + ".upsert.retired")
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(root)
+  }
+
+  /** Table-relative retired partition directories whose MAIN directory is
+    * missing — each IS its partition's last complete snapshot, orphaned by
+    * a crash between retire and promote (or observed inside a LIVE merge's
+    * retire-to-promote window). Empty (one existence probe) when no
+    * retired root stands. */
+  private[graft] def orphanedRetiredPartitions(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    partitionLeafDirs(spark, path + ".upsert.retired").filter { rel =>
+      !fs.exists(new org.apache.hadoop.fs.Path(path + "/" + rel)) }
+  }
+
+  /** Promote any partition directories orphaned by a crash between a
+    * retire and promote rename in [[upsertPartitioned]] or
+    * [[deletePartitioned]] (they share the retired root): a retired copy
+    * whose main directory is missing IS that partition's last complete
+    * snapshot. No-op when no crash happened; both writers run it first on
+    * every call, and it remains the explicit RECOVERY entry point. After
+    * healing, re-running the interrupted upsert/delete converges
+    * (at-least-once discipline).
+    *
+    * Single-writer caveat: do NOT run concurrently with a LIVE merge on
+    * the same table — a heal observing the retire-to-promote window would
+    * promote the retired copy back under the writer. READERS never need
+    * this: [[Readers.table]] unions orphaned retired partitions in place
+    * without renaming (ADVICE r11 #1, closed). */
+  def healPartitions(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    orphanedRetiredPartitions(spark, path).foreach { rel =>
       val retired = p(path + ".upsert.retired/" + rel)
       val main = p(path + "/" + rel)
       if (!fs.exists(main)) {
         fs.mkdirs(main.getParent)
-        // tolerant to a concurrent HEALER (two readers healing the same
-        // orphan race this rename; the loser is fine iff the partition is
-        // now in place). Concurrent live WRITERS are outside the contract
-        // — see the single-writer note on [[mergePartitioned]].
+        // tolerant to a concurrent HEALER (two recovery runs healing the
+        // same orphan race this rename; the loser is fine iff the
+        // partition is now in place). Concurrent live WRITERS are outside
+        // the contract — see the single-writer note on [[mergePartitioned]].
         if (!fs.rename(retired, main))
           require(fs.exists(main),
             s"healPartitions: rename $retired -> $main failed and $main still missing")

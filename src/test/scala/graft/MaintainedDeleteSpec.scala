@@ -96,15 +96,27 @@ class MaintainedDeleteSpec extends SparkSpec {
     assert(!left.contains(6L) && !left.contains(7L) && left.size === 38)
 
     // crash window: a partition retired but never promoted — a bare read
-    // would silently miss it; Readers.table heals first
+    // would silently miss it; Readers.table unions the orphan IN PLACE
+    // (round 13: no rename on the read path — a read racing a live merge
+    // must never yank the retired copy out from under the writer's
+    // promote; explicit recovery stays with Writers.healPartitions)
     val fs = new org.apache.hadoop.fs.Path(apath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(apath + ".upsert.retired"))
     assert(fs.rename(new org.apache.hadoop.fs.Path(apath + "/label=0"),
       new org.apache.hadoop.fs.Path(apath + ".upsert.retired/label=0")))
-    assert(Readers.table(spark, apath).count() === 38,
-      "Readers.table must heal the orphaned partition before reading")
+    val healed = Readers.table(spark, apath)
+    assert(healed.count() === 38,
+      "Readers.table must cover the orphaned partition")
+    assert(healed.filter(col("label") === 0).count() > 0,
+      "the orphan's partition-column values must come through the union read")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(apath + "/label=0")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(apath + ".upsert.retired/label=0")),
+      "the read path must not rename — all heals stay with the writer")
+    // the explicit recovery entry point restores the layout
+    graft.sources.Writers.healPartitions(spark, apath)
     assert(fs.exists(new org.apache.hadoop.fs.Path(apath + "/label=0")))
+    assert(Readers.table(spark, apath).count() === 38)
   }
 
   test("indexDelete refreshes persisted cluster mass; column stats are kept") {

@@ -347,6 +347,220 @@ class ServingSpec extends SparkSpec {
       "the forced-refresh retry must answer from the rewritten files")
   }
 
+  test("VerifiedProbeSession novel-text fallback is generation-aware " +
+    "(r12 verdict #1): the GDPR cascade runs UNDER a live session, and the " +
+    "next NOVEL and MIXED requests serve the survivor corpus — no " +
+    "FileNotFound, no retired files") {
+    val base = tmp("serving-verified-gen")
+    docsDf.write.parquet(base + "/corpus")
+    val corpus = spark.read.parquet(base + "/corpus")
+    Seq(0, 1).foreach { i =>
+      val delta = Sinks.lshIndexAppendPartitioned(base + "/bands",
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"),
+        pairsPath = Some(base + "/pairs"))(
+        corpus.filter(pmod(substring(col("doc_id"), 2, 1).cast("int"),
+          lit(2)) === i), i.toLong)
+      Sinks.verifiedPairsUpsert(base + "/verified", corpus,
+        "doc_id", "text", shingleK = 2, threshold = 0.5)(delta, i.toLong)
+    }
+    val session = new Serving.VerifiedProbeSession(
+      Readers.table(spark, base + "/verified"),
+      Readers.table(spark, base + "/bands"), corpus,
+      "doc_id", "text", StringType,
+      shingleK = 2, numHashes = 16, numBands = 4, threshold = 0.5,
+      verifiedPath = Some(base + "/verified"),
+      corpusPath = Some(base + "/corpus"),
+      bandsPath = Some(base + "/bands"))
+    val texts = docsDf.select("doc_id", "text").as[(String, String)]
+      .collect().toMap
+
+    def expect(req: Seq[(Any, String)]): Set[(String, String, Double)] =
+      graft.ops.Dedup.probeNearDupsVerifiedServed(
+        Readers.table(spark, base + "/verified"),
+        Readers.table(spark, base + "/bands"),
+        spark.read.parquet(base + "/corpus"),
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(req.map(r =>
+            org.apache.spark.sql.Row(r._1, r._2))),
+          corpus.select("doc_id", "text").schema),
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        threshold = 0.5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+
+    // the session goes LIVE on the FRESH branch: a novel request compiles
+    // and serves against the pre-delete band listing
+    val novelReq: Seq[(Any, String)] = Seq(("zz": Any) -> texts("d1"))
+    val preNovel = session.serveRows(novelReq)
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(preNovel.nonEmpty && preNovel === expect(novelReq))
+    assert(preNovel.exists(p => p._1 == "d2" || p._2 == "d2"),
+      s"fixture: the pre-delete novel answer should include d2: $preNovel")
+
+    // the GDPR cascade purges d2 from the band table AND the verified
+    // table UNDER the live session — before round 13 the fresh branch was
+    // pinned at construction, so the next novel request threw
+    // FileNotFoundException (or read d2's retired bands)
+    Sinks.lshIndexDelete(base + "/bands",
+      Seq(("d2", "web")).toDF("doc_id", "source"),
+      partitionCols = Seq("source"),
+      pairTables = Seq(base + "/pairs", base + "/verified"))
+
+    val postNovel = session.serveRows(novelReq)
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(postNovel === expect(novelReq),
+      "post-cascade novel answer must equal the fresh survivor-corpus answer")
+    assert(!postNovel.exists(p => p._1 == "d2" || p._2 == "d2"),
+      s"live session served a purged victim from the fresh branch: $postNovel")
+    assert(postNovel.nonEmpty, "zz should still verify against d1/d3")
+
+    // MIXED request (one ingested + one novel) on both tiers
+    val mixed: Seq[(Any, String)] =
+      Seq(("d1": Any) -> texts("d1"), ("zz": Any) -> texts("d1"))
+    val mixedExpect = expect(mixed)
+    assert(session.serveRows(mixed)
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      === mixedExpect, "post-cascade mixed serveRows diverged")
+    assert(session.serveDf(mixed)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      === mixedExpect, "post-cascade mixed serveDf diverged")
+    assert(!mixedExpect.exists(p => p._1 == "d2" || p._2 == "d2"))
+  }
+
+  test("LshServedProbeSession: an ingested probe is answered from the " +
+    "maintained candidate feed (pushed endpoint IN) and equals the fresh " +
+    "banded probe; novel and mixed requests fall back through the compiled " +
+    "band probe; a cascade refreshes the live session") {
+    val base = tmp("serving-lsh-served")
+    docsDf.write.parquet(base + "/corpus")
+    val corpus = spark.read.parquet(base + "/corpus")
+    Seq(0, 1).foreach { i =>
+      Sinks.lshIndexAppendPartitioned(base + "/bands",
+        "doc_id", "text", shingleK = 2, numHashes = 16, numBands = 4,
+        partitionCols = Seq("source"),
+        pairsPath = Some(base + "/pairs"))(
+        corpus.filter(pmod(substring(col("doc_id"), 2, 1).cast("int"),
+          lit(2)) === i), i.toLong)
+    }
+    val session = new Serving.LshServedProbeSession(
+      Readers.table(spark, base + "/pairs"),
+      Readers.table(spark, base + "/bands"), corpus,
+      "doc_id", "text", StringType,
+      shingleK = 2, numHashes = 16, numBands = 4,
+      feedPath = Some(base + "/pairs"),
+      corpusPath = Some(base + "/corpus"),
+      bandsPath = Some(base + "/bands"))
+    val texts = docsDf.select("doc_id", "text").as[(String, String)]
+      .collect().toMap
+
+    def freshAnswer(req: Seq[(Any, String)]): Set[(String, String)] =
+      Dedup.probeNearDupsLocal(Readers.table(spark, base + "/bands"), req,
+        StringType, shingleK = 2, numHashes = 16, numBands = 4)
+        .as[(String, String)].collect().toSet
+    def via(req: Seq[(Any, String)], label: String): Set[(String, String)] = {
+      val rows = session.serveRows(req)
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val df = session.serveDf(req)
+        .as[(String, String)].collect().toSet
+      assert(rows === df, s"$label: the two tiers diverged")
+      rows
+    }
+
+    // ingested probe: feed answer == fresh banded answer (the delta-parity
+    // statement served per request)
+    val servedReq: Seq[(Any, String)] = Seq(("d1": Any) -> texts("d1"))
+    assert(via(servedReq, "served") === freshAnswer(servedReq))
+    assert(freshAnswer(servedReq).nonEmpty)
+    // ...and it is ONE pushed endpoint-IN scan of the feed, no banding
+    val physical = session.serveDf(servedReq).queryExecution.executedPlan.toString
+    assert(physical.linesIterator.exists(l => l.contains("PushedFilters:") &&
+        (l.contains("In(doc_a") || l.contains("EqualTo(doc_a"))),
+      s"ingested probe must be a pushed endpoint IN on the feed:\n$physical")
+    assert(!physical.toLowerCase.contains("md5"),
+      "ingested probe must not re-derive band keys")
+
+    // novel text (not in the corpus): compiled band-probe fallback
+    val novelReq: Seq[(Any, String)] = Seq(("zz": Any) -> texts("d1"))
+    assert(via(novelReq, "novel") === freshAnswer(novelReq))
+    // mixed: union of the served fetch and the novel fallback — equals the
+    // fresh probe of both docs (zz is not in the feed, d1's pairs are)
+    val mixed: Seq[(Any, String)] =
+      Seq(("d1": Any) -> texts("d1"), ("zz": Any) -> texts("d1"))
+    assert(via(mixed, "mixed") === freshAnswer(mixed))
+
+    // cascade UNDER the live session: purge d2 from bands AND the feed —
+    // the next request must serve survivor pairs on every path
+    Sinks.lshIndexDelete(base + "/bands",
+      Seq(("d2", "web")).toDF("doc_id", "source"),
+      partitionCols = Seq("source"), pairTables = Seq(base + "/pairs"))
+    Seq(servedReq -> "served", novelReq -> "novel", mixed -> "mixed")
+      .foreach { case (req, label) =>
+        val got = via(req, s"post-cascade $label")
+        assert(got === freshAnswer(req), s"post-cascade $label diverged")
+        assert(!got.exists(p => p._1 == "d2" || p._2 == "d2"),
+          s"post-cascade $label served the purged victim: $got")
+      }
+  }
+
+  test("concurrent probeRows racing a GDPR delete and a compaction: every " +
+    "answer equals the pre- or post-delete fresh answer (never torn), and " +
+    "no exception escapes the settled retry") {
+    val bands = tmp("serving-lsh-conc") + "/bands"
+    Sinks.lshIndexAppendPartitioned(bands, "doc_id", "text",
+      shingleK = 2, numHashes = 16, numBands = 4,
+      partitionCols = Seq("source"))(docsDf, 0L)
+    val session = new Serving.LshProbeSession(Readers.table(spark, bands),
+      StringType, shingleK = 2, numHashes = 16, numBands = 4,
+      standingPath = Some(bands))
+    val req: Seq[(Any, String)] =
+      Seq(("d1": Any) -> "alpha beta gamma delta epsilon zeta",
+          ("d4": Any) -> "one two three four five six seven")
+
+    def fresh(): Set[(String, String)] =
+      Dedup.probeNearDupsLocal(Readers.table(spark, bands), req, StringType,
+        shingleK = 2, numHashes = 16, numBands = 4)
+        .as[(String, String)].collect().toSet
+    val pre = fresh()
+    assert(pre.exists(p => p._1 == "d2" || p._2 == "d2"))
+
+    val answers = new java.util.concurrent.ConcurrentLinkedQueue[Set[(String, String)]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          try answers.add(session.probeRows(req)
+            .map(r => (r.getString(0), r.getString(1))).toSet)
+          catch { case t: Throwable => errors.add(t); stop.set(true) }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    try {
+      Thread.sleep(150) // let requests flow against the pre-delete state
+      Sinks.lshIndexDelete(bands,
+        Seq(("d2", "web")).toDF("doc_id", "source"),
+        partitionCols = Seq("source"))
+      Writers.compactPartitions(spark, bands, Seq("source"),
+        maxFilesPerPartition = 1, sortCols = Seq("band_idx", "band_key"))
+      Thread.sleep(150) // and against the post-delete compacted state
+    } finally {
+      stop.set(true)
+      threads.foreach(_.join(30000))
+    }
+    assert(errors.isEmpty,
+      s"exceptions escaped the settled retry: ${errors.peek()}")
+    val post = fresh()
+    assert(!post.exists(p => p._1 == "d2" || p._2 == "d2"))
+    val distinctAnswers = answers.toArray(Array.empty[Set[(String, String)]]).toSet
+    val torn = distinctAnswers -- Set(pre, post)
+    assert(torn.isEmpty, s"torn answers (neither pre nor post): $torn")
+    assert(distinctAnswers.contains(pre), "no request observed the pre state")
+    // the session's final answer reflects the post-delete compacted state
+    assert(session.probeRows(req)
+      .map(r => (r.getString(0), r.getString(1))).toSet === post)
+  }
+
   test("round6 matches Spark's round(_, 6) on doubles (HALF_UP on the " +
     "shortest-decimal BigDecimal)") {
     val rnd = new scala.util.Random(42)

@@ -187,6 +187,42 @@ class WritersSpec extends SparkSpec {
     assert(pinned.count() === 2)
   }
 
+  test("a Readers.table read inside a live merge's retire-to-promote window " +
+    "sees the last complete snapshot and never aborts the writer's promote " +
+    "(round 13: no renames on the read path — ADVICE r11 #1 fully closed)") {
+    val dir = java.nio.file.Files.createTempDirectory("readmid").toString + "/t"
+    Seq(("t0", 1L, 10L), ("t1", 2L, 20L)).toDF("tenant", "k", "v")
+      .write.partitionBy("tenant").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // the writer's mid-merge state: t0's replacement staged under
+    // .merge.tmp, t0 retired, promote NOT yet run — the exact window where
+    // the old heal-on-read would have renamed the retired copy back and
+    // yanked it out from under the writer
+    Seq(("t0", 1L, 11L)).toDF("tenant", "k", "v")
+      .write.partitionBy("tenant").parquet(dir + ".merge.tmp")
+    fs.mkdirs(p(dir + ".upsert.retired"))
+    assert(fs.rename(p(dir + "/tenant=t0"), p(dir + ".upsert.retired/tenant=t0")))
+
+    val read = graft.sources.Readers.table(spark, dir)
+    assert(read.count() === 2, "the reader must see every partition's last " +
+      "complete snapshot inside the window")
+    assert(read.select(sum(col("v"))).collect().head.getLong(0) === 30L,
+      "the reader must see the RETIRED (pre-merge) copy, not the staged one")
+    assert(fs.exists(p(dir + ".upsert.retired/tenant=t0")) &&
+        !fs.exists(p(dir + "/tenant=t0")),
+      "the read path renamed — the writer's promote would now fail")
+
+    // the writer resumes exactly where it left off: the promote succeeds
+    assert(fs.rename(p(dir + ".merge.tmp/tenant=t0"), p(dir + "/tenant=t0")))
+    fs.delete(p(dir + ".upsert.retired"), true)
+    fs.delete(p(dir + ".merge.tmp"), true)
+    val after = graft.sources.Readers.table(spark, dir)
+    assert(after.count() === 2 &&
+      after.select(sum(col("v"))).collect().head.getLong(0) === 31L)
+  }
+
   test("upsertPartitioned with nested partition columns swaps leaf dirs") {
     val dir = java.nio.file.Files.createTempDirectory("upsertpn").toString + "/t"
     val base = Seq(("t0", "2026-01-01", 1L, 10L), ("t0", "2026-01-02", 2L, 20L),
