@@ -69,6 +69,27 @@ object PlanAudit {
     kids(p).map(countPlan).foldLeft(self)(_ + _)
   }
 
+  /** One-time per-JVM fixture builds (the maintained band/IVF/verified
+    * tables the serving queries probe) are NOT part of any query's plan:
+    * they run under whichever query happens to touch the shared state
+    * first in the run's iteration order, so counting them makes that
+    * query's budget hostage to map-iteration order (round 12 moved q341
+    * off `maintainedBandTable` and the build's ~10 exchanges silently
+    * re-attributed to q334). Builders wrap themselves in [[suppress]];
+    * the drain-before/drain-after pairing keeps attribution exact: the
+    * querying label's pending events flush before the flag flips, and the
+    * build's own events flush while still suppressed. */
+  @volatile private var suppressed = false
+  def suppress[T](spark: SparkSession)(f: => T): T = {
+    org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
+    suppressed = true
+    try f
+    finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
+      suppressed = false
+    }
+  }
+
   /** A live collector: every execution that completes while registered is
     * counted under the label current at delivery time. Call
     * [[org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus]]
@@ -78,7 +99,8 @@ object PlanAudit {
     private val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit =
-        try acc.merge(label(), countPlan(qe.executedPlan), (a, b) => a + b)
+        try if (!suppressed)
+          acc.merge(label(), countPlan(qe.executedPlan), (a, b) => a + b)
         catch { case _: Throwable => () }
       override def onFailure(funcName: String, qe: QueryExecution,
                              e: Exception): Unit = ()

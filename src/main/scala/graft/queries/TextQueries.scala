@@ -56,7 +56,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def maintainedBandTable(s: org.apache.spark.sql.SparkSession,
                                   d: String): String =
-    maintainedBands.getOrElseUpdate(d, {
+    maintainedBands.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val path = java.nio.file.Files.createTempDirectory("graft-lsh-state")
         .toString + "/bands"
       // the PARTITIONED sink (Hive layout by source): each maintenance
@@ -81,7 +81,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def maintainedDeletedBandTable(s: org.apache.spark.sql.SparkSession,
                                          d: String): String =
-    maintainedDelBands.getOrElseUpdate(d, {
+    maintainedDelBands.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val base = java.nio.file.Files.createTempDirectory("graft-lsh-del").toString
       val path = base + "/bands"
       val pairs = base + "/pairs"
@@ -138,7 +138,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def maintainedVerifiedTables(s: org.apache.spark.sql.SparkSession,
                                        d: String): String =
-    maintainedVerified.getOrElseUpdate(d, {
+    maintainedVerified.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val base = java.nio.file.Files
         .createTempDirectory("graft-lsh-verified").toString
       val docs = Tables.documents(s, d)
@@ -244,7 +244,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def cascadeDeletedVerifiedTable(s: org.apache.spark.sql.SparkSession,
                                           d: String): String =
-    maintainedCascade.getOrElseUpdate(d, {
+    maintainedCascade.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val base = java.nio.file.Files
         .createTempDirectory("graft-lsh-cascade").toString
       val docs = Tables.documents(s, d)

@@ -33,7 +33,7 @@ object VectorQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def maintainedIvfIndex(s: org.apache.spark.sql.SparkSession,
                                  d: String): (String, String) =
-    maintainedIvf.getOrElseUpdate(d, {
+    maintainedIvf.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val base = java.nio.file.Files.createTempDirectory("graft-ivf-state").toString
       val corpus = Tables.embeddings(s, d).filter(col("vec_id") > 0)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -58,7 +58,7 @@ object VectorQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def maintainedDeletedIvfIndex(s: org.apache.spark.sql.SparkSession,
                                         d: String): (String, String) =
-    maintainedIvfDel.getOrElseUpdate(d, {
+    maintainedIvfDel.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val base = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
       val corpus = Tables.embeddings(s, d).filter(col("vec_id") > 0)
         .select(col("vec_id"), col("embedding"), col("label"))
@@ -84,7 +84,7 @@ object VectorQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private def maintainedHealthIvfIndex(s: org.apache.spark.sql.SparkSession,
                                        d: String): (String, String) =
-    maintainedHealthIvf.getOrElseUpdate(d, {
+    maintainedHealthIvf.getOrElseUpdate(d, graft.PlanAudit.suppress(s) {
       val base = java.nio.file.Files.createTempDirectory("graft-ivf-health").toString
       val corpus = Tables.embeddings(s, d).filter(col("vec_id") > 0)
         .select(col("vec_id"), col("embedding"), col("label"))
