@@ -57,9 +57,15 @@ object Bench {
     * None = append; Some(reason) = quarantine. Runs with UNRESOLVED
     * regression-class verdicts are quarantined too: appending a genuinely
     * regressed median would ratchet its own band outward and launder the
-    * regression into the envelope. */
-  def historyAppendDecision(control: Double,
-                            flags: Seq[Flag]): Option[String] = {
+    * regression into the envelope — and so are runs whose AGGREGATE exits
+    * its anchor band ([[aggregateCheck]]): per-query envelopes structurally
+    * absorb a fleet-wide ~1.15×/round creep (observed +6.6% median
+    * r11→r12 at control 1.006, adjudicated box tide only by judge
+    * inspection — VERDICT r12 #3), so the aggregate gets its own band and
+    * its own quarantine. */
+  def historyAppendDecision(control: Double, flags: Seq[Flag],
+                            aggregate: Option[AggregateCheck] = None)
+      : Option[String] = {
     val unresolved = flags.count(f =>
       f.verdict == "regression" || f.verdict == "needs-subset-confirm")
     if (control < ControlSaneLo || control > ControlSaneHi)
@@ -69,7 +75,65 @@ object Bench {
     else if (unresolved > 0)
       Some(s"$unresolved unresolved regression-class flag(s) — appending " +
         "their medians would widen their own bands (one-round ratchet)")
-    else None
+    else aggregate.filter(_.alert).map(a =>
+      f"aggregate median ${a.now}%.3f outside its anchor band " +
+        f"[${a.lo}%.3f, ${a.hi}%.3f] (control-adjusted ${a.adjusted}%.3f) " +
+        "— fleet-wide creep that per-query envelopes absorb; confirm on a " +
+        "quiet box before these medians may ratchet the history")
+  }
+
+  /** Per-round AGGREGATE medians reconstructed from the committed
+    * per-query history: round k-from-latest's aggregate = the median over
+    * queries of their k-th-from-last recorded median. Histories have
+    * different lengths (queries enter across rounds), so alignment is
+    * from the END, and an offset only yields an aggregate when at least
+    * half the queries have a point there (early sparse rounds are not a
+    * representative fleet median). Latest first. */
+  def aggregateMedians(history: Map[String, Seq[Double]]): Seq[Double] = {
+    if (history.isEmpty) return Nil
+    val maxLen = history.values.map(_.length).max
+    (0 until maxLen).flatMap { k =>
+      val vals = history.values.toSeq.collect {
+        case h if h.length > k => h(h.length - 1 - k)
+      }
+      if (vals.length * 2 >= history.size) Some(median(vals)) else None
+    }
+  }
+
+  /** Aggregate-anchor tolerance. Deliberately TIGHTER than the per-query
+    * ×1.35 envelope: the fleet median is a 300+-sample statistic whose
+    * same-code run-to-run spread is a few percent where single queries
+    * swing ±30%, and 1.15 is exactly the per-round creep rate the r12
+    * verdict observed slipping through per-query bands. */
+  val AggregateTol: Double = 1.15
+
+  case class AggregateCheck(now: Double, adjusted: Double,
+                            lo: Double, hi: Double) {
+    /** The RAW aggregate adjudicates the append (a uniform creep is
+      * indistinguishable from box drift in-run — control-deflating it
+      * here would absorb exactly the ratchet this check exists to stop);
+      * `adjusted` is reported for the human/subset adjudication. */
+    def alert: Boolean = now < lo || now > hi
+  }
+
+  /** The run's aggregate vs the committed anchor band
+    * [min/tol, max·tol] over the per-round aggregate medians. None when
+    * the run covers less than half the history's queries (subset modes —
+    * a 4-query aggregate is not comparable to the fleet median) or the
+    * history is too shallow (< 2 rounds). */
+  def aggregateCheck(history: Map[String, Seq[Double]],
+                     now: Map[String, Double],
+                     names: Seq[String], control: Double)
+      : Option[AggregateCheck] = {
+    val covered = names.filter(n => history.contains(n) &&
+      now.getOrElse(n, 0.0) > 0.0)
+    if (history.isEmpty || covered.length * 2 < history.size) return None
+    val anchors = aggregateMedians(history)
+    if (anchors.length < 2) return None
+    val agg = median(covered.map(now))
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    Some(AggregateCheck(r3(agg), r3(agg / math.max(control, 1e-9)),
+      r3(anchors.min / AggregateTol), r3(anchors.max * AggregateTol)))
   }
 
   /** The one-paste cross-run confirmation for regression-class flags (the
@@ -217,7 +281,7 @@ object Bench {
   private[graft] def deltasJson(checked: Int, control: Double,
       flagged: Seq[Flag], history: Map[String, Seq[Double]],
       prior: Map[String, Double], now: Map[String, Double],
-      sfDir: String): String = {
+      sfDir: String, aggregate: Option[AggregateCheck] = None): String = {
     val flaggedJson = flagged.map { f =>
       s"""    {"query":"${f.name}","prev":${f.prev},"now":${f.now},"ratio":${f.ratio},"verdict":"${f.verdict}"}"""
     }.mkString("[\n", ",\n", "\n  ]")
@@ -230,9 +294,11 @@ object Bench {
       else confirmCmd(suspects, checkedNames, flagged.map(_.name).toSet,
         history, now, sfDir)
     val alert = control < ControlSaneLo || control > ControlSaneHi
-    val append = historyAppendDecision(control, flagged)
+    val append = historyAppendDecision(control, flagged, aggregate)
       .fold("appended")(r => s"quarantined: $r")
-    s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band widened by min(10%, |control-1|) (or the control-adjusted move is <0.1s); past DOUBLE the envelope the verdict is needs-subset-confirm (in-run re-times share the box state and cannot confirm an extreme flag — run confirm_cmd in a separate process); else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "control_alert": $alert,\n  "history_append": "$append",\n  "confirm_cmd": "$cmd",\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n"""
+    val aggJson = aggregate.fold("null")(a =>
+      s"""{"now": ${a.now}, "control_adjusted": ${a.adjusted}, "band": [${a.lo}, ${a.hi}], "alert": ${a.alert}}""")
+    s"""{\n  "envelope": "per-query history band [min/1.35, max*1.35] of committed BENCH_HISTORY.json round medians (>=2 points), else fixed x1.35 vs prior; |now-prev| <= 0.1s never flags",\n  "adjudication": "verdict per flag via the untouched-control rule: control_ratio = median now/prev of checked queries >0.2s (all of them at population size, non-flagged below 10); box-drift when the control-deflated measurement re-enters its band widened by min(10%, |control-1|) (or the control-adjusted move is <0.1s); past DOUBLE the envelope the verdict is needs-subset-confirm (in-run re-times share the box state and cannot confirm an extreme flag — run confirm_cmd in a separate process); else regression/improvement; regressions are auto re-timed twice before the verdict stands",\n  "aggregate_anchor": "RAW fleet median vs [min/$AggregateTol, max*$AggregateTol] of the per-round aggregate medians reconstructed from BENCH_HISTORY.json (end-aligned, >=half-population offsets only); an alert quarantines the history append — per-query envelopes absorb fleet-wide creep, this band owns it (r12 verdict #3)",\n  "aggregate": $aggJson,\n  "history_queries": ${history.size},\n  "prior_queries": ${prior.size},\n  "checked": $checked,\n  "control_ratio": $control,\n  "control_alert": $alert,\n  "history_append": "$append",\n  "confirm_cmd": "$cmd",\n  "flagged": ${if (flagged.isEmpty) "[]" else flaggedJson}\n}\n"""
   }
 
   /** Offline re-adjudication of an existing bench run through the
@@ -250,7 +316,8 @@ object Bench {
     val names = now.keys.toSeq.sorted
     val (checked, control, flagged) = adjudicate(prior, now, names, history)
     deltasJson(checked, control, flagged, history, prior, now,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      aggregateCheck(history, now, names, control))
   }
 
   /** The corpus-shingle family: the bench's heavy tail (>2 s at sf0.1, all
@@ -383,9 +450,10 @@ object Bench {
           .mkString("{\n", ",\n", "\n}\n")
         writeFile("BENCH_FULL.json", full)
         val (checked, control, flagged) = driftReport()
+        val nowMap = names.map(n => n -> median(samples(n))).toMap
         writeFile("BENCH_DELTAS.json", deltasJson(checked, control, flagged,
-          history, prior, names.map(n => n -> median(samples(n))).toMap,
-          sfDir))
+          history, prior, nowMap, sfDir,
+          aggregateCheck(history, nowMap, names, control)))
       } catch {
         case e: Throwable => System.err.println(s"[bench] file write failed: $e")
       }
@@ -427,7 +495,9 @@ object Bench {
       // would widen the very bands that should catch it next round
       // (ADVICE r11's one-round ratchet).
       val (_, finalControl, finalFlags) = driftReport()
-      historyAppendDecision(finalControl, finalFlags) match {
+      val finalNow = names.map(n => n -> median(samples(n))).toMap
+      historyAppendDecision(finalControl, finalFlags,
+        aggregateCheck(history, finalNow, names, finalControl)) match {
         case Some(reason) =>
           System.err.println(s"[bench] history append QUARANTINED: $reason")
         case None =>

@@ -120,6 +120,18 @@ object ServingBench {
         shingleK = 3, numHashes = 16, numBands = 4, threshold = 0.5,
         verifiedPath = Some(tmp + "/verified"))
     }
+    // the round-13 feed-served LSH probe (q341's serving shape): ingested
+    // probes answer from the maintained candidate feed by one pushed
+    // endpoint-IN scan; novel texts fall back to the compiled band probe
+    var servedSession: Serving.LshServedProbeSession = null
+    val servedCompileMs = ms {
+      servedSession = new Serving.LshServedProbeSession(
+        Readers.table(spark, tmp + "/vpairs"),
+        Readers.table(spark, tmp + "/vbands"), docs,
+        "doc_id", "text", idType,
+        shingleK = 3, numHashes = 16, numBands = 4,
+        feedPath = Some(tmp + "/vpairs"), bandsPath = Some(tmp + "/vbands"))
+    }
 
     // ---- per-request paths ----
     def lshCold(req: Seq[(Any, String)]): Unit =
@@ -158,6 +170,8 @@ object ServingBench {
     ivfSession.serveRows(qPool.head, 2)
     vCold(lshPool.head); vSession.serveDf(lshPool.head).collect()
     vSession.serveRows(lshPool.head)
+    servedSession.serveDf(lshPool.head).collect()
+    servedSession.serveRows(lshPool.head)
 
     def run(label: String, pool: Int => Unit): Double = {
       val times = (0 until reqs).map(i => ms(pool(i)))
@@ -170,6 +184,8 @@ object ServingBench {
         i => lshSession.probeDf(lshPool(i % lshPool.size)).collect()),
       "lsh_warm_rows" -> run("lsh_warm_rows",
         i => lshSession.probeRows(lshPool(i % lshPool.size))),
+      "lsh_served_warm_rows" -> run("lsh_served_warm_rows",
+        i => servedSession.serveRows(lshPool(i % lshPool.size))),
       "ivf_cold" -> run("ivf_cold", i => ivfCold(qPool(i % qPool.size))),
       "ivf_warm_df" -> run("ivf_warm_df",
         i => ivfSession.serveDf(qPool(i % qPool.size), 2).collect()),
@@ -182,11 +198,56 @@ object ServingBench {
       "verified_warm_rows" -> run("verified_warm_rows",
         i => vSession.serveRows(lshPool(i % lshPool.size))))
 
+    // ---- concurrency tier (r12 verdict #7): p50/p95 per request at 4
+    // and 16 in-flight requests per session — the reference's serving
+    // table is measured under load. Each worker issues its own rotating
+    // payloads; latencies are per request, wall-clock inclusive of any
+    // contention inside the session (plan rebind is per-call, the
+    // recompile lock is uncontended on a quiet table).
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1))
+    }
+    def concurrent(label: String, conc: Int, f: Int => Unit): Seq[(String, Double)] = {
+      val perWorker = math.max(4, reqs / 2)
+      val times = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      try {
+        val futures = (0 until conc).map { w =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              (0 until perWorker).foreach { j =>
+                times.add(ms(f(w * perWorker + j)))
+              }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      val xs = times.asScala.map(_.doubleValue).toSeq
+      val (p50, p95) = (pct(xs, 0.50), pct(xs, 0.95))
+      System.err.println(
+        f"[serving-bench] $label%-22s c$conc%-3d p50 ${p50}%7.1f ms  p95 ${p95}%7.1f ms")
+      Seq(s"${label}_c${conc}_p50" -> p50, s"${label}_c${conc}_p95" -> p95)
+    }
+    val concResults = Seq(4, 16).flatMap { c =>
+      concurrent("lsh_warm_rows", c,
+        i => lshSession.probeRows(lshPool(i % lshPool.size))) ++
+      concurrent("lsh_served_warm_rows", c,
+        i => servedSession.serveRows(lshPool(i % lshPool.size))) ++
+      concurrent("ivf_warm_rows", c,
+        i => ivfSession.serveRows(qPool(i % qPool.size), 2)) ++
+      concurrent("verified_warm_rows", c,
+        i => vSession.serveRows(lshPool(i % lshPool.size)))
+    }
+
     def r1(x: Double) = math.rint(x * 10) / 10
-    val body = (results.map { case (k, v) => s"""  "$k": ${r1(v)}""" } ++ Seq(
+    val body = ((results ++ concResults)
+      .map { case (k, v) => s"""  "$k": ${r1(v)}""" } ++ Seq(
       s"""  "lsh_session_compile_ms": ${r1(lshCompileMs)}""",
       s"""  "ivf_session_compile_ms": ${r1(ivfCompileMs)}""",
       s"""  "verified_session_compile_ms": ${r1(vCompileMs)}""",
+      s"""  "served_session_compile_ms": ${r1(servedCompileMs)}""",
       s"""  "requests": $reqs""",
       s"""  "sf": "$sfDir""""))
       .mkString("{\n", ",\n", "\n}\n")

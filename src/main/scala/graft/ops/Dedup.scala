@@ -74,6 +74,27 @@ object Dedup {
       explode(array_distinct(shingles(tokens(col(textCol)), k))).as("shingle"))
   }
 
+  /** [[shingleSets]] with the per-doc DISTINCT set size attached MAP-SIDE
+    * (`n` = the pre-explode array length, constant across a doc's rows):
+    * every exact-Jaccard consumer needs |set| per doc for the
+    * denominators, and re-counting the exploded relation costs a full
+    * corpus-substrate pass (groupBy(doc_id)) plus two joins to attach the
+    * counts to the pair relation — measured 0.5 + 0.3 s of the
+    * exactJaccardPairs critical path at sf0.1, and at 100 TB one whole
+    * extra pass over the biggest intermediate in the pipeline. Row set =
+    * shingleSets exactly (explode of an empty/null array emits nothing in
+    * both forms), plus the `n` column. */
+  def shingleSetsSized(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
+      .select(col(idCol).as("doc_id"),
+        array_distinct(shingles(tokens(col(textCol)), k)).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("shingle"))
+  }
+
   /** Hashed twin of [[shingleRaw]]: raw exploded (doc_id, shingle-hash)
     * rows via the native [[graft.functions.ShingleHash60]] kernel. The
     * shingle string is never materialized — token bytes stream straight
@@ -261,6 +282,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[jaccardVerify]] over a SIZED shingle relation
+    * ([[shingleSetsSized]]): the per-doc set sizes ride the join legs and
+    * become extra (functionally dependent) grouping keys, so the separate
+    * `sizes` aggregation over the shingle relation and BOTH size joins
+    * disappear — three exchanges and one substrate pass fewer per
+    * verification, identical rows out (the sizes were inner-joined for
+    * every doc present in `sh`, which is every doc a pair touches). */
+  def jaccardVerifySized(pairs: DataFrame, shSized: DataFrame,
+                         threshold: Double): DataFrame =
+    pairs
+      .join(shSized.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("shingle")), Seq("doc_a"))
+      .join(shSized.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      // unrounded single division of identical integers — see jaccardVerify
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Full MinHash-LSH near-dup pipeline.
     *
     * Shuffle budget (the thing that decides whether this survives 100 TB):
@@ -283,12 +326,13 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // Shingle SETS for verification: semi-join the DOCS table down to the
-    // (usually tiny) candidate population, re-explode just those, and persist
-    // — jaccardVerify reads this three times (two join legs + sizes).
+    // (usually tiny) candidate population, re-explode just those, and
+    // persist — the sized verifier reads this twice (the two join legs;
+    // the per-doc sizes ride the rows map-side, round 13).
     val candTexts = docs.join(broadcast(candDocs),
       docs(idCol) === candDocs("doc_id"), "left_semi")
-    val sh = shingleSets(candTexts, idCol, textCol, shingleK).persist()
-    val out = jaccardVerify(cand, sh, threshold)
+    val sh = shingleSetsSized(candTexts, idCol, textCol, shingleK).persist()
+    val out = jaccardVerifySized(cand, sh, threshold)
       .localCheckpoint(true) // materialize, then release the caches below
     cand.unpersist()
     sh.unpersist()
@@ -326,10 +370,18 @@ object Dedup {
     // true Jaccard over the candidate population only (semi-join + explode)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingleSets(docs.join(broadcast(candDocs),
-        docs(idCol) === candDocs("doc_id"), "left_semi"),
-      idCol, textCol, shingleK).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val candTexts = docs.join(broadcast(candDocs),
+      docs(idCol) === candDocs("doc_id"), "left_semi")
+    val sh = shingleSets(candTexts, idCol, textCol, shingleK).persist()
+    // sizes MAP-SIDE from the candidate texts (one row per doc, no
+    // groupBy over the exploded relation — round 13): a banding false
+    // positive with ZERO true overlap must keep its row (true_jaccard 0),
+    // so the sizes cannot ride the intersection join here — they attach
+    // to `est` as a left-join-independent relation, now computed without
+    // a substrate shuffle. Same values: |distinct shingle set| per doc.
+    val sizes = candTexts.select(col(idCol).as("doc_id"),
+      size(array_distinct(shingles(tokens(col(textCol)), shingleK)))
+        .cast("long").as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
@@ -561,7 +613,22 @@ object Dedup {
       else standing.filter(byBand.map { case (b, ks) =>
         col("band_idx") === b && col("band_key").isin(ks: _*)
       }.reduce(_ || _))
-    deltaPairs(qBands, boundedPosting(touched, maxDf))
+    // SINGLE-EXCHANGE point plan (round 13): the pushed probe scan reads
+    // a request-bounded sliver of the table (≤ PointProbeMaxKeys buckets'
+    // rows; the clustered layout row-group-skips the rest) IN PARALLEL,
+    // then repartition(1) funnels it into one reducer — SinglePartition
+    // satisfies every downstream distribution, so the posting aggregation,
+    // the broadcast pair join AND the final distinct all run in that ONE
+    // task with no further exchange, where the 32-partition shape paid
+    // two full shuffle-stage schedulings per request (the measured
+    // ~130 ms warm floor, r12 BENCH_NOTES). Measured shapes at sf0.1:
+    // original 187 ms, coalesce(1) 187 ms (the serialized scan eats the
+    // saved stages), repartition(1) 122 ms. Bound/output semantics are
+    // unchanged: the stop-bucket cap and the distinct see identical
+    // global groups, just on one reducer — bounded by the probe contract
+    // (a point probe touches ≤ numBands × |docs| buckets). Batch
+    // candidate generation (deltaCandidates) keeps the parallel shape.
+    deltaPairs(qBands, boundedPosting(touched.repartition(1), maxDf))
   }
 
   /** Per-request VERIFIED near-dup check — the full serving answer to "is
@@ -635,12 +702,12 @@ object Dedup {
         org.apache.spark.sql.types.StructField(textCol,
           org.apache.spark.sql.types.StringType))))
     // deliberately NOT persisted/checkpointed: the shingle substrate is
-    // partner-sized (request-scale), so the verifier's three reads of it
+    // partner-sized (request-scale), so the verifier's two reads of it
     // cost microseconds of re-derivation — and the returned LAZY plan
     // keeps the pushed corpus-scan predicate inspectable by callers
-    val sh = shingleSets(corpusTexts.unionByName(probeTexts),
+    val sh = shingleSetsSized(corpusTexts.unionByName(probeTexts),
       idCol, textCol, shingleK)
-    jaccardVerify(cand, sh, threshold)
+    jaccardVerifySized(cand, sh, threshold)
   }
 
   /** [[probeNearDupsVerified]] that consults the MAINTAINED verified table
@@ -718,12 +785,11 @@ object Dedup {
     * materialization + re-join). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, shingleK: Int,
                    threshold: Double): DataFrame = {
-    // persisted: consumed three times below (both join legs + sizes) — without
-    // the cache the corpus-wide explode+distinct runs once per consumer
-    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
-    val out = invertedIndexPairs(sh, threshold)
-    sh.unpersist()
-    out
+    // the sized substrate is consumed ONCE (the posting aggregation; sizes
+    // ride the posting structs — round 13), so no persist is needed: the
+    // explode streams straight into the aggregation
+    invertedIndexPairs(shingleSetsSized(docs, idCol, textCol, shingleK),
+      threshold)
   }
 
   /** Ordered co-occurrence pairs of a (key, id) relation — the inverted-
@@ -771,27 +837,33 @@ object Dedup {
         greatest(col("a"), col("b")).as("doc_b"))
 
   private def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame =
-    invertedIndexPairsFromPosting(
-      sh.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ds")),
-      sh, threshold)
+    invertedIndexPairsFromSizedPosting(
+      sh.groupBy(col("shingle"))
+        .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")),
+      threshold)
 
-  /** Inverted-index pairs from ALREADY-BUILT posting lists — lets
-    * [[exactJaccardPairs]] reuse the single corpus-sized aggregation its
-    * cost gate measured, instead of regrouping the shingle relation. */
-  private def invertedIndexPairsFromPosting(posting: DataFrame, sh: DataFrame,
-                                            threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairsFromPostings(posting)
+  /** Inverted-index pairs from ALREADY-BUILT posting lists whose elements
+    * are `struct(doc_id, n)` ([[shingleSetsSized]]'s per-doc set size
+    * riding each posting entry) — lets [[exactJaccardPairs]] reuse the
+    * single corpus-sized aggregation its cost gate measured AND read the
+    * Jaccard denominators straight off the pair, where the round-8 shape
+    * re-aggregated the whole shingle relation for sizes and attached them
+    * with two joins (one full substrate pass + 3 exchanges, measured
+    * ~0.8 s of the sf0.1 critical path, gone). Pair multiset, jaccard
+    * arithmetic and output rows are identical: struct ordering in
+    * least/greatest is doc_id-first and `n` is functionally dependent on
+    * it, so grouping by the structs groups exactly by the id pair. */
+  private def invertedIndexPairsFromSizedPosting(posting: DataFrame,
+                                                 threshold: Double): DataFrame =
+    pairsFromPostings(posting)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .withColumn("jaccard",
+        col("inter") / (col("doc_a.n") + col("doc_b.n") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a.doc_id").as("doc_a"),
+        col("doc_b.doc_id").as("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true) // materialize, then release the caller's cache
-  }
 
   /** Exact Jaccard pairs with COST-BASED physical selection between the
     * two exact strategies — both produce IDENTICAL output, so this is a
@@ -816,7 +888,7 @@ object Dedup {
                         shingleK: Int, threshold: Double,
                         dfBlowupFactor: Double = 64.0,
                         postingCap: Int = StopBucketDf): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
+    val sh = shingleSetsSized(docs, idCol, textCol, shingleK).persist()
     // ONE corpus-sized aggregation serves both the gate's measurement and
     // the cheap path's pair substrate, with every buffer BOUNDED: posting
     // lists build through bounded_collect_list (a key saturates at
@@ -836,7 +908,8 @@ object Dedup {
     //    exposure to take).
     val posting = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"),
-        BoundedCollect.boundedCollectList(col("doc_id"), postingCap).as("ds"))
+        BoundedCollect.boundedCollectList(struct(col("doc_id"), col("n")),
+          postingCap).as("ds"))
       .persist()
     val st = posting.agg(
         sum(col("df")).as("rows"),
@@ -846,22 +919,22 @@ object Dedup {
     val cheap = !st.isNullAt(0) && st.getDouble(1) <= dfBlowupFactor * st.getLong(0)
     val out =
       if (cheap && st.getLong(2) <= postingCap) {
-        val o = invertedIndexPairsFromPosting(
-          posting.select(col("shingle"), col("ds")), sh, threshold)
+        val o = invertedIndexPairsFromSizedPosting(
+          posting.select(col("shingle"), col("ds")), threshold)
         posting.unpersist()
         o
       } else if (cheap) {
         posting.unpersist()
         val full = sh.groupBy(col("shingle"))
-          .agg(collect_list(col("doc_id")).as("ds"))
-        invertedIndexPairsFromPosting(full, sh, threshold)
+          .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+        invertedIndexPairsFromSizedPosting(full, threshold)
       } else {
         posting.unpersist()
         val cand = prefixCandidates(sh, threshold)
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
         val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        jaccardVerify(cand, shCand, threshold).localCheckpoint(true)
+        jaccardVerifySized(cand, shCand, threshold).localCheckpoint(true)
       }
     sh.unpersist()
     out
@@ -1014,14 +1087,14 @@ object Dedup {
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
-    val sh = shingleSets(docs, idCol, textCol, shingleK).persist()
+    val sh = shingleSetsSized(docs, idCol, textCol, shingleK).persist()
     val cand = prefixCandidates(sh, threshold)
     // verification shingle sets only for docs a candidate pair touches —
     // the same candidate-proportional discipline as minhashLsh
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val out = jaccardVerify(cand, shCand, threshold)
+    val out = jaccardVerifySized(cand, shCand, threshold)
       .localCheckpoint(true)
     sh.unpersist()
     out

@@ -201,8 +201,8 @@ object RefinementQueries {
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
         val candTexts = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        val sh = Dedup.shingleSets(candTexts, "doc_id", "text", 3)
-        Dedup.jaccardVerify(cand, sh, 0.5)
+        val sh = Dedup.shingleSetsSized(candTexts, "doc_id", "text", 3)
+        Dedup.jaccardVerifySized(cand, sh, 0.5)
       },
       Some(deltaDedupSql)),
 

@@ -428,8 +428,8 @@ object Sinks {
       s"verifiedPairsUpsert: ${nCand - nMatched} candidate doc(s) missing " +
         s"from the corpus table — fold the corpus BEFORE the pair feed, or " +
         s"pass a `docs` that overlays the batch's own texts")
-    val sh = Dedup.shingleSets(candTexts, idCol, textCol, shingleK).persist()
-    val verified = Dedup.jaccardVerify(cand, sh, threshold)
+    val sh = Dedup.shingleSetsSized(candTexts, idCol, textCol, shingleK).persist()
+    val verified = Dedup.jaccardVerifySized(cand, sh, threshold)
       .withColumn("pair_key", to_json(struct(col("doc_a"), col("doc_b"))))
     keyedUpsert(path, "pair_key")(verified, batchId)
     sh.unpersist()

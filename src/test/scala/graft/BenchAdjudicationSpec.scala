@@ -163,6 +163,57 @@ class BenchAdjudicationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Bench.historyAppendDecision(1.0, Seq(drift)).isEmpty)
   }
 
+  test("aggregate anchor: a uniform 1.2x run with every per-query time " +
+    "in-band still raises the aggregate alert and quarantines the append") {
+    // the r12-verdict #3 scenario: per-query history bands are
+    // [min/1.35, max*1.35] so a fleet-wide 1.2x creep flags NOTHING and
+    // keeps the control inside [0.8, 1.25] — per-query adjudication is
+    // structurally blind to it. The aggregate anchor is not: the RAW fleet
+    // median (1.2) exits [min/1.15, max*1.15] of the per-round aggregates
+    // reconstructed from the history (all 1.0 here), and the append
+    // quarantines even though flags are empty and the control is sane.
+    val names20 = (1 to 20).map(i => f"q$i%02d")
+    val hist = names20.map(_ -> Seq(0.98, 1.0, 1.02)).toMap
+    val prior = names20.map(_ -> 1.0).toMap
+    val now = names20.map(_ -> 1.2).toMap
+    val (_, control, flags) = Bench.adjudicate(prior, now, names20, hist)
+    assert(flags.isEmpty, s"1.2x must be inside every per-query band: $flags")
+    assert(control === 1.2 && Bench.ControlSaneLo < 1.2 &&
+      1.2 < Bench.ControlSaneHi)
+    val agg = Bench.aggregateCheck(hist, now, names20, control)
+    assert(agg.isDefined && agg.get.alert,
+      s"uniform 1.2x creep must exit the aggregate anchor band: $agg")
+    assert(agg.get.now === 1.2 && agg.get.hi < 1.2, agg.get.toString)
+    assert(Bench.historyAppendDecision(control, flags, agg).isDefined,
+      "aggregate alert must quarantine the history append")
+    // in-band run: appends as before
+    val quiet = names20.map(_ -> 1.05).toMap
+    val aggQuiet = Bench.aggregateCheck(hist, quiet, names20, 1.05)
+    assert(aggQuiet.isDefined && !aggQuiet.get.alert)
+    assert(Bench.historyAppendDecision(1.05, Nil, aggQuiet).isEmpty)
+  }
+
+  test("aggregate anchor: subset runs and shallow histories are exempt " +
+    "(a 4-query aggregate is not the fleet median)") {
+    val hist = (1 to 20).map(i => f"q$i%02d" -> Seq(0.98, 1.0, 1.02)).toMap
+    // subset: 4 of 20 queries covered → no aggregate check at all
+    val subset = Seq("q01", "q02", "q03", "q04")
+    assert(Bench.aggregateCheck(hist, subset.map(_ -> 9.9).toMap,
+      subset, 1.0).isEmpty)
+    // shallow history (single round) → no anchor to adjudicate against
+    val hist1 = (1 to 20).map(i => f"q$i%02d" -> Seq(1.0)).toMap
+    val all = (1 to 20).map(i => f"q$i%02d")
+    assert(Bench.aggregateCheck(hist1, all.map(_ -> 1.2).toMap,
+      all, 1.0).isEmpty)
+    // end-aligned reconstruction: younger queries (shorter histories)
+    // contribute to recent offsets only; an offset covering under half
+    // the fleet yields no anchor point (6 of 20 here at offsets 1-2)
+    val mixed = (1 to 6).map(i => f"q$i%02d" -> Seq(0.9, 1.0, 1.1)).toMap ++
+      (7 to 20).map(i => f"q$i%02d" -> Seq(1.0)).toMap
+    val aggs = Bench.aggregateMedians(mixed)
+    assert(aggs.length === 1, s"end-aligned offsets: $aggs")
+  }
+
   test("history band: faster than the recorded range verdicts improvement; " +
     "a single history point falls back to the fixed envelope") {
     val hist = Map("q01" -> Seq(2.0, 3.0), "q03" -> Seq(5.0))
