@@ -194,15 +194,22 @@ object AnnRewrite {
                         assignedPath: String, embCol: String,
                         statsPath: Option[String] = None,
                         clusterCol: String = "centroid_id"): Unit = {
+    // pin the snapshot to the persisted tables' generations — the rule
+    // declines the rewrite the moment maintenance reshapes any of them.
+    // Markers are read BEFORE the table handles resolve their file
+    // listings (ADVICE r12): a mutation completing in between then leaves
+    // OLD pins against NEW-listing data, so the next poll reads a HIGHER
+    // generation and the rule conservatively declines — where the old
+    // handles-then-pins order recorded the NEW generation against
+    // OLD-listing data and isStale could never fire (pruning with stale
+    // centroids, the exact defect the pins exist to prevent).
+    val pins = (Seq(centroidsPath, assignedPath) ++ statsPath.toSeq)
+      .map(p => p -> graft.sources.Writers.Generation.read(spark, p))
     val idx = IvfIndex.Index(
       graft.sources.Readers.table(spark, centroidsPath),
       graft.sources.Readers.table(spark, assignedPath))
     val st = statsPath.map(IvfIndex.readStats(spark, _))
     val rows = st.map(_.rows).getOrElse(idx.assigned.count())
-    // pin the snapshot to the persisted tables' generations — the rule
-    // declines the rewrite the moment maintenance reshapes any of them
-    val pins = (Seq(centroidsPath, assignedPath) ++ statsPath.toSeq)
-      .map(p => p -> graft.sources.Writers.Generation.read(spark, p))
     register(spark, idx, embCol, rows, clusterCol, st, pins,
       Some((centroidsPath, assignedPath, statsPath, clusterCol)))
   }
