@@ -174,6 +174,21 @@ object Bench {
   /** Round medians kept per query in the history band. */
   val HistoryKeep: Int = 10
 
+  /** Parse the `{"controls": [c1, c2, …]}` per-append control-ratio side
+    * file (BENCH_HISTORY_CONTROLS.json — one entry per history append,
+    * end-aligned with the history columns). Empty when absent: the file
+    * was introduced in round 14, so earlier appends have no recorded
+    * control. */
+  def parseControls(path: java.nio.file.Path): Seq[Double] =
+    if (!java.nio.file.Files.isRegularFile(path)) Nil
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      """"controls"\s*:\s*\[([0-9.,eE+\s-]*)\]""".r.findFirstMatchIn(text)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toDouble).toSeq)
+        .getOrElse(Nil)
+    }
+
   /** Per-query HISTORY band: with ≥2 recorded round medians the envelope
     * is [min/1.35, max·1.35] of the query's own history — a query that has
     * swung 2.3–5.8 s across same-code rounds (the heavy shingle/media
@@ -507,6 +522,18 @@ object Bench {
             s"""  "$n": [${h.map(r3).mkString(", ")}]"""
           }.mkString("{\n", ",\n", "\n}\n")
           writeFile("BENCH_HISTORY.json", histJson)
+          // r13 verdict #8: record each appended round's control ratio in a
+          // lockstep side file (END-aligned with the history columns, same
+          // HistoryKeep cap) so cross-round control-adjusted claims are
+          // computable from committed artifacts instead of hand-derived.
+          // Separate file, not a reserved history key: parseHistory's
+          // consumers (bands, aggregate anchor) must keep seeing queries
+          // only. Additions-only; no band changes.
+          val controls = (parseControls(
+            java.nio.file.Paths.get(outDir, "BENCH_HISTORY_CONTROLS.json"))
+            :+ finalControl).takeRight(HistoryKeep)
+          writeFile("BENCH_HISTORY_CONTROLS.json",
+            s"""{\n  "controls": [${controls.map(r3).mkString(", ")}]\n}\n""")
       }
     }
 

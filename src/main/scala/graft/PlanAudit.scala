@@ -79,14 +79,18 @@ object PlanAudit {
     * the drain-before/drain-after pairing keeps attribution exact: the
     * querying label's pending events flush before the flag flips, and the
     * build's own events flush while still suppressed. */
-  @volatile private var suppressed = false
+  // depth counter, not a boolean (ADVICE r13): a nested suppress call must
+  // not clear the outer build's suppression early, which would leak the
+  // rest of its executions into the current query's budget
+  private val suppressDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def suppressed = suppressDepth.get() > 0
   def suppress[T](spark: SparkSession)(f: => T): T = {
     org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
-    suppressed = true
+    suppressDepth.incrementAndGet()
     try f
     finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
-      suppressed = false
+      suppressDepth.decrementAndGet()
     }
   }
 

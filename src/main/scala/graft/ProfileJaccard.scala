@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.ops.{BoundedCollect, Dedup}
 
 /** Stage-by-stage timing of the exact-Jaccard substrate (the heavy-tail
-  * family's shared core: shingle → posting agg → pair emit → inter agg →
-  * sizes + joins), so an optimization round attacks the step that actually
-  * costs instead of the one that looks structural. Mirrors
-  * `Dedup.exactJaccardPairs`' cheap (inverted-index) branch exactly.
+  * family's shared core), profiling the shapes `Dedup.exactJaccardPairs`
+  * ACTUALLY runs since round 14: an unpersisted count-only gate pass over
+  * the hashed distinct substrate, then one fused unpersisted
+  * posting→pairs→intersection pass over the sized substrate. Stages 5–6
+  * additionally time the HISTORICAL round-8 shape (separate sizes agg +
+  * two joins) for comparison against the sized tail — the r13 A/B's
+  * contrast, kept runnable.
   * Usage: sbt "runMain graft.ProfileJaccard [sfDir] [iters]". */
 object ProfileJaccard {
   def main(args: Array[String]): Unit = {
@@ -32,50 +35,60 @@ object ProfileJaccard {
 
     (1 to iters).foreach { i =>
       println(s"[prof-jac] --- iter $i ---")
-      // 1. shingle substrate alone (explode + array_distinct), no shuffle
-      val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
-      t("shingleSets noop (explode only)")(noop(sh))
-      val shP = sh.persist()
-      t("shingleSets persist+count")(shP.count())
-      // 2. the shared posting aggregation (df + bounded list)
-      val posting = shP.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"),
-          BoundedCollect.boundedCollectList(col("doc_id"), Dedup.StopBucketDf).as("ds"))
-        .persist()
-      t("posting agg (df + bounded lists) persist")(noop(posting))
-      // 3. the gate's single-row stats read
-      t("gate stats head()")(posting.agg(
-        sum(col("df")).as("rows"),
-        sum(col("df").cast("double") * col("df")).as("sq"),
-        max(col("df")).as("maxdf")).head())
-      // 4. pair emit + inter agg from the postings
-      val pairs = posting.select(col("ds"))
+      // 1. sized shingle substrate alone (explode + array_distinct + n)
+      val sh = Dedup.shingleSetsSized(docs, "doc_id", "text", 3)
+      t("shingleSetsSized noop (explode only)")(noop(sh))
+      // 2. the round-14 GATE pass: count-only agg over hashed sets
+      t("gate pass (hashed count agg + stats head)")(
+        Dedup.shingleHashSets(docs, "doc_id", "text", 3)
+          .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+          .agg(sum(col("df")), sum(col("df").cast("double") * col("df")),
+            max(col("df"))).head())
+      // 3. the fused pair pass: sized posting agg → pair emit → inter agg
+      //    → jaccard tail, all unpersisted (the production cheap branch)
+      val posting = sh.groupBy(col("shingle"))
+        .agg(BoundedCollect.boundedCollectList(struct(col("doc_id"), col("n")),
+          Dedup.StopBucketDf).as("ds"))
+      t("fused sized posting→pairs noop")(noop(
+        posting
+          .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+          .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+          .select(col("a"),
+            explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+          .select(least(col("a"), col("b")).as("doc_a"),
+            greatest(col("a"), col("b")).as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter") / (col("doc_a.n") + col("doc_b.n") - col("inter")))
+          .filter(col("jaccard") >= 0.5)))
+      // 4. the production entry point end-to-end, cold
+      spark.sharedState.cacheManager.clearCache()
+      t("exactJaccardPairs END-TO-END (count)")(
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+      // 5-6. HISTORICAL round-8 tail for contrast: separate sizes agg over
+      // the plain substrate + two joins (what the sized substrate removed)
+      val shOld = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+      shOld.count()
+      val interOld = shOld.groupBy(col("shingle"))
+        .agg(BoundedCollect.boundedCollectList(col("doc_id"),
+          Dedup.StopBucketDf).as("ds"))
         .filter(col("ds").isNotNull && size(col("ds")) >= 2)
         .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
         .select(col("a"),
           explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
         .select(least(col("a"), col("b")).as("doc_a"),
           greatest(col("a"), col("b")).as("doc_b"))
-      val inter = pairs.groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      t("pair emit + inter agg noop")(noop(inter))
-      // 5. sizes agg alone
-      val sizes = shP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      t("sizes agg noop")(noop(sizes))
-      // 6. the full tail: inter ⋈ sizes ⋈ sizes + filter + sort
-      val full = inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-      t("full tail (joins+filter+sort) noop")(noop(full))
-      // 7. the production entry point end-to-end, cold
-      posting.unpersist(); shP.unpersist()
-      spark.sharedState.cacheManager.clearCache()
-      t("exactJaccardPairs END-TO-END (count)")(
-        Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val sizesOld = shOld.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      t("historical r8 tail (sizes agg + 2 joins) noop")(noop(
+        interOld
+          .join(sizesOld.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n", "na"), "doc_a")
+          .join(sizesOld.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n", "nb"), "doc_b")
+          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)))
+      shOld.unpersist()
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()

@@ -156,7 +156,14 @@ object Serving {
       while (midFlight() && System.nanoTime() < deadline) Thread.sleep(25)
       val g0 = gens()
       val t = build()
-      if ((gens() == g0 && !midFlight()) || System.nanoTime() >= deadline)
+      // post-build check, cheapest first: the retired-root probe is one
+      // existence check and short-circuits the per-path marker re-reads
+      // when a rewrite is in flight (the build is torn either way, so the
+      // marker values would not be consulted). Measured (ProfileServing):
+      // both probes are < 1 ms against a local FS — this ordering is
+      // hygiene, not the q347 fix; the per-request cost lives in the
+      // probe job itself.
+      if ((!midFlight() && gens() == g0) || System.nanoTime() >= deadline)
         return (g0, t)
     }
     throw new IllegalStateException("unreachable")

@@ -66,11 +66,25 @@ object BoundedCollect {
     // cap + 1 is the saturation size: it both marks the overflow (size >
     // cap ⇒ null) and bounds the buffer — updates and merges stop
     // appending once reached (the group's fate is already decided).
+    // For struct children the id rides as the struct's FIRST field
+    // (struct(doc_id, …) at every call site): a null id wrapped in a
+    // struct arrives NON-null, so the skip must look through one level —
+    // otherwise the documented "ds IS NULL iff df > maxDf" invariant
+    // would hold only by the callers' id-non-null contract (ADVICE r13).
+    @transient private lazy val structNumFields: Int =
+      child.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fields.length
+        case _ => 0
+      }
+    private def isNullId(r: InternalRow): Boolean =
+      r.isNullAt(0) || (structNumFields > 0 &&
+        r.getStruct(0, structNumFields).isNullAt(0))
+
     override def update(buf: mutable.ArrayBuffer[Any], input: InternalRow)
         : mutable.ArrayBuffer[Any] = {
       if (buf.size <= cap) {
         val r = inputProj(input)
-        if (!r.isNullAt(0)) {
+        if (!isNullId(r)) {
           // values are reused row-buffer views (UTF8String, rows) — copy
           buf += InternalRow.copyValue(r.get(0, child.dataType))
         }

@@ -109,6 +109,22 @@ object Dedup {
       explode(shingleHashes(tokens(col(textCol)), k)).as("sh_h"))
   }
 
+  /** Hashed twin of [[shingleSets]]: per-doc DISTINCT (doc_id, shingle-hash)
+    * pairs. The [[exactJaccardPairs]] cost gate measures its df
+    * distribution over these 8-byte keys instead of the k-gram strings —
+    * the measurement pass shuffles narrow longs with map-side partial
+    * counts, never a posting list. A 60-bit in-doc hash collision merges
+    * two distinct shingles, so measured df / Σ df² / max df can only read
+    * HIGH — the gate's "no key saturated" conclusion stays safe and the
+    * routing stays a pure physical choice (both routes emit identical
+    * rows). */
+  def shingleHashSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingleHashes(tokens(col(textCol)), k))).as("sh_h"))
+  }
+
   /** MinHash hash family: ONE md5 per shingle reduced mod P, then affine
     * variants h_i = (a_i·h + b_i) mod P — 16× fewer digest computations than
     * seeded-md5 per hash, same theoretical guarantees. Constants are fixed
@@ -419,14 +435,24 @@ object Dedup {
     * of accumulating both generations. */
   def appendLshBands(state: DataFrame, docs: DataFrame, idCol: String,
                      textCol: String, shingleK: Int, numHashes: Int,
-                     numBands: Int, maxDf: Int = StopBucketDf): (DataFrame, DataFrame) = {
+                     numBands: Int, maxDf: Int = StopBucketDf,
+                     materializeState: Boolean = true): (DataFrame, DataFrame) = {
     val newBands = bands(
       minhashSignaturesHashed(shingleHashRaw(docs, idCol, textCol, shingleK), numHashes),
       numHashes, numBands).localCheckpoint(true)
-    val all = state
+    // The folded state is eagerly materialized ONLY for callers that keep
+    // it (the streaming sink consumes `all` twice — the swap write and the
+    // delta join — and chains batches on it). A caller that wants the
+    // DELTA alone (q194's batch-dedup shape) passes
+    // `materializeState = false`: the delta path then streams the
+    // anti-join ∪ new-bands plan in its one pass, and nothing
+    // standing-sized is ever checkpointed — at 100 TB the eager state
+    // materialization is a full corpus write the delta never needed
+    // (r13 verdict #4; before/after plans in plans/r14/q194_*).
+    val folded = state
       .join(newBands.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .union(newBands)
-      .localCheckpoint(true)
+    val all = if (materializeState) folded.localCheckpoint(true) else folded
     // Stop-bucket discipline for the delta — the STREAMING twin of
     // [[candidatePairs]]' cap, without which the boilerplate-corpus attack
     // the batch path is hardened against would just arrive through the
@@ -884,28 +910,60 @@ object Dedup {
     * routes accordingly. Embedded ground-truth call sites (q190/q191/
     * q267 family) use THIS entry point; q21 and q189 stay pinned to
     * their pure shapes as the documented baselines. */
+  /** Max estimated INPUT bytes (the docs relation, from catalyst stats)
+    * below which [[exactJaccardPairs]] may PERSIST its posting-list
+    * aggregation to share one substrate pass between the cost gate and
+    * the pair emit. The posting relation is corpus-proportional (≈ the
+    * exploded substrate re-keyed by shingle), so at 100 TB caching it is
+    * impossible and recomputing one substrate pass is strictly cheaper
+    * than the eviction pressure (guide §5) — past this bound the operator
+    * runs the UNPERSISTED two-pass shape (count-only hashed gate pass,
+    * then one fused posting→pairs pass). Below it — where the cache
+    * demonstrably fits — the single shared aggregation is ~17% faster
+    * (same-JVM A/B, BENCH_NOTES r14). Override with
+    * `spark.graft.dedup.postingCacheMaxInputBytes`; the 1 GiB default
+    * keeps small-corpus jobs on the fast shape while any corpus within an
+    * order of magnitude of executor memory takes the scale shape. */
+  private val PostingCacheMaxInputBytesKey =
+    "spark.graft.dedup.postingCacheMaxInputBytes"
+  private val PostingCacheMaxInputBytesDefault: Long = 1L << 30
+
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int, threshold: Double,
                         dfBlowupFactor: Double = 64.0,
                         postingCap: Int = StopBucketDf): DataFrame = {
-    val sh = shingleSetsSized(docs, idCol, textCol, shingleK).persist()
-    // ONE corpus-sized aggregation serves both the gate's measurement and
-    // the cheap path's pair substrate, with every buffer BOUNDED: posting
-    // lists build through bounded_collect_list (a key saturates at
-    // StopBucketDf + 1 elements — max ~0.5 MB, never the 2 GB single-array
-    // exposure an unbounded collect_list measurement had on stop-shingle
-    // corpora), while the exact per-key `df` count rides in the same
-    // aggregation even for saturated keys. Task memory stays ∝ task input
-    // rows (each input row appends at most one bounded-buffer element).
-    // The gate reads Σ df / Σ df² / max df in one single-row pass:
-    //  - cheap ∧ max df ≤ cap → consume the postings DIRECTLY (no key
-    //    saturated, so the lists are complete — exactness verified, not
-    //    assumed; zero regroup);
-    //  - cheap ∧ some key saturated (needs Σ df ≥ cap²/factor ≈ 6.7·10⁷
-    //    shingle rows — corpus scale only) → regroup with plain
-    //    collect_list, safe by the gate's own bound df ≤ √(factor·rows);
-    //  - not cheap → prefix path (the bounded measurement cost no skew
-    //    exposure to take).
+    val maxCacheBytes = docs.sparkSession.conf
+      .getOption(PostingCacheMaxInputBytesKey).map(_.toLong)
+      .getOrElse(PostingCacheMaxInputBytesDefault)
+    val inputBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (inputBytes <= maxCacheBytes)
+      exactJaccardPairsCached(docs, idCol, textCol, shingleK, threshold,
+        dfBlowupFactor, postingCap)
+    else
+      exactJaccardPairsStreaming(docs, idCol, textCol, shingleK, threshold,
+        dfBlowupFactor, postingCap)
+  }
+
+  /** Small-input shape: ONE corpus-sized aggregation serves both the
+    * gate's measurement and the cheap path's pair substrate, with every
+    * buffer BOUNDED (bounded_collect_list saturates at cap + 1 elements;
+    * the exact per-key `df` rides in the same aggregation even for
+    * saturated keys). Only the posting relation is persisted — the
+    * round-13 shape additionally cached the exploded substrate, which is
+    * consumed exactly once here (wasted cache write, dropped in r14).
+    * The gate reads Σ df / Σ df² / max df in one single-row pass:
+    *  - cheap ∧ max df ≤ cap → consume the postings DIRECTLY (no key
+    *    saturated, so the lists are complete — exactness verified, not
+    *    assumed; zero regroup);
+    *  - cheap ∧ some key saturated (needs Σ df ≥ cap²/factor ≈ 6.7·10⁷
+    *    shingle rows — corpus scale only, where the size gate has already
+    *    routed to the streaming shape) → regroup with plain collect_list,
+    *    safe by the gate's own bound df ≤ √(factor·rows);
+    *  - not cheap → prefix path. */
+  private def exactJaccardPairsCached(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, threshold: Double,
+      dfBlowupFactor: Double, postingCap: Int): DataFrame = {
+    val sh = shingleSetsSized(docs, idCol, textCol, shingleK)
     val posting = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"),
         BoundedCollect.boundedCollectList(struct(col("doc_id"), col("n")),
@@ -925,17 +983,66 @@ object Dedup {
         o
       } else if (cheap) {
         posting.unpersist()
-        val full = sh.groupBy(col("shingle"))
-          .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-        invertedIndexPairsFromSizedPosting(full, threshold)
+        invertedIndexPairsFromSizedPosting(
+          sh.groupBy(col("shingle"))
+            .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")),
+          threshold)
       } else {
         posting.unpersist()
-        val cand = prefixCandidates(sh, threshold)
-        val candDocs = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        jaccardVerifySized(cand, shCand, threshold).localCheckpoint(true)
+        prefixRoute(sh, threshold)
       }
+    out
+  }
+
+  /** Scale shape (r13 verdict #3): NOTHING corpus-proportional is ever
+    * persisted. The df distribution is measured by a COUNT-ONLY
+    * aggregation over the hashed distinct substrate ([[shingleHashSets]]
+    * — 8-byte keys, map-side partial counts, shuffle = vocab-sized count
+    * partials), then the pair pass streams the sized substrate through
+    * one fused posting→pairs aggregation. A 60-bit hash collision only
+    * MERGES measured groups, so Σ df² and max df read conservatively
+    * HIGH: the "no key saturated" conclusion stays safe, and a fooled
+    * gate can only route to a slower exact plan, never a wrong answer. */
+  private def exactJaccardPairsStreaming(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, threshold: Double,
+      dfBlowupFactor: Double, postingCap: Int): DataFrame = {
+    val st = shingleHashSets(docs, idCol, textCol, shingleK)
+      .groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      .agg(
+        sum(col("df")).as("rows"),
+        sum(col("df").cast("double") * col("df")).as("sq"),
+        max(col("df")).as("maxdf"))
+      .head()
+    val cheap = !st.isNullAt(0) && st.getDouble(1) <= dfBlowupFactor * st.getLong(0)
+    if (cheap && st.getLong(2) <= postingCap)
+      invertedIndexPairsFromSizedPosting(
+        shingleSetsSized(docs, idCol, textCol, shingleK)
+          .groupBy(col("shingle"))
+          .agg(BoundedCollect.boundedCollectList(struct(col("doc_id"), col("n")),
+            postingCap).as("ds")),
+        threshold)
+    else if (cheap)
+      invertedIndexPairsFromSizedPosting(
+        shingleSetsSized(docs, idCol, textCol, shingleK)
+          .groupBy(col("shingle"))
+          .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds")),
+        threshold)
+    else
+      prefixRoute(shingleSetsSized(docs, idCol, textCol, shingleK), threshold)
+  }
+
+  /** The not-cheap route shared by both shapes: prefix-filter candidates +
+    * candidate-scoped verify. The substrate IS persisted here — the prefix
+    * machinery and the verify legs read it three times, and the skewed
+    * corpora routed here are exactly where recomputing the explode per
+    * consumer is real work. */
+  private def prefixRoute(shUnpersisted: DataFrame, threshold: Double): DataFrame = {
+    val sh = shUnpersisted.persist()
+    val cand = prefixCandidates(sh, threshold)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val out = jaccardVerifySized(cand, shCand, threshold).localCheckpoint(true)
     sh.unpersist()
     out
   }

@@ -75,6 +75,22 @@ object Similarity {
   /** Assign every vector to its nearest centroid (IVF index build).
     * Centroids DF: (centroid_id, cvec); must be small → broadcast.
     * Deterministic argmin: ties break on centroid_id. */
+  /** Spread a BATCH-scoring corpus across the cluster's slots when its
+    * scan arrived in fewer splits (the [[graft.ops.Dedup.shingleRaw]]
+    * device, applied to the vector side — round 14): a small parquet packs
+    * into ONE split (`files.openCostInBytes` floors every file at 4 MB),
+    * so the O(|corpus|·|queries|·dim) score loop of a batch KNN would run
+    * on one core while the rest idle — measured 6.5× on q166/q204 at
+    * sf0.1. The shuffle moves only the under-split relation (small by
+    * construction — that is why it under-split); a properly partitioned
+    * 100 TB table takes the no-op branch. Row-level results are
+    * partition-independent here: every consumer aggregates through the
+    * bounded TopK with a TOTAL (score, id) order. */
+  private def spreadForScoring(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Batch KNN — MANY queries against one corpus in ONE scan: the query
     * set broadcasts (serving batches are small next to the corpus), every
     * corpus row scores against every query in the same pass, and the
@@ -91,9 +107,39 @@ object Similarity {
     // dot(v,v), so precomputing √norm once per corpus row (and once per
     // broadcast query row) is BIT-identical to cosineSim per pair while
     // cutting the dominant O(|corpus|·|queries|·dim) flops by 3×.
-    corpus.withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+    spreadForScoring(corpus)
+      .withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
       .crossJoin(broadcast(
         queries.withColumn("__qnorm", sqrt(dot(col(qVecCol), col(qVecCol))))))
+      .withColumn("__score",
+        dot(col(vecCol), col(qVecCol)) / (col("__norm") * col("__qnorm")))
+      .groupBy(col(qIdCol))
+      .agg(top(col("__score"), col(idCol)).as("top"))
+      .select(col(qIdCol), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col(qIdCol), col("s.id").as(idCol), col("s.score").as("score"),
+        (col("rank0") + 1).cast("int").as("rank"))
+  }
+
+  /** LEAVE-ONE-OUT batch KNN — [[knnBatch]] with the corpus as its own
+    * query set and self-pairs dropped BEFORE the bounded TopK aggregation
+    * (the [[hardNegatives]] filter placement). Equals
+    * `knnBatch(k+1)` → drop self → re-rank — the q166/q204 shape before
+    * round 14 — in every case: the k+1 list minus its self row (present
+    * or not) always keeps exactly the top k non-self neighbors, which is
+    * what the pre-aggregation filter selects directly. The change
+    * removes the per-query row_number window, its whole-relation exchange
+    * and the rank-rewrite projection from the plan (r13 verdict #6).
+    * Ties break by id ascending, exactly as the oracle's
+    * `ORDER BY s DESC, n_id`. */
+  def knnBatchLoo(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, qIdCol: String, qVecCol: String,
+                  k: Int): DataFrame = {
+    val top = TopK.topK(k)
+    spreadForScoring(corpus)
+      .withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(
+        queries.withColumn("__qnorm", sqrt(dot(col(qVecCol), col(qVecCol))))))
+      .filter(col(idCol) =!= col(qIdCol))
       .withColumn("__score",
         dot(col(vecCol), col(qVecCol)) / (col("__norm") * col("__qnorm")))
       .groupBy(col(qIdCol))
@@ -117,7 +163,8 @@ object Similarity {
                     maxSim: Double = 1.0): DataFrame = {
     val top = TopK.topK(k)
     // Same norm factoring as [[knnBatch]] — bit-identical to cosineSim.
-    corpus.withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+    spreadForScoring(corpus)
+      .withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
       .crossJoin(broadcast(
         anchors.withColumn("__qnorm", sqrt(dot(col(qVecCol), col(qVecCol))))))
       .filter(col(labelCol) =!= col(qLabelCol))
@@ -284,9 +331,15 @@ object Similarity {
     * of 3n); the dot/(√na·√nb) association matches the oracle exactly. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
+    // under-split spread (see [[spreadForScoring]]): the n²/2 pair loop
+    // runs on the STREAM side's partitioning — a one-split scan would
+    // serialize it on one core
     val withNorm = corpus.select(col(idCol), col(vecCol))
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
-    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
+    // only the STREAM leg spreads — the broadcast build would just pay the
+    // shuffle for a partitioning the broadcast discards
+    val a = spreadForScoring(withNorm)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
     val score = round(dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")), 4)
     // Both predicates live IN the join condition, cheap id-order test first:
@@ -331,7 +384,10 @@ object Similarity {
     val rem = nBits % nBands
     val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val signed = corpus.select(col(idCol), col(vecCol))
+    // under-split spread (see [[spreadForScoring]]): signature + norm are
+    // the map-heavy half; a one-split scan would compute them (and cache
+    // them as ONE partition, serializing every later read) on one core
+    val signed = spreadForScoring(corpus.select(col(idCol), col(vecCol)))
       .withColumn("sig", rhpSignature(col(vecCol), nBits))
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))))
       .persist()
@@ -374,7 +430,9 @@ object Similarity {
   def maxSimTopK(docVectors: DataFrame, docIdCol: String, vecCol: String,
                  queryVectors: DataFrame, qidCol: String, qvecCol: String,
                  qids: Seq[Int], k: Int): DataFrame = {
-    val sims = docVectors.crossJoin(broadcast(queryVectors))
+    // same under-split spread as the batch-KNN scorers: the per-(chunk,
+    // facet) cosine loop must not serialize on a one-split scan
+    val sims = spreadForScoring(docVectors).crossJoin(broadcast(queryVectors))
       .withColumn("sim", cosineSim(col(vecCol), col(qvecCol)))
     val perQid = qids.map(q =>
       round(max(when(col(qidCol) === q, col("sim"))), 4).as(s"m$q"))

@@ -196,16 +196,13 @@ object HybridQueries {
         val emb = Tables.embeddings(s, d)
         val q = emb.select(col("vec_id").as("q_id"),
           col("embedding").as("qvec"), col("label").as("true_label"))
-        import org.apache.spark.sql.expressions.Window
-        // k=11 then drop self and re-rank to exactly 10: self always sits
-        // in the top 11 (cosine 1.0), so the surviving 10 equal the
-        // oracle's top-10-excluding-self
-        val nn = Similarity.knnBatch(emb, q.select(col("q_id"), col("qvec")),
-            "vec_id", "embedding", "q_id", "qvec", k = 11)
-          .filter(col("vec_id") =!= col("q_id")) // leave-one-out
-          .withColumn("rnk2", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("rank"))))
-          .filter(col("rnk2") <= 10)
+        // round 14 (r13 verdict #6): self-pairs drop BEFORE the bounded
+        // TopK aggregation (knnBatchLoo), so the top-10-excluding-self
+        // comes straight out of the aggregator — the k=11 → drop-self →
+        // row_number re-rank window (one exchange + a whole-relation
+        // sort) is gone from the plan. Output identical (see knnBatchLoo).
+        val nn = Similarity.knnBatchLoo(emb, q.select(col("q_id"), col("qvec")),
+            "vec_id", "embedding", "q_id", "qvec", k = 10)
           .join(emb.select(col("vec_id"), col("label")), "vec_id")
         val votes = nn.groupBy(col("q_id"), col("label"))
           .agg(count(lit(1)).as("v"))

@@ -196,8 +196,16 @@ object RefinementQueries {
         val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         val state = Dedup.bands(Dedup.minhashSignatures(
           Dedup.shingleRaw(corpus, "doc_id", "text", 3), 16), 16, 4)
-        val (_, cand) = Dedup.appendLshBands(state, delta, "doc_id", "text",
-          shingleK = 3, numHashes = 16, numBands = 4)
+        // round 14 (r13 verdict #4): the folded state is DISCARDED here —
+        // only the delta matters — so the fold runs lazy
+        // (materializeState = false: no eager corpus-sized checkpoint)
+        // and the delta-sized CANDIDATE set is materialized once instead,
+        // for its three consumers below (two endpoint projections + the
+        // verify join).
+        val (_, cand0) = Dedup.appendLshBands(state, delta, "doc_id", "text",
+          shingleK = 3, numHashes = 16, numBands = 4,
+          materializeState = false)
+        val cand = cand0.localCheckpoint(true)
         val candDocs = cand.select(col("doc_a").as("doc_id"))
           .union(cand.select(col("doc_b").as("doc_id"))).distinct()
         val candTexts = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
@@ -1497,16 +1505,13 @@ object RefinementQueries {
     Entry("q204_knn_confusion",
       (s, d) => {
         import graft.ops.Similarity
-        import org.apache.spark.sql.expressions.Window
         val emb = Tables.embeddings(s, d)
         val q = emb.select(col("vec_id").as("q_id"),
           col("embedding").as("qvec"), col("label").as("true_label"))
-        val nn = Similarity.knnBatch(emb, q.select(col("q_id"), col("qvec")),
-            "vec_id", "embedding", "q_id", "qvec", k = 11)
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("rnk2", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("rank"))))
-          .filter(col("rnk2") <= 10)
+        // knnBatchLoo: self-pairs filtered before the TopK aggregation —
+        // the re-rank window is gone; same output (q166's note)
+        val nn = Similarity.knnBatchLoo(emb, q.select(col("q_id"), col("qvec")),
+            "vec_id", "embedding", "q_id", "qvec", k = 10)
           .join(emb.select(col("vec_id"), col("label")), "vec_id")
         val votes = nn.groupBy(col("q_id"), col("label"))
           .agg(count(lit(1)).as("v"))

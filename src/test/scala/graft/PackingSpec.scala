@@ -45,4 +45,27 @@ class PackingSpec extends SparkSpec {
       }
     }
   }
+
+  test("knnBatchLoo equals knnBatch(k+1) → drop self → re-rank (q166's old shape)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").between(1, 40))
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val loo = Similarity.knnBatchLoo(emb, q,
+        "vec_id", "embedding", "q_id", "qvec", k = 5)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the pre-round-14 formulation, verbatim (window re-rank included)
+    import org.apache.spark.sql.expressions.Window
+    val old = Similarity.knnBatch(emb, q,
+        "vec_id", "embedding", "q_id", "qvec", k = 6)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rnk2", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+      .filter(col("rnk2") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rnk2").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(loo === old)
+    // and no self pair ever survives
+    assert(loo.forall { case (qid, vid, _) => qid != vid })
+  }
 }

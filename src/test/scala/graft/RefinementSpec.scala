@@ -98,6 +98,19 @@ class RefinementSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(auto === brute)
     }
+    // round 14: the size-gated cache is a pure physical choice too — the
+    // streaming (never-persist, hashed-gate) shape emits identical rows on
+    // both routing classes when forced via the conf knob
+    for (docs <- Seq(uniform, skewed)) {
+      val cached = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      spark.conf.set("spark.graft.dedup.postingCacheMaxInputBytes", "0")
+      val streaming =
+        try Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        finally spark.conf.unset("spark.graft.dedup.postingCacheMaxInputBytes")
+      assert(cached === streaming)
+    }
   }
 
   test("leakageSafeSplit: clusters land wholly in one split; all docs covered") {
